@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line to stdout.
+
+Headline metric: flagship spatial-join + tile-assignment throughput
+(pages/sec) per BASELINE.json, measured over the synthesized pages table
+(documents x REPLICATE). Also times the operator battery from
+__spark_entry__.queries() at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]    (default 32)
+  SPARK_GRAFT_REPLICATE page replication factor for the flagship (default 200)
+
+Scaling-efficiency protocol (north rule, sandbox form): run this script
+twice — SPARK_GRAFT_CPUS=8 then 32 — on the same input; efficiency =
+(pages_per_sec@32 / pages_per_sec@8) / 4. See scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from imagery_utils_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "200"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="imagery_utils_spark-bench",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from imagery_utils_spark.plans import mosaic_query as MQ
+
+    timings: dict[str, float] = {}
+
+    # ---- warm-up: spin up all Python UDF workers (pandas import dominates
+    # cold start) so the timed run measures the pipeline, not process spawn
+    MQ.ranked_assignments(spark, sf_dir, replicate=max(2 * cpus, 16)).count()
+
+    # ---- flagship: pages/sec on the full geocode->join->score->rank DAG
+    # noop write materializes every column (a bare count() lets Catalyst
+    # prune the rank projection away entirely)
+    t0 = time.perf_counter()
+    flagship = MQ.ranked_assignments(spark, sf_dir, replicate=replicate)
+    flagship.write.format("noop").mode("overwrite").save()
+    t_flag = time.perf_counter() - t0
+    n_pages_out = flagship.count()
+    n_pages_in = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count() * replicate
+    )
+    timings["flagship_rank_x%d" % replicate] = round(t_flag, 3)
+
+    # ---- operator battery at sf scale (no replication)
+    if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
+        battery = E.queries()
+        for name, fn in battery.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    pages_per_sec = n_pages_in / t_flag if t_flag > 0 else 0.0
+    print(json.dumps({
+        "metric": "flagship spatial-join+tile-assignment wall time",
+        "value": round(t_flag, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_in": n_pages_in,
+        "pages_ranked": n_pages_out,
+        "pages_per_sec": round(pages_per_sec, 1),
+        "cpus": cpus,
+        "replicate": replicate,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Deduplication operators for web-scale training data.
+
+Four tiers, all shuffle-conscious:
+
+* exact        — hash-groupBy on the content column (one shuffle on the hash)
+* fingerprint  — canonicalized token-set hash (order/duplicate-insensitive)
+* minhash LSH  — shingle -> k minhashes -> b bands -> bucket join -> exact
+                 Jaccard verify; signatures are pure JVM column algebra
+                 (xxhash64 + array transforms, no UDF, no Python in the scan)
+* simhash      — 64-bit weighted-bit fingerprint (vectorized numpy UDF) with
+                 4x16-bit band blocking for Hamming-distance candidates
+
+Scale notes: band-bucket joins shuffle only (band_id, band_hash, doc_id) —
+bytes per row are tiny. Bucket skew (boilerplate shingles) is capped by
+``max_bucket`` (drop buckets above the cap; a standard LSH guardrail — a
+bucket that large means near-identical boilerplate, which the exact-verify
+stage would re-find via any of its other bands).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_col, tokens_col
+
+# Deterministic hash family h_i(x) = (a_i * x + b_i) mod p over a Mersenne-31
+# prime: a_i, x < 2^31 keeps every product inside int64 (ANSI-safe, no
+# overflow), the standard 32-bit minhash construction.
+_P = (1 << 31) - 1
+
+
+def _hash_family(k: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=k, dtype=np.int64)
+    b = rng.integers(0, _P, size=k, dtype=np.int64)
+    return a, b
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, content: str = "text", key: str = "doc_id") -> DataFrame:
+    """One representative (min key) per distinct content value; single
+    shuffle keyed by the content hash, partial-agg pushed map-side."""
+    return (
+        df.withColumn("_h", F.sha2(F.col(content), 256))
+        .groupBy("_h")
+        .agg(F.min(key).alias(key), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, content: str = "text", key: str = "doc_id") -> DataFrame:
+    return (
+        df.withColumn("_fp", fingerprint_col(F.col(content)))
+        .groupBy("_fp")
+        .agg(F.min(key).alias(key), F.count("*").alias("n_members"))
+        .withColumnRenamed("_fp", "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------- shingles / minhash
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — pure column algebra."""
+    toks = tokens_col(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def minhash_signature_col(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """k-element minhash signature, JVM-side: per hash fn i,
+    min over shingles of (a_i * xxhash64(s) + b_i) mod p."""
+    a, b = _hash_family(k, seed)
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s: (F.lit(int(a[i])) * F.pmod(F.xxhash64(s), F.lit(_P))
+                           + F.lit(int(b[i]))) % F.lit(_P),
+            )
+        )
+        for i in range(k)
+    ]
+    return F.array(*sigs)
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return F.when(
+        F.size(a) + F.size(b) - inter > 0,
+        inter / (F.size(a) + F.size(b) - inter).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    n_gram: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs with exact-Jaccard verification.
+
+    Returns (key_a, key_b, jaccard) with key_a < key_b and jaccard >= threshold.
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(key).alias("_k"),
+        shingles_col(F.col(content), n_gram).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature_col(F.col("_sh"), k, seed))
+    banded = sig.select(
+        "_k", "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("_sig", j * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("bucket"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("_b"),
+    ).select("_k", "_sh", "_b.band", "_b.bucket")
+    # cap pathological buckets (boilerplate guardrail)
+    sized = banded.withColumn(
+        "_n", F.count("*").over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    l = sized.select(F.col("band"), F.col("bucket"),
+                     F.col("_k").alias("key_a"), F.col("_sh").alias("_sh_a"))
+    r = sized.select(F.col("band"), F.col("bucket"),
+                     F.col("_k").alias("key_b"), F.col("_sh").alias("_sh_b"))
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", jaccard_col(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+        .dropDuplicates(["key_a", "key_b"])
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pair_on: Column, content: str = "text", key: str = "doc_id",
+    n_gram: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit pairing (no LSH) — used by the
+    oracle-checked near-dup query (pairs = consecutive keys)."""
+    a = df.select(F.col(key).alias("key_a"), shingles_col(F.col(content), n_gram).alias("_a"))
+    b = df.select(F.col(key).alias("key_b"), shingles_col(F.col(content), n_gram).alias("_b"))
+    return (
+        a.join(b, pair_on)
+        .select("key_a", "key_b", jaccard_col(F.col("_a"), F.col("_b")).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_udf(n_bits: int = 64):
+    """Vectorized simhash over whitespace tokens: per-token 64-bit hash
+    (splitmix-style numpy), +1/-1 vote per bit, sign -> fingerprint."""
+
+    @F.pandas_udf("long")
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            if not t:
+                continue
+            toks = np.array([hash_token(w) for w in set(t.lower().split())],
+                            dtype=np.uint64)
+            if toks.size == 0:
+                continue
+            bits = ((toks[:, None] >> np.arange(n_bits, dtype=np.uint64)) & np.uint64(1))
+            votes = bits.astype(np.int64).sum(axis=0) * 2 - toks.size
+            fp = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    def hash_token(w: str) -> int:
+        # FNV-1a 64 (deterministic across processes, unlike Python's hash)
+        h = 0xCBF29CE484222325
+        for ch in w.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return _simhash
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, content: str = "text", key: str = "doc_id",
+    max_hamming: int = 3, max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 4x16-bit
+    chunks (any pair within distance 3 shares at least one chunk)."""
+    sh = df.select(F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
+    chunks = sh.select(
+        "_k", "_fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright(F.col("_fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for c in range(4)
+        ])).alias("_c"),
+    ).select("_k", "_fp", "_c.chunk", "_c.val")
+    from pyspark.sql.window import Window
+
+    chunks = chunks.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("chunk", "val"))
+    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    l = chunks.select("chunk", "val", F.col("_k").alias("key_a"), F.col("_fp").alias("fp_a"))
+    r = chunks.select("chunk", "val", F.col("_k").alias("key_b"), F.col("_fp").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", hamming.alias("hamming"))
+        .dropDuplicates(["key_a", "key_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,55 @@
+"""Skew-aware ranking — two-phase row_number for hot partitions.
+
+``Window.partitionBy(tile).orderBy(...)`` puts every row of a tile into one
+task; with Zipf geography the hot tile holds a double-digit percentage of the
+whole fact table, so that one task sorts ~N rows serially (the grouped-map
+skew AQE cannot split — SURVEY.md §4 item 2). Two-phase formulation:
+
+1. bucket each row by a monotone function of the leading order key
+   (``floor(score)`` for descending score: higher bucket strictly sorts
+   before lower);
+2. ``row_number`` within (partition, bucket) — parallel across buckets, so
+   the hot tile splits into ~#buckets tasks;
+3. add per-(partition, bucket) offsets = count of rows in strictly-better
+   buckets of the same partition (tiny aggregate, broadcast back).
+
+Exactness requires the bucket to be monotone w.r.t. the order: rows in a
+higher bucket always rank before rows in a lower one, and the within-bucket
+window uses the full ordering for ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skew_rank(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[Column],
+    bucket: Column,
+    out: str = "rank",
+) -> DataFrame:
+    """row_number over (partition_col ORDER BY order_cols) computed without a
+    single-task-per-partition sort. ``bucket`` must be monotone
+    NON-INCREASING along the ordering (e.g. floor(score) when ordering by
+    score DESC)."""
+    b = df.withColumn("_bkt", bucket)
+    # per-(partition, bucket) sizes -> offsets via cumulative sum over the
+    # bucket ordering (descending bucket = ascending rank)
+    sizes = b.groupBy(partition_col, "_bkt").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+    w_in = Window.partitionBy(partition_col, "_bkt").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), [partition_col, "_bkt"])
+        .withColumn(out, (F.row_number().over(w_in) + F.col("_off")).cast("int"))
+        .drop("_bkt", "_off")
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force top-k vs one query vector: JVM-side
+  ``zip_with``/``aggregate`` dot product + a TakeOrdered limit (no shuffle of
+  the full table; map-side partial top-k).
+* :func:`knn_join` — brute-force kNN for a small query set (broadcast
+  queries, per-partition partial top-k via window on the joined pairs).
+* :func:`lsh_bucket_ann` — scale path: random-hyperplane (sign) LSH buckets;
+  candidates share a bucket in any of ``n_tables`` tables; exact cosine
+  verify on candidates only. Hyperplanes are seeded numpy, applied in an
+  Arrow-vectorized pandas UDF (matrix multiply per batch).
+* :func:`ivf_assign` / :func:`ivf_search` — IVF-style variant: k-means-lite
+  centroids (seeded sample, driver-side numpy Lloyd iterations), fact table
+  partitioned by nearest centroid; searches probe ``n_probe`` centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns — pure column
+    algebra (left-to-right accumulation: deterministic, SQL-matchable)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Top-k rows most similar to ``query``. orderBy+limit compiles to
+    TakeOrdered — each partition keeps only k candidates, no full sort."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_col(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             q_vec_col: str = "embedding", q_id_col: str = "q_id") -> DataFrame:
+    """For each query row: its k nearest fact rows by cosine. Queries are
+    broadcast; the fact table is scanned once."""
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
+    joined = df.crossJoin(F.broadcast(q)).select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"),
+                   F.col("_qv").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_bits: int = 16, n_tables: int = 4, seed: int = 42):
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        out = []
+        codes = np.einsum("tbd,nd->ntb", planes, m) > 0  # (n, tables, bits)
+        ids = codes @ weights  # (n, tables)
+        for row in ids:
+            out.append([int(t) << 48 | int(v) for t, v in enumerate(row)])
+        return pd.Series(out)
+
+    return _buckets
+
+
+def lsh_bucket_ann(df: DataFrame, queries: DataFrame, k: int = 5,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   q_vec_col: str = "embedding", q_id_col: str = "q_id",
+                   dim: int | None = None, n_bits: int = 12, n_tables: int = 6,
+                   seed: int = 42) -> DataFrame:
+    """Approximate kNN: bucket-join candidates (any shared table-bucket),
+    exact cosine verify, top-k per query. Recall grows with n_tables."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
+    fact = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                     F.explode(udf(F.col(vec_col))).alias("bucket"))
+    qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"),
+                        F.explode(udf(F.col(q_vec_col))).alias("bucket"))
+    cand = fact.join(F.broadcast(qs), "bucket").dropDuplicates([q_id_col, id_col])
+    scored = cand.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col("_v").cast("array<double>"),
+                   F.col("_qv").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def train_centroids(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
+                    sample: int = 2048, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Driver-side Lloyd iterations on a deterministic sample (orderBy id
+    limit) — the 'train on a sample, assign distributed' IVF pattern."""
+    cols = df.columns
+    id_col = cols[0]
+    rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            m = x[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                c[j] = v / (np.linalg.norm(v) + 1e-12)
+    return c
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Add ``ivf_cell`` = argmax cosine vs centroids (vectorized batch matmul)."""
+    c = centroids
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cell", _assign(F.col(vec_col)))
+
+
+def ivf_search(fact_assigned: DataFrame, queries: DataFrame, centroids: np.ndarray,
+               k: int = 5, n_probe: int = 4, vec_col: str = "embedding",
+               id_col: str = "vec_id", q_vec_col: str = "embedding",
+               q_id_col: str = "q_id") -> DataFrame:
+    """Probe the n_probe nearest centroid cells per query; exact cosine within.
+    At scale the fact table is *stored partitioned by ivf_cell* (partition
+    pruning does the candidate cut)."""
+    c = centroids
+
+    @F.pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+        order = np.argsort(-(m @ c.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"),
+                        F.explode(_probes(F.col(q_vec_col))).alias("ivf_cell"))
+    cand = fact_assigned.join(F.broadcast(qs), "ivf_cell")
+    scored = cand.select(
+        F.col(q_id_col), F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"),
+                   F.col("_qv").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,174 @@
+"""Synthetic Common-Crawl-style ``pages`` table + geocoding.
+
+``BASELINE.json.input_hint``: the engine's primary input is an Iceberg table
+``pages(url string, warc_ts timestamp, html binary, text string, lang string)``.
+No external data exists in this sandbox, so pages are synthesized
+*deterministically* from the driver's read-only ``documents`` table — every
+derived quantity is closed-form integer arithmetic on ``doc_id`` so the DuckDB
+oracle can reproduce it exactly (see :func:`lonlat_sql`).
+
+Geography design (FIXTURES.md §1): geometric cluster skew — cluster k gets
+~2^-(k+1) of all pages, so cluster 0 is a *hot cell* (exercises salting), and
+cluster 0 sits 0.2 deg from the anti-meridian (exercises the
+doesCross180/getWrappedGeometry semantics of
+/root/reference/lib/utils.py:537-645).
+
+Coordinates are exact multiples of 1e-4 deg, rendered into the page ``html``
+as ``<meta name="geo.position" content="{lat};{lon}">`` with 4 decimals —
+float round-trip through the geocoder is therefore bit-exact.
+
+The geocoding step plays the role of the reference's metadata-sidecar scan
+(S7: ``get_attributes_from_xml``, /root/reference/lib/mosaic.py:320-497):
+a vectorized pandas UDF parsing per-row metadata into typed columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- derivation
+# All constants are small primes / powers of two so every engine computes the
+# same integers. KNUTH = 2654435761 (golden-ratio multiplicative hash).
+KNUTH = 2654435761
+H_MOD = 2147483648  # 2^31
+N_CLUSTERS = 11     # floor(log2(1024/(1024-c))) for c in [0,1024) -> 0..10
+
+
+def _hash_cols(doc_id: Column):
+    h = (doc_id * F.lit(KNUTH)) % F.lit(H_MOD)
+    h2 = (doc_id * F.lit(40503)) % F.lit(65536)
+    return h, h2
+
+
+def lonlat_cols(doc_id: Column) -> tuple[Column, Column]:
+    """(lon, lat) doubles — exact multiples of 1e-4 deg."""
+    h, h2 = _hash_cols(doc_id)
+    c = h % 1024
+    cluster = F.floor(F.log2(F.lit(1024.0) / (F.lit(1024.0) - c)))
+    center_lon_k = F.when(cluster == 0, F.lit(1798000)).otherwise(
+        ((cluster * 1367) % 3500 - 1750) * 1000
+    )
+    center_lat_k = F.when(cluster == 0, F.lit(150000)).otherwise(
+        ((cluster * 911) % 1600 - 800) * 1000
+    )
+    jlon = (F.floor(h / 1024) % 40001) - 20000
+    jlat = (h2 % 40001) - 20000
+    lon_k = center_lon_k + jlon
+    # wrap into [-180, 180) with a sign-safe double mod
+    lon_k = ((lon_k + 1800000) % 3600000 + 3600000) % 3600000 - 1800000
+    lat_k = F.greatest(F.lit(-899999), F.least(F.lit(899999), center_lat_k + jlat))
+    return (lon_k / 10000.0).alias("lon"), (lat_k / 10000.0).alias("lat")
+
+
+def lonlat_sql(doc_id: str = "doc_id") -> tuple[str, str]:
+    """The same derivation as ANSI SQL (DuckDB oracle parity)."""
+    h = f"(({doc_id} * {KNUTH}) % {H_MOD})"
+    h2 = f"(({doc_id} * 40503) % 65536)"
+    cluster = f"floor(log2(1024.0 / (1024.0 - ({h} % 1024))))"
+    center_lon_k = f"(CASE WHEN {cluster} = 0 THEN 1798000 ELSE (({cluster} * 1367) % 3500 - 1750) * 1000 END)"
+    center_lat_k = f"(CASE WHEN {cluster} = 0 THEN 150000 ELSE (({cluster} * 911) % 1600 - 800) * 1000 END)"
+    jlon = f"(floor({h} / 1024) % 40001) - 20000"
+    jlat = f"({h2} % 40001) - 20000"
+    lon_k = f"(((({center_lon_k} + {jlon}) + 1800000) % 3600000 + 3600000) % 3600000 - 1800000)"
+    lat_k = f"greatest(-899999, least(899999, {center_lat_k} + {jlat}))"
+    return f"({lon_k} / 10000.0)", f"({lat_k} / 10000.0)"
+
+
+# ---------------------------------------------------------------- the table
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) derived from documents.parquet.
+
+    ``replicate`` > 1 scales row count for bench runs (each replica gets a
+    distinct doc_id range so geography/skew patterns repeat at scale).
+    """
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if replicate > 1:
+        # Stream the range side (partitioned ~ defaultParallelism) and
+        # broadcast the small docs side, so the expanded table is spread
+        # across all cores instead of inheriting the single input split.
+        n = docs.count()
+        reps = spark.range(replicate).withColumnRenamed("id", "rep")
+        docs = reps.crossJoin(F.broadcast(docs)).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(n)
+        ).drop("rep")
+    return pages_from_documents(docs)
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    doc_id = F.col("doc_id")
+    lon, lat = lonlat_cols(doc_id)
+    url = F.concat(
+        F.lit("https://host"), (doc_id % 997).cast("string"),
+        F.lit(".example/p/"), doc_id.cast("string"),
+    ).alias("url")
+    # 2019-01-01 .. ~2023-12-31 (157,766,400 s window), second granularity
+    warc_ts = F.timestamp_seconds(
+        F.lit(1546300800) + (doc_id * 104729) % 157766400
+    ).alias("warc_ts")
+    html = F.encode(
+        F.format_string(
+            '<html><head><meta name="geo.position" content="%.4f;%.4f">'
+            '<meta name="warc-lang" content="%s"></head><body>%s</body></html>',
+            lat, lon, F.col("lang"), F.col("text"),
+        ),
+        "utf-8",
+    ).alias("html")
+    return docs.select(
+        F.col("doc_id"), url, warc_ts, html, F.col("text"), F.col("lang")
+    )
+
+
+# ---------------------------------------------------------------- geocoding
+
+_GEO_RE = r'geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
+
+import pyspark.sql.types as T
+
+_GEO_TYPE = T.StructType([
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_GEO_TYPE)
+def geocode_udf(html: pd.Series) -> pd.DataFrame:
+    """Vectorized metadata extraction (Arrow batches; no per-row Python).
+
+    Parses the ``geo.position`` meta tag out of the raw page bytes. Pages
+    without the tag geocode to null (analog of metadata-missing scenes that
+    score -1, /root/reference/lib/mosaic.py:513-519).
+    """
+    s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    ext = s.str.extract(_GEO_RE)
+    return pd.DataFrame({
+        "lat": pd.to_numeric(ext[0], errors="coerce"),
+        "lon": pd.to_numeric(ext[1], errors="coerce"),
+    })
+
+
+def geocode(pages: DataFrame, method: str = "jvm") -> DataFrame:
+    """pages + (lat, lon) columns; the byte-identical ``text`` column rides
+    through untouched (input_hint invariant).
+
+    ``method='jvm'`` (default, the hot path): decode + regexp_extract + cast
+    as pure column expressions — whole-stage codegen, no Python worker, and
+    Java/Python double parsing are both correctly-rounded so results are
+    bit-identical to the pandas path (asserted in tests). ``method='pandas'``
+    keeps the Arrow-batched UDF for metadata formats that need real parsing.
+    """
+    if method == "pandas":
+        g = geocode_udf(F.col("html"))
+        return pages.withColumn("lat", g["lat"]).withColumn("lon", g["lon"])
+    s = F.decode(F.col("html"), "utf-8")
+    lat_s = F.regexp_extract(s, _GEO_RE, 1)
+    lon_s = F.regexp_extract(s, _GEO_RE, 2)
+    return (
+        pages.withColumn("lat", F.when(lat_s != "", lat_s).cast("double"))
+        .withColumn("lon", F.when(lon_s != "", lon_s).cast("double"))
+    )

@@ -1,0 +1,101 @@
+"""Pages synthesis determinism, geocode round-trip, byte-identical text
+invariant, and SQL-parity of the lon/lat derivation (BASELINE.json.input_hint)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.sources import pages
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, sf_dir):
+    return pages.synthesize_pages(spark, sf_dir).cache()
+
+
+def test_schema_and_counts(pages_df, spark, sf_dir):
+    assert dict(pages_df.drop("doc_id").dtypes) == {
+        "url": "string", "warc_ts": "timestamp", "html": "binary",
+        "text": "string", "lang": "string",
+    }
+    ndocs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert pages_df.count() == ndocs
+    assert pages_df.select("url").distinct().count() == ndocs
+
+
+@pytest.mark.parametrize("method", ["jvm", "pandas"])
+def test_geocode_roundtrip_exact(pages_df, method):
+    # geocoded lat/lon from html must equal the arithmetic derivation exactly
+    # for both the JVM hot path and the pandas-UDF variant
+    geo = pages.geocode(pages_df, method=method)
+    lon, lat = pages.lonlat_cols(F.col("doc_id"))
+    mismatch = geo.withColumn("e_lon", lon).withColumn("e_lat", lat).filter(
+        (F.col("lon") != F.col("e_lon")) | (F.col("lat") != F.col("e_lat"))
+    )
+    assert mismatch.count() == 0
+
+
+def test_geocode_missing_tag_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"<html><head></head><body>no geo</body></html>"))],
+        "doc_id long, html binary",
+    )
+    for method in ("jvm", "pandas"):
+        r = pages.geocode(df, method=method).first()
+        assert r.lat is None and r.lon is None, method
+
+
+def test_text_byte_identical(pages_df, spark, sf_dir):
+    # input_hint invariant: sha2(text) per url matches source documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = pages.geocode(pages_df).select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    right = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h2"))
+    bad = left.join(right, "doc_id").filter(F.col("h") != F.col("h2"))
+    assert bad.count() == 0
+
+
+def test_lonlat_sql_parity(pages_df, spark, sf_dir):
+    lon_sql, lat_sql = pages.lonlat_sql("doc_id")
+    con = duckdb.connect()
+    exp = con.execute(
+        f"select doc_id, {lon_sql} as lon, {lat_sql} as lat "
+        f"from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    got = (
+        pages_df.select("doc_id", *pages.lonlat_cols(F.col("doc_id")))
+        .orderBy("doc_id").collect()
+    )
+    assert len(exp) == len(got)
+    for (eid, elon, elat), r in zip(exp, got):
+        assert r.doc_id == eid
+        assert r.lon == elon, (eid, r.lon, elon)   # bit-exact
+        assert r.lat == elat, (eid, r.lat, elat)
+
+
+def test_geography_shape(pages_df):
+    geo = pages.geocode(pages_df)
+    stats = geo.agg(
+        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat"),
+        F.count(F.when(F.col("lon") > 170, 1)).alias("near_am_e"),
+        F.count(F.when(F.col("lon") < -170, 1)).alias("near_am_w"),
+        F.count("*").alias("n"),
+    ).first()
+    assert stats["min(lon)"] >= -180.0 and stats["max(lon)"] < 180.0
+    assert stats["min(lat)"] >= -90.0 and stats["max(lat)"] <= 90.0
+    # hot cluster 0 sits at 179.8E: roughly half of all pages near the
+    # anti-meridian, some wrapped onto the west side
+    assert stats.near_am_e + stats.near_am_w > stats.n * 0.3
+    assert stats.near_am_w > 0
+
+
+def test_hot_cell_skew(pages_df):
+    # geometric cluster distribution -> top cell at res 4 should hold a
+    # large share (skew driver for salting)
+    geo = pages.geocode(pages_df)
+    from imagery_utils_spark.operators.spatial_join import cell_col
+    counts = (
+        geo.groupBy(cell_col(F.col("lon"), F.col("lat"), 4).alias("cell"))
+        .count().orderBy(F.desc("count")).collect()
+    )
+    total = sum(r["count"] for r in counts)
+    assert counts[0]["count"] / total > 0.25

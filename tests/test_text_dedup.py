@@ -1,0 +1,119 @@
+import pytest
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.functions import text as TX
+from imagery_utils_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en"),      # near dup of 0
+        (3, "der hund und die katze sind von den tieren", "de"),
+        (4, "completely different content about spark engines !!!", "en"),
+        (5, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_counts(spark, docs):
+    r = {x.doc_id: x for x in docs.select(
+        "doc_id",
+        TX.token_count_col(F.col("text")).alias("tc"),
+        TX.bpe_token_count_col(F.col("text")).alias("bc"),
+    ).collect()}
+    assert r[0].tc == 9
+    assert r[5].tc == 0
+    assert r[4].bc == 9  # 6 words + 3 '!' marks
+
+
+def test_quality_and_punct(spark, docs):
+    r = {x.doc_id: x for x in docs.select(
+        "doc_id",
+        TX.punct_ratio_col(F.col("text")).alias("pr"),
+        TX.quality_score_col(F.col("text")).alias("q"),
+    ).collect()}
+    assert r[0].pr == 0.0
+    assert r[4].pr > 0.05
+    assert 0.0 <= r[5].q <= 0.5
+    assert r[0].q > r[5].q
+
+
+def test_langid(spark, docs):
+    r = {x.doc_id: x for x in docs.select(
+        "doc_id", TX.langid_col(F.col("text")).alias("l")).collect()}
+    assert r[0].l == "en"
+    assert r[3].l == "de"
+    assert r[5].l == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x.fp for x in df.select(
+        "doc_id", TX.fingerprint_col(F.col("text")).alias("fp")).collect()}
+    assert r[0] == r[1]
+    assert r[0] != r[2]
+
+
+def test_exact_dedup(spark, docs):
+    out = DD.exact_dedup(docs).collect()
+    by_key = {r.doc_id: r.n_copies for r in out}
+    assert by_key[0] == 2        # doc 1 collapsed into 0
+    assert 1 not in by_key
+    assert by_key[2] == 1
+
+
+def test_shingles(spark, docs):
+    r = docs.filter("doc_id = 0").select(
+        DD.shingles_col(F.col("text"), 3).alias("s")).first().s
+    assert "the quick brown" in r
+    assert "over the lazy" in r
+    assert len(r) == 7
+    # short text: no shingles
+    r5 = docs.filter("doc_id = 5").select(
+        DD.shingles_col(F.col("text"), 3).alias("s")).first().s
+    assert r5 == []
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.3, k=32, bands=16).collect()
+    got = {(r.key_a, r.key_b): r.jaccard for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in got and 0.3 <= got[(0, 2)] < 1.0    # near dup
+    keys = set(got)
+    assert (0, 4) not in keys and (3, 4) not in keys
+
+
+def test_minhash_jaccard_estimate_quality(spark):
+    # signature agreement should approximate true jaccard
+    rows = [(0, " ".join(f"w{i}" for i in range(100))),
+            (1, " ".join(f"w{i}" for i in range(20, 120)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = df.select(
+        "doc_id", DD.minhash_signature_col(DD.shingles_col(F.col("text"), 2), k=128).alias("s")
+    ).collect()
+    s0, s1 = sig[0].s, sig[1].s
+    est = sum(a == b for a, b in zip(s0, s1)) / len(s0)
+    # true jaccard of 2-gram shingle sets ~ (99-39)/ (99+39) ... compute exactly:
+    sh0 = {f"w{i} w{i+1}" for i in range(99)}
+    sh1 = {f"w{i} w{i+1}" for i in range(20, 119)}
+    true_j = len(sh0 & sh1) / len(sh0 | sh1)
+    assert est == pytest.approx(true_j, abs=0.15)
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"word{i}" for i in range(48))
+    near = base.replace("word7", "word7x")            # one token changed
+    rows = [(0, base), (1, base), (2, near),
+            (3, " ".join(f"other{i}" for i in range(48)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.simhash_near_dup_pairs(df, max_hamming=8).collect()
+    got = {(r.key_a, r.key_b): r.hamming for r in pairs}
+    assert got.get((0, 1)) == 0          # identical text -> identical fingerprint
+    assert (0, 2) in got and got[(0, 2)] <= 8   # 1/48 tokens -> few bit flips
+    assert (0, 3) not in got              # disjoint vocab -> far fingerprint
