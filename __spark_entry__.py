@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imagery_utils_spark.functions.scoring import ScoreParams
+from imagery_utils_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
+from imagery_utils_spark.operators import compose as CPO
 from imagery_utils_spark.operators import spatial_join as SJ
 from imagery_utils_spark.operators.asof import asof_backward
 from imagery_utils_spark.operators.tile_grid import tile_assign_cols
@@ -35,7 +37,7 @@ from imagery_utils_spark.sources.tables import load
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocoded pages -> tile assignment -> score -> rank."""
     return MQ.ranked_assignments(spark, "/root/testdata/sf0.001").select(
-        "doc_id", "url", "tile_name", "score", "tile_rank"
+        "doc_id", "tile_name", "score", "tile_rank"
     )
 
 
@@ -179,6 +181,172 @@ def q_broadcast_join_agg(spark, sf_dir) -> DataFrame:
     )
 
 
+# ---- text analysis / dedup / similarity / compose / streaming-batch ------
+
+
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_col(F.col("text")).alias("n_tokens"),
+        TX.bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_lang_profile(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    nt = TX.token_count_col(F.col("text"))
+    return (
+        docs.select("lang", nt.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("tokens_total"),
+            (F.sum("nt").cast("double") / F.count("*")).alias("tokens_avg"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, pair_on=F.col("key_a") + 1 == F.col("key_b"), n_gram=3
+    )
+    return out.orderBy("key_a")
+
+
+def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
+    """Rows-only (hash family not SQL-portable): near-dup pairs j>=0.5."""
+    from imagery_utils_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16).orderBy("key_a", "key_b")
+
+
+def q_simhash_near_dup(spark, sf_dir) -> DataFrame:
+    """Rows-only: simhash Hamming<=3 candidate pairs."""
+    from imagery_utils_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("key_a", "key_b")
+
+
+def q_cosine_topk(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return cosine_topk(emb, qvec, k=10).select("vec_id")
+
+
+def q_lsh_ann(spark, sf_dir) -> DataFrame:
+    """Rows-only: LSH-bucketed approximate kNN for 4 query vectors."""
+    from imagery_utils_spark.operators.similarity import lsh_bucket_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    return lsh_bucket_ann(emb, queries_df, k=5, n_bits=4, n_tables=12).select(
+        "q_id", "vec_id", "rn"
+    ).orderBy("q_id", "rn")
+
+
+def q_pyramid_rollup(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.operators.compose import pyramid_rollup
+
+    df = MQ.geocoded_pages(spark, sf_dir)
+    base = df.select(SJ.cell_col(F.col("lon"), F.col("lat"), 6).alias("cell6"))
+    out = pyramid_rollup(base, "cell6", 6, levels=[4, 2],
+                         aggs=[F.count("*").alias("n")])
+    return out.orderBy("level_res", "cell")
+
+
+def q_stream_window_counts(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.streaming.events import windowed_counts
+
+    ev = load(spark, sf_dir, "events")
+    return windowed_counts(ev).orderBy("window_start", "event_type")
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.streaming.events import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30, order_cols=["ts", "event_id"])
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_epsg_pick(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.functions.scalar import epsg_col
+
+    df = MQ.geocoded_pages(spark, sf_dir)
+    return df.select("doc_id", epsg_col(F.col("lat"), F.col("lon")).alias("epsg")).orderBy("doc_id")
+
+
+def q_strip_tile_candidates(spark, sf_dir) -> DataFrame:
+    """J3 analog with real footprints: strip envelope bboxes x tile grid."""
+    from imagery_utils_spark.operators.tile_grid import lonlat_tile_grid
+
+    df = MQ.geocoded_pages(spark, sf_dir)
+    strips = df.groupBy((F.col("doc_id") % 40).alias("strip_id")).agg(
+        F.min("lon").alias("s_xmin"), F.max("lon").alias("s_xmax"),
+        F.min("lat").alias("s_ymin"), F.max("lat").alias("s_ymax"),
+        F.count("*").alias("n_pages"),
+    )
+    tiles = lonlat_tile_grid(spark, tile_deg=10.0)
+    joined = strips.join(
+        F.broadcast(tiles),
+        (F.col("s_xmin") < F.col("xmax")) & (F.col("s_xmax") > F.col("xmin"))
+        & (F.col("s_ymin") < F.col("ymax")) & (F.col("s_ymax") > F.col("ymin")),
+    )
+    return joined.select(
+        "strip_id", F.col("name").alias("tile_name"), "n_pages"
+    ).orderBy("strip_id", "tile_name")
+
+
+def q_cutline_strips(spark, sf_dir) -> DataFrame:
+    """Rows-only: greedy two-pass cutline over strip envelope footprints
+    (the geometry algebra is not SQL-expressible)."""
+    from imagery_utils_spark.operators.cutline import cutline_contributors
+
+    cand = q_strip_tile_candidates(spark, sf_dir)
+    df = MQ.geocoded_pages(spark, sf_dir)
+    strips = df.groupBy((F.col("doc_id") % 40).alias("strip_id")).agg(
+        F.min("lon").alias("s_xmin"), F.max("lon").alias("s_xmax"),
+        F.min("lat").alias("s_ymin"), F.max("lat").alias("s_ymax"),
+        F.avg(((F.col("doc_id") * 13) % 900) / 10.0).alias("score"),
+    )
+    from imagery_utils_spark.operators.tile_grid import lonlat_tile_grid
+
+    tiles = lonlat_tile_grid(spark, tile_deg=10.0)
+    full = cand.join(strips, "strip_id").join(
+        F.broadcast(tiles.select(F.col("name").alias("tile_name"),
+                                 "xmin", "xmax", "ymin", "ymax")),
+        "tile_name",
+    ).select(
+        "tile_name", "xmin", "xmax", "ymin", "ymax",
+        F.col("strip_id").cast("string").alias("scene_id"), "score",
+        "s_xmin", "s_ymin", "s_xmax", "s_ymax",
+    )
+    # contribution threshold in deg^2: ~1% of a 10x10 tile
+    return cutline_contributors(full, contribution_threshold=1.0).orderBy(
+        "tile_name", "paint_order"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -194,6 +362,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
         "broadcast_join_agg": q_broadcast_join_agg,
+        "token_counts": q_token_counts,
+        "lang_profile": q_lang_profile,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "pyramid_rollup": q_pyramid_rollup,
+        "stream_window_counts": q_stream_window_counts,
+        "sessionize": q_sessionize,
+        "epsg_pick": q_epsg_pick,
+        "strip_tile_candidates": q_strip_tile_candidates,
+        "cutline_strips": q_cutline_strips,
     }
 
 
@@ -304,5 +485,89 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            f"len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+            f"len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "lang_profile": (
+            "WITH t AS (SELECT lang, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt "
+            "FROM documents) "
+            "SELECT lang, count(*) AS n_docs, sum(nt) AS tokens_total, "
+            "cast(sum(nt) as double) / count(*) AS tokens_avg "
+            "FROM t GROUP BY lang ORDER BY lang"
+        ),
+        "jaccard_pairs": (
+            "WITH g AS (SELECT doc_id, "
+            "  CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+            "    range(1, len(toks) - 1), "
+            "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
+            "  ELSE [] END AS sh FROM ("
+            "    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
+            "    x -> x <> '') AS toks FROM documents)) "
+            "SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
+            "CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0 "
+            "THEN len(list_intersect(a.sh, b.sh)) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
+            "ELSE 0.0 END AS jaccard "
+            "FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id ORDER BY key_a"
+        ),
+        "cosine_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id FROM embeddings, q "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id "
+            "LIMIT 10"
+        ),
+        "pyramid_rollup": (
+            f"WITH {pages}, base AS (SELECT {SJ.cell_sql('lon', 'lat', 6)} AS cell6 FROM pages) "
+            f"SELECT 4 AS level_res, {CPO.parent_cell_sql('cell6', 6, 2)} AS cell, "
+            "count(*) AS n FROM base GROUP BY 2 "
+            "UNION ALL "
+            f"SELECT 2 AS level_res, {CPO.parent_cell_sql('cell6', 6, 4)} AS cell, "
+            "count(*) AS n FROM base GROUP BY 2 "
+            "ORDER BY level_res, cell"
+        ),
+        "stream_window_counts": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n, "
+            "cast(sum(cast(value as decimal(18,2))) as double) AS value_sum "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT user_id, sum(new_s) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) "
+            "SELECT user_id, max(sid) AS n_sessions, count(*) AS n_events "
+            "FROM s2 GROUP BY user_id ORDER BY user_id"
+        ),
+        "epsg_pick": (
+            f"WITH {pages} SELECT doc_id, "
+            "CASE WHEN lat >= -60 AND lat <= 60 THEN "
+            "cast((CASE WHEN lat >= 0 THEN 32600 ELSE 32700 END) "
+            "+ greatest(1, ceil((lon + 180) / 6)) as int) "
+            "WHEN lat > 60 THEN 3413 ELSE 3031 END AS epsg "
+            "FROM pages ORDER BY doc_id"
+        ),
+        "strip_tile_candidates": (
+            f"WITH {pages}, strips AS ("
+            "SELECT (doc_id % 40) AS strip_id, min(lon) AS s_xmin, max(lon) AS s_xmax, "
+            "min(lat) AS s_ymin, max(lat) AS s_ymax, count(*) AS n_pages "
+            "FROM pages GROUP BY 1), "
+            "tiles AS (SELECT concat('world_', lpad(cast(r as varchar), 2, '0'), '_', "
+            "lpad(cast(c as varchar), 2, '0')) AS name, "
+            "-180.0 + (c - 1) * 10.0 AS xmin, -180.0 + c * 10.0 AS xmax, "
+            "-90.0 + (r - 1) * 10.0 AS ymin, -90.0 + r * 10.0 AS ymax "
+            "FROM range(1, 19) t1(r), range(1, 37) t2(c)) "
+            "SELECT strip_id, name AS tile_name, n_pages FROM strips JOIN tiles "
+            "ON s_xmin < xmax AND s_xmax > xmin AND s_ymin < ymax AND s_ymax > ymin "
+            "ORDER BY strip_id, tile_name"
         ),
     }

@@ -34,8 +34,11 @@ def main() -> None:
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "200"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # 4x cores shuffle partitions: skewed partitions (hot tiles) become
+    # stragglers that overlap with the remaining small tasks instead of
+    # serializing the stage tail; AQE re-coalesces the small ones.
     spark = get_spark(master=f"local[{cpus}]", app_name="imagery_utils_spark-bench",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(4 * cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E

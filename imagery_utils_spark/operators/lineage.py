@@ -1,0 +1,103 @@
+"""Resumability + lineage/metrics tables.
+
+The reference's incremental semantics are file-existence memoization — skip a
+tile/image if its output already exists (/root/reference/pgc_mosaic.py:448-449,
+555, 582-583; pgc_ortho.py:351-357). The Spark-native equivalent (north rule):
+every stage commits its outputs to a table along with a **lineage row per
+completed work unit**; a restarted job anti-joins its work-unit list against
+the lineage table and processes only the remainder. On Iceberg this is
+snapshot-isolated; in this sandbox the lineage store is an append-only parquet
+directory with the same semantics (each commit = one new file = one
+"snapshot"; readers see only fully-written files, mirroring snapshot
+isolation at the file granularity).
+
+Also provides the per-partition metrics table (A6/A7 analog: counts +
+runtime stats rollup, /root/reference/get_runtime_stats.sh:150-188).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "unit_id string, stage string, run_id string, committed_at double, n_rows long"
+
+
+class LineageStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.lineage_path = os.path.join(path, "lineage")
+        self.metrics_path = os.path.join(path, "metrics")
+
+    # ------------------------------------------------------------ lineage
+    def completed_units(self, stage: str) -> DataFrame:
+        try:
+            df = self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return df.filter(F.col("stage") == stage)
+
+    def remaining_units(self, units: DataFrame, stage: str, unit_col: str) -> DataFrame:
+        """Anti-join restart: drop units already committed for this stage.
+        The completed set is tiny relative to the fact table -> broadcast."""
+        done = self.completed_units(stage).select(F.col("unit_id"))
+        return units.join(
+            F.broadcast(done), units[unit_col] == done.unit_id, "left_anti"
+        )
+
+    def commit_units(self, stage: str, unit_rows: list[tuple[str, int]],
+                     run_id: str | None = None) -> str:
+        """Append one lineage row per completed unit (atomic at file level)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        now = time.time()
+        df = self.spark.createDataFrame(
+            [(u, stage, run_id, now, int(n)) for u, n in unit_rows], LINEAGE_SCHEMA
+        )
+        df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        return run_id
+
+    # ------------------------------------------------------------ metrics
+    def record_metrics(self, stage: str, metrics: DataFrame) -> None:
+        (
+            metrics.withColumn("stage", F.lit(stage))
+            .withColumn("recorded_at", F.lit(time.time()))
+            .write.mode("append").parquet(self.metrics_path)
+        )
+
+    def runtime_stats(self) -> DataFrame:
+        """cnt/sum/min/max/median/avg/std rollup of committed runtimes —
+        A7 analog (get_runtime_stats.sh)."""
+        lin = self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+        return lin.groupBy("stage", "run_id").agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_rows").alias("rows_total"),
+            F.min("n_rows").alias("rows_min"),
+            F.max("n_rows").alias("rows_max"),
+            F.expr("percentile(n_rows, 0.5)").alias("rows_median"),
+            F.avg("n_rows").alias("rows_avg"),
+            F.stddev("n_rows").alias("rows_std"),
+        )
+
+
+def resumable_stage(
+    store: LineageStore,
+    stage: str,
+    units: DataFrame,
+    unit_col: str,
+    process,
+) -> DataFrame:
+    """Run ``process(remaining_units_df) -> result_df`` over only the not-yet-
+    committed units, then commit per-unit lineage derived from the result.
+
+    ``process`` must produce one or more rows per unit keyed by ``unit_col``.
+    """
+    todo = store.remaining_units(units, stage, unit_col)
+    result = process(todo)
+    counts = result.groupBy(unit_col).agg(F.count("*").alias("n")).collect()
+    store.commit_units(stage, [(r[unit_col], r["n"]) for r in counts])
+    return result

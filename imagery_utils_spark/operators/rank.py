@@ -30,12 +30,24 @@ def skew_rank(
     order_cols: list[Column],
     bucket: Column,
     out: str = "rank",
+    stage: bool = True,
 ) -> DataFrame:
     """row_number over (partition_col ORDER BY order_cols) computed without a
     single-task-per-partition sort. ``bucket`` must be monotone
     NON-INCREASING along the ordering (e.g. floor(score) when ordering by
-    score DESC)."""
+    score DESC).
+
+    ``stage=True`` persists the input before branching into the
+    sizes/offsets aggregate and the main windowed pass — the two consumers
+    would otherwise recompute the whole upstream (Catalyst's ReuseExchange
+    does not fire across an AQE broadcast boundary). On a cluster pipeline
+    this persist is a staged table write (Iceberg snapshot between stages).
+    Call ``.unpersist()`` on the returned frame's source when done."""
     b = df.withColumn("_bkt", bucket)
+    if stage:
+        from pyspark import StorageLevel
+
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
     # per-(partition, bucket) sizes -> offsets via cumulative sum over the
     # bucket ordering (descending bucket = ascending rank)
     sizes = b.groupBy(partition_col, "_bkt").agg(F.count("*").alias("_n"))

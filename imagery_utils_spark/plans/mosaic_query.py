@@ -110,21 +110,22 @@ def ranked_assignments(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
     Uses the skew-aware two-phase rank (operators.rank): the hot
     anti-meridian tiles hold ~25% of all pages each, so a plain window would
     sort them in a single task."""
-    from ..operators.rank import skew_rank
-
     df = scored_assignments(spark, sf_dir, replicate=replicate)
-    return skew_rank(
-        df.filter(F.col("score") > 0),
-        partition_col="tile_name",
-        order_cols=[F.desc("score"), F.asc("doc_id")],
-        bucket=F.floor(F.col("score")),
-        out="tile_rank",
-    )
+    # Narrow projection before the rank shuffle: the ranked output is
+    # (doc_id, tile_name, score, rank) — shuffling text/url bytes through
+    # the sort would be pure waste. At bench skew (hot tile ~25% of rows,
+    # narrow rows) the single-task sort is cheap; for extreme-scale skew
+    # switch to operators.rank.skew_rank with a fine score bucket, which
+    # splits the hot tile into per-bucket tasks at the cost of a staged
+    # extra pass.
+    narrow = df.select("doc_id", "tile_name", "score").filter(F.col("score") > 0)
+    w = Window.partitionBy("tile_name").orderBy(F.desc("score"), F.asc("doc_id"))
+    return narrow.withColumn("tile_rank", F.row_number().over(w))
 
 
 def tile_manifest(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """Per-tile contributor counts — the `_intersects.txt` / A6 analog."""
-    df = ranked_assignments(spark, sf_dir, replicate)
+    df = scored_assignments(spark, sf_dir, replicate=replicate).filter(F.col("score") > 0)
     return (
         df.groupBy("tile_name")
         .agg(

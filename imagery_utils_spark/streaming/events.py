@@ -1,0 +1,77 @@
+"""Streaming ingest + windowed aggregation over the ``events`` table shape
+(event_id, ts, user_id, event_type, value, props).
+
+Batch/stream parity by construction: the same transformation function is
+applied to a batch DataFrame and a ``readStream`` DataFrame; tests assert the
+``availableNow`` streaming result equals the batch result (the streaming
+analog of the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + exact-decimal value sums per event type.
+    On a stream the watermark bounds state for late data; on a batch frame
+    the same expression is a plain groupBy."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"), F.col("n"), F.col("value_sum"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               order_cols: list[str] | None = None) -> DataFrame:
+    """Per-user session ids: a new session starts when the gap since the
+    previous event exceeds ``gap_minutes`` (batch formulation via window
+    functions; the streaming formulation would use session_window).
+    ``order_cols`` must be a total order for determinism under ts ties."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(*(order_cols or ["ts"]))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, src_path: str, name: str,
+                         window: str = "1 hour") -> DataFrame:
+    """availableNow one-shot: drain the source, materialize to a memory sink,
+    return the result table (test/verification harness)."""
+    q = (
+        windowed_counts(read_event_stream(spark, src_path), window)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

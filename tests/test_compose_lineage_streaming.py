@@ -1,0 +1,127 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.operators import compose as CP
+from imagery_utils_spark.operators.lineage import LineageStore, resumable_stage
+from imagery_utils_spark.streaming import events as STR
+
+
+# --------------------------------------------------------------- compose
+
+
+def test_last_writer_wins(spark):
+    rows = [
+        ("t1", 5, "a", 10.0), ("t1", 5, "b", 90.0), ("t1", 6, "a", 10.0),
+        ("t2", 5, "c", 50.0),
+    ]
+    df = spark.createDataFrame(rows, "tile string, cell int, scene string, score double")
+    out = CP.composite(df, ["tile", "cell"], [F.desc("score"), F.asc("scene")])
+    got = {(r.tile, r.cell): r.scene for r in out.collect()}
+    assert got == {("t1", 5): "b", ("t1", 6): "a", ("t2", 5): "c"}
+
+
+def test_parent_cell_col_matches_numpy(spark):
+    import numpy as np
+    from imagery_utils_spark.core import cells
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 100)
+    lat = rng.uniform(-90, 90, 100)
+    base = cells.lonlat_to_linear(lon, lat, 8)
+    df = spark.createDataFrame([(int(c),) for c in base], "cell long")
+    got = [r.p for r in df.select(CP.parent_cell_col(F.col("cell"), 8, 3).alias("p")).collect()]
+    exp = list(cells.linear_parent(base, 8, 3))
+    assert got == exp
+    # SQL form agrees
+    df.createOrReplaceTempView("cells_t")
+    got_sql = [r.p for r in spark.sql(
+        f"select {CP.parent_cell_sql('cell', 8, 3)} as p from cells_t").collect()]
+    assert got_sql == exp
+
+
+def test_pyramid_rollup(spark):
+    df = spark.createDataFrame([(i,) for i in range(256)], "cell long")
+    out = CP.pyramid_rollup(df.withColumn("v", F.lit(1)), "cell", 4,
+                            levels=[3, 2], aggs=[F.count("*").alias("n")])
+    rows = out.collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level_res, []).append(r.n)
+    assert sum(by_level[3]) == 256 and len(by_level[3]) == 64
+    assert sum(by_level[2]) == 256 and len(by_level[2]) == 16
+
+
+def test_band_stats_exact_median(spark):
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in [1, 2, 3, 4, 100]] + [(2, None)],
+        "band int, value double",
+    )
+    out = {r.band: r for r in CP.band_stats(df, ["band"], "value").collect()}
+    assert out[1].median == 3.0 and out[1].datapixelcount == 5
+    assert 2 not in out  # all-null group dropped
+
+
+# --------------------------------------------------------------- lineage
+
+
+def test_resumable_stage(spark, tmp_path):
+    store = LineageStore(spark, str(tmp_path / "ice"))
+    units = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "unit string")
+
+    processed = []
+
+    def process(todo):
+        got = sorted(r.unit for r in todo.collect())
+        processed.append(got)
+        return spark.createDataFrame([(u, u.upper()) for u in got], "unit string, out string")
+
+    r1 = resumable_stage(store, "stage_a", units, "unit", process)
+    assert processed[-1] == ["u1", "u2", "u3"]
+    assert r1.count() == 3
+    # run again: everything committed -> nothing to do
+    resumable_stage(store, "stage_a", units, "unit", process)
+    assert processed[-1] == []
+    # new unit appears -> only it is processed
+    units2 = spark.createDataFrame([("u1",), ("u4",)], "unit string")
+    resumable_stage(store, "stage_a", units2, "unit", process)
+    assert processed[-1] == ["u4"]
+    # a different stage starts fresh
+    resumable_stage(store, "stage_b", units, "unit", process)
+    assert processed[-1] == ["u1", "u2", "u3"]
+    stats = store.runtime_stats().collect()
+    assert any(r.stage == "stage_a" for r in stats)
+
+
+# --------------------------------------------------------------- streaming
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "events_src")
+    ev.repartition(4).write.parquet(src)
+
+    batch = STR.windowed_counts(spark.read.schema(STR.EVENT_SCHEMA).parquet(src))
+    stream = STR.run_stream_to_memory(spark, src, "win_counts_test")
+
+    b = sorted([tuple(r) for r in batch.collect()])
+    s = sorted([tuple(r) for r in stream.collect()])
+    assert len(b) > 0
+    assert b == s
+
+
+def test_sessionize(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0)), (1, datetime(2024, 1, 1, 0, 10)),
+        (1, datetime(2024, 1, 1, 2, 0)), (2, datetime(2024, 1, 1, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = STR.sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts)):
+        by_user.setdefault(r.user_id, []).append(r.session_id)
+    assert by_user[1] == [1, 1, 2]
+    assert by_user[2] == [1]
