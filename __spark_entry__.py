@@ -347,6 +347,139 @@ def q_cutline_strips(spark, sf_dir) -> DataFrame:
     )
 
 
+def _strips(spark, sf_dir):
+    df = MQ.geocoded_pages(spark, sf_dir)
+    return df.groupBy((F.col("doc_id") % 40).alias("strip_id")).agg(
+        F.min("lon").alias("s_xmin"), F.max("lon").alias("s_xmax"),
+        F.min("lat").alias("s_ymin"), F.max("lat").alias("s_ymax"),
+    )
+
+
+def q_stereo_overlap(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.operators.catalog import stereo_overlap_pairs
+
+    return stereo_overlap_pairs(_strips(spark, sf_dir), min_iou=0.10).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dem_pick(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.operators.catalog import containment_min_rank_pick
+
+    pts = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    d = F.col("id")
+    dems = spark.range(8).select(
+        (F.lit(-180.0) + d * 40.0).alias("xmin"),
+        (F.lit(-180.0) + d * 40.0 + 80.0).alias("xmax"),
+        (F.lit(-90.0) + (d % 4) * 30.0).alias("ymin"),
+        (F.lit(-90.0) + (d % 4) * 30.0 + 80.0).alias("ymax"),
+        ((d * 5) % 8).alias("rank"),
+        F.concat(F.lit("dem_"), d.cast("string")).alias("dempath"),
+    )
+    out = containment_min_rank_pick(pts, dems)
+    return out.select("doc_id", "rank", "dempath").orderBy("doc_id")
+
+
+def q_exclude_anti(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.operators.catalog import exclude_anti_join
+
+    pages = P.synthesize_pages(spark, sf_dir)
+    patterns = spark.createDataFrame(
+        [("host13.example",), ("host42.example",), ("host77.example",)],
+        "pattern string",
+    )
+    return exclude_anti_join(pages, patterns, "url").select("doc_id", "url").orderBy("doc_id")
+
+
+def q_median_subtract(spark, sf_dir) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_quantity") - F.col("med")).alias("qty_centered"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q_ndvi(spark, sf_dir) -> DataFrame:
+    from imagery_utils_spark.functions.raster import ndvi_col
+
+    li = load(spark, sf_dir, "lineitem")
+    nir = F.col("l_extendedprice")
+    red = F.col("l_quantity") * 100.0
+    return li.select(
+        "l_orderkey", "l_linenumber", ndvi_col(nir, red).alias("ndvi")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_pan_pair_match(spark, sf_dir) -> DataFrame:
+    """J4 — pan/multi pairing with exact-ts key then -1 s fallback
+    (/root/reference/lib/mosaic.py:65-85, pgc_mosaic_query_index.py:332-350)."""
+    from imagery_utils_spark.operators.asof import join_with_fallback_keys
+
+    pages = P.synthesize_pages(spark, sf_dir)
+    fmt = "yyyyMMddHHmmss"
+    mul = pages.select(
+        "doc_id",
+        F.concat(F.lit("WV02_"), F.date_format("warc_ts", fmt),
+                 F.lit("-M1BS-"), F.col("doc_id").cast("string")).alias("scene_id"),
+        F.col("warc_ts"),
+    )
+    pan_ts = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("warc_ts"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.timestamp_seconds(F.unix_timestamp("warc_ts") - 1))
+    )
+    pan = pages.select(
+        F.concat(F.lit("WV02_"), F.date_format(pan_ts, fmt),
+                 F.lit("-P1BS-"), F.col("doc_id").cast("string")).alias("pan_id"),
+    ).filter(F.col("pan_id").isNotNull()).withColumn("pan_found", F.col("pan_id"))
+    k_exact = F.regexp_replace(F.col("scene_id"), "-M1BS-", "-P1BS-")
+    mul = mul.withColumn("k_exact", k_exact).withColumn(
+        "k_minus1",
+        F.concat(F.lit("WV02_"),
+                 F.date_format(F.timestamp_seconds(F.unix_timestamp("warc_ts") - 1), fmt),
+                 F.lit("-P1BS-"), F.col("doc_id").cast("string")),
+    )
+    out = join_with_fallback_keys(
+        mul, pan, [("k_exact", "pan_id"), ("k_minus1", "pan_id")], how="left"
+    )
+    return out.select("doc_id", "pan_found").orderBy("doc_id")
+
+
+def q_classify_filename(spark, sf_dir) -> DataFrame:
+    """Rows-only: F8 regex classification over synthetic PGC-style names."""
+    from imagery_utils_spark.functions.naming import classify_filename
+
+    pages = P.synthesize_pages(spark, sf_dir)
+    fn = F.concat(
+        F.lit("WV02_"), F.date_format("warc_ts", "yyyyMMddHHmmss"),
+        F.lit("_103001"), F.lpad((F.col("doc_id") % 100000).cast("string"), 10, "0"),
+        F.lit("_11SEP01210434-"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("M1BS")).otherwise(F.lit("P1BS")),
+        F.lit("-052730735130_01_P0"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(".tif"),
+    )
+    c = classify_filename(fn)
+    return pages.select("doc_id", c["vendor"].alias("vendor"), c["sat"].alias("sat"),
+                        c["prod_code"].alias("prod_code")).orderBy("doc_id")
+
+
+def q_knn_ring(spark, sf_dir) -> DataFrame:
+    """Rows-only: exact expanding-ring kNN for 3 fixed queries."""
+    from imagery_utils_spark.operators.knn import knn_expanding_ring
+
+    pts = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    queries_ = [("q0", 179.8, 15.0), ("q1", 0.0, 0.0), ("q2", -100.0, 45.0)]
+    return knn_expanding_ring(pts, queries_, k=5, res=5).orderBy("q_id", "rn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -375,6 +508,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epsg_pick": q_epsg_pick,
         "strip_tile_candidates": q_strip_tile_candidates,
         "cutline_strips": q_cutline_strips,
+        "stereo_overlap": q_stereo_overlap,
+        "dem_pick": q_dem_pick,
+        "exclude_anti": q_exclude_anti,
+        "median_subtract": q_median_subtract,
+        "ndvi": q_ndvi,
+        "pan_pair_match": q_pan_pair_match,
+        "classify_filename": q_classify_filename,
+        "knn_ring": q_knn_ring,
     }
 
 
@@ -555,6 +696,73 @@ def oracle_sql() -> dict[str, str]:
             "+ greatest(1, ceil((lon + 180) / 6)) as int) "
             "WHEN lat > 60 THEN 3413 ELSE 3031 END AS epsg "
             "FROM pages ORDER BY doc_id"
+        ),
+        "stereo_overlap": (
+            f"WITH {pages}, strips AS ("
+            "SELECT (doc_id % 40) AS strip_id, min(lon) AS s_xmin, max(lon) AS s_xmax, "
+            "min(lat) AS s_ymin, max(lat) AS s_ymax FROM pages GROUP BY 1) "
+            "SELECT * FROM (SELECT a.strip_id AS id_a, b.strip_id AS id_b, "
+            "CASE WHEN ((a.s_xmax - a.s_xmin) * (a.s_ymax - a.s_ymin) "
+            " + (b.s_xmax - b.s_xmin) * (b.s_ymax - b.s_ymin) "
+            " - greatest(0.0, least(a.s_xmax, b.s_xmax) - greatest(a.s_xmin, b.s_xmin)) "
+            "   * greatest(0.0, least(a.s_ymax, b.s_ymax) - greatest(a.s_ymin, b.s_ymin))) > 0 "
+            "THEN greatest(0.0, least(a.s_xmax, b.s_xmax) - greatest(a.s_xmin, b.s_xmin)) "
+            "   * greatest(0.0, least(a.s_ymax, b.s_ymax) - greatest(a.s_ymin, b.s_ymin)) "
+            " / ((a.s_xmax - a.s_xmin) * (a.s_ymax - a.s_ymin) "
+            " + (b.s_xmax - b.s_xmin) * (b.s_ymax - b.s_ymin) "
+            " - greatest(0.0, least(a.s_xmax, b.s_xmax) - greatest(a.s_xmin, b.s_xmin)) "
+            "   * greatest(0.0, least(a.s_ymax, b.s_ymax) - greatest(a.s_ymin, b.s_ymin))) "
+            "ELSE 0.0 END AS iou "
+            "FROM strips a JOIN strips b ON a.strip_id < b.strip_id) "
+            "WHERE iou >= 0.10 ORDER BY id_a, id_b"
+        ),
+        "dem_pick": (
+            f"WITH {pages}, dems AS (SELECT "
+            "-180.0 + d * 40.0 AS xmin, -180.0 + d * 40.0 + 80.0 AS xmax, "
+            "-90.0 + (d % 4) * 30.0 AS ymin, -90.0 + (d % 4) * 30.0 + 80.0 AS ymax, "
+            "(d * 5) % 8 AS rank, concat('dem_', cast(d as varchar)) AS dempath "
+            "FROM range(8) t(d)) "
+            "SELECT doc_id, rank, dempath FROM ("
+            "SELECT doc_id, rank, dempath, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY rank ASC, dempath ASC) AS rn "
+            "FROM pages JOIN dems ON lon >= xmin AND lon <= xmax "
+            "AND lat >= ymin AND lat <= ymax) WHERE rn = 1 ORDER BY doc_id"
+        ),
+        "exclude_anti": (
+            "SELECT doc_id, concat('https://host', cast(doc_id % 997 as varchar), "
+            "'.example/p/', cast(doc_id as varchar)) AS url FROM documents "
+            "WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('host13.example'), "
+            "('host42.example'), ('host77.example')) e(p) "
+            "WHERE contains(concat('https://host', cast(doc_id % 997 as varchar), "
+            "'.example/p/', cast(doc_id as varchar)), e.p)) ORDER BY doc_id"
+        ),
+        "median_subtract": (
+            "WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_orderkey, l_linenumber, l_quantity - med AS qty_centered "
+            "FROM lineitem JOIN med USING (l_returnflag) "
+            "ORDER BY l_orderkey, l_linenumber"
+        ),
+        "ndvi": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN abs(l_extendedprice + l_quantity * 100.0) >= 1e-5 "
+            "THEN (l_extendedprice - l_quantity * 100.0) / "
+            "(l_extendedprice + l_quantity * 100.0) END AS ndvi "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+        ),
+        "pan_pair_match": (
+            f"WITH {pages}, mul AS (SELECT doc_id, warc_ts FROM pages), "
+            "pan AS (SELECT concat('WV02_', strftime("
+            "CASE WHEN doc_id % 3 = 0 THEN warc_ts "
+            "WHEN doc_id % 3 = 1 THEN warc_ts - INTERVAL 1 SECOND END, "
+            "'%Y%m%d%H%M%S'), '-P1BS-', cast(doc_id as varchar)) AS pan_id "
+            "FROM pages WHERE doc_id % 3 IN (0, 1)) "
+            "SELECT m.doc_id, coalesce(p1.pan_id, p2.pan_id) AS pan_found FROM mul m "
+            "LEFT JOIN pan p1 ON p1.pan_id = concat('WV02_', "
+            "strftime(m.warc_ts, '%Y%m%d%H%M%S'), '-P1BS-', cast(m.doc_id as varchar)) "
+            "LEFT JOIN pan p2 ON p2.pan_id = concat('WV02_', "
+            "strftime(m.warc_ts - INTERVAL 1 SECOND, '%Y%m%d%H%M%S'), '-P1BS-', "
+            "cast(m.doc_id as varchar)) ORDER BY m.doc_id"
         ),
         "strip_tile_candidates": (
             f"WITH {pages}, strips AS ("

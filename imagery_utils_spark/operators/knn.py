@@ -1,0 +1,135 @@
+"""Cell-prefix kNN with expanding-ring search (north-star operator; no
+reference counterpart — spec from BASELINE.json).
+
+For each query point: probe the query's cell (ring 0), then successively
+wider Chebyshev rings of the grid, joining only the candidate cells each
+round (partition-prunable at the storage layer when the fact table is
+partitioned by cell prefix). Terminates when the k-th best distance is
+smaller than a *provable lower bound* on the distance to any unexplored
+cell — the bound is the exact haversine distance from the query to the
+nearest point of each next-ring cell rectangle (computed driver-side with
+numpy; no approximation that can drop a true neighbor).
+
+The per-round join is an equi-join on cell id against a broadcast candidate
+list; the fact table is never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core import cells as C
+
+EARTH_R_KM = 6371.0088
+
+
+def haversine_km_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance — pure column math (JVM)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2.0 * EARTH_R_KM) * F.asin(F.sqrt(a))
+
+
+def _haversine_np(lon1, lat1, lon2, lat2):
+    rlat1, rlat2 = np.radians(lat1), np.radians(lat2)
+    dlat = np.radians(np.asarray(lat2) - lat1)
+    dlon = np.radians(np.asarray(lon2) - lon1)
+    a = np.sin(dlat / 2) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_R_KM * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+
+
+def _min_dist_to_cells_km(qlon: float, qlat: float, cell_ids: np.ndarray, res: int) -> float:
+    """Lower bound: haversine to the nearest point of each cell rect
+    (clamp the query into the rect; handle lon wrap by trying lon+-360)."""
+    lon0, lat0, lon1, lat1 = C.cell_bounds_linear(cell_ids, res)
+    best = np.inf
+    for shift in (0.0, 360.0, -360.0):
+        ql = qlon + shift
+        nlon = np.clip(ql, lon0, lon1)
+        nlat = np.clip(qlat, lat0, lat1)
+        d = _haversine_np(ql, qlat, nlon, nlat)
+        best = min(best, float(d.min()) if d.size else np.inf)
+    return best
+
+
+def knn_expanding_ring(
+    points: DataFrame,
+    queries: list[tuple[object, float, float]],
+    k: int = 5,
+    res: int = 6,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "doc_id",
+    max_ring: int | None = None,
+) -> DataFrame:
+    """``queries``: [(q_id, lon, lat)]. Returns (q_id, id, dist_km, rn<=k).
+
+    Exact: never terminates a query while an unexplored cell could hold a
+    closer neighbor than its current k-th candidate.
+    """
+    spark = points.sparkSession
+    n = 1 << res
+    if max_ring is None:
+        max_ring = int(n)  # worst case: the whole grid
+    pts = points.withColumn(
+        "_cell",
+        # closed-form linear cell id (same as spatial_join.cell_col)
+        (F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(lat) + 90.0) / 180.0 * n))) * n
+         + F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(lon) + 180.0) / 360.0 * n)))
+         ).cast("long"),
+    )
+
+    active = {str(q[0]): (str(q[0]), float(q[1]), float(q[2])) for q in queries}
+    best: dict[str, list[tuple[float, object]]] = {str(q[0]): [] for q in queries}
+    ring = 0
+    while active and ring <= max_ring:
+        probe_rows = []
+        for qid, (_, qlon, qlat) in active.items():
+            qcell = int(C.lonlat_to_linear([qlon], [qlat], res)[0])
+            for cell in C.ring_linear(qcell, res, ring):
+                probe_rows.append((qid, int(cell)))
+        if probe_rows:
+            probe = spark.createDataFrame(probe_rows, "q_id string, _cell long")
+            qdf = spark.createDataFrame(
+                [(str(q[0]), q[1], q[2]) for q in active.values()],
+                "q_id string, q_lon double, q_lat double",
+            )
+            cand = (
+                pts.join(F.broadcast(probe), "_cell")
+                .join(F.broadcast(qdf), "q_id")
+                .select(
+                    "q_id", F.col(id_col).alias("_id"),
+                    haversine_km_col(F.col(lon), F.col(lat),
+                                     F.col("q_lon"), F.col("q_lat")).alias("_d"),
+                )
+            )
+            for r in cand.collect():
+                best[r.q_id].append((r._d, r._id))
+        # prune + termination check
+        done = []
+        for qid, (_, qlon, qlat) in active.items():
+            heap = sorted(best[qid])[: k]
+            best[qid] = heap
+            if len(heap) == k and ring + 1 <= max_ring:
+                qcell = int(C.lonlat_to_linear([qlon], [qlat], res)[0])
+                nxt = C.ring_linear(qcell, res, ring + 1)
+                if nxt.size == 0 or heap[-1][0] <= _min_dist_to_cells_km(qlon, qlat, nxt, res):
+                    done.append(qid)
+            elif len(heap) == k and ring + 1 > max_ring:
+                done.append(qid)
+        for qid in done:
+            del active[qid]
+        ring += 1
+
+    rows = []
+    for qid, heap in best.items():
+        for i, (d, pid) in enumerate(sorted(heap)[:k], start=1):
+            rows.append((str(qid), pid, float(d), i))
+    return spark.createDataFrame(rows, f"q_id string, {id_col} long, dist_km double, rn int")

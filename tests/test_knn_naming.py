@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.functions import naming as NM
+from imagery_utils_spark.operators.knn import _haversine_np, knn_expanding_ring
+
+
+# ----------------------------------------------------------------- kNN
+
+
+def brute_knn(pts, qlon, qlat, k):
+    d = _haversine_np(qlon, qlat, np.asarray([p[1] for p in pts]),
+                      np.asarray([p[2] for p in pts]))
+    order = np.lexsort((np.asarray([p[0] for p in pts]), d))
+    return [(pts[i][0], float(d[i])) for i in order[:k]]
+
+
+@pytest.fixture(scope="module")
+def geo_points(spark):
+    rng = np.random.default_rng(5)
+    pts = [(int(i), float(lon), float(lat)) for i, (lon, lat) in enumerate(
+        zip(rng.uniform(-180, 180, 3000), rng.uniform(-85, 85, 3000)))]
+    # cluster near the anti-meridian to exercise wrap
+    pts += [(10_000 + i, 179.9 - i * 0.01, 10.0 + i * 0.01) for i in range(20)]
+    pts += [(20_000 + i, -179.95 + i * 0.01, 10.05 + i * 0.01) for i in range(20)]
+    return pts, spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+
+
+def test_knn_matches_brute_force(spark, geo_points):
+    pts, df = geo_points
+    queries = [("q0", 0.0, 0.0), ("q1", 100.0, 45.0), ("q2", -170.0, -60.0)]
+    out = knn_expanding_ring(df, queries, k=5, res=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.q_id, []).append((r.rn, r.doc_id, r.dist_km))
+    for qid, qlon, qlat in queries:
+        exact = brute_knn(pts, qlon, qlat, 5)
+        mine = [(doc, d) for _, doc, d in sorted(got[qid])]
+        assert [m[0] for m in mine] == [e[0] for e in exact], qid
+        for (_, dm), (_, de) in zip(mine, exact):
+            assert dm == pytest.approx(de, rel=1e-12)
+
+
+def test_knn_antimeridian_wrap(spark, geo_points):
+    pts, df = geo_points
+    # query sits just east of +180: nearest neighbors live on BOTH sides
+    out = knn_expanding_ring(df, [("am", 179.97, 10.02)], k=8, res=6)
+    got = [r.doc_id for r in sorted(out.collect(), key=lambda r: r.rn)]
+    exact = [p[0] for p in brute_knn(pts, 179.97, 10.02, 8)]
+    assert got == exact
+    assert any(d >= 20_000 for d in got)  # west-side points found via wrap
+
+
+# ----------------------------------------------------------------- naming
+
+
+def test_classify_filename_dg(spark):
+    fn = "WV01_20080807153945_1020010003A5AC00_08AUG07153945-P1BS-052060421010_01_P011_u08mr3413.tif"
+    df = spark.createDataFrame([(fn,)], "srcfn string")
+    r = df.select(NM.classify_filename(F.col("srcfn")).alias("c")).first().c
+    assert r.vendor == "DigitalGlobe"
+    assert r.sat == "WV01"
+    assert r.prod_code == "P1BS"
+
+
+def test_classify_filename_ge_raw(spark):
+    # RAW_GE shape: 5V090707P0002976004A222012202432M_001529596
+    fn = "GE01_20090707163115_297600_5V090707P0002976004A222012202432M_001529596_u08mr3413.tif"
+    df = spark.createDataFrame([(fn,)], "srcfn string")
+    r = df.select(NM.classify_filename(F.col("srcfn")).alias("c")).first().c
+    assert r.vendor == "GeoEye"
+    assert r.sat == "GE01"
+    assert r.band == "P"
+
+
+def test_classify_filename_ik(spark):
+    fn = "po_123456_pan_0000001.tif"
+    df = spark.createDataFrame([(fn,)], "srcfn string")
+    r = df.select(NM.classify_filename(F.col("srcfn")).alias("c")).first().c
+    assert r.vendor == "GeoEye" and r.sat == "IK01" and r.band == "PAN"
+
+
+def test_classify_filename_miss(spark):
+    df = spark.createDataFrame([("random_file.txt",)], "srcfn string")
+    r = df.select(NM.classify_filename(F.col("srcfn")).alias("c")).first().c
+    assert r.vendor is None and r.sat is None
+
+
+def test_pan_scene_id(spark):
+    rows = [
+        ("WV02_x-M1BS-y", "WV02", "Multispectral", "WV02_x-P1BS-y"),
+        ("GE01_5V090707M0002976004_z", "GE01", "Multispectral", "GE01_5V090707P0002976004_z"),
+        ("GE01_a-M1BS-b", "GE01", "Multispectral", "GE01_a-P1BS-b"),
+        ("ik_bgrn_0001", "IK01", "Multispectral", "ik_pan_0001"),
+        ("WV01_p-P1BS-q", "WV01", "Panchromatic", "WV01_p-P1BS-q"),
+    ]
+    df = spark.createDataFrame([(a, b, c) for a, b, c, _ in rows],
+                               "scene_id string, sensor string, spec_type string")
+    got = df.select(NM.pan_scene_id_col(
+        F.col("scene_id"), F.col("sensor"), F.col("spec_type")).alias("p")).collect()
+    for (_, _, _, exp), r in zip(rows, got):
+        assert r.p == exp
+
+
+def test_pan_id_minus_1s(spark):
+    # both embedded stamps shift by one second (lib/mosaic.py:65-85)
+    pan = "WV02_20110901210434_103001000B41DC00_11SEP01210434-P1BS-052730735130_01_P007"
+    df = spark.createDataFrame([(pan,)], "pan string")
+    r = df.select(NM.pan_scene_id_minus_1s_col(F.col("pan")).alias("p")).first().p
+    assert "20110901210433" in r
+    assert "11SEP01210433" in r
+    assert "210434" not in r
