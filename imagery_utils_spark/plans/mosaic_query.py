@@ -119,6 +119,14 @@ def ranked_assignments(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
     # splits the hot tile into per-bucket tasks at the cost of a staged
     # extra pass.
     narrow = df.select("doc_id", "tile_name", "score").filter(F.col("score") > 0)
+    import os
+
+    if os.environ.get("SPARK_GRAFT_RANK_IMPL", "plain") == "skew":
+        from ..operators.rank import skew_rank
+
+        return skew_rank(narrow, "tile_name",
+                         [F.desc("score"), F.asc("doc_id")],
+                         F.floor(F.col("score") * 4), out="tile_rank")
     w = Window.partitionBy("tile_name").orderBy(F.desc("score"), F.asc("doc_id"))
     return narrow.withColumn("tile_rank", F.row_number().over(w))
 

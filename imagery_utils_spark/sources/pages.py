@@ -92,10 +92,10 @@ def synthesize_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
         # Stream the range side (partitioned ~ defaultParallelism) and
         # broadcast the small docs side, so the expanded table is spread
         # across all cores instead of inheriting the single input split.
-        n = docs.count()
+        # doc_id remap is the bijection id*replicate+rep — no count() job.
         reps = spark.range(replicate).withColumnRenamed("id", "rep")
         docs = reps.crossJoin(F.broadcast(docs)).withColumn(
-            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(n)
+            "doc_id", F.col("doc_id") * F.lit(replicate) + F.col("rep")
         ).drop("rep")
     return pages_from_documents(docs)
 

@@ -1,0 +1,84 @@
+"""Calibration parity checks: factor shapes/ranges per the reference test
+philosophy (/root/reference/tests/test_ortho_functions.py:59-70 asserts
+factors fall in valid numeric ranges) + exact-arithmetic self-consistency."""
+
+import math
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from imagery_utils_spark.functions import calib
+from imagery_utils_spark.functions.scalar import calc_earth_sun_dist
+
+
+ACQ = datetime(2011, 9, 1, 21, 4, 34)
+WV02_BANDS = {"BAND_B": (0.0134, 0.0543), "BAND_G": (0.0096, 0.0630),
+              "BAND_R": (0.0111, 0.0574), "BAND_N": (0.0120, 0.0989)}
+
+
+def test_reflectance_factors_in_range():
+    out = calib.dg_calib_factors("WV02", WV02_BANDS, ACQ, sun_elev=37.7, stretch="rf")
+    assert set(out) == set(WV02_BANDS)
+    for band, (fact, off) in out.items():
+        assert 0 < fact < 1, band          # typical refl factors are tiny
+        assert off < 0                      # negative bias-driven offset
+
+
+def test_radiance_factors():
+    out = calib.dg_calib_factors("WV02", WV02_BANDS, ACQ, sun_elev=37.7, stretch="rd")
+    # rd: (units*gain*abscal/effbandw, bias) exactly
+    f, off = out["BAND_B"]
+    assert f == pytest.approx(1.002 * 0.0134 / 0.0543, rel=1e-12)
+    assert off == -9.835
+
+
+def test_exact_reflectance_formula():
+    des = calc_earth_sun_dist(ACQ)
+    out = calib.dg_calib_factors("WV02", {"BAND_G": (0.0096, 0.0630)}, ACQ, 37.7)
+    f, off = out["BAND_G"]
+    exp = (0.953 * 0.0096 * des ** 2 * math.pi) / (
+        1829.62 * math.cos(math.radians(90 - 37.7)) * 0.0630
+    )
+    assert f == pytest.approx(exp, rel=1e-14)
+
+
+def test_ge01_units_factor():
+    # GE01 abscal_B below 0.004 triggers the x10 units shift (:2262-2267)
+    low = calib.dg_calib_factors("GE01", {"BAND_B": (0.003, 0.05)}, ACQ, 45.0, "rd")
+    high = calib.dg_calib_factors("GE01", {"BAND_B": (0.03, 0.05)}, ACQ, 45.0, "rd")
+    assert low["BAND_B"][0] == pytest.approx(10 * 1.053 * 0.003 / 0.05, rel=1e-12)
+    assert high["BAND_B"][0] == pytest.approx(1.053 * 0.03 / 0.05, rel=1e-12)
+
+
+def test_negative_sun_elev_raises():
+    # golden behavior: tests/test_ortho_functions.py:381-397
+    with pytest.raises(calib.InvalidSunElevation):
+        calib.dg_calib_factors("WV01", {"BAND_P": (0.06, 0.4)}, ACQ, sun_elev=-5.0)
+    # but 'ns' stretch allows it
+    out = calib.dg_calib_factors("WV01", {"BAND_P": (0.06, 0.4)}, ACQ, -5.0, "ns")
+    assert "BAND_P" in out
+
+
+def test_unknown_band_skipped():
+    out = calib.dg_calib_factors("WV01", {"BAND_Z": (0.06, 0.4)}, ACQ, 45.0)
+    assert out == {}
+
+
+def test_lut_stretches():
+    pts_ns = calib.stretch_lut_points("ns", 0, 0, imax=2047, omax=255)
+    assert pts_ns == [(0.0, 0.0), (2047, 255)]
+    pts_rf = calib.stretch_lut_points("rf", 0.0002, -0.01, imax=2047, omax=2000)
+    assert pts_rf[0] == (0.0, -0.01 * 2000)
+    assert pts_rf[1][1] == pytest.approx((2047 * 0.0002 - 0.01) * 2000)
+    # mr: breakpoints are the inverse-reflectance DNs of the 6-point curve
+    pts_mr = calib.stretch_lut_points("mr", 0.0002, -0.01, imax=2047, omax=255)
+    assert len(pts_mr) == 6
+    assert pts_mr[0][0] == pytest.approx((0 - (-0.01)) / 0.0002)
+    assert pts_mr[-1][1] == 255
+
+
+def test_apply_lut_interp():
+    pts = [(0.0, 0.0), (100.0, 1000.0)]
+    out = calib.apply_lut(np.asarray([0, 50, 100, 150]), pts)
+    assert list(out) == [0.0, 500.0, 1000.0, 1000.0]  # clamped above imax
