@@ -29,6 +29,7 @@ from imagery_utils_spark.session import get_spark
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "200"))
