@@ -1,0 +1,143 @@
+"""R3/R4/R6/R7 + A4/A5 — warp, pansharpen, band select/stack, geometry-union
+aggregate.
+
+* :func:`warp_to_polar` — the coordinate-transform core of ``warp_image``
+  (/root/reference/lib/ortho_functions.py:1804-1932): EPSG:4326 points ->
+  polar stereographic meters via an Arrow-batched pandas UDF over the
+  NumPy kernel in core.proj. Resampling semantics (cell reassignment) follow
+  by re-tagging cells in the target grid.
+* :func:`pansharpen` — Brovey-style weighted combine mirroring
+  ``gdal_pansharpen`` with the reference's WV02/WV03 custom weights
+  (/root/reference/lib/ortho_functions.py:341-350; band-count dispatch
+  /root/reference/pgc_pansharpen.py:722-751): ratio = pan / sum(w_i * ms_i),
+  out_i = ms_i * ratio.
+* :func:`band_select` — R6 RGB/BGRN band reorder
+  (/root/reference/lib/ortho_functions.py:619-640).
+* :func:`band_stack` — R7 stack per-band rows into one array column
+  (``gdalbuildvrt -separate`` analog, lib/ortho_functions.py:1054-1159).
+* :func:`union_footprint_agg` — A4/A5 per-group geometry union via the
+  region algebra (catid unions, pgc_get_scene_overlaps_standalone.py:480-492).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core import proj as PROJ
+from ..core.region import Region
+
+# /root/reference/lib/ortho_functions.py:341-350
+WV03_BAND_WEIGHTS = {
+    "COASTAL_BLUE": 0.005, "BLUE": 0.142, "GREEN": 0.209, "YELLOW": 0.144,
+    "RED": 0.234, "RED_EDGE": 0.157, "NEAR_IR1": 0.116, "NEAR_IR2": 0.0,
+}
+
+# band-count -> ordered weights (pgc_pansharpen.py:735-745)
+PANSH_WEIGHTS = {
+    3: [WV03_BAND_WEIGHTS["RED"], WV03_BAND_WEIGHTS["GREEN"], WV03_BAND_WEIGHTS["BLUE"]],
+    4: [WV03_BAND_WEIGHTS["BLUE"], WV03_BAND_WEIGHTS["GREEN"],
+        WV03_BAND_WEIGHTS["RED"], WV03_BAND_WEIGHTS["NEAR_IR1"]],
+    8: list(WV03_BAND_WEIGHTS.values()),
+}
+
+# R6 band orders (/root/reference/lib/ortho_functions.py:619-640), 1-based
+RGB_ORDER = {4: [3, 2, 1], 8: [5, 3, 2]}
+BGRN_ORDER = {8: [2, 3, 5, 7]}
+
+
+def warp_to_polar(df: DataFrame, epsg: int, lon: str = "lon", lat: str = "lat",
+                  out_x: str = "x", out_y: str = "y") -> DataFrame:
+    """Add projected-meter columns for EPSG:3413/3031."""
+    out_type = T.StructType([
+        T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def _fwd(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+        x, y = PROJ.polar_stereo_forward(lons.values, lats.values, epsg)
+        return pd.DataFrame({"x": x, "y": y})
+
+    v = _fwd(F.col(lon), F.col(lat))
+    return df.withColumn(out_x, v["x"]).withColumn(out_y, v["y"])
+
+
+def unwarp_from_polar(df: DataFrame, epsg: int, x: str = "x", y: str = "y",
+                      out_lon: str = "lon", out_lat: str = "lat") -> DataFrame:
+    out_type = T.StructType([
+        T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def _inv(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        lon_, lat_ = PROJ.polar_stereo_inverse(xs.values, ys.values, epsg)
+        return pd.DataFrame({"lon": lon_, "lat": lat_})
+
+    v = _inv(F.col(x), F.col(y))
+    return df.withColumn(out_lon, v["lon"]).withColumn(out_lat, v["lat"])
+
+
+def pansharpen(pan: Column, ms: Column, n_bands: int | None = None,
+               weights: list[float] | None = None) -> Column:
+    """Brovey weighted combine: out_i = ms_i * pan / sum(w_i * ms_i).
+    ``ms`` is array<double>; weights default to the reference's per-band-count
+    table (equal weights if the count has no custom entry, mirroring
+    --skip-custom-weights / unknown-band-count behavior)."""
+    if weights is None and n_bands is not None:
+        weights = PANSH_WEIGHTS.get(n_bands)
+    if weights is None:
+        denom = F.aggregate(ms, F.lit(0.0), lambda a, v: a + v) / F.size(ms)
+    else:
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        denom = F.aggregate(F.zip_with(ms, warr, lambda v, w: v * w),
+                            F.lit(0.0), lambda a, v: a + v)
+    ratio = F.when(denom != 0, pan / denom)
+    return F.transform(ms, lambda v: v * ratio)
+
+
+def band_select(ms: Column, order: list[int]) -> Column:
+    """R6 — reorder/select 1-based band indices from an array column."""
+    return F.array(*[F.element_at(ms, i) for i in order])
+
+
+def band_stack(df: DataFrame, key_cols: list[str], band_col: str,
+               value_col: str) -> DataFrame:
+    """R7 — long (one row per band) -> one array column ordered by band id."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(band_col), F.col(value_col)))
+            ).getField(value_col).alias("bands")
+        )
+    )
+
+
+UNION_SCHEMA = "group_id string, union_area double, n_parts int, bounds_wkt string"
+
+
+def union_footprint_agg(rects: DataFrame, group_col: str) -> DataFrame:
+    """A4/A5 — per-group union of rect footprints (s_xmin..s_ymax columns)
+    via the exact region algebra; returns union area + part count + envelope.
+    applyInPandas: parallel across groups like the per-catid unions."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = str(pdf[group_col].iloc[0])
+        u = Region.empty()
+        for _, r in pdf.iterrows():
+            u = u.union(Region.from_rect(r["s_xmin"], r["s_ymin"],
+                                         r["s_xmax"], r["s_ymax"]))
+        if u.is_empty():
+            return pd.DataFrame({"group_id": [gid], "union_area": [0.0],
+                                 "n_parts": [0], "bounds_wkt": [None]})
+        x0, y0, x1, y1 = u.bounds()
+        wkt = (f"POLYGON (({x0} {y0}, {x0} {y1}, {x1} {y1}, {x1} {y0}, "
+               f"{x0} {y0}))")
+        return pd.DataFrame({
+            "group_id": [gid], "union_area": [u.area()],
+            "n_parts": [len(u.slabs)], "bounds_wkt": [wkt],
+        })
+
+    return rects.groupBy(group_col).applyInPandas(run, schema=UNION_SCHEMA)

@@ -1,0 +1,81 @@
+"""Physical-plan audits — the 100-TB checklist (SURVEY.md §4):
+filters reach the parquet scan, small sides broadcast, the fact side of the
+spatial join never shuffles, hot paths stay inside WholeStageCodegen."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.operators import spatial_join as sj
+from imagery_utils_spark.plans import mosaic_query as MQ
+from imagery_utils_spark.sources.tables import load
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select("l_orderkey")
+    plan = plan_of(li)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema carries only the two needed columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_spatial_join_no_fact_shuffle(spark, sf_dir):
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    rects = spark.createDataFrame(
+        [("r1", -10.0, -10.0, 10.0, 10.0)],
+        "rect_id string, xmin double, ymin double, xmax double, ymax double",
+    )
+    joined = sj.points_in_rects(pts, rects, res=6)
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange must be the broadcast one — no shuffle of the pages
+    shuffle_exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert not shuffle_exchanges, shuffle_exchanges
+
+
+def test_flagship_has_codegen_and_single_shuffle(spark, sf_dir):
+    df = MQ.ranked_assignments(spark, sf_dir)
+    df.collect()  # finalize this DataFrame's own AQE plan
+    plan = plan_of(df)
+    assert "codegen id" in plan  # whole-stage codegen spans present
+    # the only shuffle key is the rank's partition-by-tile exchange (the AQE
+    # formatted output lists the same exchange in initial + final sections)
+    shuffles = [l for l in plan.splitlines()
+                if "hashpartitioning(" in l and "Arguments" in l]
+    assert shuffles, "expected the rank shuffle"
+    assert all("tile_name" in s for s in shuffles), shuffles
+
+
+def test_flagship_no_python_udf_in_hot_path(spark, sf_dir):
+    # geocode default is the JVM regexp path: no BatchEvalPython / ArrowEval
+    plan = plan_of(MQ.ranked_assignments(spark, sf_dir))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_exact_refine_prunes_candidates(spark):
+    # cover join produces candidates; envelope refine must remove the corner
+    # cell false positives (filter-and-refine correctness at plan level)
+    # res-6 cells are 5.625 x 2.8125 deg: (2.0, 2.0) shares the rect's cell
+    # but lies outside the rect
+    pts = spark.createDataFrame([("in", 0.5, 0.5), ("near", 2.0, 2.0)],
+                                "pid string, lon double, lat double")
+    rects = spark.createDataFrame([("r", 0.0, 0.0, 1.0, 1.0)],
+                                  "rect_id string, xmin double, ymin double, "
+                                  "xmax double, ymax double")
+    with_refine = sj.points_in_rects(pts, rects, res=6, refine=True)
+    without = sj.points_in_rects(pts, rects, res=6, refine=False)
+    assert {r.pid for r in with_refine.collect()} == {"in"}
+    assert {r.pid for r in without.collect()} == {"in", "near"}  # same cell at res 6
