@@ -213,13 +213,21 @@ def q_lang_profile(spark, sf_dir) -> DataFrame:
 
 
 def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
-    from imagery_utils_spark.operators.dedup import ngram_jaccard_pairs
+    from imagery_utils_spark.operators.dedup import jaccard_col, shingle_hash_udf
 
     docs = load(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(
-        docs, pair_on=F.col("key_a") + 1 == F.col("key_b"), n_gram=3
+    sh = shingle_hash_udf(3)
+    # equi-join on the derived key (key_a + 1) — a non-equi predicate would
+    # force a broadcast nested loop; int64 shingle hashes shuffle cheaply
+    a = docs.select((F.col("doc_id") + 1).alias("k"), F.col("doc_id").alias("key_a"),
+                    sh(F.col("text")).alias("_a"))
+    b = docs.select(F.col("doc_id").alias("k"), F.col("doc_id").alias("key_b"),
+                    sh(F.col("text")).alias("_b"))
+    return (
+        a.join(b, "k")
+        .select("key_a", "key_b", jaccard_col(F.col("_a"), F.col("_b")).alias("jaccard"))
+        .orderBy("key_a")
     )
-    return out.orderBy("key_a")
 
 
 def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
