@@ -309,7 +309,7 @@ def q_strip_tile_candidates(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.tile_grid import lonlat_tile_grid
 
     df = MQ.geocoded_pages(spark, sf_dir)
-    strips = df.groupBy((F.col("doc_id") % 40).alias("strip_id")).agg(
+    strips = df.groupBy(_strip_id_col()).agg(
         F.min("lon").alias("s_xmin"), F.max("lon").alias("s_xmax"),
         F.min("lat").alias("s_ymin"), F.max("lat").alias("s_ymax"),
         F.count("*").alias("n_pages"),
@@ -327,23 +327,20 @@ def q_strip_tile_candidates(spark, sf_dir) -> DataFrame:
 
 def q_cutline_strips(spark, sf_dir) -> DataFrame:
     """Rows-only: greedy two-pass cutline over strip envelope footprints
-    (the geometry algebra is not SQL-expressible)."""
+    (the geometry algebra is not SQL-expressible). One pages pass: the
+    strip aggregate is tiny (40 rows), candidates come from a broadcast
+    bbox theta-join against the tile grid."""
     from imagery_utils_spark.operators.cutline import cutline_contributors
-
-    cand = q_strip_tile_candidates(spark, sf_dir)
-    df = MQ.geocoded_pages(spark, sf_dir)
-    strips = df.groupBy((F.col("doc_id") % 40).alias("strip_id")).agg(
-        F.min("lon").alias("s_xmin"), F.max("lon").alias("s_xmax"),
-        F.min("lat").alias("s_ymin"), F.max("lat").alias("s_ymax"),
-        F.avg(((F.col("doc_id") * 13) % 900) / 10.0).alias("score"),
-    )
     from imagery_utils_spark.operators.tile_grid import lonlat_tile_grid
 
-    tiles = lonlat_tile_grid(spark, tile_deg=10.0)
-    full = cand.join(strips, "strip_id").join(
-        F.broadcast(tiles.select(F.col("name").alias("tile_name"),
-                                 "xmin", "xmax", "ymin", "ymax")),
-        "tile_name",
+    strips = _strips(spark, sf_dir, with_score=True)
+    tiles = lonlat_tile_grid(spark, tile_deg=10.0).select(
+        F.col("name").alias("tile_name"), "xmin", "xmax", "ymin", "ymax"
+    )
+    full = strips.join(
+        F.broadcast(tiles),
+        (F.col("s_xmin") < F.col("xmax")) & (F.col("s_xmax") > F.col("xmin"))
+        & (F.col("s_ymin") < F.col("ymax")) & (F.col("s_ymax") > F.col("ymin")),
     ).select(
         "tile_name", "xmin", "xmax", "ymin", "ymax",
         F.col("strip_id").cast("string").alias("scene_id"), "score",
@@ -355,12 +352,26 @@ def q_cutline_strips(spark, sf_dir) -> DataFrame:
     )
 
 
-def _strips(spark, sf_dir):
+# Strip = coarse cell (res 2) x 4 overlapping sub-strips: geographically
+# compact footprints (like real acquisition strips) that overlap within a
+# cell, so cutline selection is non-trivial. SQL-expressible for the oracle.
+def _strip_id_col():
+    return (SJ.cell_col(F.col("lon"), F.col("lat"), 2) * 4 + F.col("doc_id") % 4).alias("strip_id")
+
+
+def _strip_id_sql() -> str:
+    return f"({SJ.cell_sql('lon', 'lat', 2)} * 4 + doc_id % 4)"
+
+
+def _strips(spark, sf_dir, with_score: bool = False):
     df = MQ.geocoded_pages(spark, sf_dir)
-    return df.groupBy((F.col("doc_id") % 40).alias("strip_id")).agg(
+    aggs = [
         F.min("lon").alias("s_xmin"), F.max("lon").alias("s_xmax"),
         F.min("lat").alias("s_ymin"), F.max("lat").alias("s_ymax"),
-    )
+    ]
+    if with_score:
+        aggs.append(F.avg(((F.col("doc_id") * 13) % 900) / 10.0).alias("score"))
+    return df.groupBy(_strip_id_col()).agg(*aggs)
 
 
 def q_stereo_overlap(spark, sf_dir) -> DataFrame:
@@ -483,9 +494,10 @@ def q_knn_ring(spark, sf_dir) -> DataFrame:
     """Rows-only: exact expanding-ring kNN for 3 fixed queries."""
     from imagery_utils_spark.operators.knn import knn_expanding_ring
 
-    pts = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    pts = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat").cache()
     queries_ = [("q0", 179.8, 15.0), ("q1", 0.0, 0.0), ("q2", -100.0, 45.0)]
-    return knn_expanding_ring(pts, queries_, k=5, res=5).orderBy("q_id", "rn")
+    out = knn_expanding_ring(pts, queries_, k=5, res=4).orderBy("q_id", "rn")
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -707,7 +719,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stereo_overlap": (
             f"WITH {pages}, strips AS ("
-            "SELECT (doc_id % 40) AS strip_id, min(lon) AS s_xmin, max(lon) AS s_xmax, "
+            f"SELECT {_strip_id_sql()} AS strip_id, min(lon) AS s_xmin, max(lon) AS s_xmax, "
             "min(lat) AS s_ymin, max(lat) AS s_ymax FROM pages GROUP BY 1) "
             "SELECT * FROM (SELECT a.strip_id AS id_a, b.strip_id AS id_b, "
             "CASE WHEN ((a.s_xmax - a.s_xmin) * (a.s_ymax - a.s_ymin) "
@@ -774,7 +786,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "strip_tile_candidates": (
             f"WITH {pages}, strips AS ("
-            "SELECT (doc_id % 40) AS strip_id, min(lon) AS s_xmin, max(lon) AS s_xmax, "
+            f"SELECT {_strip_id_sql()} AS strip_id, min(lon) AS s_xmin, max(lon) AS s_xmax, "
             "min(lat) AS s_ymin, max(lat) AS s_ymax, count(*) AS n_pages "
             "FROM pages GROUP BY 1), "
             "tiles AS (SELECT concat('world_', lpad(cast(r as varchar), 2, '0'), '_', "

@@ -103,12 +103,15 @@ def cutline_contributors(
             pdf["xmax"].iloc[0], pdf["ymax"].iloc[0],
         )
         rows = []
-        for _, r in pdf.iterrows():
-            if use_wkt:
-                g = Region.from_wkt(r[geom_col], max_slab=max_slab)
-            else:
-                g = Region.from_rect(r["s_xmin"], r["s_ymin"], r["s_xmax"], r["s_ymax"])
-            rows.append((str(r["scene_id"]), float(r["score"]), g))
+        if use_wkt:
+            for sid, sc, wkt in zip(pdf["scene_id"], pdf["score"], pdf[geom_col]):
+                rows.append((str(sid), float(sc), Region.from_wkt(wkt, max_slab=max_slab)))
+        else:
+            for sid, sc, x0, y0, x1, y1 in zip(
+                pdf["scene_id"], pdf["score"], pdf["s_xmin"], pdf["s_ymin"],
+                pdf["s_xmax"], pdf["s_ymax"],
+            ):
+                rows.append((str(sid), float(sc), Region.from_rect(x0, y0, x1, y1)))
         rows.sort(key=lambda t: (t[1], t[0]))  # ascending, deterministic ties
         selected = determine_contributors(rows, tile_region, contribution_threshold)
         return pd.DataFrame(

@@ -16,8 +16,10 @@ Scale design (100 TB / 10^12 pages):
 * refine for rectangles is a column predicate; refine for general polygons is
   a vectorized winding-number pandas UDF over Arrow batches;
 * hot cells (Zipf geography) skew the *join output*, not the probe side;
-  downstream groupBys use AQE skew handling plus explicit salting (see
-  cutline.candidates_with_salt).
+  downstream groupBys rely on map-side partial aggregation + AQE skew
+  splitting, and rank uses operators.rank.skew_rank when one group outgrows
+  a task (cutline groups are per-tile scene lists, bounded by catalog size,
+  so they never need salting — SURVEY.md §7).
 """
 
 from __future__ import annotations
