@@ -1,0 +1,47 @@
+import os
+
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.core import cells
+from imagery_utils_spark.plans import mosaic_query as MQ
+from imagery_utils_spark.sources import layout
+
+
+def test_cell_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    pages = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    path = str(tmp_path / "pages_by_cell")
+    layout.write_cell_partitioned(pages, path, prefix_res=3, fine_res=8)
+
+    # physical layout: one directory per occupied coarse cell
+    dirs = [d for d in os.listdir(path) if d.startswith("cell_prefix=")]
+    assert len(dirs) > 3
+
+    # pruned read touches only the requested partitions
+    target = int(cells.lonlat_to_linear([179.8], [15.0], 3)[0])
+    df = layout.read_cells(spark, path, [target])
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    got = df.count()
+    # equals the brute-force count for the same coarse cell
+    exp = pages.filter(
+        F.floor((F.col("lat") + 90) / 180 * 8) * 8
+        + F.floor((F.col("lon") + 180) / 360 * 8) == target
+    ).count()
+    assert got == exp and got > 0
+
+
+def test_within_partition_cell_ordering(spark, sf_dir, tmp_path):
+    pages = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    path = str(tmp_path / "pages_sorted")
+    layout.write_cell_partitioned(pages, path, prefix_res=2, fine_res=8)
+    # rows inside each file are cell-ordered (min/max skipping effective)
+    one_dir = next(d for d in os.listdir(path) if d.startswith("cell_prefix="))
+    part = spark.read.parquet(os.path.join(path, one_dir))
+    vals = [r.cell for r in part.select("cell").collect()]
+    # collect preserves file order per partition; full sort check per file is
+    # approximated by global sortedness of the single-file partition
+    files = [f for f in os.listdir(os.path.join(path, one_dir)) if f.endswith(".parquet")]
+    if len(files) == 1:
+        assert vals == sorted(vals)
