@@ -36,6 +36,9 @@ from imagery_utils_spark.sources.tables import load
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocoded pages -> tile assignment -> score -> rank."""
+    from imagery_utils_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     return MQ.ranked_assignments(spark, "/root/testdata/sf0.001").select(
         "doc_id", "tile_name", "score", "tile_rank"
     )
@@ -500,7 +503,22 @@ def q_knn_ring(spark, sf_dir) -> DataFrame:
     return out
 
 
+def _with_worker_imports(fn):
+    def wrapped(spark, sf_dir):
+        from imagery_utils_spark.session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _with_worker_imports(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
         "flagship_rank": q_flagship_rank,

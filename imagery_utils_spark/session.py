@@ -14,6 +14,36 @@ from pyspark.sql import SparkSession
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make the package importable on executors of an externally created
+    session (the ``spark-submit --py-files`` analog, applied after the
+    fact): zip the package once and ``addPyFile`` it. Safe to call
+    repeatedly; no-op when workers already share the driver's PYTHONPATH."""
+    import tempfile
+    import zipfile
+
+    from imagery_utils_spark import __version__
+
+    flag = "_imagery_utils_spark_pyfiles"
+    sc = spark.sparkContext
+    if getattr(sc, flag, False):
+        return
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"imagery_utils_spark-{__version__}.zip")
+    if not os.path.exists(zip_path):
+        pkg = os.path.join(_REPO_ROOT, "imagery_utils_spark")
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    setattr(sc, flag, True)
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "imagery_utils_spark",
