@@ -23,7 +23,7 @@ def test_schema_and_counts(pages_df, spark, sf_dir):
     assert pages_df.select("url").distinct().count() == ndocs
 
 
-@pytest.mark.parametrize("method", ["jvm", "pandas"])
+@pytest.mark.parametrize("method", ["fast", "jvm", "pandas"])
 def test_geocode_roundtrip_exact(pages_df, method):
     # geocoded lat/lon from html must equal the arithmetic derivation exactly
     # for both the JVM hot path and the pandas-UDF variant
@@ -40,9 +40,20 @@ def test_geocode_missing_tag_is_null(spark):
         [(1, bytearray(b"<html><head></head><body>no geo</body></html>"))],
         "doc_id long, html binary",
     )
-    for method in ("jvm", "pandas"):
+    for method in ("fast", "jvm", "pandas"):
         r = pages.geocode(df, method=method).first()
         assert r.lat is None and r.lon is None, method
+
+
+def test_geocode_malformed_value_nulls(spark):
+    # a present tag with a non-numeric payload must null out, not throw
+    # (ANSI mode would raise on a plain cast)
+    df = spark.createDataFrame(
+        [(1, bytearray(b'<meta name="geo.position" content="abc;def">'))],
+        "doc_id long, html binary",
+    )
+    r = pages.geocode(df, method="fast").first()
+    assert r.lat is None and r.lon is None
 
 
 def test_text_byte_identical(pages_df, spark, sf_dir):
