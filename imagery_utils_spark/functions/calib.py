@@ -126,6 +126,62 @@ def dg_calib_factors(
     return out
 
 
+# --------------------------------------------------------------- IK / GE (C7)
+
+# /root/reference/lib/ortho_functions.py:2302-2342 — B,G,R,N,Pan(TDI13)
+IK_ESUN = [1930.9, 1854.8, 1556.5, 1156.9, 1375.8]
+IK_BANDWIDTH = [71.3, 88.6, 65.8, 95.4, 403]
+IK_CALCOEF_PRE = [633, 649, 840, 746, 161]    # pre  2001-02-22
+IK_CALCOEF_POST = [728, 727, 949, 843, 161]   # post 2001-02-22
+IK_BREAKDATE = datetime(2001, 2, 22)
+
+# /root/reference/lib/ortho_functions.py:2392-2419 — per-band (1-based)
+GE_ESUN = [196.0, 185.3, 150.5, 103.9, 161.7]
+
+
+def ik_calib_factors(acq_time: datetime, sun_elev: float,
+                     stretch: str = "rf") -> dict[int, tuple[float, float]]:
+    """band index (0..4 = B,G,R,N,Pan) -> (factor, 0). Pre/post-2001-02-22
+    coefficient break per the reference. NOTE the reference's guard condition
+    is ``sunAngle < 0 and stretch == 'ns'`` (:2315) — inverted relative to
+    the DG variant; replicated verbatim."""
+    if sun_elev < 0 and stretch == "ns":
+        raise InvalidSunElevation(
+            "Negative sun elevation angle is only supported if no-stretch is selected"
+        )
+    theta = 90.0 - sun_elev
+    des = calc_earth_sun_dist(acq_time)
+    coefs = IK_CALCOEF_PRE if acq_time < IK_BREAKDATE else IK_CALCOEF_POST
+    out = {}
+    for band in range(5):
+        cal, bw, esun = coefs[band], IK_BANDWIDTH[band], IK_ESUN[band]
+        rad_fact = 10000.0 / (cal * bw)
+        refl_fact = (10000.0 * des ** 2 * math.pi) / (
+            cal * bw * esun * math.cos(math.radians(theta))
+        )
+        out[band] = (rad_fact, 0) if stretch == "rd" else (refl_fact, 0)
+    return out
+
+
+def ge_calib_factors(acq_time: datetime, sun_elev: float, gains: dict[int, float],
+                     stretch: str = "rf") -> dict[int, tuple[float, float]]:
+    """GE01: per-band gain from metadata; rad = gain*10 (mW/cm2/um ->
+    W/m2/um), refl = gain*des^2*pi / (Esun*cos(theta))."""
+    if sun_elev < 0 and stretch == "ns":
+        raise InvalidSunElevation(
+            "Negative sun elevation angle is only supported if no-stretch is selected"
+        )
+    theta = 90.0 - sun_elev
+    des = calc_earth_sun_dist(acq_time)
+    out = {}
+    for band, gain in gains.items():
+        esun = GE_ESUN[band - 1]
+        rad_fact = gain * 10
+        refl_fact = (gain * des ** 2 * math.pi) / (esun * math.cos(math.radians(theta)))
+        out[band] = (rad_fact, 0) if stretch == "rd" else (refl_fact, 0)
+    return out
+
+
 # ---------------------------------------------------------------- LUT (C8)
 
 MR_ILUT = [0, 0.125, 0.25, 0.375, 0.625, 1]

@@ -78,6 +78,27 @@ def test_lut_stretches():
     assert pts_mr[-1][1] == 255
 
 
+def test_ik_coefficient_break():
+    # pre/post 2001-02-22 coefficient tables (ortho_functions.py:2321-2326)
+    pre = calib.ik_calib_factors(datetime(2001, 2, 21), 45.0, "rd")
+    post = calib.ik_calib_factors(datetime(2001, 2, 23), 45.0, "rd")
+    assert pre[0][0] == pytest.approx(10000.0 / (633 * 71.3))
+    assert post[0][0] == pytest.approx(10000.0 / (728 * 71.3))
+    assert pre[4][0] == post[4][0]  # pan coefficient identical across break
+
+
+def test_ge_calib():
+    out = calib.ge_calib_factors(datetime(2009, 11, 1, 1, 49, 33), 45.98,
+                                 gains={1: 1.2, 4: 0.9}, stretch="rd")
+    assert out[1] == (12.0, 0)   # gain * 10
+    assert out[4] == (9.0, 0)
+    refl = calib.ge_calib_factors(datetime(2009, 11, 1, 1, 49, 33), 45.98,
+                                  gains={1: 1.2})
+    des = calc_earth_sun_dist(datetime(2009, 11, 1, 1, 49, 33))
+    exp = (1.2 * des ** 2 * math.pi) / (196.0 * math.cos(math.radians(90 - 45.98)))
+    assert refl[1][0] == pytest.approx(exp, rel=1e-14)
+
+
 def test_apply_lut_interp():
     pts = [(0.0, 0.0), (100.0, 1000.0)]
     out = calib.apply_lut(np.asarray([0, 50, 100, 150]), pts)
