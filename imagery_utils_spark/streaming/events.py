@@ -75,3 +75,42 @@ def run_stream_to_memory(spark: SparkSession, src_path: str, name: str,
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------- pages stream
+
+
+def stream_pages_to_tile_counts(spark: SparkSession, src_path: str,
+                                schema: str | None = None) -> DataFrame:
+    """The flagship pipeline on a stream: pages parquet source -> geocode
+    (pure-column fast path, streaming-safe) -> tile assignment -> running
+    per-tile counts. Complete-mode aggregation (tile cardinality is small);
+    at scale this is the incremental-refresh path for tile manifests."""
+    from ..operators.tile_grid import tile_assign_cols
+    from ..sources.pages import geocode
+
+    schema = schema or ("doc_id long, url string, warc_ts timestamp, "
+                        "html binary, text string, lang string")
+    pages = spark.readStream.schema(schema).parquet(src_path)
+    geo = geocode(pages)  # no UDF: streaming-compatible column expressions
+    row, col, name = tile_assign_cols(
+        F.col("lon"), F.col("lat"), -180.0, -90.0, 180.0, 90.0, 10.0, 10.0, "world"
+    )
+    return (
+        geo.select(name)
+        .groupBy("tile_name")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def run_pages_stream_to_memory(spark: SparkSession, src_path: str,
+                               name: str) -> DataFrame:
+    q = (
+        stream_pages_to_tile_counts(spark, src_path)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -125,3 +125,22 @@ def test_sessionize(spark):
         by_user.setdefault(r.user_id, []).append(r.session_id)
     assert by_user[1] == [1, 1, 2]
     assert by_user[2] == [1]
+
+
+def test_pages_stream_matches_batch(spark, sf_dir, tmp_path):
+    from imagery_utils_spark.sources.pages import synthesize_pages
+
+    src = str(tmp_path / "pages_src")
+    synthesize_pages(spark, sf_dir).repartition(3).write.parquet(src)
+    stream = STR.run_pages_stream_to_memory(spark, src, "pages_tiles_test")
+    # batch equivalent over the same files
+    from imagery_utils_spark.operators.tile_grid import tile_assign_cols
+    from imagery_utils_spark.sources.pages import geocode
+
+    batch = (
+        geocode(spark.read.parquet(src))
+        .select(tile_assign_cols(F.col("lon"), F.col("lat"),
+                                 -180.0, -90.0, 180.0, 90.0, 10.0, 10.0, "world")[2])
+        .groupBy("tile_name").agg(F.count("*").alias("n_pages"))
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
