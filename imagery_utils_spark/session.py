@@ -28,17 +28,22 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, flag, False):
         return
-    zip_path = os.path.join(tempfile.gettempdir(),
-                            f"imagery_utils_spark-{__version__}.zip")
+    pkg = os.path.join(_REPO_ROOT, "imagery_utils_spark")
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg)
+        for f in files if f.endswith(".py")
+    ]
+    # cache key includes newest source mtime so edits invalidate the zip
+    stamp = int(max(os.path.getmtime(p) for p in sources))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"imagery_utils_spark-{__version__}-{stamp}.zip"
+    )
     if not os.path.exists(zip_path):
-        pkg = os.path.join(_REPO_ROOT, "imagery_utils_spark")
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, _REPO_ROOT))
         os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     setattr(sc, flag, True)
