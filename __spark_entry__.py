@@ -478,7 +478,13 @@ def q_classify_filename(spark, sf_dir) -> DataFrame:
     """Rows-only: F8 regex classification over synthetic PGC-style names."""
     from imagery_utils_spark.functions.naming import classify_filename
 
-    pages = P.synthesize_pages(spark, sf_dir)
+    # filename needs only doc_id + warc_ts: derive directly (skip html synth)
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1546300800) + (F.col("doc_id") * 104729) % 157766400
+        ).alias("warc_ts"),
+    )
     fn = F.concat(
         F.lit("WV02_"), F.date_format("warc_ts", "yyyyMMddHHmmss"),
         F.lit("_103001"), F.lpad((F.col("doc_id") % 100000).cast("string"), 10, "0"),
