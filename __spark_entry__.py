@@ -271,6 +271,20 @@ def q_lsh_ann(spark, sf_dir) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Rows-only: all-pairs embedding near-duplicates (LSH buckets + exact
+    cosine verify). Fixture plants exact duplicates by doubling vec_id 0-9."""
+    from imagery_utils_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(
+        emb.select("vec_id", "embedding").unionByName(dups), threshold=0.99
+    ).orderBy("id_a", "id_b")
+
+
 def q_pyramid_rollup(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.compose import pyramid_rollup
 
@@ -546,6 +560,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "embedding_near_dup": q_embedding_near_dup,
         "pyramid_rollup": q_pyramid_rollup,
         "stream_window_counts": q_stream_window_counts,
         "sessionize": q_sessionize,

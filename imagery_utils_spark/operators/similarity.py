@@ -175,3 +175,35 @@ def ivf_search(fact_assigned: DataFrame, queries: DataFrame, centroids: np.ndarr
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             dim: int | None = None, n_bits: int = 8,
+                             n_tables: int = 8, seed: int = 42) -> DataFrame:
+    """All-pairs embedding near-duplicates: hyperplane-LSH bucket self-join
+    candidates (any shared table-bucket), exact cosine verify >= threshold.
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    High thresholds (near-dup regime) collide with high probability:
+    p_bucket = (1 - theta/pi)^n_bits per table; theta(0.95) ~= 0.32 rad ->
+    ~0.42 per table, ~99% over 8 tables."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
+    fact = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                     F.explode(udf(F.col(vec_col))).alias("bucket"))
+    l = fact.select("bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    r = fact.select("bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            cosine_col(F.col("_va").cast("array<double>"),
+                       F.col("_vb").cast("array<double>")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -82,3 +82,24 @@ def test_ivf_search(spark, emb):
     assert ids[0] == rows[3][0]  # self found
     exact = set(brute_force_topk(rows, rows[3][1], 5))
     assert len(exact & set(ids)) >= 3
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant near-duplicates: vec + tiny noise
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.limit(50).collect()]
+    import numpy as np
+    rng = np.random.default_rng(3)
+    planted = []
+    for vid, v in rows[:5]:
+        noisy = (np.asarray(v) + rng.normal(0, 0.01, len(v))).tolist()
+        planted.append((1000 + vid, noisy))
+    df = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in rows + planted],
+        "vec_id long, embedding array<double>",
+    )
+    out = SIM.embedding_near_dup_pairs(df, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    for vid, _ in rows[:5]:
+        assert (vid, 1000 + vid) in got, vid
+    # random pairs are near-orthogonal: no false accepts at 0.95
+    assert all(b - a == 1000 for a, b in got)
