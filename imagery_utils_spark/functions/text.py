@@ -10,6 +10,8 @@ fingerprinting (normalized token hash).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -90,3 +92,50 @@ def fingerprint_col(text: Column) -> Column:
     'fingerprinting' step of near-dup pipelines)."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(F.lower(text)))))
     return F.xxhash64(canon)
+
+
+def winnowing_fingerprints_udf(k: int = 5, window: int = 4):
+    """Document fingerprinting via rolling hashes + winnowing
+    (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — public algorithm):
+
+    1. character k-gram Rabin-Karp rolling hashes (polynomial mod 2^64,
+       position-independent by construction) over the lowercased text;
+    2. every sliding window of ``window`` consecutive gram hashes keeps its
+       minimum — any shared substring of length >= k + window - 1 then
+       shares at least one fingerprint.
+
+    Arrow-batched numpy; returns sorted distinct fingerprints (array<long>).
+    """
+    import pyspark.sql.types as T
+
+    B = np.uint64(1000003)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(text: pd.Series) -> pd.Series:
+        bk = np.uint64(pow(1000003, k, 1 << 64))  # B^k mod 2^64
+        out = []
+        with np.errstate(over="ignore"):
+            for t in text:
+                s = (t or "").lower().encode("utf-8")
+                n = len(s)
+                if n < k:
+                    out.append([])
+                    continue
+                b = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+                h = np.zeros(n + 1, dtype=np.uint64)
+                acc = np.uint64(0)
+                for i in range(n):
+                    acc = acc * B + b[i]
+                    h[i + 1] = acc
+                idx = np.arange(0, n - k + 1)
+                grams = h[idx + k] - h[idx] * bk  # uint64 wrap == mod 2^64
+                if len(grams) < window:
+                    sel = {int(np.int64(grams.min()))}
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+                    sel = set(sw.min(axis=1).view(np.int64).tolist())
+                out.append(sorted(sel))
+        return pd.Series(out)
+
+    return _fp

@@ -117,3 +117,24 @@ def test_simhash_near_dup(spark):
     assert got.get((0, 1)) == 0          # identical text -> identical fingerprint
     assert (0, 2) in got and got[(0, 2)] <= 8   # 1/48 tokens -> few bit flips
     assert (0, 3) not in got              # disjoint vocab -> far fingerprint
+
+
+def test_winnowing_fingerprints(spark):
+    from imagery_utils_spark.functions.text import winnowing_fingerprints_udf
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "PREFIX the quick brown fox jumps over something else"),  # shared run
+        (2, "zqv unrelated wordlist entirely different content"),
+        (3, "ab"),  # shorter than k -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints_udf(k=5, window=4)
+    got = {r.doc_id: set(r.fps) for r in
+           df.select("doc_id", fp(F.col("text")).alias("fps")).collect()}
+    # guarantee: shared substring of length >= k+window-1 shares a fingerprint
+    assert len(got[0] & got[1]) > 0
+    assert len(got[0] & got[2]) == 0
+    assert got[3] == set()
+    # position independence: the same text prefixed differently still collides
+    assert len(got[0]) > 3
