@@ -696,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT lang, "
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt "
             "FROM documents) "
-            "SELECT lang, count(*) AS n_docs, sum(nt) AS tokens_total, "
+            "SELECT lang, count(*) AS n_docs, cast(sum(nt) as bigint) AS tokens_total, "
             "cast(sum(nt) as double) / count(*) AS tokens_avg "
             "FROM t GROUP BY lang ORDER BY lang"
         ),
@@ -745,7 +745,7 @@ def oracle_sql() -> dict[str, str]:
             "s2 AS (SELECT user_id, sum(new_s) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) "
-            "SELECT user_id, max(sid) AS n_sessions, count(*) AS n_events "
+            "SELECT user_id, cast(max(sid) as bigint) AS n_sessions, count(*) AS n_events "
             "FROM s2 GROUP BY user_id ORDER BY user_id"
         ),
         "epsg_pick": (

@@ -50,12 +50,33 @@ def drange(start: float, stop: float, step: float):
 
 
 def drange_col(start: Column, stop: Column, step: Column) -> Column:
-    """Array column of the same values: floats handled by index arithmetic so
-    accumulation error matches the reference's repeated addition ordering."""
-    n = F.ceil((stop - start) / step)
-    return F.when(n <= 0, F.array().cast("array<double>")).otherwise(
-        F.transform(F.sequence(F.lit(0), n - 1), lambda i: start + i.cast("double") * step)
+    """Array column with float parity to the reference's accumulate-and-compare
+    loop (r += step while r < stop): ``start + i*step`` index arithmetic is NOT
+    equivalent for lossy steps (drange(0,1,0.1) accumulates to 11 values ending
+    0.9999999999999999; index form gives 10), so this folds an accumulator via
+    ``aggregate`` — each element is the previous plus ``step``, and elements
+    past the accumulated stop are trimmed. Not a hot-path op (tile-grid edges),
+    so the interpreted HOF is fine."""
+    # upper bound on length: ceil((stop-start)/step) + 2 covers accumulation
+    # undershoot (acc < exact) admitting at most one extra element
+    n = F.greatest(F.lit(0), F.ceil((stop - start) / step) + 2)
+    acc0 = F.struct(
+        F.array().cast("array<double>").alias("arr"),
+        start.cast("double").alias("r"),
     )
+    folded = F.aggregate(
+        F.sequence(F.lit(1), n, F.lit(1)),
+        acc0,
+        lambda acc, _: F.when(
+            acc["r"] < stop,
+            F.struct(
+                F.concat(acc["arr"], F.array(acc["r"])).alias("arr"),
+                (acc["r"] + step).alias("r"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["arr"],
+    )
+    return F.when(n <= 0, F.array().cast("array<double>")).otherwise(folded)
 
 
 # ----------------------------------------------------------------- pl2xy

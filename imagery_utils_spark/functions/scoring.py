@@ -71,16 +71,19 @@ class ScoreParams:
 
 
 def date_diff_col(acq_time: Column, m: int, d: int) -> Column:
-    """min over y in {year-1, year, year+1} of |datetime(y,m,d) - acq_time|.days
-    (/root/reference/lib/mosaic.py:573-578). ``timedelta.days`` after ``abs``
-    floors the absolute difference, so: floor(|delta_seconds| / 86400)."""
+    """min over y in {year-1, year, year+1} of abs((datetime(y,m,d) - acq_time).days)
+    (/root/reference/lib/mosaic.py:573-578). ``timedelta.days`` floors toward
+    -inf BEFORE the abs: for acquisitions *after* the target with a fractional
+    day offset the reference effectively ceils (acq 2011-09-05 14:00 vs target
+    09-01 -> days = floor(-4.58) = -5 -> diff 5, not 4). So: the *signed*
+    delta first, floor, then abs."""
     deltas = []
     for dy in (-1, 0, 1):
         target = F.make_timestamp(
             F.year(acq_time) + dy, F.lit(m), F.lit(d), F.lit(0), F.lit(0), F.lit(0)
         )
-        secs = F.abs(F.unix_timestamp(target) - F.unix_timestamp(acq_time))
-        deltas.append(F.floor(secs / 86400))
+        days = F.floor((F.unix_timestamp(target) - F.unix_timestamp(acq_time)) / 86400)
+        deltas.append(F.abs(days))
     dd = F.least(*deltas)
     return F.when(acq_time.isNull(), F.lit(MISSING_DIFF)).otherwise(dd)
 
@@ -167,11 +170,12 @@ def score_sql(params: ScoreParams, cc="cloudcover", sunel="sun_elev", ona="off_n
     ccwt, sunelwt, onawt, datediffwt, yeardiffwt = params.weights
     cc_n = f"(CASE WHEN {cc} < 0 OR {cc} > 1 THEN {params.max_cc} ELSE {cc} END)"
     if params.m != 0:
+        # abs AFTER the floor of the signed day delta (timedelta.days parity)
         targets = ",".join(
-            f"abs(epoch(make_timestamp(year({acq}){dy:+d}, {params.m}, {params.d}, 0, 0, 0) - {acq}))"
+            f"abs(floor(epoch(make_timestamp(year({acq}){dy:+d}, {params.m}, {params.d}, 0, 0, 0) - {acq}) / 86400))"
             for dy in (-1, 0, 1)
         )
-        dd = f"floor(least({targets}) / 86400)"
+        dd = f"least({targets})"
     else:
         dd = str(MISSING_DIFF)
     if params.years:

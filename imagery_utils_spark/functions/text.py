@@ -74,13 +74,16 @@ def langid_col(text: Column) -> Column:
     profile, highest wins (ties -> lexicographically first lang). Pure column
     algebra: array of (hits, lang) structs -> array_max."""
     toks = F.array_distinct(tokens_col(F.lower(text)))
+    langs = sorted(STOPWORDS)
     entries = [
         F.struct(
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
-            # negate lexical order so max prefers 'de' over 'en' only on more hits:
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))).alias("hits"),
+            # array_max compares struct fields in order: on tied hit counts the
+            # max neg_rank is the SMALLEST index, i.e. lexicographically first
+            F.lit(-i).alias("neg_rank"),
             F.lit(lang).alias("lang"),
         )
-        for lang, ws in sorted(STOPWORDS.items(), reverse=True)
+        for i, lang in enumerate(langs)
     ]
     best = F.array_max(F.array(*entries))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -174,7 +174,14 @@ def geocode(pages: DataFrame, method: str = "fast") -> DataFrame:
         return pages.withColumn("lat", g["lat"]).withColumn("lon", g["lon"])
     s = F.decode(F.col("html"), "utf-8")
     if method == "fast":
-        tag = F.substring_index(F.substring_index(s, _GEO_MARK, -1), '"', 1)
+        # FIRST occurrence of the marker (parity with the regex/pandas paths
+        # when the body text itself contains the marker string): before the
+        # 2nd occurrence, after the 1st — substring_index(s, mark, 2) returns
+        # the whole string when only one occurrence exists, so the -1 slice
+        # is always the text following the first marker.
+        tag = F.substring_index(
+            F.substring_index(F.substring_index(s, _GEO_MARK, 2), _GEO_MARK, -1), '"', 1
+        )
         has = F.contains(s, F.lit(_GEO_MARK))
         lat = F.when(has, F.substring_index(tag, ";", 1)).try_cast("double")
         lon = F.when(has, F.substring_index(tag, ";", -1)).try_cast("double")

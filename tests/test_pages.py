@@ -110,3 +110,15 @@ def test_hot_cell_skew(pages_df):
     )
     total = sum(r["count"] for r in counts)
     assert counts[0]["count"] / total > 0.25
+
+
+def test_geocode_marker_in_body_first_occurrence(spark):
+    # ADVICE r1: the fast path must anchor on the FIRST geo marker (the head
+    # tag), not the last — a body containing the literal marker string must
+    # not change the result, and all three methods must agree.
+    head = b'<html><head><meta name="geo.position" content="15.1000;179.8000">'
+    body = b'</head><body>quoting geo.position" content="99.0;99.0" here</body></html>'
+    df = spark.createDataFrame([(1, bytearray(head + body))], "doc_id long, html binary")
+    for method in ("fast", "jvm", "pandas"):
+        r = pages.geocode(df, method=method).first()
+        assert (r.lat, r.lon) == (15.1, 179.8), method

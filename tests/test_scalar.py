@@ -72,3 +72,15 @@ def test_column_forms(spark):
     assert row.d == pytest.approx(0.9957508611980816, abs=1e-12)
     assert row.r == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert row.r0 == []
+
+
+def test_drange_col_float_accumulation_parity(spark):
+    # drange(0,1,0.1) accumulates 11 values ending 0.9999999999999999 —
+    # index arithmetic (start + i*step) would give 10; the column form must
+    # match the reference loop element-for-element (ADVICE r1).
+    expected = list(scalar.drange(0.0, 1.0, 0.1))
+    assert len(expected) == 11 and expected[-1] == 0.9999999999999999
+    row = spark.range(1).select(
+        scalar.drange_col(F.lit(0.0), F.lit(1.0), F.lit(0.1)).alias("r")
+    ).first()
+    assert row.r == expected

@@ -117,3 +117,46 @@ def test_score_panfactor(spark):
     row = ("WV02", 4, 0.0, 39.0, 18.5, 16.0, None)
     s = _score(spark, row, ScoreParams(bands=4, force_pan_to_multi=True))
     assert s == pytest.approx(79.2, abs=1e-6)
+
+
+def test_score_tday_acq_after_target(spark):
+    # ADVICE r1: timedelta.days floors toward -inf BEFORE abs — acq AFTER the
+    # target with a fractional day offset must ceil (date_diff 5, not 4).
+    acq = datetime(2011, 9, 5, 14, 0, 0)
+    expected_dd = min(
+        abs((datetime(y, 9, 1) - acq).days) for y in (acq.year - 1, acq.year, acq.year + 1)
+    )
+    assert expected_dd == 5  # the direction the old floor(abs(.)) got wrong (4)
+    row = ("WV02", 1, 0.0, 37.7, 19.4, 24.0, acq)
+    expected = (
+        30 * (1 - 0.0) + 10 * (37.7 / 90) + 5 * ((90 - 19.4) / 90.0)
+        + 55 * ((183 - expected_dd) / 183.0)
+    )
+    assert _score(spark, row, ScoreParams(bands=1, tday="09-01")) == pytest.approx(
+        expected, abs=1e-9
+    )
+
+
+def test_score_sql_parity_tday_both_directions(spark):
+    """score_sql (DuckDB) == score_col (Spark) in tday mode for acquisitions
+    before AND after the target date (the after direction regressed r1)."""
+    import duckdb
+
+    from imagery_utils_spark.functions.scoring import score_sql
+
+    params = ScoreParams(bands=1, tday="09-01")
+    rows = [
+        ("WV01", 1, 0.0, 39.0, 18.5, None, datetime(2008, 8, 7, 15, 39, 45)),
+        ("WV02", 1, 0.0, 37.7, 19.4, None, datetime(2011, 9, 5, 14, 0, 0)),
+        ("WV02", 1, 0.1, 50.0, 10.0, None, datetime(2015, 9, 1, 0, 0, 0)),
+        ("WV02", 1, 0.1, 50.0, 10.0, None, datetime(2015, 12, 31, 23, 59, 59)),
+    ]
+    got = [_score(spark, r, params) for r in rows]
+    con = duckdb.connect()
+    sql = score_sql(params)
+    for r, g in zip(rows, got):
+        o = con.execute(
+            f"SELECT {sql} FROM (SELECT {r[2]} AS cloudcover, {r[3]} AS sun_elev, "
+            f"{r[4]} AS off_nadir, TIMESTAMP '{r[6]}' AS acq_time)"
+        ).fetchone()[0]
+        assert g == pytest.approx(o, abs=1e-12), r

@@ -138,3 +138,13 @@ def test_winnowing_fingerprints(spark):
     assert got[3] == set()
     # position independence: the same text prefixed differently still collides
     assert len(got[0]) > 3
+
+
+def test_langid_tie_breaks_lexicographically_first(spark):
+    # 'the le' hits en/fr/zh once each -> tie resolves to 'en' (ADVICE r1:
+    # array_max on (hits, lang) alone picked the lexicographically LAST lang)
+    df = spark.createDataFrame([("the le",), ("der le canard the of",)], "text string")
+    r = [x.l for x in df.select(TX.langid_col(F.col("text")).alias("l")).collect()]
+    assert r[0] == "en"
+    # 2 hits beats any tie: en has {the, of} = 2
+    assert r[1] == "en"
