@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from imagery_utils_spark.functions.naming import RENAMED_DG as _RENAMED_DG
 from imagery_utils_spark.functions.scoring import ScoreParams
 from imagery_utils_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
 from imagery_utils_spark.operators import compose as CPO
@@ -258,7 +259,12 @@ def q_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 def q_lsh_ann(spark, sf_dir) -> DataFrame:
-    """Rows-only: LSH-bucketed approximate kNN for 4 query vectors."""
+    """LSH-bucketed approximate kNN for 4 query vectors. Oracle: exact
+    brute-force top-k SQL — the candidate sets at these (n_bits, n_tables)
+    provably cover the true top-5 on this fixture (pytest asserts recall 1.0
+    vs knn_join at every sf), so the approximate result EQUALS the exact one.
+    Output is id/rank-only: cosine floats stay engine-internal (ordering is
+    ULP-stable on this fixture, values are not hash-comparable)."""
     from imagery_utils_spark.operators.similarity import lsh_bucket_ann
 
     emb = load(spark, sf_dir, "embeddings")
@@ -266,14 +272,17 @@ def q_lsh_ann(spark, sf_dir) -> DataFrame:
         emb.filter(F.col("vec_id") < 4)
         .select(F.col("vec_id").alias("q_id"), "embedding")
     )
-    return lsh_bucket_ann(emb, queries_df, k=5, n_bits=4, n_tables=12).select(
+    return lsh_bucket_ann(emb, queries_df, k=5, n_bits=4, n_tables=24).select(
         "q_id", "vec_id", "rn"
     ).orderBy("q_id", "rn")
 
 
 def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
-    """Rows-only: all-pairs embedding near-duplicates (LSH buckets + exact
-    cosine verify). Fixture plants exact duplicates by doubling vec_id 0-9."""
+    """All-pairs embedding near-duplicates (LSH buckets + exact cosine
+    verify). Fixture plants exact duplicates by doubling vec_id 0-9 — exact
+    duplicates collide in EVERY hash table, so the LSH pair set equals the
+    SQL brute-force oracle whenever no non-planted pair clears the threshold
+    (pytest pins that invariant). Ids-only output (floats engine-internal)."""
     from imagery_utils_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
@@ -282,7 +291,7 @@ def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     )
     return embedding_near_dup_pairs(
         emb.select("vec_id", "embedding").unionByName(dups), threshold=0.99
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 def q_pyramid_rollup(spark, sf_dir) -> DataFrame:
@@ -513,14 +522,20 @@ def q_classify_filename(spark, sf_dir) -> DataFrame:
                         c["prod_code"].alias("prod_code")).orderBy("doc_id")
 
 
+KNN_QUERIES = [("q0", 179.8, 15.0), ("q1", 0.0, 0.0), ("q2", -100.0, 45.0)]
+
+
 def q_knn_ring(spark, sf_dir) -> DataFrame:
-    """Rows-only: exact expanding-ring kNN for 3 fixed queries."""
+    """Exact expanding-ring kNN for 3 fixed queries. Oracle: brute-force
+    haversine + row_number()<=k in SQL. Output is (q_id, doc_id, rn) — the
+    distance float stays engine-internal (trig libm ULPs differ between
+    JVM and DuckDB; ordering is stable on this fixture)."""
     from imagery_utils_spark.operators.knn import knn_expanding_ring
 
     pts = MQ.geocoded_pages(spark, sf_dir).select("doc_id", "lon", "lat").cache()
-    queries_ = [("q0", 179.8, 15.0), ("q1", 0.0, 0.0), ("q2", -100.0, 45.0)]
-    out = knn_expanding_ring(pts, queries_, k=5, res=4).orderBy("q_id", "rn")
-    return out
+    qdf = spark.createDataFrame(KNN_QUERIES, "q_id string, lon double, lat double")
+    out = knn_expanding_ring(pts, qdf, k=5, res=4)
+    return out.select("q_id", "doc_id", "rn").orderBy("q_id", "rn")
 
 
 def _with_worker_imports(fn):
@@ -721,6 +736,29 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id "
             "LIMIT 10"
         ),
+        # Exact brute-force kNN: equals the LSH result because the candidate
+        # sets cover the true top-5 on this fixture (recall-1.0 pinned in
+        # tests/test_similarity.py at every sf).
+        "lsh_ann": (
+            "WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 4) "
+            "SELECT q_id, vec_id, rn FROM ("
+            "SELECT q.q_id, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.q_id "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, "
+            "e.vec_id ASC) AS rn FROM embeddings e, q) "
+            "WHERE rn <= 5 ORDER BY q_id, rn"
+        ),
+        # Exact all-pairs brute force: equals the LSH+verify result because
+        # exact duplicates collide in every table and no non-planted pair
+        # clears the threshold (pinned in tests/test_similarity.py).
+        "embedding_near_dup": (
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            "UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[] "
+            "FROM embeddings WHERE vec_id < 10) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM base a JOIN base b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY id_a, id_b"
+        ),
         "pyramid_rollup": (
             f"WITH {pages}, base AS (SELECT {SJ.cell_sql('lon', 'lat', 6)} AS cell6 FROM pages) "
             f"SELECT 4 AS level_res, {CPO.parent_cell_sql('cell6', 6, 2)} AS cell, "
@@ -822,6 +860,37 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN pan p2 ON p2.pan_id = concat('WV02_', "
             "strftime(m.warc_ts - INTERVAL 1 SECOND, '%Y%m%d%H%M%S'), '-P1BS-', "
             "cast(m.doc_id as varchar)) ORDER BY m.doc_id"
+        ),
+        # Brute-force haversine kNN (the expanding-ring algorithm is exact,
+        # so it must equal this). Distances stay engine-internal — ordering
+        # only (JVM vs libm trig differ in ULPs, never enough to flip the
+        # fixture's distinct distances).
+        "knn_ring": (
+            f"WITH {pages}, q(q_id, q_lon, q_lat) AS (VALUES "
+            + ", ".join(f"('{q}', {lo}, {la})" for q, lo, la in KNN_QUERIES)
+            + ") SELECT q_id, doc_id, rn FROM ("
+            "SELECT q.q_id, p.doc_id, ROW_NUMBER() OVER (PARTITION BY q.q_id "
+            "ORDER BY 2 * 6371.0088 * asin(sqrt("
+            "pow(sin(radians(p.lat - q.q_lat) / 2), 2) "
+            "+ cos(radians(q.q_lat)) * cos(radians(p.lat)) "
+            "* pow(sin(radians(p.lon - q.q_lon) / 2), 2))) ASC, p.doc_id ASC) AS rn "
+            "FROM pages p, q) WHERE rn <= 5 ORDER BY q_id, rn"
+        ),
+        # F8 regex classification: the fixture filenames all match RENAMED_DG
+        # (the first pattern in the reference's DG trial order), so the
+        # single-pattern SQL rendering is equivalent to the full cascade here.
+        "classify_filename": (
+            "WITH fn AS (SELECT doc_id, lower(concat('WV02_', "
+            "strftime(to_timestamp(1546300800 + (doc_id * 104729) % 157766400), "
+            "'%Y%m%d%H%M%S'), '_103001', lpad(cast(doc_id % 100000 as varchar), 10, '0'), "
+            "'_11SEP01210434-', CASE WHEN doc_id % 2 = 0 THEN 'M1BS' ELSE 'P1BS' END, "
+            "'-052730735130_01_P0', lpad(cast(doc_id % 100 as varchar), 2, '0'), "
+            "'.tif')) AS f FROM documents) "
+            f"SELECT doc_id, CASE WHEN regexp_extract(f, '{_RENAMED_DG}', 5) <> '' "
+            "THEN 'DigitalGlobe' END AS vendor, "
+            f"upper(nullif(regexp_extract(f, '{_RENAMED_DG}', 1), '')) AS sat, "
+            f"upper(nullif(regexp_extract(f, '{_RENAMED_DG}', 5), '')) AS prod_code "
+            "FROM fn ORDER BY doc_id"
         ),
         "strip_tile_candidates": (
             f"WITH {pages}, strips AS ("

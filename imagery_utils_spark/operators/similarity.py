@@ -33,8 +33,30 @@ def _norm(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity between two array<double> columns — pure column
-    algebra (left-to-right accumulation: deterministic, SQL-matchable)."""
+    algebra (left-to-right accumulation: deterministic, SQL-matchable).
+
+    Spark higher-order functions are interpreted (outside codegen) — keep
+    this form ONLY where bit-exact SQL-oracle accumulation matters
+    (:func:`cosine_topk`); hot candidate-verify paths use
+    :func:`cosine_np_udf` (Arrow batch + numpy matmul, ~10-100x faster)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_np_udf():
+    """Arrow-vectorized cosine between two vector columns: one numpy
+    einsum/norm per batch, no per-element lambda interpretation."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.asarray(a.tolist(), dtype=np.float64)
+        mb = np.asarray(b.tolist(), dtype=np.float64)
+        num = np.einsum("nd,nd->n", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
@@ -56,10 +78,10 @@ def knn_join(df: DataFrame, queries: DataFrame, k: int = 5,
     """For each query row: its k nearest fact rows by cosine. Queries are
     broadcast; the fact table is scanned once."""
     q = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
+    cos = cosine_np_udf()
     joined = df.crossJoin(F.broadcast(q)).select(
         F.col(q_id_col), F.col(id_col),
-        cosine_col(F.col(vec_col).cast("array<double>"),
-                   F.col("_qv").cast("array<double>")).alias("cosine"),
+        cos(F.col(vec_col), F.col("_qv")).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -70,13 +92,26 @@ def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.nda
     return rng.standard_normal((n_tables, n_bits, dim)).astype(np.float64)
 
 
-def lsh_bucket_udf(dim: int, n_bits: int = 16, n_tables: int = 4, seed: int = 42):
-    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+def lsh_bucket_udf(dim: int | None = None, n_bits: int = 16, n_tables: int = 4,
+                   seed: int = 42):
+    """Per-row bucket ids (one per table). ``dim`` may be omitted: the seeded
+    hyperplanes are then built lazily from the first Arrow batch's vector
+    width on each worker — deterministic (same seed, same dim) and avoids the
+    silent extra Spark job a ``df.first()`` dim probe would cost."""
+    state: dict[str, np.ndarray] = {}
+    if dim is not None:
+        state["p"] = _hyperplanes(dim, n_bits, n_tables, seed)
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     @F.pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        planes = state.get("p")
+        if planes is None or planes.shape[2] != m.shape[1]:
+            planes = _hyperplanes(m.shape[1], n_bits, n_tables, seed)
+            state["p"] = planes
         out = []
         codes = np.einsum("tbd,nd->ntb", planes, m) > 0  # (n, tables, bits)
         ids = codes @ weights  # (n, tables)
@@ -93,20 +128,26 @@ def lsh_bucket_ann(df: DataFrame, queries: DataFrame, k: int = 5,
                    dim: int | None = None, n_bits: int = 12, n_tables: int = 6,
                    seed: int = 42) -> DataFrame:
     """Approximate kNN: bucket-join candidates (any shared table-bucket),
-    exact cosine verify, top-k per query. Recall grows with n_tables."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    exact cosine verify, top-k per query. Recall grows with n_tables.
+
+    Shuffle discipline for 100-TB scale: the bucket join and the
+    (q_id, id) dedup carry *ids only* — fact vectors cross the wire exactly
+    once (the post-dedup re-attach join), not once per colliding table; the
+    verify cosine is the Arrow/numpy batch UDF, not an interpreted HOF."""
     udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
-    fact = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
-                     F.explode(udf(F.col(vec_col))).alias("bucket"))
-    qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"),
-                        F.explode(udf(F.col(q_vec_col))).alias("bucket"))
-    cand = fact.join(F.broadcast(qs), "bucket").dropDuplicates([q_id_col, id_col])
-    scored = cand.select(
-        F.col(q_id_col), F.col(id_col),
-        cosine_col(F.col("_v").cast("array<double>"),
-                   F.col("_qv").cast("array<double>")).alias("cosine"),
+    fact = df.select(F.col(id_col), F.explode(udf(F.col(vec_col))).alias("bucket"))
+    qs = queries.select(F.col(q_id_col), F.explode(udf(F.col(q_vec_col))).alias("bucket"))
+    cand = (
+        fact.join(F.broadcast(qs), "bucket")
+        .select(q_id_col, id_col)
+        .dropDuplicates([q_id_col, id_col])
+        .join(df.select(F.col(id_col), F.col(vec_col).alias("_v")), id_col)
+        .join(F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))),
+              q_id_col)
     )
+    cos = cosine_np_udf()
+    scored = cand.select(F.col(q_id_col), F.col(id_col),
+                         cos(F.col("_v"), F.col("_qv")).alias("cosine"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
@@ -168,10 +209,10 @@ def ivf_search(fact_assigned: DataFrame, queries: DataFrame, centroids: np.ndarr
     qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"),
                         F.explode(_probes(F.col(q_vec_col))).alias("ivf_cell"))
     cand = fact_assigned.join(F.broadcast(qs), "ivf_cell")
+    cos = cosine_np_udf()
     scored = cand.select(
         F.col(q_id_col), F.col(id_col),
-        cosine_col(F.col(vec_col).cast("array<double>"),
-                   F.col("_qv").cast("array<double>")).alias("cosine"),
+        cos(F.col(vec_col), F.col("_qv")).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -180,30 +221,46 @@ def ivf_search(fact_assigned: DataFrame, queries: DataFrame, centroids: np.ndarr
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              dim: int | None = None, n_bits: int = 8,
-                             n_tables: int = 8, seed: int = 42) -> DataFrame:
+                             n_tables: int = 8, max_bucket: int = 128,
+                             seed: int = 42) -> DataFrame:
     """All-pairs embedding near-duplicates: hyperplane-LSH bucket self-join
     candidates (any shared table-bucket), exact cosine verify >= threshold.
     Returns (id_a, id_b, cosine) with id_a < id_b.
 
     High thresholds (near-dup regime) collide with high probability:
     p_bucket = (1 - theta/pi)^n_bits per table; theta(0.95) ~= 0.32 rad ->
-    ~0.42 per table, ~99% over 8 tables."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    ~0.42 per table, ~99% over 8 tables.
+
+    Scale guardrails (parity with minhash/simhash, VERDICT r1):
+    * ``max_bucket`` drops degenerate buckets (a bucket that dense means
+      boilerplate-identical vectors; surviving tables still pair them) —
+      without it one hot bucket degenerates to a quadratic self-join;
+    * the self-join and (id_a, id_b) dedup carry ids only — both vectors are
+      re-attached ONCE per verified candidate pair via joins against the base
+      table, instead of shuffling 2 full vectors per (pair x table);
+    * verify cosine is the Arrow/numpy UDF (no interpreted HOF)."""
     udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
-    fact = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
+    fact = df.select(F.col(id_col).alias("_id"),
                      F.explode(udf(F.col(vec_col))).alias("bucket"))
-    l = fact.select("bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    r = fact.select("bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    sized = (
+        fact.withColumn("_n", F.count("*").over(Window.partitionBy("bucket")))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    l = sized.select("bucket", F.col("_id").alias("id_a"))
+    r = sized.select("bucket", F.col("_id").alias("id_b"))
     pairs = (
         l.join(r, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a", "id_b",
-            cosine_col(F.col("_va").cast("array<double>"),
-                       F.col("_vb").cast("array<double>")).alias("cosine"),
-        )
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = cosine_np_udf()
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos(F.col("_va"), F.col("_vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs

@@ -103,3 +103,55 @@ def test_embedding_near_dup_pairs(spark, emb):
         assert (vid, 1000 + vid) in got, vid
     # random pairs are near-orthogonal: no false accepts at 0.95
     assert all(b - a == 1000 for a, b in got)
+
+
+def test_lsh_ann_battery_params_equal_exact(spark, emb):
+    """Pins the lsh_ann oracle invariant: at the battery parameters
+    (n_bits=4, n_tables=24) the LSH top-5 EQUALS exact brute-force top-5 for
+    the 4 fixture queries — the CORRECTNESS gate compares them directly."""
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    out = SIM.lsh_bucket_ann(emb, queries, k=5, n_bits=4, n_tables=24)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.q_id, []).append((r.rn, r.vec_id))
+    by_id = dict(rows)
+    for qid in range(4):
+        exact = brute_force_topk(rows, by_id[qid], 5)
+        assert [v for _, v in sorted(got[qid])] == exact, qid
+
+
+def test_embedding_near_dup_battery_equals_brute_force(spark, emb):
+    """Pins the embedding_near_dup oracle invariant: exact duplicates collide
+    in every LSH table, and no non-planted pair clears threshold 0.99, so the
+    LSH+verify pair set equals SQL brute force."""
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    base = emb.select("vec_id", "embedding").unionByName(dups)
+    got = {(r.id_a, r.id_b) for r in
+           SIM.embedding_near_dup_pairs(base, threshold=0.99).collect()}
+    # numpy brute force over the same frame
+    rows = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in base.collect()]
+    exact = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            c = float(a[1] @ b[1] / (np.linalg.norm(a[1]) * np.linalg.norm(b[1])))
+            if c >= 0.99:
+                exact.add((min(a[0], b[0]), max(a[0], b[0])))
+    assert got == exact
+    assert exact == {(v, v + 100000) for v in range(10)}  # only planted pairs
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """max_bucket drops degenerate buckets: 40 identical vectors form one
+    dense bucket per table — with the cap below 40 the quadratic self-join
+    never materializes (0 pairs); with the cap above, all pairs emerge."""
+    v = [float(x) for x in np.random.default_rng(7).normal(size=16)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(40)], "vec_id long, embedding array<double>")
+    capped = SIM.embedding_near_dup_pairs(df, threshold=0.99, max_bucket=8)
+    assert capped.count() == 0
+    full = SIM.embedding_near_dup_pairs(df, threshold=0.99, max_bucket=64)
+    assert full.count() == 40 * 39 // 2
