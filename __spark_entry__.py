@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from imagery_utils_spark.core.proj import utm_forward_sql as _utm_forward_sql
 from imagery_utils_spark.functions.naming import RENAMED_DG as _RENAMED_DG
+
+_UTM_X_SQL, _UTM_Y_SQL = _utm_forward_sql("lon", "lat")
 from imagery_utils_spark.functions.scoring import ScoreParams
 from imagery_utils_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
 from imagery_utils_spark.operators import compose as CPO
@@ -497,6 +500,22 @@ def q_pan_pair_match(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "pan_found").orderBy("doc_id")
 
 
+def q_warp_utm(spark, sf_dir) -> DataFrame:
+    """R3 — UTM forward transform of every mid-latitude page in its own
+    auto-picked zone (the exact formula text is shared with the oracle via
+    utm_forward_sql, so both engines run identical arithmetic; outputs are
+    mm-rounded to stay under trig-libm ULP noise)."""
+    from imagery_utils_spark.core.proj import utm_forward_sql
+
+    xs, ys = utm_forward_sql("lon", "lat")
+    df = MQ.geocoded_pages(spark, sf_dir).filter(
+        (F.col("lat") >= -60) & (F.col("lat") <= 60)
+    )
+    return df.select(
+        "doc_id", F.expr(xs).alias("utm_x"), F.expr(ys).alias("utm_y")
+    ).orderBy("doc_id")
+
+
 def q_classify_filename(spark, sf_dir) -> DataFrame:
     """Rows-only: F8 regex classification over synthetic PGC-style names."""
     from imagery_utils_spark.functions.naming import classify_filename
@@ -588,6 +607,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_subtract": q_median_subtract,
         "ndvi": q_ndvi,
         "pan_pair_match": q_pan_pair_match,
+        "warp_utm": q_warp_utm,
         "classify_filename": q_classify_filename,
         "knn_ring": q_knn_ring,
     }
@@ -875,6 +895,12 @@ def oracle_sql() -> dict[str, str]:
             "+ cos(radians(q.q_lat)) * cos(radians(p.lat)) "
             "* pow(sin(radians(p.lon - q.q_lon) / 2), 2))) ASC, p.doc_id ASC) AS rn "
             "FROM pages p, q) WHERE rn <= 5 ORDER BY q_id, rn"
+        ),
+        # The SAME SQL text the Spark side evaluates via F.expr — identical
+        # arithmetic, mm-rounded outputs (see utm_forward_sql docstring).
+        "warp_utm": (
+            f"WITH {pages} SELECT doc_id, {_UTM_X_SQL} AS utm_x, {_UTM_Y_SQL} AS utm_y "
+            "FROM pages WHERE lat >= -60 AND lat <= 60 ORDER BY doc_id"
         ),
         # F8 regex classification: the fixture filenames all match RENAMED_DG
         # (the first pattern in the reference's DG trial order), so the
