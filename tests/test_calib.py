@@ -47,8 +47,8 @@ def test_ge01_units_factor():
     # GE01 abscal_B below 0.004 triggers the x10 units shift (:2262-2267)
     low = calib.dg_calib_factors("GE01", {"BAND_B": (0.003, 0.05)}, ACQ, 45.0, "rd")
     high = calib.dg_calib_factors("GE01", {"BAND_B": (0.03, 0.05)}, ACQ, 45.0, "rd")
-    assert low["BAND_B"][0] == pytest.approx(10 * 1.053 * 0.003 / 0.05, rel=1e-12)
-    assert high["BAND_B"][0] == pytest.approx(1.053 * 0.03 / 0.05, rel=1e-12)
+    assert low["BAND_B"][0] == pytest.approx(10 * 1.041 * 0.003 / 0.05, rel=1e-12)
+    assert high["BAND_B"][0] == pytest.approx(1.041 * 0.03 / 0.05, rel=1e-12)
 
 
 def test_negative_sun_elev_raises():
@@ -103,3 +103,18 @@ def test_apply_lut_interp():
     pts = [(0.0, 0.0), (100.0, 1000.0)]
     out = calib.apply_lut(np.asarray([0, 50, 100, 150]), pts)
     assert list(out) == [0.0, 500.0, 1000.0, 1000.0]  # clamped above imax
+
+
+def test_full_table_coverage_and_corrections():
+    """Round-2 completion: every sensor/band of the reference tables
+    (lib/ortho_functions.py:62-306) is present, including WV03 SWIR/CAVIS and
+    Legion LG01/LG02; r1's wrong GE01 gains / zero IK01 biases corrected."""
+    assert len(calib.ESUN) == len(calib.GAIN) == len(calib.BIAS) == 72
+    assert calib.ESUN["WV03_BAND_S1"] == 479.019
+    assert calib.GAIN["WV03_BAND_CRS"] == 1.0
+    assert calib.ESUN["LG02_BAND_RE2"] == 1292.678
+    assert calib.GAIN["GE01_BAND_P"] == 1.001  # was 0.970 in r1
+    assert calib.BIAS["IK01_BAND_N"] == -8.869  # was 0.0 in r1
+    # unknown sensor degrades explicitly: band simply absent, no KeyError
+    out = calib.dg_calib_factors("XX99", {"BAND_P": (0.06, 0.4)}, ACQ, 45.0)
+    assert out == {}

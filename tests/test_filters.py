@@ -92,3 +92,52 @@ def test_proj4_rewrite(spark):
     )
     out = df.select(FL.proj4_datum_rewrite(F.col("p")).alias("o")).first().o
     assert out == "+proj=utm +zone=15 +datum=NAD83 +units=m"
+
+def test_load_exclude_list_sources(spark, tmp_path):
+    """getExcludeList parity (lib/mosaic.py:1035-1052): file, URL (JSON array
+    and plain lines via a local http server), and DataFrame passthrough."""
+    import http.server
+    import threading
+
+    from imagery_utils_spark.operators.catalog import (
+        exclude_anti_join,
+        load_exclude_list,
+    )
+
+    # file source: rstrip + dedup
+    f = tmp_path / "excl.txt"
+    f.write_text("sceneB \nsceneA\nsceneA\n\n")
+    got = {r.pattern for r in load_exclude_list(spark, str(f)).collect()}
+    assert got == {"sceneA", "sceneB"}
+
+    # URL source: JSON array (the reference's API form) and plain lines
+    payloads = {"/json": b'["sceneX", "sceneY", "sceneX"]', "/lines": b"s1\ns2\n"}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(payloads[self.path])
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        got = {r.pattern for r in load_exclude_list(spark, base + "/json").collect()}
+        assert got == {"sceneX", "sceneY"}
+        got = {r.pattern for r in load_exclude_list(spark, base + "/lines").collect()}
+        assert got == {"s1", "s2"}
+    finally:
+        srv.shutdown()
+
+    # DataFrame passthrough + composition with the anti-join
+    src = spark.createDataFrame([("host13",)], "p string")
+    pats = load_exclude_list(spark, src)
+    assert pats.columns == ["pattern"]
+    df = spark.createDataFrame([("a-host13-x",), ("b-ok",)], "url string")
+    kept = exclude_anti_join(df, pats, "url").collect()
+    assert [r.url for r in kept] == ["b-ok"]
