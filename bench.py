@@ -64,6 +64,19 @@ def main() -> None:
     )
     timings["flagship_rank_x%d" % replicate] = round(t_flag, 3)
 
+    # Same flagship through the staged skew_rank (two-phase bucketed rank) so
+    # both rank implementations stay measured, not just exact-parity tested.
+    if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
+        os.environ["SPARK_GRAFT_RANK_IMPL"] = "skew"
+        try:
+            t0 = time.perf_counter()
+            MQ.ranked_assignments(spark, sf_dir, replicate=replicate).write.format(
+                "noop").mode("overwrite").save()
+            timings["flagship_rank_skew_x%d" % replicate] = round(
+                time.perf_counter() - t0, 3)
+        finally:
+            del os.environ["SPARK_GRAFT_RANK_IMPL"]
+
     # ---- operator battery at sf scale (no replication)
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery = E.queries()

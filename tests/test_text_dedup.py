@@ -148,3 +148,54 @@ def test_langid_tie_breaks_lexicographically_first(spark):
     assert r[0] == "en"
     # 2 hits beats any tie: en has {the, of} = 2
     assert r[1] == "en"
+
+
+def test_minhash_battery_fixture_recall(spark, sf_dir):
+    """Fixture-level recall for the battery's rows-only minhash query
+    (VERDICT r1): every true-Jaccard >= 0.5 pair of the sf documents table is
+    found (recall 1.0 here — exact duplicates collide in every band), and
+    every reported pair's EXACT jaccard clears the threshold (the verify
+    stage guarantees precision by construction)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+
+    def sh(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in rows}
+    true_pairs = set()
+    ids = sorted(sets)
+    for i_idx, a in enumerate(ids):
+        for b in ids[i_idx + 1:]:
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= 0.5:
+                true_pairs.add((a, b))
+    got = {(r.key_a, r.key_b): r.jaccard
+           for r in DD.minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16).collect()}
+    assert true_pairs <= set(got), true_pairs - set(got)
+    for (a, b), j in got.items():
+        u = len(sets[a] | sets[b])
+        assert u and len(sets[a] & sets[b]) / u >= 0.5, (a, b, j)
+
+
+def test_simhash_blocking_complete_on_fixture(spark, sf_dir):
+    """The 4x16-bit chunk blocking must surface EVERY pair within Hamming<=3
+    of the battery fixture (pigeonhole: <=3 flips leave >=1 chunk equal) —
+    the candidate set equals the exact all-pairs answer."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = docs.select("doc_id", DD.simhash_udf()(F.col("text")).alias("fp")).collect()
+    ids = np.array([r.doc_id for r in fps])
+    v = np.array([np.uint64(r.fp) for r in fps], dtype=np.uint64)
+    x = v[:, None] ^ v[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    ii, jj = np.where(np.triu(ham <= 3, k=1))
+    exact = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in zip(ii, jj)}
+    got = {(r.key_a, r.key_b)
+           for r in DD.simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert got == exact
