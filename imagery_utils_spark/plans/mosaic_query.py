@@ -74,17 +74,14 @@ def geocoded_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Data
     return P.geocode(P.synthesize_pages(spark, sf_dir, replicate=replicate))
 
 
-def scored_assignments(
-    spark: SparkSession,
-    sf_dir: str,
-    params: ScoreParams | None = None,
-    replicate: int = 1,
-    grid: dict | None = None,
-) -> DataFrame:
-    """pages -> geocode -> attrs -> tile -> score; no rank/gate yet."""
+def scored_pages(pages: DataFrame, params: ScoreParams | None = None,
+                 grid: dict | None = None) -> DataFrame:
+    """THE ENGINE PATH over an existing pages table (input_hint schema):
+    geocode -> attrs -> tile -> score; no rank/gate yet. At cluster scale
+    ``pages`` is the Iceberg table; bench.py reads a materialized parquet."""
     g = dict(GRID, **(grid or {}))
     params = params or ScoreParams(bands=1)
-    df = with_scene_attrs(geocoded_pages(spark, sf_dir, replicate))
+    df = with_scene_attrs(P.geocode(pages))
     row, col, name = tile_assign_cols(
         F.col("lon"), F.col("lat"), g["xmin"], g["ymin"], g["xmax"], g["ymax"],
         g["xtilesize"], g["ytilesize"], g["mosaicname"],
@@ -103,14 +100,23 @@ def scored_assignments(
     )
 
 
-def ranked_assignments(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
-    """Gate score > 0 (pgc_mosaic_query_index.py:380) then rank per tile,
-    highest score = rank 1; deterministic tiebreak on doc_id.
+def scored_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    params: ScoreParams | None = None,
+    replicate: int = 1,
+    grid: dict | None = None,
+) -> DataFrame:
+    """Synthesize pages on the fly, then the engine path (test/battery form)."""
+    return scored_pages(P.synthesize_pages(spark, sf_dir, replicate=replicate),
+                        params, grid)
 
-    Uses the skew-aware two-phase rank (operators.rank): the hot
-    anti-meridian tiles hold ~25% of all pages each, so a plain window would
-    sort them in a single task."""
-    df = scored_assignments(spark, sf_dir, replicate=replicate)
+
+def ranked_from_pages(pages: DataFrame, params: ScoreParams | None = None,
+                      grid: dict | None = None) -> DataFrame:
+    """Gate score > 0 (pgc_mosaic_query_index.py:380) then rank per tile,
+    highest score = rank 1; deterministic tiebreak on doc_id."""
+    df = scored_pages(pages, params, grid)
     # Narrow projection before the rank shuffle: the ranked output is
     # (doc_id, tile_name, score, rank) — shuffling text/url bytes through
     # the sort would be pure waste. At bench skew (hot tile ~25% of rows,
@@ -129,6 +135,10 @@ def ranked_assignments(spark: SparkSession, sf_dir: str, replicate: int = 1) -> 
                          F.floor(F.col("score") * 4), out="tile_rank")
     w = Window.partitionBy("tile_name").orderBy(F.desc("score"), F.asc("doc_id"))
     return narrow.withColumn("tile_rank", F.row_number().over(w))
+
+
+def ranked_assignments(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    return ranked_from_pages(P.synthesize_pages(spark, sf_dir, replicate=replicate))
 
 
 def tile_manifest(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:

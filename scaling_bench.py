@@ -28,6 +28,10 @@ def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
         SPARK_GRAFT_REPLICATE=str(replicate),
         SPARK_GRAFT_BENCH_FLAGSHIP_ONLY="1",
     )
+    # 25M-page runs need headroom for the rank shuffle + page-cached input;
+    # 24g thrashes G1 at high core counts (measured 2-4x wall inflation)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
     # Pin the JVM (incl. GC/shuffle threads) to exactly `cpus` cores so the
     # N-core run cannot borrow spare cores — the honest N-executor analog.
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
@@ -36,6 +40,31 @@ def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_calibration(cpus: int, n: int = 20_000_000) -> float:
+    """Raw multi-process CPU throughput (M ops/s) pinned to the same core
+    range the Spark run will use — measured in the SAME time window so the
+    host's noisy-neighbor steal (observed 2.4x swings between windows on
+    this box) can be separated from engine scaling."""
+    import multiprocessing as mp
+    import time as _t
+
+    os.sched_setaffinity(0, set(range(cpus)))
+    try:
+        t0 = _t.perf_counter()
+        with mp.Pool(cpus) as p:
+            p.map(_burn, [n] * cpus)
+        return round(cpus * n / (_t.perf_counter() - t0) / 1e6, 1)
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
 
 
 def main() -> None:
@@ -48,25 +77,32 @@ def main() -> None:
     args = ap.parse_args()
     levels = sorted({int(x) for x in args.levels.split(",")})
 
-    runs = {n: run_once(n, args.sf_dir, args.replicate) for n in levels}
+    runs, calib = {}, {}
+    for n in levels:
+        calib[n] = cpu_calibration(n)
+        runs[n] = run_once(n, args.sf_dir, args.replicate)
     pairs = [(n, 4 * n) for n in levels if 4 * n in runs]
     results = []
     for n, n4 in pairs:
         eff = (runs[n4]["pages_per_sec"] / runs[n]["pages_per_sec"]) / 4.0
+        box_eff = (calib[n4] / calib[n]) / 4.0 if calib.get(n) else None
         results.append({
             "pair": f"local[{n}]->local[{n4}]",
             "efficiency": round(eff, 3),
+            "box_cpu_efficiency_same_window": round(box_eff, 3) if box_eff else None,
             f"pages_per_sec_n{n}": runs[n]["pages_per_sec"],
             f"pages_per_sec_n{n4}": runs[n4]["pages_per_sec"],
             "pass": eff >= 0.8,
         })
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
-        f"| local[{n}] | {runs[n]['pages_in']} | {runs[n]['value']} | {runs[n]['pages_per_sec']} |"
+        f"| local[{n}] | {runs[n]['pages_in']} | {runs[n]['value']} | "
+        f"{runs[n]['pages_per_sec']} | {calib[n]} |"
         for n in levels
     )
     pair_rows = "\n".join(
-        f"| {r['pair']} | {r['efficiency']:.3f} | {'PASS' if r['pass'] else 'below target'} |"
+        f"| {r['pair']} | {r['efficiency']:.3f} | {r['box_cpu_efficiency_same_window']} | "
+        f"{'PASS' if r['pass'] else 'below target'} |"
         for r in results
     )
     with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
@@ -81,11 +117,11 @@ def main() -> None:
             "2->8 cores but only ~0.70 for 8->32 (vCPU contention; 32 cores, no\n"
             "HT per lscpu). The 8->32 number below therefore reflects the box\n"
             "ceiling times the engine; the 2->8 number isolates the engine.\n\n"
-            "| parallelism | pages in | wall (s) | pages/sec |\n"
-            "|---|---|---|---|\n"
+            "| parallelism | pages in | best wall (s) | pages/sec | box raw-CPU M ops/s (same window) |\n"
+            "|---|---|---|---|---|\n"
             f"{rows}\n\n"
-            "| pair | efficiency (target 0.8) | verdict |\n"
-            "|---|---|---|\n"
+            "| pair | efficiency (target 0.8) | box raw-CPU efficiency (same window) | verdict |\n"
+            "|---|---|---|---|\n"
             f"{pair_rows}\n"
         )
     print(json.dumps({
@@ -93,6 +129,7 @@ def main() -> None:
         "value": results[0]["efficiency"] if results else None,
         "unit": "ratio",
         "pairs": results,
+        "box_calibration_Mops": calib,
         "pages_in": runs[levels[0]]["pages_in"],
         "sf": runs[levels[0]]["sf"],
         "replicate": args.replicate,
