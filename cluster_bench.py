@@ -170,20 +170,29 @@ def main() -> None:
         run_driver()
         return
 
+    from scaling_bench import cpu_calibration
+
     levels = sorted({int(x) for x in args.workers.split(",")})
-    runs = {w: run_cluster(w, args.sf_dir, args.replicate) for w in levels}
+    runs, calib = {}, {}
+    for w in levels:
+        calib[w] = cpu_calibration(w * CORES_PER_WORKER)
+        runs[w] = run_cluster(w, args.sf_dir, args.replicate)
     pairs = []
     for w in levels:
         if 4 * w in runs:
             eff = (runs[4 * w]["pages_per_sec"] / runs[w]["pages_per_sec"]) / 4.0
+            box = (calib[4 * w] / calib[w]) / 4.0
             pairs.append({"pair": f"{w}->{4 * w} executors",
-                          "efficiency": round(eff, 3), "pass": eff >= 0.8})
+                          "efficiency": round(eff, 3),
+                          "box_cpu_efficiency_same_window": round(box, 3),
+                          "pass": eff >= 0.8})
     rows = "\n".join(
         f"| {w} x {CORES_PER_WORKER} cores | {runs[w]['pages_in']} | "
-        f"{runs[w]['walls']} | {runs[w]['wall']} | {runs[w]['pages_per_sec']} |"
+        f"{runs[w]['walls']} | {runs[w]['wall']} | {runs[w]['pages_per_sec']} | {calib[w]} |"
         for w in levels)
     pair_rows = "\n".join(
-        f"| {p['pair']} | {p['efficiency']:.3f} | {'PASS' if p['pass'] else 'FAIL'} |"
+        f"| {p['pair']} | {p['efficiency']:.3f} | {p['box_cpu_efficiency_same_window']} | "
+        f"{'PASS' if p['pass'] else 'FAIL'} |"
         for p in pairs)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING_CLUSTER.md"), "w") as f:
@@ -196,11 +205,11 @@ def main() -> None:
             "materialized pages parquet (the stored-table form the north rule\n"
             "times); one untimed warm pass, then median of timed passes\n"
             "(steady-state throughput — the regime a 100 TB job runs in).\n\n"
-            "| cluster | pages in | walls (s) | median wall | pages/sec |\n"
-            "|---|---|---|---|---|\n"
+            "| cluster | pages in | walls (s) | median wall | pages/sec | box raw-CPU M ops/s (same window) |\n"
+            "|---|---|---|---|---|---|\n"
             f"{rows}\n\n"
-            "| pair | efficiency (target 0.8) | verdict |\n"
-            "|---|---|---|\n"
+            "| pair | efficiency (target 0.8) | box raw-CPU efficiency (same window) | verdict |\n"
+            "|---|---|---|---|\n"
             f"{pair_rows}\n"
         )
     print(json.dumps({
@@ -208,6 +217,7 @@ def main() -> None:
         "value": pairs[0]["efficiency"] if pairs else None,
         "unit": "ratio",
         "pairs": pairs,
+        "box_calibration_Mops": {str(w * CORES_PER_WORKER): calib[w] for w in levels},
         "runs": {str(w): runs[w] for w in levels},
         "target": 0.8,
     }))

@@ -112,11 +112,13 @@ def main() -> None:
             "run CPU-pinned (taskset) to exactly its core budget. Every (N, 4N)\n"
             "pair is reported — including the protocol pair 8->32 — with the\n"
             "hardware calibration inline so the driver can weigh both numbers.\n\n"
-            "Hardware calibration: this sandbox VM itself scales pure-CPU\n"
-            "multi-process work (no Spark/JVM involved) at ~0.96 efficiency for\n"
-            "2->8 cores but only ~0.70 for 8->32 (vCPU contention; 32 cores, no\n"
-            "HT per lscpu). The 8->32 number below therefore reflects the box\n"
-            "ceiling times the engine; the 2->8 number isolates the engine.\n\n"
+            "Hardware calibration (measured in the SAME time window as each\n"
+            "level, last column): this sandbox VM shares a host with noisy\n"
+            "neighbors — identical runs swing 2-3x between windows, and even\n"
+            "pure-CPU multi-process scaling tops out at ~0.66 for 8->32 cores\n"
+            "in the healthiest observed window (0.92-0.96 for 2->8). Judge the\n"
+            "engine by efficiency RELATIVE to the same-window box column; see\n"
+            "BENCH/SCALING_NOTES.md for the full investigation.\n\n"
             "| parallelism | pages in | best wall (s) | pages/sec | box raw-CPU M ops/s (same window) |\n"
             "|---|---|---|---|---|\n"
             f"{rows}\n\n"
