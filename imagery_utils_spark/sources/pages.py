@@ -89,11 +89,17 @@ def synthesize_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if replicate > 1:
-        # Stream the range side (partitioned ~ defaultParallelism) and
-        # broadcast the small docs side, so the expanded table is spread
-        # across all cores instead of inheriting the single input split.
-        # doc_id remap is the bijection id*replicate+rep — no count() job.
-        reps = spark.range(replicate).withColumnRenamed("id", "rep")
+        # Stream the range side and broadcast the small docs side, so the
+        # expanded table is spread across all cores instead of inheriting the
+        # single input split. The range gets at least 64 slices regardless of
+        # the session's core count: a materialized write then lands >= 64
+        # files, so a LATER higher-parallelism reader is never bottlenecked
+        # on a couple of giant inodes (this VM's kernel serializes concurrent
+        # same-inode reads). doc_id remap is the bijection id*replicate+rep —
+        # no count() job.
+        slices = max(64, spark.sparkContext.defaultParallelism)
+        reps = spark.range(0, replicate, numPartitions=min(slices, replicate)
+                           ).withColumnRenamed("id", "rep")
         docs = reps.crossJoin(F.broadcast(docs)).withColumn(
             "doc_id", F.col("doc_id") * F.lit(replicate) + F.col("rep")
         ).drop("rep")
