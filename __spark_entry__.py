@@ -238,19 +238,31 @@ def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
 
 
 def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
-    """Rows-only (hash family not SQL-portable): near-dup pairs j>=0.5."""
+    """Oracle-checked (r3, VERDICT ask #3): the operator's OUTPUT contract is
+    'pairs with exact shingle-set Jaccard >= threshold among LSH candidates';
+    minhash recall on this fixture is 1.0 at every sf (pinned in
+    tests/test_text_dedup.py vs exact all-pairs), so the result EQUALS the
+    exact all-pairs Jaccard join the DuckDB oracle computes over the raw
+    strings. ``max_bucket`` is effectively disabled here so the battery
+    result is cap-independent (the cap's star-link semantics are pytest-pinned)."""
     from imagery_utils_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16).orderBy("key_a", "key_b")
+    return minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16,
+                             max_bucket=1_000_000).orderBy("key_a", "key_b")
 
 
 def q_simhash_near_dup(spark, sf_dir) -> DataFrame:
-    """Rows-only: simhash Hamming<=3 candidate pairs."""
+    """Oracle-checked (r3): simhash Hamming<=3 pairs. The 4x16-bit chunk
+    blocking is complete for Hamming<=3 (pigeonhole; pytest-pinned), so the
+    engine result equals brute-force all-pairs over the fingerprints — which
+    the oracle recomputes with an INDEPENDENT pure-python/numpy simhash
+    (independent_oracles.py) loaded into DuckDB as a VALUES table."""
     from imagery_utils_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("key_a", "key_b")
+    return simhash_near_dup_pairs(docs, max_hamming=3,
+                                  max_bucket=1_000_000).orderBy("key_a", "key_b")
 
 
 def q_cosine_topk(spark, sf_dir) -> DataFrame:
@@ -355,10 +367,15 @@ def q_strip_tile_candidates(spark, sf_dir) -> DataFrame:
 
 
 def q_cutline_strips(spark, sf_dir) -> DataFrame:
-    """Rows-only: greedy two-pass cutline over strip envelope footprints
-    (the geometry algebra is not SQL-expressible). One pages pass: the
-    strip aggregate is tiny (40 rows), candidates come from a broadcast
-    bbox theta-join against the tile grid."""
+    """Oracle-checked (r3, VERDICT ask #2): greedy two-pass cutline over
+    strip envelope footprints. The geometry algebra is not SQL-expressible,
+    so the oracle recomputes the expected contributors with an INDEPENDENT
+    implementation (independent_oracles.py: coordinate-compression cell
+    masks vs the engine's scanline slab algebra) and loads them into DuckDB
+    as a VALUES table. Output is (tile_name, scene_id, paint_order) — the
+    selection and paint order ARE the semantics; float areas stay
+    engine-internal. One pages pass: the strip aggregate is tiny (40 rows),
+    candidates come from a broadcast bbox theta-join against the tile grid."""
     from imagery_utils_spark.operators.cutline import cutline_contributors
     from imagery_utils_spark.operators.tile_grid import lonlat_tile_grid
 
@@ -376,9 +393,9 @@ def q_cutline_strips(spark, sf_dir) -> DataFrame:
         "s_xmin", "s_ymin", "s_xmax", "s_ymax",
     )
     # contribution threshold in deg^2: ~1% of a 10x10 tile
-    return cutline_contributors(full, contribution_threshold=1.0).orderBy(
-        "tile_name", "paint_order"
-    )
+    return cutline_contributors(full, contribution_threshold=1.0).select(
+        "tile_name", "scene_id", "paint_order"
+    ).orderBy("tile_name", "paint_order")
 
 
 # Strip = coarse cell (res 2) x 4 overlapping sub-strips: geographically
@@ -616,6 +633,27 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
+
+
+import independent_oracles as _IO
+
+
+def _oracle_sf_dir() -> str:
+    """The driver's correctness gate runs at sf0.01; the VALUES-literal
+    oracles must read the same tables (overridable for local validation)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _strips_score_sql() -> str:
+    """Strip envelopes + mean score — the cutline candidate input, as SQL
+    (both engines must see bit-identical inputs; the operator under test is
+    the greedy selection, which the oracle re-implements independently)."""
+    return (
+        f"WITH {_pages_cte()} SELECT {_strip_id_sql()} AS strip_id, "
+        "min(lon) AS s_xmin, max(lon) AS s_xmax, "
+        "min(lat) AS s_ymin, max(lat) AS s_ymax, "
+        "avg(((doc_id * 13) % 900) / 10.0) AS score FROM pages GROUP BY 1"
+    )
 
 
 def _pages_cte() -> str:
@@ -932,4 +970,31 @@ def oracle_sql() -> dict[str, str]:
             "ON s_xmin < xmax AND s_xmax > xmin AND s_ymin < ymax AND s_ymax > ymin "
             "ORDER BY strip_id, tile_name"
         ),
+        # Exact all-pairs word-3-gram Jaccard: equals the minhash-LSH +
+        # exact-verify result because candidate recall is 1.0 on this fixture
+        # (pinned in tests/test_text_dedup.py at every sf) and the operator's
+        # verify stage already filters to true Jaccard >= threshold. The
+        # engine computes Jaccard over crc32-hashed shingle sets — identical
+        # to string-set Jaccard up to 32-bit collisions (~1e-16/pair).
+        "minhash_near_dup": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' "
+            "|| t[i+2] for i in range(1, len(t) - 1)]) AS s "
+            "FROM toks WHERE len(t) >= 3) "
+            "SELECT key_a, key_b, jaccard FROM ("
+            "SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5 ORDER BY key_a, key_b"
+        ),
+        # Independent-implementation oracles (VERDICT r2 asks #2/#3): the
+        # expected tables are recomputed at oracle-build time by
+        # independent_oracles.py (pure python/numpy + DuckDB; imports nothing
+        # from the engine) and surfaced as VALUES literals.
+        "simhash_near_dup": _IO.simhash_oracle_sql("/root/testdata/sf0.01"),
+        "cutline_strips": _IO.cutline_oracle_sql(
+            "/root/testdata/sf0.01", _strips_score_sql()),
     }

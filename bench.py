@@ -55,8 +55,10 @@ def main() -> None:
     # format_string builds, memory-bandwidth-bound), not the engine.
     # Built once per (sf, replicate), reused across runs and parallelism
     # levels; .bench_cache is gitignored.
+    # reuse is gated on the _SUCCESS marker: a crashed mid-write leaves a
+    # partial dir that a bare isdir() check would silently reuse (ADVICE r2)
     cache = os.path.join(repo, ".bench_cache", f"pages_sf{sf}_r{replicate}.parquet")
-    if not os.path.isdir(cache):
+    if not os.path.isfile(os.path.join(cache, "_SUCCESS")):
         P.synthesize_pages(spark, sf_dir, replicate=replicate).write.mode(
             "overwrite").parquet(cache)
     # Drop Hadoop LocalFS .crc sidecars: ChecksumFileSystem verifies in tiny

@@ -55,16 +55,31 @@ def run_driver() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cache = os.path.join(REPO, ".bench_cache", f"pages_sf{sf}_r{replicate}.parquet")
-    if not os.path.isdir(cache):
+    if not os.path.isfile(os.path.join(cache, "_SUCCESS")):
         P.synthesize_pages(spark, sf_dir, replicate=replicate).write.mode(
             "overwrite").parquet(cache)
+    # parity with bench.py: drop Hadoop LocalFS .crc sidecars (ChecksumFS
+    # verifies via a tiny-chunk syscall path this VM runs pathologically
+    # slowly — measured 3x flagship wall at 32 threads, BENCH/SCALING_NOTES.md)
+    import glob as _glob
+
+    for crc in _glob.glob(os.path.join(cache, ".*.crc")):
+        os.remove(crc)
     pages = spark.read.parquet(cache)
 
-    MQ.ranked_from_pages(pages).write.format("noop").mode("overwrite").save()  # warm
+    # SPARK_GRAFT_MODE: flagship (default) = the full geocode->score->rank
+    # DAG; scan = scan+noop only (no shuffle) — isolates input path from
+    # shuffle path when diagnosing scale-out.
+    mode = os.environ.get("SPARK_GRAFT_MODE", "flagship")
+    job = (lambda: pages.write.format("noop").mode("overwrite").save()) \
+        if mode == "scan" else \
+        (lambda: MQ.ranked_from_pages(pages).write.format("noop").mode("overwrite").save())
+
+    job()  # warm
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        MQ.ranked_from_pages(pages).write.format("noop").mode("overwrite").save()
+        job()
         walls.append(round(time.perf_counter() - t0, 3))
     n = pages.count()
     wall = sorted(walls)[len(walls) // 2] if len(walls) % 2 else sorted(walls)[len(walls) // 2 - 1]
@@ -140,8 +155,11 @@ def run_cluster(n_workers: int, sf_dir: str, replicate: int) -> dict:
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.graft.n_workers={n_workers}",
-        os.path.abspath(__file__), "--as-driver",
     ]
+    # diagnostics: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" appends/overrides confs
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";")):
+        submit += ["--conf", kv]
+    submit += [os.path.abspath(__file__), "--as-driver"]
     try:
         out = subprocess.run(submit, env=denv, capture_output=True, text=True,
                              timeout=3600)

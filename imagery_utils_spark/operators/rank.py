@@ -24,6 +24,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# The single-task window sort is CHEAP at surprisingly large group sizes
+# once the projection is narrow (measured: hot tile ~25% of 25M narrow rows
+# ranks in <1 s at local[32]; the staged two-phase pass costs 5x that —
+# BENCH_r02 flagship_rank_skew_x200). skew_rank is a CONTINGENCY for groups
+# whose serial sort would blow the task budget, not a default.
+DEFAULT_SKEW_THRESHOLD_ROWS = 50_000_000
+
+
+def rank_auto(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[Column],
+    bucket: Column,
+    out: str = "rank",
+    max_group_rows: int | None = None,
+    threshold: int = DEFAULT_SKEW_THRESHOLD_ROWS,
+) -> DataFrame:
+    """Auto-gated ranking (VERDICT r2 ask #6): the plain window unless the
+    caller's ``max_group_rows`` estimate (from table stats, a prior
+    aggregate, or pipeline metadata — never a speculative extra count job)
+    says the hottest partition exceeds ``threshold`` rows, where a
+    single-task sort stops fitting the task time/memory budget and the
+    two-phase :func:`skew_rank` pays for its staging pass. With no estimate
+    the plain window wins at every measured regime (BENCH_r02)."""
+    if max_group_rows is not None and max_group_rows > threshold:
+        return skew_rank(df, partition_col, order_cols, bucket, out=out)
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    return df.withColumn(out, F.row_number().over(w).cast("int"))
+
+
 def skew_rank(
     df: DataFrame,
     partition_col: str,

@@ -231,29 +231,27 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     p_bucket = (1 - theta/pi)^n_bits per table; theta(0.95) ~= 0.32 rad ->
     ~0.42 per table, ~99% over 8 tables.
 
-    Scale guardrails (parity with minhash/simhash, VERDICT r1):
-    * ``max_bucket`` drops degenerate buckets (a bucket that dense means
-      boilerplate-identical vectors; surviving tables still pair them) —
-      without it one hot bucket degenerates to a quadratic self-join;
+    Scale guardrails (parity with minhash/simhash, VERDICT r1 + ADVICE r2):
+    * degenerate buckets (over ``max_bucket`` members — boilerplate-identical
+      vectors) are *star-linked* (min-id representative x members) rather than
+      dropped or all-pairs joined: exact duplicates collide in EVERY table, so
+      dropping dense buckets would lose them entirely; the star keeps every
+      member connected to its representative (cosine(rep, member) ~ 1 passes
+      the verify) at O(n) pairs per bucket — see
+      :func:`~imagery_utils_spark.operators.dedup.bucket_pairs`;
     * the self-join and (id_a, id_b) dedup carry ids only — both vectors are
       re-attached ONCE per verified candidate pair via joins against the base
       table, instead of shuffling 2 full vectors per (pair x table);
     * verify cosine is the Arrow/numpy UDF (no interpreted HOF)."""
+    from .dedup import bucket_pairs
+
     udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
     fact = df.select(F.col(id_col).alias("_id"),
                      F.explode(udf(F.col(vec_col))).alias("bucket"))
-    sized = (
-        fact.withColumn("_n", F.count("*").over(Window.partitionBy("bucket")))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    l = sized.select("bucket", F.col("_id").alias("id_a"))
-    r = sized.select("bucket", F.col("_id").alias("id_b"))
     pairs = (
-        l.join(r, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        bucket_pairs(fact, "_id", ["bucket"], max_bucket)
+        .withColumnRenamed("key_a", "id_a")
+        .withColumnRenamed("key_b", "id_b")
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

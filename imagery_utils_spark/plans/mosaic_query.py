@@ -119,11 +119,13 @@ def ranked_from_pages(pages: DataFrame, params: ScoreParams | None = None,
     df = scored_pages(pages, params, grid)
     # Narrow projection before the rank shuffle: the ranked output is
     # (doc_id, tile_name, score, rank) — shuffling text/url bytes through
-    # the sort would be pure waste. At bench skew (hot tile ~25% of rows,
-    # narrow rows) the single-task sort is cheap; for extreme-scale skew
-    # switch to operators.rank.skew_rank with a fine score bucket, which
-    # splits the hot tile into per-bucket tasks at the cost of a staged
-    # extra pass.
+    # the sort would be pure waste. The plain window is the DEFAULT at every
+    # measured regime (the narrow single-task sort beats the two-phase
+    # staged pass 5x at bench skew — BENCH_r02); operators.rank.skew_rank
+    # is the documented contingency for hot groups beyond
+    # rank.DEFAULT_SKEW_THRESHOLD_ROWS, gated via operators.rank.rank_auto
+    # when the pipeline carries a group-size estimate. The env override
+    # exists so the bench can measure both paths honestly.
     narrow = df.select("doc_id", "tile_name", "score").filter(F.col("score") > 0)
     import os
 

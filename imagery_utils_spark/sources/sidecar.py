@@ -91,8 +91,15 @@ def sidecar_candidates(images: DataFrame, path_col: str = "path") -> DataFrame:
         # DG: lib/ortho_functions.py:1549-1566
         cand(is_dg, 0, F.concat(base, F.lit(".xml"))),
         cand(is_dg, 1, F.concat(base, F.lit(".XML"))),
+        # strip-level candidate: the tile token is removed from the BASENAME
+        # only (get_dg_metadata_path strips the tile group from the filename;
+        # a _rXcY token inside a directory name must survive, ADVICE r2)
         cand(is_dg & cls["tile"].isNotNull(), 2,
-             F.concat(F.regexp_replace(base, _TILE_RE, ""), F.lit(".xml"))),
+             F.concat(
+                 F.when(p.contains("/"), F.concat(_dirname(p), F.lit("/")))
+                 .otherwise(F.lit("")),
+                 F.regexp_replace(_base_noext(fn), _TILE_RE, ""),
+                 F.lit(".xml"))),
         # GE: 1612-1626
         cand(is_ge, 0, F.concat(base, F.lit(".txt"))),
         cand(is_ge, 1, F.concat(base, F.lit(".pvl"))),

@@ -1,0 +1,212 @@
+"""Independent-implementation oracles for the three battery queries whose
+semantics are not ANSI-SQL-expressible (VERDICT r2 asks #2/#3).
+
+INDEPENDENCE CONTRACT: this module imports NOTHING from
+``imagery_utils_spark``. Every algorithm here is a from-scratch
+re-derivation — a different geometry representation (coordinate-compression
+cell masks vs the engine's scanline slab algebra), a separately written
+simhash (vectorized numpy bit votes vs the engine's per-row UDF) — so a
+hash-match against the engine is evidence of correct semantics, not of the
+same code evaluated twice.
+
+The expected tables are recomputed AT ORACLE-BUILD TIME from the same
+parquet inputs the Spark queries read (never from stale committed literals),
+then surfaced to the driver's DuckDB as ``VALUES`` literals: the driver
+interface takes one SQL string per query, and loading a derived table into
+SQL as a literal is the standard way to oracle-check non-SQL semantics.
+
+Input derivation (pages -> strips aggregation) is shared with the engine AS
+SQL TEXT — the same convention every oracle-checked geospatial query in
+``__spark_entry__`` already uses: both engines must see bit-identical
+inputs; it is the operator under test whose implementation must differ.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# --------------------------------------------------------------- simhash
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv1a64(b: bytes) -> int:
+    h = _FNV_OFFSET
+    for ch in b:
+        h = ((h ^ ch) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def _simhash64(text: str) -> int:
+    """64-bit simhash over distinct lowercase whitespace tokens; bit j set
+    iff more distinct-token hashes carry bit j than not. Independent
+    re-derivation of the contract (vectorized differently on purpose)."""
+    if not text:
+        return 0
+    toks = sorted(set(text.lower().split()))
+    if not toks:
+        return 0
+    h = np.array([_fnv1a64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
+    fp = 0
+    for j in np.nonzero(votes > 0)[0]:
+        fp |= 1 << int(j)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def _popcount64_matrix(x: np.ndarray) -> np.ndarray:
+    """Popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    v = x.view(np.uint8).reshape(*x.shape, 8)
+    return np.unpackbits(v, axis=-1).sum(axis=-1)
+
+
+def simhash_expected_pairs(sf_dir: str, max_hamming: int = 3):
+    """Brute-force all-pairs (key_a < key_b, hamming <= max_hamming) over the
+    documents table — the ground truth the engine's chunk-blocked form must
+    equal (any pair within Hamming 3 of a 4x16-bit split shares a chunk)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    fps = np.array([_simhash64(r[1]) for r in rows], dtype=np.int64).view(np.uint64)
+    out = []
+    for i in range(len(ids)):
+        ham = _popcount64_matrix(fps[i + 1:] ^ fps[i])
+        for off in np.nonzero(ham <= max_hamming)[0]:
+            j = i + 1 + int(off)
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            out.append((a, b, int(ham[off])))
+    out.sort()
+    return out
+
+
+# --------------------------------------------------------------- cutline
+
+def _greedy_cutline_masks(tile_rect, scenes, threshold: float):
+    """The reference's two-pass greedy contributor selection
+    (/root/reference/lib/mosaic.py:743-789) over an INDEPENDENT geometry
+    representation: all rect corners are coordinate-compressed into an
+    elementary-cell grid; every region is a boolean cell mask; difference /
+    intersection / union are mask ops; area is the cell-area dot product.
+    Exact for unions of axis-aligned rectangles (every edge is a grid line).
+
+    ``scenes``: (scene_id, score, (x0, y0, x1, y1)) — any order; sorted here
+    ascending by (score, scene_id) then processed highest-score-first, the
+    engine's documented deterministic tie-break.
+    Returns (scene_id, score) highest score LAST (paint order).
+    """
+    xs = sorted({tile_rect[0], tile_rect[2]}
+                | {r[2][0] for r in scenes} | {r[2][2] for r in scenes})
+    ys = sorted({tile_rect[1], tile_rect[3]}
+                | {r[2][1] for r in scenes} | {r[2][3] for r in scenes})
+    xs_a, ys_a = np.array(xs), np.array(ys)
+    areas = np.outer(np.diff(ys_a), np.diff(xs_a))  # (ny-1, nx-1)
+
+    def mask(x0, y0, x1, y1):
+        xi = (xs_a[:-1] >= x0) & (xs_a[1:] <= x1)
+        yi = (ys_a[:-1] >= y0) & (ys_a[1:] <= y1)
+        return yi[:, None] & xi[None, :]
+
+    tile_m = mask(*tile_rect)
+    ordered = sorted(scenes, key=lambda t: (t[1], t[0]))[::-1]
+    union = np.zeros_like(tile_m)
+    contribs, slivers = [], []
+    for sid, score, rect in ordered:
+        m = mask(*rect)
+        diff = m & ~union
+        if not diff.any():
+            continue
+        if not (diff & tile_m).any():
+            continue
+        if float(areas[diff & tile_m].sum()) >= threshold:
+            union |= m
+            contribs.append((sid, score))
+        else:
+            slivers.append((sid, score, rect))
+    for sid, score, rect in slivers:  # pass 2: no threshold
+        m = mask(*rect)
+        diff = m & ~union
+        if diff.any() and (diff & tile_m).any():
+            union |= m
+            contribs.append((sid, score))
+    contribs.reverse()
+    return contribs
+
+
+def cutline_expected(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
+                     threshold: float = 1.0):
+    """(tile_name, scene_id, paint_order) for every world tile whose bbox
+    overlaps a strip envelope. ``strips_sql`` must yield columns
+    (strip_id, s_xmin, s_xmax, s_ymin, s_ymax, score) from the documents
+    parquet registered as view ``documents``."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    strips = con.sql(strips_sql).fetchall()
+    ncols, nrows = round(360 / tile_deg), round(180 / tile_deg)
+    out = []
+    for row in range(1, nrows + 1):
+        for col in range(1, ncols + 1):
+            tx0, ty0 = -180.0 + (col - 1) * tile_deg, -90.0 + (row - 1) * tile_deg
+            rect = (tx0, ty0, tx0 + tile_deg, ty0 + tile_deg)
+            cand = [
+                (str(sid), float(score), (x0, y0, x1, y1))
+                for sid, x0, x1, y0, y1, score in strips
+                if x0 < rect[2] and x1 > rect[0] and y0 < rect[3] and y1 > rect[1]
+            ]
+            if not cand:
+                continue
+            name = f"world_{row:02d}_{col:02d}"
+            for po, (sid, _sc) in enumerate(
+                    _greedy_cutline_masks(rect, cand, threshold), start=1):
+                out.append((name, sid, po))
+    out.sort(key=lambda t: (t[0], t[2]))
+    return out
+
+
+# ----------------------------------------------------------- SQL builders
+
+def _values_sql(rows, columns_sql: str, order_by: str) -> str:
+    if not rows:
+        return f"SELECT {columns_sql} FROM (VALUES (NULL, NULL, NULL)) t(c0, c1, c2) WHERE FALSE"
+    vals = ", ".join(
+        "(" + ", ".join(repr(v) if isinstance(v, str) else str(v) for v in r) + ")"
+        for r in rows
+    )
+    return (f"SELECT {columns_sql} FROM (VALUES {vals}) t(c0, c1, c2) "
+            f"ORDER BY {order_by}")
+
+
+@functools.lru_cache(maxsize=4)
+def simhash_oracle_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    rows = simhash_expected_pairs(sf_dir, max_hamming)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS key_a, CAST(c1 AS BIGINT) AS key_b, "
+        "CAST(c2 AS INTEGER) AS hamming",
+        "key_a, key_b",
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def cutline_oracle_sql(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
+                       threshold: float = 1.0) -> str:
+    rows = cutline_expected(sf_dir, strips_sql, tile_deg, threshold)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS tile_name, CAST(c1 AS VARCHAR) AS scene_id, "
+        "CAST(c2 AS INTEGER) AS paint_order",
+        "tile_name, paint_order",
+    )

@@ -134,10 +134,13 @@ def test_load_exclude_list_sources(spark, tmp_path):
     finally:
         srv.shutdown()
 
-    # DataFrame passthrough + composition with the anti-join
-    src = spark.createDataFrame([("host13",)], "p string")
+    # DataFrame passthrough + composition with the anti-join; the DF branch
+    # normalizes like the file/URL branches (trim + dedup, ADVICE r2)
+    src = spark.createDataFrame(
+        [("host13",), ("host13 ",), ("",)], "p string")
     pats = load_exclude_list(spark, src)
     assert pats.columns == ["pattern"]
+    assert {r.pattern for r in pats.collect()} == {"host13"}
     df = spark.createDataFrame([("a-host13-x",), ("b-ok",)], "url string")
     kept = exclude_anti_join(df, pats, "url").collect()
     assert [r.url for r in kept] == ["b-ok"]

@@ -128,6 +128,15 @@ def test_knn_ring_collect_bounded_and_df_queries(spark):
     stats = {}
     out = knn_expanding_ring(df, qdf, k=5, res=4, stats=stats).collect()
     assert len(out) == 10
+    # columns are selected BY NAME (ADVICE r2): a shuffled column order must
+    # give the same answer, and missing names must raise instead of guessing
+    qdf_shuffled = qdf.select("lat", "q_id", "lon")
+    out2 = knn_expanding_ring(df, qdf_shuffled, k=5, res=4).collect()
+    assert {(r.q_id, r.doc_id, r.rn) for r in out2} == \
+           {(r.q_id, r.doc_id, r.rn) for r in out}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="columns"):
+        knn_expanding_ring(df, qdf.withColumnRenamed("q_id", "qq"), k=5, res=4)
     assert max(stats["ring_collect_sizes"]) <= 5 * 2  # k x |queries|, never 3000
     # parity with brute force for one query
     d = _haversine_np(10.0, 10.0, [p[1] for p in pts], [p[2] for p in pts])

@@ -24,3 +24,24 @@ def test_skew_rank_matches_plain_window(spark, stage):
     a = {(r.grp, r.id): r.r for r in plain.collect()}
     b = {(r.grp, r.id): r.r for r in skew.collect()}
     assert a == b
+
+
+def test_rank_auto_gates_on_estimate(spark):
+    """rank_auto: plain window without an estimate or under threshold;
+    two-phase only when the caller's estimate exceeds the threshold — and
+    both produce identical ranks (VERDICT r2 ask #6)."""
+    from imagery_utils_spark.operators.rank import rank_auto
+
+    rows = [("g", float((i * 7) % 50), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, score double, id long")
+    order = [F.desc("score"), F.asc("id")]
+    bucket = F.floor(F.col("score"))
+
+    plain = rank_auto(df, "grp", order, bucket, out="r")
+    gated = rank_auto(df, "grp", order, bucket, out="r",
+                      max_group_rows=10, threshold=100)  # under -> plain
+    forced = rank_auto(df, "grp", order, bucket, out="r",
+                       max_group_rows=1000, threshold=100)  # over -> skew
+    a = {r.id: r.r for r in plain.collect()}
+    assert {r.id: r.r for r in gated.collect()} == a
+    assert {r.id: r.r for r in forced.collect()} == a

@@ -31,6 +31,11 @@ CASES = {
     # the reference's strip-level .XML retry is dead code (ortho_functions.py:1562)
     "/dg_strip_XML_dead": (DG_TILED + ".tif",
                            [DG_TILED.replace("_R1C1", "") + ".XML"], None),
+    # ADVICE r2: a tile token inside a DIRECTORY name must survive the
+    # strip-level derivation (only the basename's token is removed)
+    "/tiles_r1c1": (DG_TILED + ".tif",
+                    [DG_TILED.replace("_R1C1", "") + ".xml"],
+                    DG_TILED.replace("_R1C1", "") + ".xml"),
     "/ge_pvl": (GE + ".tif", [GE + ".pvl"], GE + ".pvl"),
     "/ge_txt_beats_pvl": (GE + ".tif", [GE + ".txt", GE + ".pvl"], GE + ".txt"),
     "/ik_rgb": (IK + ".tif", [IK.replace("blu", "rgb") + ".txt"],

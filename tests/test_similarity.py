@@ -145,13 +145,16 @@ def test_embedding_near_dup_battery_equals_brute_force(spark, emb):
 
 
 def test_embedding_near_dup_bucket_cap(spark):
-    """max_bucket drops degenerate buckets: 40 identical vectors form one
-    dense bucket per table — with the cap below 40 the quadratic self-join
-    never materializes (0 pairs); with the cap above, all pairs emerge."""
+    """max_bucket star-links degenerate buckets: 40 identical vectors form
+    one dense bucket per table — with the cap below 40 the quadratic
+    self-join never materializes, but every member still pairs with the
+    min-id representative (connectivity preserved, ADVICE r2); with the cap
+    above, all pairs emerge."""
     v = [float(x) for x in np.random.default_rng(7).normal(size=16)]
     df = spark.createDataFrame(
         [(i, v) for i in range(40)], "vec_id long, embedding array<double>")
     capped = SIM.embedding_near_dup_pairs(df, threshold=0.99, max_bucket=8)
-    assert capped.count() == 0
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(0, i) for i in range(1, 40)}  # star: one component, O(n)
     full = SIM.embedding_near_dup_pairs(df, threshold=0.99, max_bucket=64)
     assert full.count() == 40 * 39 // 2
