@@ -109,14 +109,24 @@ def main() -> None:
         finally:
             del os.environ["SPARK_GRAFT_RANK_IMPL"]
 
-    # ---- operator battery at sf scale (no replication)
+    # ---- operator battery at sf scale (no replication). Best-of-2 per
+    # query (VERDICT r2 ask #7): battery walls swing up to 2x when a
+    # memory-heavy query forces Arrow/UDF worker respawns for its successor;
+    # the second rep runs against warm workers, so min(2 reps) is
+    # attributable to the query rather than to its predecessor.
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
+        battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
         battery = E.queries()
+        rep_walls: dict[str, list[float]] = {}
         for name, fn in battery.items():
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            ws = []
+            for _ in range(max(1, battery_reps)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                ws.append(round(time.perf_counter() - t0, 3))
+            rep_walls[name] = ws
+            timings[name] = min(ws)
 
     pages_per_sec = n_pages_in / t_flag if t_flag > 0 else 0.0
     print(json.dumps({
@@ -128,6 +138,8 @@ def main() -> None:
         "pages_in": n_pages_in,
         "pages_ranked": n_pages_out,
         "flagship_walls": [round(w, 3) for w in walls],
+        "battery_rep_walls": rep_walls if not os.environ.get(
+            "SPARK_GRAFT_BENCH_FLAGSHIP_ONLY") else {},
         "pages_per_sec": round(pages_per_sec, 1),
         "cpus": cpus,
         "replicate": replicate,
