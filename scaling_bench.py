@@ -32,10 +32,14 @@ def run_once(cpus: int, sf_dir: str, replicate: int) -> dict:
     # 24g thrashes G1 at high core counts (measured 2-4x wall inflation)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
-    # Pin the JVM (incl. GC/shuffle threads) to exactly `cpus` cores so the
-    # N-core run cannot borrow spare cores — the honest N-executor analog.
+    # Pinning (SPARK_GRAFT_PIN=1 only): task concurrency is already bounded
+    # by local[N] — the same lever a real cluster's executor.cores uses. A
+    # fixed 0..N-1 cpuset traps the whole JVM on vCPUs the hypervisor is
+    # currently time-slicing (zero guest-visible steal; 30-40x grinds —
+    # BENCH/SCALING_NOTES.md r3), so by default the guest scheduler is left
+    # free to migrate off degraded vCPUs, matching cluster_bench.py.
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
-    if os.path.exists("/usr/bin/taskset"):
+    if os.environ.get("SPARK_GRAFT_PIN", "0") == "1" and os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
