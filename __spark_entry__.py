@@ -219,6 +219,47 @@ def q_lang_profile(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sidecar_attrs(spark, sf_dir) -> DataFrame:
+    """S7 content-parse end-to-end (r3): synthesize a GE PVL sidecar text
+    per document from its own fields, run the real text->XML parser
+    (functions/sidecar_text.py, utils.py:296-371 semantics) + the shared
+    attribute vocabulary (functions/metadata.py), and emit the typed attrs.
+    The oracle recomputes the attributes directly from the same fields —
+    so the parser pipeline itself is what the hash-compare checks. All
+    numeric fixture values are exact halves/quarters (binary-representable:
+    float parse is bit-identical in both engines)."""
+    from imagery_utils_spark.functions.metadata import with_scene_metadata
+    from imagery_utils_spark.functions.sidecar_text import with_sidecar_xml
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pvl = F.concat(
+        F.lit('BEGIN_GROUP = productOrderInfo;\n  archiveId = "'),
+        d.cast("string"),
+        F.lit('";\n  satelliteName = "OV-2";\n  percentCloudCover = '),
+        (d % 100).cast("string"),
+        F.lit(";\nEND_GROUP = productOrderInfo;\n"
+              "firstLineSunElevationAngle = "),
+        ((d % 240) / 4.0).cast("string"),
+        F.lit(";\nfirstLineSunAzimuthAngle = "),
+        ((d % 1440) / 4.0).cast("string"),
+        F.lit(";\nfirstLineElevationAngle = "),
+        (F.lit(50.0) + (d % 160) / 4.0).cast("string"),
+        F.lit(";\n"),
+    )
+    df = docs.select(
+        "doc_id", pvl.alias("sidecar_text"),
+        F.lit("x.pvl").alias("metapath"), F.lit("GE01").alias("sat"),
+    )
+    out = with_scene_metadata(with_sidecar_xml(df), xml_col="metadata_xml")
+    return out.select(
+        "doc_id", F.col("catid"), F.col("sensor"),
+        F.col("cloudcover"), F.col("sun_elev"), F.col("sun_az"),
+        F.col("sat_elev"),
+        F.col("off_nadir"),  # derived: 90 - satel (no ona tag in the text)
+    ).orderBy("doc_id")
+
+
 def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.dedup import jaccard_col, shingle_hash_udf
 
@@ -607,6 +648,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_profile": q_lang_profile,
         "jaccard_pairs": q_jaccard_pairs,
+        "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "cosine_topk": q_cosine_topk,
@@ -640,8 +682,9 @@ import independent_oracles as _IO
 
 def _oracle_sf_dir() -> str:
     """The driver's correctness gate runs at sf0.01; the VALUES-literal
-    oracles must read the same tables (overridable for local validation)."""
-    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    oracles must read the same tables. SPARK_GRAFT_ORACLE_SF overrides (the
+    same env tests/test_oracle_parity.py uses for its local sf0.001 gate)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _strips_score_sql() -> str:
@@ -970,6 +1013,21 @@ def oracle_sql() -> dict[str, str]:
             "ON s_xmin < xmax AND s_xmax > xmin AND s_ymin < ymax AND s_ymax > ymin "
             "ORDER BY strip_id, tile_name"
         ),
+        # S7 content parse: the Spark side builds a GE PVL text from each
+        # document's fields and runs the REAL parser pipeline; the oracle
+        # recomputes the attributes directly from the same fields, so the
+        # hash-compare checks the parser. Fixture values are exact quarters
+        # (binary-representable; float parse bit-identical in both engines).
+        "sidecar_attrs": (
+            "SELECT doc_id, cast(doc_id as varchar) AS catid, "
+            "'GE01' AS sensor, "
+            "(doc_id % 100) / 100.0 AS cloudcover, "
+            "(doc_id % 240) / 4.0 AS sun_elev, "
+            "(doc_id % 1440) / 4.0 AS sun_az, "
+            "50.0 + (doc_id % 160) / 4.0 AS sat_elev, "
+            "90 - (50.0 + (doc_id % 160) / 4.0) AS off_nadir "
+            "FROM documents ORDER BY doc_id"
+        ),
         # Exact all-pairs word-3-gram Jaccard: equals the minhash-LSH +
         # exact-verify result because candidate recall is 1.0 on this fixture
         # (pinned in tests/test_text_dedup.py at every sf) and the operator's
@@ -994,7 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         # expected tables are recomputed at oracle-build time by
         # independent_oracles.py (pure python/numpy + DuckDB; imports nothing
         # from the engine) and surfaced as VALUES literals.
-        "simhash_near_dup": _IO.simhash_oracle_sql("/root/testdata/sf0.01"),
+        "simhash_near_dup": _IO.simhash_oracle_sql(_oracle_sf_dir()),
         "cutline_strips": _IO.cutline_oracle_sql(
-            "/root/testdata/sf0.01", _strips_score_sql()),
+            _oracle_sf_dir(), _strips_score_sql()),
     }

@@ -12,6 +12,9 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+# the VALUES-literal oracles (independent_oracles.py) recompute from parquet
+# at oracle-build time — point them at the same sf this test compares against
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
