@@ -109,7 +109,12 @@ def main() -> None:
         f"{'PASS' if r['pass'] else 'below target'} |"
         for r in results
     )
-    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
+    # the curated cross-window report lives in SCALING.md (hand-merged:
+    # pairs are only comparable within one window); raw runs land in
+    # SCALING_last_run.md unless SPARK_GRAFT_WRITE_REPORT=1
+    name = ("SCALING.md" if os.environ.get("SPARK_GRAFT_WRITE_REPORT") == "1"
+            else "SCALING_last_run.md")
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         f.write(
             "# Scaling efficiency (north-rule sandbox protocol)\n\n"
             "Same job, same input, multiple parallelism levels in fresh JVMs, each\n"
