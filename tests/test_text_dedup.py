@@ -199,3 +199,20 @@ def test_simhash_blocking_complete_on_fixture(spark, sf_dir):
     got = {(r.key_a, r.key_b)
            for r in DD.simhash_near_dup_pairs(docs, max_hamming=3).collect()}
     assert got == exact
+
+
+def test_bucket_pairs_star_semantics(spark):
+    """bucket_pairs (r3): under-cap buckets all-pairs; over-cap buckets
+    emit a min-key representative star; dedup across buckets."""
+    from imagery_utils_spark.operators.dedup import bucket_pairs
+
+    rows = (
+        [("b1", k) for k in [3, 1, 2]]          # size 3 <= cap: all pairs
+        + [("b2", k) for k in [10, 11, 12, 13]]  # size 4 > cap of 3: star
+        + [("b3", k) for k in [1, 2]]            # duplicate pair across buckets
+    )
+    df = spark.createDataFrame(rows, "bkt string, k long")
+    got = {(r.key_a, r.key_b) for r in
+           bucket_pairs(df, "k", ["bkt"], max_bucket=3).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3),          # b1 all-pairs (+b3 dup merged)
+                   (10, 11), (10, 12), (10, 13)}    # b2 star from min key 10
