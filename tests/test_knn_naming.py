@@ -143,3 +143,24 @@ def test_knn_ring_collect_bounded_and_df_queries(spark):
     exact = [pts[i][0] for i in np.lexsort((np.arange(len(pts)), d))[:5]]
     got = [r.doc_id for r in sorted(out, key=lambda r: r.rn) if r.q_id == "a"]
     assert got == exact
+
+
+def test_knn_ring_batched_sparse_exact(spark):
+    """r3 geometric ring batching: a sparse fixture whose neighbors sit many
+    rings out must still return the exact brute-force answer (termination
+    bound checked against the first unexplored ring after each batch)."""
+    import numpy as np
+
+    # points clustered far from the query: query at (0,0), points near lon 40-60
+    rng = np.random.default_rng(5)
+    pts = [(int(i), float(40 + rng.uniform(0, 20)), float(rng.uniform(-10, 10)))
+           for i in range(200)]
+    # plus two mid-distance points that must win
+    pts += [(1000, 12.0, 1.0), (1001, 15.0, -2.0)]
+    df = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    out = knn_expanding_ring(df, [("q", 0.0, 0.0)], k=4, res=5).collect()
+    d = _haversine_np(0.0, 0.0, [p[1] for p in pts], [p[2] for p in pts])
+    exact = [pts[i][0] for i in np.lexsort((np.arange(len(pts)), d))[:4]]
+    got = [r.doc_id for r in sorted(out, key=lambda r: r.rn)]
+    assert got == exact
+    assert got[0] == 1000 and got[1] == 1001
