@@ -7,8 +7,14 @@ partitioned columnar tables + manifest tables.
 * K3 (text manifests, /root/reference/pgc_mosaic.py:546-551): the per-tile
   contributor list as a table partitioned by tile; a text rendering is
   provided for drop-in compatibility.
-* K4 (per-tile raster sink): ``partitionBy(tile)`` writes — each tile's rows
-  land in their own directory, the columnar analog of one GeoTIFF per tile.
+* K4 (per-tile raster sink): two forms — ``partitionBy(tile)`` columnar
+  writes (the query-able analog), and since r3 :func:`write_raster_tiles`,
+  which encodes REAL per-tile raster images (uncompressed 24-bit BMP or
+  PPM P6 via the pure-numpy codecs in ``sources.multimodal``) plus an ESRI
+  world file per tile for georeferencing — the closest container this
+  environment can produce to the reference's one-GeoTIFF-per-tile output
+  (pgc_mosaic_build_tile.py; GeoTIFF itself needs libtiff/GDAL, absent
+  here, but the pixel assembly, encoding, and geotransform math are real).
 * K5 (XML provenance): one lineage/metrics row per output
   (operators.lineage covers the ledger; ``write_run_metadata`` emits the
   per-output record).
@@ -36,6 +42,70 @@ def write_tile_partitioned(df: DataFrame, path: str, tile_col: str = "tile_name"
     shuffles by tile first so each tile directory is written by one task,
     avoiding many tiny files per partition)."""
     df.repartition(F.col(tile_col)).write.mode(mode).partitionBy(tile_col).parquet(path)
+
+
+RASTER_MANIFEST_SCHEMA = ("tile_name string, path string, width int, "
+                          "height int, n_pixels long")
+
+
+def world_file_text(xmin: float, ymin: float, xmax: float, ymax: float,
+                    width: int, height: int) -> str:
+    """Six-line ESRI world file: x pixel size, 0, 0, negative y pixel size,
+    then the CENTER of the top-left pixel — the standard georeferencing
+    sidecar for non-GeoTIFF rasters."""
+    a = (xmax - xmin) / width
+    e = -(ymax - ymin) / height
+    c = xmin + a / 2.0
+    f = ymax + e / 2.0
+    return "\n".join(f"{v:.10f}" for v in (a, 0.0, 0.0, e, c, f)) + "\n"
+
+
+def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
+                       fmt: str = "bmp", background: int = 0) -> DataFrame:
+    """K4 real-raster form: one image file + world file per tile.
+
+    ``pixels``: one row per painted pixel with columns ``tile_name, xmin,
+    ymin, xmax, ymax`` (tile extent, repeated per row), ``px_row, px_col``
+    (0-based, row 0 = TOP), ``red, green, blue`` (0-255). Typically the
+    output of :func:`~imagery_utils_spark.operators.compose.composite`
+    mapped to pixel coordinates.
+
+    Each tile is assembled and encoded by ONE task (groupBy tile →
+    applyInPandas — the same distribution shape as the reference's
+    per-tile gdal process), written from the executor (local-fs here; an
+    HDFS/S3 put on a real cluster), and described by a returned manifest
+    row. Returns the manifest DataFrame (materialize it to trigger the
+    writes)."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import encode_bmp, encode_ppm
+
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = pdf["tile_name"].iloc[0]
+        img = np.full((height, width, 3), background, dtype=np.uint8)
+        r = pdf["px_row"].to_numpy(dtype=np.int64)
+        c = pdf["px_col"].to_numpy(dtype=np.int64)
+        ok = (r >= 0) & (r < height) & (c >= 0) & (c < width)
+        img[r[ok], c[ok], 0] = pdf["red"].to_numpy(dtype=np.int64)[ok]
+        img[r[ok], c[ok], 1] = pdf["green"].to_numpy(dtype=np.int64)[ok]
+        img[r[ok], c[ok], 2] = pdf["blue"].to_numpy(dtype=np.int64)[ok]
+        path = os.path.join(out_dir, f"{tile}.{fmt}")
+        with open(path, "wb") as f:
+            f.write(enc(img))
+        with open(path + ".wld", "w") as f:
+            f.write(world_file_text(
+                float(pdf["xmin"].iloc[0]), float(pdf["ymin"].iloc[0]),
+                float(pdf["xmax"].iloc[0]), float(pdf["ymax"].iloc[0]),
+                width, height))
+        return pd.DataFrame([(tile, path, width, height, int(ok.sum()))],
+                            columns=["tile_name", "path", "width", "height",
+                                     "n_pixels"])
+
+    return pixels.groupBy("tile_name").applyInPandas(run, RASTER_MANIFEST_SCHEMA)
 
 
 def write_intersect_manifests(contributors: DataFrame, path: str,

@@ -48,3 +48,34 @@ def test_run_metadata(spark, tmp_path):
     ])
     back = spark.read.parquet(p)
     assert back.count() == 2
+
+
+def test_write_raster_tiles_roundtrip(spark, tmp_path):
+    """K4 real-raster sink (r3): per-tile BMP + world file, decoded back
+    bit-exact, georeferencing solved from the tile extent."""
+    import numpy as np
+
+    from imagery_utils_spark.sources.multimodal import decode_bmp
+    from imagery_utils_spark.sources.sinks import write_raster_tiles
+
+    rows = []
+    # tile A: 3 pixels; tile B: 1 pixel. Extents differ.
+    for pr, pc, rgb in [(0, 0, (255, 0, 0)), (2, 3, (0, 128, 0)), (3, 1, (0, 0, 9))]:
+        rows.append(("w_A", -10.0, 40.0, -5.0, 44.0, pr, pc, *rgb))
+    rows.append(("w_B", 0.0, 0.0, 10.0, 10.0, 1, 1, 7, 7, 7))
+    df = spark.createDataFrame(rows, "tile_name string, xmin double, ymin double, "
+                               "xmax double, ymax double, px_row int, px_col int, "
+                               "red int, green int, blue int")
+    out = {r.tile_name: r for r in
+           write_raster_tiles(df, str(tmp_path), width=5, height=4).collect()}
+    assert out["w_A"].n_pixels == 3 and out["w_B"].n_pixels == 1
+    img = decode_bmp(open(out["w_A"].path, "rb").read())
+    assert img.shape == (4, 5, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[2, 3]) == (0, 128, 0)
+    assert tuple(img[3, 1]) == (0, 0, 9)
+    assert img.sum() == 255 + 128 + 9  # everything else is background 0
+    # world file: pixel size 1.0 x 1.0 deg for tile A (5 wide over 5 deg,
+    # 4 tall over 4 deg), top-left pixel CENTER at (-9.5, 43.5)
+    wld = [float(x) for x in open(out["w_A"].path + ".wld").read().split()]
+    assert wld == [1.0, 0.0, 0.0, -1.0, -9.5, 43.5]
