@@ -72,6 +72,7 @@ def knn_expanding_ring(
     q_id_col: str = "q_id",
     q_lon_col: str = "q_lon",
     q_lat_col: str = "q_lat",
+    initial_width: int = 2,
 ) -> DataFrame:
     """``queries``: a DataFrame with (q_id, q_lon, q_lat) columns — selected
     BY NAME (``q_id_col``/``q_lon_col``/``q_lat_col``; falls back to
@@ -118,10 +119,14 @@ def knn_expanding_ring(
     active = {str(q[0]): (str(q[0]), float(q[1]), float(q[2])) for q in queries}
     best: dict[str, list[tuple[float, object]]] = {str(q[0]): [] for q in queries}
     ring = 0
-    width = 1  # rings probed per Spark job; doubles each round (VERDICT r2
-    # ask #5: a sparse region at res=4 used to cost one job-submission
-    # round-trip PER ring — geometric widening makes it O(log rings) jobs
-    # while the exact termination bound below is unchanged)
+    # rings probed per Spark job; doubles each round (VERDICT r2 ask #5: a
+    # sparse region at res=4 used to cost one job-submission round-trip PER
+    # ring — geometric widening makes it O(log rings) jobs while the exact
+    # termination bound below is unchanged). Starting at 2 probes rings
+    # {0,1} in the first job: a query whose k-th neighbor sits in ring 0 or
+    # 1 (the common dense case) finishes in ONE round-trip, at the cost of
+    # probing 8 extra cells.
+    width = max(1, initial_width)
     from pyspark.sql import Window
 
     while active and ring <= max_ring:
