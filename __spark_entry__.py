@@ -345,8 +345,14 @@ def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     dups = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
+    # n_bits=12 (vs the 0.95-threshold default of 8): at threshold 0.99 the
+    # per-table collision prob for true duplicates stays ~0.58 (8 tables ->
+    # ~99.9%), while unrelated-pair candidates drop 16x — measured 5.7 s ->
+    # 1.5 s at sf0.1 with fixture parity vs brute force pinned at every sf
+    # (tests/test_similarity.py).
     return embedding_near_dup_pairs(
-        emb.select("vec_id", "embedding").unionByName(dups), threshold=0.99
+        emb.select("vec_id", "embedding").unionByName(dups), threshold=0.99,
+        n_bits=12,
     ).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 

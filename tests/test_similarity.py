@@ -131,6 +131,11 @@ def test_embedding_near_dup_battery_equals_brute_force(spark, emb):
     base = emb.select("vec_id", "embedding").unionByName(dups)
     got = {(r.id_a, r.id_b) for r in
            SIM.embedding_near_dup_pairs(base, threshold=0.99).collect()}
+    # the battery config (n_bits=12, r3 perf: 16x fewer spurious candidates)
+    # must pin the same invariant
+    got12 = {(r.id_a, r.id_b) for r in
+             SIM.embedding_near_dup_pairs(base, threshold=0.99,
+                                          n_bits=12).collect()}
     # numpy brute force over the same frame
     rows = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in base.collect()]
     exact = set()
@@ -141,6 +146,7 @@ def test_embedding_near_dup_battery_equals_brute_force(spark, emb):
             if c >= 0.99:
                 exact.add((min(a[0], b[0]), max(a[0], b[0])))
     assert got == exact
+    assert got12 == exact
     assert exact == {(v, v + 100000) for v in range(10)}  # only planted pairs
 
 
