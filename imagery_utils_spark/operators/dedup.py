@@ -308,20 +308,40 @@ def simhash_near_dup_pairs(
     chunks (any pair within distance 3 shares at least one chunk)."""
     sh = df.select(F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
     chunks = sh.select(
-        "_k",
+        "_k", "_fp",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
                      F.shiftright(F.col("_fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
             for c in range(4)
         ])).alias("_c"),
-    ).select("_k", "_c.chunk", "_c.val")
-    # ids-only chunk join; over-cap buckets star-link instead of dropping
-    pairs = bucket_pairs(chunks, "_k", ["chunk", "val"], max_bucket)
+    ).select("_k", "_fp", "_c.chunk", "_c.val")
+    # The fingerprint is ONE long — cheaper to carry through the x4 chunk
+    # explode than to re-attach by join (which would recompute the simhash
+    # UDF per re-attach; contrast minhash, whose shingle-array payload IS
+    # worth the ids-only + re-attach shape). Over-cap buckets star-link via
+    # the min-(key, fp) struct (never drop — ADVICE r2, see bucket_pairs).
+    w = Window.partitionBy("chunk", "val")
+    sized = (
+        chunks.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min(F.struct("_k", "_fp")).over(w))
+    )
+    under = sized.filter(F.col("_n") <= max_bucket)
+    l = under.select("chunk", "val", F.col("_k").alias("key_a"),
+                     F.col("_fp").alias("fp_a"))
+    r = under.select("chunk", "val", F.col("_k").alias("key_b"),
+                     F.col("_fp").alias("fp_b"))
+    star = (
+        sized.filter((F.col("_n") > max_bucket) & (F.col("_k") != F.col("_rep._k")))
+        .select(F.col("_rep._k").alias("key_a"), F.col("_rep._fp").alias("fp_a"),
+                F.col("_k").alias("key_b"), F.col("_fp").alias("fp_b"))
+    )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        pairs
-        .join(sh.select(F.col("_k").alias("key_a"), F.col("_fp").alias("fp_a")), "key_a")
-        .join(sh.select(F.col("_k").alias("key_b"), F.col("_fp").alias("fp_b")), "key_b")
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "fp_a", "fp_b")
+        .unionByName(star.select("key_a", "key_b", "fp_a", "fp_b"))
+        .dropDuplicates(["key_a", "key_b"])
         .select("key_a", "key_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
