@@ -156,3 +156,46 @@ def tile_manifest(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataF
         )
         .orderBy("tile_name")
     )
+
+
+def tile_density_rasters(spark: SparkSession, sf_dir: str, out_dir: str,
+                         width: int = 64, height: int = 64,
+                         replicate: int = 1, fmt: str = "bmp") -> DataFrame:
+    """The pgc_mosaic_build_tile analog over the webtext graft: every world
+    tile becomes one REAL raster file (BMP/PPM + ESRI world file) whose
+    pixels encode page density — geocode -> tile assign -> per-pixel count
+    -> log-scaled grayscale -> per-tile encode (one task per tile).
+
+    Plan shape: one shuffle (the (tile, pixel) aggregate), then the grouped
+    raster encode; the pages table is scanned once and never re-shuffled.
+    Returns the manifest DataFrame (materialize to trigger the file
+    writes)."""
+    from ..sources.sinks import write_raster_tiles
+
+    df = geocoded_pages(spark, sf_dir, replicate=replicate)
+    assigned = df.select(
+        "doc_id", "lon", "lat",
+        *tile_assign_cols(F.col("lon"), F.col("lat"),
+                          -180.0, -90.0, 180.0, 90.0, 10.0, 10.0, "world"),
+    )
+    xmin = F.lit(-180.0) + (F.col("tile_col") - 1) * 10.0
+    ymin = F.lit(-90.0) + (F.col("tile_row") - 1) * 10.0
+    px_col = F.least(F.lit(width - 1), F.floor((F.col("lon") - xmin) / 10.0 * width)).cast("int")
+    px_row = F.least(F.lit(height - 1),
+                     F.floor((ymin + 10.0 - F.col("lat")) / 10.0 * height)).cast("int")
+    counts = (
+        assigned
+        .withColumn("xmin", xmin).withColumn("ymin", ymin)
+        .withColumn("px_col", px_col).withColumn("px_row", px_row)
+        .groupBy("tile_name", "xmin", "ymin", "px_row", "px_col")
+        .agg(F.count("*").alias("n"))
+    )
+    # log-scaled 8-bit grayscale: 1 page is visible, dense pixels saturate
+    gray = F.least(F.lit(255), (F.lit(32.0) * F.log1p(F.col("n"))).cast("int"))
+    pixels = counts.select(
+        "tile_name", "xmin", "ymin",
+        (F.col("xmin") + 10.0).alias("xmax"), (F.col("ymin") + 10.0).alias("ymax"),
+        "px_row", "px_col",
+        gray.alias("red"), gray.alias("green"), gray.alias("blue"),
+    )
+    return write_raster_tiles(pixels, out_dir, width=width, height=height, fmt=fmt)

@@ -74,3 +74,27 @@ def test_mosaic_pipeline_end_to_end(spark, tmp_path):
     assert tuple(img[5, 5]) == colors["high"]
     assert tuple(img[5, 0]) == colors["low"]
     assert not (img == np.array(colors["tiny"])).all(axis=2).any()
+
+
+def test_tile_density_rasters_over_pages(spark, tmp_path):
+    """pgc_mosaic_build_tile analog over the real geocoded pages table: one
+    raster file per populated world tile, pixel counts consistent with the
+    tile assignment, world files georeferenced to each tile's extent."""
+    from imagery_utils_spark.plans.mosaic_query import (
+        geocoded_pages, tile_density_rasters)
+
+    man = {r.tile_name: r for r in tile_density_rasters(
+        spark, "/root/testdata/sf0.001", str(tmp_path), width=20, height=20).collect()}
+    n_tiles = (geocoded_pages(spark, "/root/testdata/sf0.001")
+               .select(F.floor((F.col("lat") + 90) / 10).alias("r"),
+                       F.floor((F.col("lon") + 180) / 10).alias("c"))
+               .distinct().count())
+    assert len(man) == n_tiles  # one raster per populated tile
+    # decode the densest tile: nonzero pixels == manifest n_pixels
+    best = max(man.values(), key=lambda r: r.n_pixels)
+    img = decode_bmp(open(best.path, "rb").read())
+    assert img.shape == (20, 20, 3)
+    assert int((img[:, :, 0] > 0).sum()) == best.n_pixels
+    # world file pixel size = 10 deg / 20 px
+    wld = [float(x) for x in open(best.path + ".wld").read().split()]
+    assert wld[0] == 0.5 and wld[3] == -0.5
