@@ -79,3 +79,16 @@ def test_exact_refine_prunes_candidates(spark):
     without = sj.points_in_rects(pts, rects, res=6, refine=False)
     assert {r.pid for r in with_refine.collect()} == {"in"}
     assert {r.pid for r in without.collect()} == {"in", "near"}  # same cell at res 6
+
+
+def test_density_raster_single_shuffle(spark, sf_dir, tmp_path):
+    """tile_density_rasters (r3) claims 'one shuffle then the grouped
+    encode': the only hash exchanges allowed are the (tile, pixel) aggregate
+    and the groupBy(tile) feeding applyInPandas — both keyed on tile_name —
+    and the pages scan itself is never re-partitioned on a non-tile key."""
+    man = MQ.tile_density_rasters(spark, sf_dir, str(tmp_path), width=8, height=8)
+    plan = plan_of(man)
+    shuffles = [l for l in plan.splitlines()
+                if "hashpartitioning(" in l and "Arguments" in l]
+    assert shuffles, "expected the aggregate/group shuffles"
+    assert all("tile_name" in s for s in shuffles), shuffles
