@@ -58,3 +58,60 @@ def test_golden_contributor_counts_spark(spark):
     for tname, rows in per_tile.items():
         ordered = [s for _, s in sorted(rows)]
         assert ordered[-1] == max(ordered), tname
+
+
+def test_golden_mosaic_output_files(spark, tmp_path):
+    """Tier-2 file-existence parity (/root/reference/tests/test_mosaic.py:36-42):
+    the golden 2x2 mosaic materializes one raster per tile with the
+    reference's tile naming (testmosaic1_<row>_<col> + extension) plus a
+    georeferencing sidecar, via cutline -> composite -> raster sink."""
+    from imagery_utils_spark.operators.compose import composite
+    from imagery_utils_spark.sources.sinks import write_raster_tiles
+
+    tiles = tile_grid.compute_tile_grid(0, 200, 0, 200, 100, 100, "testmosaic1")
+    cand_rows = []
+    for t in tiles:
+        treg = Region.from_rect(t["xmin"], t["ymin"], t["xmax"], t["ymax"])
+        for sid, score, (x0, y0, x1, y1) in SCENES:
+            if treg.intersects(Region.from_rect(x0, y0, x1, y1)):
+                cand_rows.append((t["name"], t["xmin"], t["xmax"], t["ymin"],
+                                  t["ymax"], sid, score, x0, y0, x1, y1))
+    cand = spark.createDataFrame(
+        cand_rows,
+        "tile_name string, xmin double, xmax double, ymin double, ymax double, "
+        "scene_id string, score double, s_xmin double, s_ymin double, "
+        "s_xmax double, s_ymax double")
+    contribs = cutline_contributors(cand, contribution_threshold=THRESHOLD)
+
+    # 20x20 px tiles: pixel rows per (tile, contributing scene)
+    W = H = 20
+    scene_rects = {sid: r for sid, _s, r in SCENES}
+    px = []
+    for t in tiles:
+        for sid, (x0, y0, x1, y1) in scene_rects.items():
+            for pr in range(H):
+                for pc in range(W):
+                    lon = t["xmin"] + (pc + 0.5) * (t["xmax"] - t["xmin"]) / W
+                    lat = t["ymax"] - (pr + 0.5) * (t["ymax"] - t["ymin"]) / H
+                    if x0 <= lon <= x1 and y0 <= lat <= y1:
+                        px.append((t["name"], sid, pr, pc, 100, 100, 100))
+    pixels = spark.createDataFrame(
+        px, "tile_name string, scene_id string, px_row int, px_col int, "
+        "red int, green int, blue int")
+    painted = pixels.join(
+        contribs.select("tile_name", "scene_id", "paint_order"),
+        ["tile_name", "scene_id"])
+    win = composite(painted, ["tile_name", "px_row", "px_col"],
+                    [F.desc("paint_order")])
+    extents = spark.createDataFrame(
+        [(t["name"], t["xmin"], t["ymin"], t["xmax"], t["ymax"]) for t in tiles],
+        "tile_name string, xmin double, ymin double, xmax double, ymax double")
+    manifest = write_raster_tiles(win.join(extents, "tile_name"),
+                                  str(tmp_path), width=W, height=H).collect()
+    import os
+
+    expected = {f"testmosaic1_{r}_{c}" for r in (1, 2) for c in (1, 2)}
+    assert {m.tile_name for m in manifest} == expected
+    for name in expected:
+        assert os.path.isfile(tmp_path / f"{name}.bmp"), name
+        assert os.path.isfile(tmp_path / f"{name}.bmp.wld"), name
