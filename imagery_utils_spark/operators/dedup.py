@@ -140,7 +140,11 @@ def shingle_hash_udf(n_gram: int = 3):
     """Arrow-batched numpy shingling: distinct word n-grams hashed to int64
     (crc32). Downstream set ops (jaccard) work on compact long arrays instead
     of string arrays — far cheaper to shuffle and compare; results equal to
-    string-set jaccard up to 32-bit hash collisions (~1e-16 per pair)."""
+    string-set jaccard up to 32-bit hash collisions (~1e-16 per pair).
+
+    Output contract: each array is SORTED and UNIQUE (the hash values are
+    dedup'd, so two distinct shingles that crc32-collide contribute one
+    element) — jaccard_np_udf's assume_unique fast path relies on this."""
     import zlib
 
     @F.pandas_udf("array<long>")
@@ -152,7 +156,7 @@ def shingle_hash_udf(n_gram: int = 3):
                 out.append([])
                 continue
             sh = {" ".join(toks[i:i + n_gram]) for i in range(len(toks) - n_gram + 1)}
-            out.append(sorted(zlib.crc32(s.encode()) for s in sh))
+            out.append(sorted({zlib.crc32(s.encode()) for s in sh}))
         return pd.Series(out)
 
     return _sh
@@ -200,9 +204,11 @@ def jaccard_col(a: Column, b: Column) -> Column:
 
 def jaccard_np_udf():
     """Arrow-batched exact Jaccard over two pre-sorted unique int64 hash
-    arrays (the shingle_hash_udf output contract): np.intersect1d with
-    assume_unique beats the interpreted array_intersect HOF on the verify
-    hot path, and the value is bit-identical (integer set sizes -> one
+    arrays (the shingle_hash_udf output contract — sorted AND dedup'd, so
+    assume_unique holds even when distinct shingles crc32-collide):
+    np.intersect1d with assume_unique beats the interpreted array_intersect
+    HOF on the verify hot path, and the value is bit-identical to
+    array_intersect on the same dedup'd arrays (integer set sizes -> one
     double division either way)."""
 
     @F.pandas_udf("double")
@@ -326,7 +332,17 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3, max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, blocked on 4x16-bit
-    chunks (any pair within distance 3 shares at least one chunk)."""
+    chunks.
+
+    Recall contract: with unbounded buckets (max_bucket >= the densest
+    chunk bucket), any pair within distance <= 3 shares at least one
+    16-bit chunk and is emitted (pigeonhole over 4 chunks). When a chunk
+    bucket exceeds max_bucket it STAR-LINKS (min-(key,fp) representative x
+    members) instead of emitting all pairs, so a member-member pair inside
+    an over-cap bucket is found only if it also shares some under-cap
+    bucket in another chunk — recall is cap-conditional, mirroring the
+    bucket_pairs contract for minhash/embedding LSH. The oracle battery
+    runs uncapped (complete); the capped path is the 100-TB scale shape."""
     sh = df.select(F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
     chunks = sh.select(
         "_k", "_fp",

@@ -156,11 +156,13 @@ def lsh_bucket_ann(df: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def train_centroids(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
                     sample: int = 2048, iters: int = 8, seed: int = 42) -> np.ndarray:
-    """Driver-side Lloyd iterations on a deterministic sample (orderBy id
-    limit) — the 'train on a sample, assign distributed' IVF pattern."""
-    cols = df.columns
-    id_col = cols[0]
+    """Driver-side Lloyd iterations on a deterministic sample (orderBy
+    ``id_col`` limit) — the 'train on a sample, assign distributed' IVF
+    pattern. ``id_col`` is explicit (never inferred from column position:
+    a frame with the vector column first would silently order the sample
+    by the vector)."""
     rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample).collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12

@@ -85,6 +85,9 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
     os.makedirs(out_dir, exist_ok=True)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Executor-side: on a non-shared-fs deployment the driver's makedirs
+        # above never reaches the task's host — ensure the dir where we write.
+        os.makedirs(out_dir, exist_ok=True)
         tile = pdf["tile_name"].iloc[0]
         img = np.full((height, width, 3), background, dtype=np.uint8)
         r = pdf["px_row"].to_numpy(dtype=np.int64)

@@ -182,7 +182,10 @@ def _values_sql(rows, columns_sql: str, order_by: str) -> str:
     if not rows:
         return f"SELECT {columns_sql} FROM (VALUES (NULL, NULL, NULL)) t(c0, c1, c2) WHERE FALSE"
     vals = ", ".join(
-        "(" + ", ".join(repr(v) if isinstance(v, str) else str(v) for v in r) + ")"
+        "(" + ", ".join(
+            "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            for v in r
+        ) + ")"
         for r in rows
     )
     return (f"SELECT {columns_sql} FROM (VALUES {vals}) t(c0, c1, c2) "

@@ -67,6 +67,14 @@ def test_cutline_values_sql_roundtrip():
     empty = IO._values_sql([], "CAST(c0 AS VARCHAR) AS a, CAST(c1 AS VARCHAR) "
                            "AS b, CAST(c2 AS INTEGER) AS c", "a")
     assert duckdb.sql(empty).fetchall() == []
+    # string escaping: embedded single quote must round-trip (SQL '' doubling,
+    # not Python repr backslash-escaping)
+    quoted = IO._values_sql([("o'brien_tile", "it's", 7)],
+                            "CAST(c0 AS VARCHAR) AS tile_name, "
+                            "CAST(c1 AS VARCHAR) AS scene_id, "
+                            "CAST(c2 AS INTEGER) AS paint_order",
+                            "tile_name")
+    assert duckdb.sql(quoted).fetchall() == [("o'brien_tile", "it's", 7)]
 
 
 def test_popcount_matrix():

@@ -71,6 +71,11 @@ def test_ivf_search(spark, emb):
     rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
     cents = SIM.train_centroids(emb, n_centroids=8, sample=256, iters=4)
     assert cents.shape[0] == 8
+    # id_col is explicit, not positional: a frame with the vector column
+    # first must train the same centroids
+    shuffled = emb.select("embedding", "label", "vec_id")
+    cents2 = SIM.train_centroids(shuffled, n_centroids=8, sample=256, iters=4)
+    assert np.allclose(cents, cents2)
     fact = SIM.ivf_assign(emb, cents)
     ncells = fact.select("ivf_cell").distinct().count()
     assert ncells >= 4  # centroids actually spread
