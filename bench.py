@@ -85,7 +85,7 @@ def main() -> None:
     # 12s..82s with hypervisor steal; raw-CPU throughput itself swings 2.4x
     # between windows) — min wall is the least-stolen window and the only
     # number comparable across runs.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     walls = []
     flagship = MQ.ranked_from_pages(pages)
     for _ in range(max(1, reps)):
@@ -114,10 +114,10 @@ def main() -> None:
     # memory-heavy query forces Arrow/UDF worker respawns for its successor;
     # the second rep runs against warm workers, so min(2 reps) is
     # attributable to the query rather than to its predecessor.
+    rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
         battery = E.queries()
-        rep_walls: dict[str, list[float]] = {}
         for name, fn in battery.items():
             ws = []
             for _ in range(max(1, battery_reps)):
@@ -129,7 +129,7 @@ def main() -> None:
             timings[name] = min(ws)
 
     pages_per_sec = n_pages_in / t_flag if t_flag > 0 else 0.0
-    print(json.dumps({
+    compact = {
         "metric": "flagship spatial-join+tile-assignment wall time",
         "value": round(t_flag, 3),
         "unit": "sec",
@@ -138,13 +138,23 @@ def main() -> None:
         "pages_in": n_pages_in,
         "pages_ranked": n_pages_out,
         "flagship_walls": [round(w, 3) for w in walls],
-        "battery_rep_walls": rep_walls if not os.environ.get(
-            "SPARK_GRAFT_BENCH_FLAGSHIP_ONLY") else {},
         "pages_per_sec": round(pages_per_sec, 1),
         "cpus": cpus,
         "replicate": replicate,
-    }))
+    }
+    # Per-rep battery walls are diagnostics, not headline: they doubled the
+    # r3 JSON line past the driver's tail capture (BENCH_r03 parsed: null).
+    # Detail goes to a file; the LAST stdout line stays compact and parseable.
+    detail = dict(compact)
+    detail["battery_rep_walls"] = rep_walls
+    try:
+        os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+        with open(os.path.join(repo, "BENCH", "last_bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     spark.stop()
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
