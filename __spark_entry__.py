@@ -634,6 +634,244 @@ def q_knn_ring(spark, sf_dir) -> DataFrame:
     return out.select("q_id", "doc_id", "rn").orderBy("q_id", "rn")
 
 
+def q_footprint_r1(spark, sf_dir) -> DataFrame:
+    """R1 — exact trimmed footprint (GetExactTrimmedGeom,
+    /root/reference/lib/mosaic.py:911-981) per strip over the occupancy
+    grid of its geocoded pages. Oracle: independent re-derivation in
+    independent_oracles.footprint_expected (absolute-index dict walk vs
+    the engine's window-relative numpy grid) surfaced as a VALUES table;
+    res=6 keeps every vertex coordinate an exact binary fraction so the
+    '%.16f' WKT text is bit-comparable. tolerance=0 pins the raw
+    staircase ring (DP simplification has its own golden pytest)."""
+    from imagery_utils_spark.operators.footprint import trimmed_footprints
+
+    pts = MQ.geocoded_pages(spark, sf_dir).select(_strip_id_col(), "lon", "lat")
+    return (
+        trimmed_footprints(pts, "strip_id", res=6, step=1, tolerance=0.0)
+        .select("group_id", "footprint_wkt", "n_vertices")
+        .orderBy("group_id")
+    )
+
+
+def q_composite_lww(spark, sf_dir) -> DataFrame:
+    """R2 — last-writer-wins composite (pgc_mosaic_build_tile.py:139-183:
+    contributors painted in ascending score order, so the highest score
+    owns each pixel). Rank-formulated: row_number over (cell order by
+    score desc) == 1 — SQL-expressible, direct DuckDB oracle."""
+    from imagery_utils_spark.operators.compose import composite
+
+    painted = MQ.geocoded_pages(spark, sf_dir).select(
+        "doc_id",
+        SJ.cell_col(F.col("lon"), F.col("lat"), 6).alias("cell6"),
+        (((F.col("doc_id") * 13) % 900) / 10.0).alias("score"),
+    )
+    return (
+        composite(painted, ["cell6"], [F.desc("score"), F.asc("doc_id")])
+        .select("cell6", F.col("doc_id").alias("winner_doc"), "score")
+        .orderBy("cell6")
+    )
+
+
+def q_attr_filter(spark, sf_dir) -> DataFrame:
+    """F1 — filterMatchingImages (/root/reference/lib/mosaic.py:792-829):
+    keep scenes whose projection/bands/datatype match the mosaic target,
+    with the force_pan_to_multi escape hatch admitting 1-band scenes into
+    a multiband mosaic. Scene attrs derived deterministically from the
+    documents table; predicate replicated in the SQL oracle."""
+    from imagery_utils_spark.functions.filters import matching_images_filter
+
+    docs = load(spark, sf_dir, "documents")
+    scenes = docs.select(
+        "doc_id",
+        F.when(F.col("lang").isin("en", "de"), F.lit("PROJCS_A"))
+        .otherwise(F.lit("PROJCS_B")).alias("proj"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1))
+        .when(F.col("doc_id") % 3 == 1, F.lit(4))
+        .otherwise(F.lit(8)).cast("int").alias("bands"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("datatype"),
+    )
+    keep = matching_images_filter(
+        F.col("proj"), F.col("bands"), F.col("datatype"),
+        target_proj="PROJCS_A", target_bands=4, target_datatype=1,
+        force_pan_to_multi=True,
+    )
+    return scenes.filter(keep).select("doc_id", "bands").orderBy("doc_id")
+
+
+def q_lut_stretch(spark, sf_dir) -> DataFrame:
+    """C8 — piecewise-linear LUT stretch ('mr' 6-point curve,
+    /root/reference/lib/ortho_functions.py:1300-1343) applied per value by
+    an Arrow pandas UDF. calfact=0.5/offset=0 over DN = l_quantity/32
+    keeps every breakpoint, slope, and interpolated output an exact
+    binary fraction, so the explicit CASE-interpolation oracle is
+    bit-identical to np.interp."""
+    from imagery_utils_spark.functions.calib import apply_lut_udf, stretch_lut_points
+
+    pts = stretch_lut_points("mr", calfact=0.5, offset=0.0, imax=2.0, omax=255.0)
+    li = load(spark, sf_dir, "lineitem")
+    dn = F.col("l_quantity") / F.lit(32.0)
+    return li.select(
+        "l_orderkey", "l_linenumber", dn.alias("dn"),
+        apply_lut_udf(pts)(dn).alias("lut_out"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q_manifest_text(spark, sf_dir) -> DataFrame:
+    """K3/K1 — the *_intersects.txt manifest body: newline-joined
+    contributor ids in paint order per tile, rendered by the engine's
+    sink helper over the cutline contributors. Oracle: built from the
+    INDEPENDENT cutline expectation (independent_oracles), then joined to
+    text in plain python — independent end to end."""
+    from imagery_utils_spark.sources.sinks import render_manifest_text
+
+    return render_manifest_text(q_cutline_strips(spark, sf_dir)).orderBy("tile_name")
+
+
+def q_tile_grid_names(spark, sf_dir) -> DataFrame:
+    """S8/O3/C1/C2 — computed tile grid (pgc_mosaic.py:457-485): drange
+    edge accumulation (float parity), ceil-derived zero-pad widths
+    (buffernum), edge-tile clamp to the extent, and the reference's
+    string-sorted build order. Dyadic tile sizes (5.5, 5.625) keep the
+    accumulated edges exact so the oracle's index arithmetic matches
+    bit-for-bit; the x range ends mid-tile to exercise the clamp."""
+    from imagery_utils_spark.operators.tile_grid import buildable_tiles, tile_grid_df
+
+    grid = tile_grid_df(
+        spark, -120.0, -61.5, -56.0, 56.5, 5.5, 5.625, mosaicname="mos",
+    )
+    return buildable_tiles(grid).select(
+        "row", "col", "name", "status", "xmin", "xmax", "ymin", "ymax", "epsg"
+    )
+
+
+def q_union_extents(spark, sf_dir) -> DataFrame:
+    """A4/A5 — per-catid union of footprint rects via the exact slab
+    algebra (union area + envelope). Inputs are strip envelopes snapped
+    OUT to the res-6 cell grid (dyadic edges), so the union area is exact
+    in binary floating point and the coordinate-compression oracle
+    (independent_oracles.union_expected) matches bit-for-bit. Slab count
+    stays engine-internal (decomposition-dependent)."""
+    from imagery_utils_spark.operators.warp import union_footprint_agg
+
+    snapped = _strips(spark, sf_dir).select(
+        (F.col("strip_id") % 8).alias("catid"),
+        (F.floor(F.col("s_xmin") / 5.625) * 5.625).alias("s_xmin"),
+        (F.floor(F.col("s_ymin") / 2.8125) * 2.8125).alias("s_ymin"),
+        (F.ceil(F.col("s_xmax") / 5.625) * 5.625).alias("s_xmax"),
+        (F.ceil(F.col("s_ymax") / 2.8125) * 2.8125).alias("s_ymax"),
+    )
+    return (
+        union_footprint_agg(snapped, "catid")
+        .select("group_id", "union_area", "bounds_wkt")
+        .orderBy("group_id")
+    )
+
+
+def q_pansharpen(spark, sf_dir) -> DataFrame:
+    """R4 — Brovey weighted pansharpen (ortho_functions pan/ms combine)
+    with the reference's WV03 4-band weights. The oracle repeats the
+    arithmetic with the same literal weights; the left-to-right aggregate
+    fold matches SQL's left-associative sum chain exactly (0.0 + x == x),
+    so integer-valued bands give bit-identical doubles."""
+    from imagery_utils_spark.operators.warp import pansharpen
+
+    docs = load(spark, sf_dir, "documents")
+    ms = F.array(*[
+        (F.col("doc_id") % m + 1).cast("double") for m in (7, 11, 13, 17)
+    ])
+    pan = (F.col("doc_id") % 19 + 1).cast("double")
+    ps = pansharpen(pan, ms, n_bands=4)
+    return docs.select(
+        "doc_id",
+        *[F.element_at(ps, i).alias(f"ps_{i}") for i in (1, 2, 3, 4)],
+    ).orderBy("doc_id")
+
+
+def q_band_stack(spark, sf_dir) -> DataFrame:
+    """R7+R6 — long (one row per band) -> stacked array ordered by band id,
+    then a 1-based band_select reorder ([3, 1] — the RGB_ORDER shape).
+    The oracle computes the selected bands closed-form."""
+    from imagery_utils_spark.operators.warp import band_select, band_stack
+
+    docs = load(spark, sf_dir, "documents")
+    long_rows = docs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                ((F.col("doc_id") * (b + 7)) % 97).cast("double").alias("value"),
+            )
+            for b in (1, 2, 3)
+        ])).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.value")
+    stacked = band_stack(long_rows, ["doc_id"], "band", "value")
+    sel = band_select(F.col("bands"), [3, 1])
+    return stacked.select(
+        "doc_id",
+        F.element_at(sel, 1).alias("b_a"),
+        F.element_at(sel, 2).alias("b_b"),
+    ).orderBy("doc_id")
+
+
+def q_parse_attrs(spark, sf_dir) -> DataFrame:
+    """C12+C16 — four-format timestamp parsing (try_to_timestamp coalesce
+    chain) and proj4 datum rewrite. The raw strings are derived by shared
+    SQL text (F.expr on the Spark side — the warp_utm convention), parsed
+    by each engine's own parser, and re-formatted to seconds for a
+    library-independent comparison."""
+    from imagery_utils_spark.functions.filters import parse_acq_time, proj4_datum_rewrite
+
+    docs = load(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.expr(_TS_STR_SQL).alias("ts_str"),
+        F.expr(_PROJ4_IN_SQL).alias("proj4_in"),
+    )
+    return out.select(
+        "doc_id",
+        F.date_format(parse_acq_time(F.col("ts_str")), "yyyy-MM-dd HH:mm:ss")
+        .alias("acq_out"),
+        proj4_datum_rewrite(F.col("proj4_in")).alias("proj4_out"),
+    ).orderBy("doc_id")
+
+
+# Shared raw-string derivations for q_parse_attrs (same SQL text on both
+# engines; each engine then runs its OWN parser over them).
+_TS_STR_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN concat(cast(2019 + doc_id % 5 as string), '-', "
+    "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
+    "lpad(cast(1 + doc_id % 28 as string), 2, '0'), 'T', "
+    "lpad(cast(doc_id % 24 as string), 2, '0'), ':', "
+    "lpad(cast(doc_id % 60 as string), 2, '0'), ':', "
+    "lpad(cast((doc_id * 7) % 60 as string), 2, '0'), '.', "
+    "lpad(cast((doc_id * 31) % 1000000 as string), 6, '0'), 'Z') "
+    "WHEN 1 THEN concat(cast(2019 + doc_id % 5 as string), '-', "
+    "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
+    "lpad(cast(1 + doc_id % 28 as string), 2, '0'), 'T', "
+    "lpad(cast(doc_id % 24 as string), 2, '0'), ':', "
+    "lpad(cast(doc_id % 60 as string), 2, '0'), ':', "
+    "lpad(cast((doc_id * 7) % 60 as string), 2, '0')) "
+    "WHEN 2 THEN concat(cast(2019 + doc_id % 5 as string), '-', "
+    "lpad(cast(1 + doc_id % 12 as string), 2, '0'), '-', "
+    "lpad(cast(1 + doc_id % 28 as string), 2, '0'), ' ', "
+    "lpad(cast(doc_id % 24 as string), 2, '0'), ':', "
+    "lpad(cast(doc_id % 60 as string), 2, '0'), ' GMT') "
+    "ELSE concat(cast(2019 + doc_id % 5 as string), "
+    "lpad(cast(1 + doc_id % 12 as string), 2, '0'), "
+    "lpad(cast(1 + doc_id % 28 as string), 2, '0'), "
+    "lpad(cast(doc_id % 24 as string), 2, '0'), "
+    "lpad(cast(doc_id % 60 as string), 2, '0'), "
+    "lpad(cast((doc_id * 7) % 60 as string), 2, '0')) END"
+)
+
+_PROJ4_IN_SQL = (
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN '+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +no_defs' "
+    "ELSE '+proj=utm +zone=17 +ellps=WGS84 +towgs84=0,0,0,0,0,0,0 +units=m' END"
+)
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -688,6 +926,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_utm": q_warp_utm,
         "classify_filename": q_classify_filename,
         "knn_ring": q_knn_ring,
+        "footprint_r1": q_footprint_r1,
+        "composite_lww": q_composite_lww,
+        "attr_filter": q_attr_filter,
+        "lut_stretch": q_lut_stretch,
+        "manifest_text": q_manifest_text,
+        "tile_grid_names": q_tile_grid_names,
+        "union_extents": q_union_extents,
+        "pansharpen": q_pansharpen,
+        "band_stack": q_band_stack,
+        "parse_attrs": q_parse_attrs,
     }
 
 
@@ -716,6 +964,49 @@ def _strips_score_sql() -> str:
         "min(lat) AS s_ymin, max(lat) AS s_ymax, "
         "avg(((doc_id * 13) % 900) / 10.0) AS score FROM pages GROUP BY 1"
     )
+
+
+def _snapped_rects_sql() -> str:
+    """Strip envelopes snapped OUT to the res-6 cell grid — the rect-union
+    oracle's input (group_id, x0, y0, x1, y1); dyadic edges so union areas
+    are float-exact (see q_union_extents)."""
+    return (
+        f"WITH {_pages_cte()}, strips AS (SELECT {_strip_id_sql()} AS strip_id, "
+        "min(lon) AS s_xmin, max(lon) AS s_xmax, "
+        "min(lat) AS s_ymin, max(lat) AS s_ymax FROM pages GROUP BY 1) "
+        "SELECT strip_id % 8 AS catid, "
+        "floor(s_xmin / 5.625) * 5.625 AS x0, "
+        "floor(s_ymin / 2.8125) * 2.8125 AS y0, "
+        "ceil(s_xmax / 5.625) * 5.625 AS x1, "
+        "ceil(s_ymax / 2.8125) * 2.8125 AS y1 FROM strips"
+    )
+
+
+def _pansharpen_oracle_sql() -> str:
+    """The Brovey arithmetic with the engine's WV03 4-band weight constants
+    as SQL literals (weights ARE the spec — the score-weight convention);
+    sum chain left-associative to match the aggregate fold."""
+    from imagery_utils_spark.operators.warp import PANSH_WEIGHTS
+
+    bands = ["(doc_id % 7 + 1)", "(doc_id % 11 + 1)",
+             "(doc_id % 13 + 1)", "(doc_id % 17 + 1)"]
+    denom = " + ".join(
+        f"cast({b} as double) * {w!r}" for b, w in zip(bands, PANSH_WEIGHTS[4])
+    )
+    ps = ", ".join(
+        f"cast({b} as double) * (cast(doc_id % 19 + 1 as double) / ({denom})) "
+        f"AS ps_{i}"
+        for i, b in enumerate(bands, start=1)
+    )
+    return f"SELECT doc_id, {ps} FROM documents ORDER BY doc_id"
+
+
+def _strip_pages_sql() -> str:
+    """Per-page (strip_id, lon, lat) rows — the footprint oracle's input,
+    shared with the engine as SQL text (same convention as
+    _strips_score_sql: identical inputs, independent operator)."""
+    return (f"WITH {_pages_cte()} SELECT {_strip_id_sql()} AS strip_id, "
+            "lon, lat FROM pages")
 
 
 def _pages_cte() -> str:
@@ -1075,4 +1366,77 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _IO.simhash_oracle_sql(_oracle_sf_dir()),
         "cutline_strips": _IO.cutline_oracle_sql(
             _oracle_sf_dir(), _strips_score_sql()),
+        "footprint_r1": _IO.footprint_oracle_sql(
+            _oracle_sf_dir(), _strip_pages_sql()),
+        "manifest_text": _IO.manifest_oracle_sql(
+            _oracle_sf_dir(), _strips_score_sql()),
+        "composite_lww": (
+            f"WITH {pages}, painted AS (SELECT doc_id, "
+            f"{SJ.cell_sql('lon', 'lat', 6)} AS cell6, "
+            "((doc_id * 13) % 900) / 10.0 AS score FROM pages) "
+            "SELECT cell6, doc_id AS winner_doc, score FROM ("
+            "SELECT cell6, doc_id, score, ROW_NUMBER() OVER ("
+            "PARTITION BY cell6 ORDER BY score DESC, doc_id ASC) AS rn "
+            "FROM painted) WHERE rn = 1 ORDER BY cell6"
+        ),
+        "attr_filter": (
+            "SELECT doc_id, bands FROM ("
+            "SELECT doc_id, "
+            "CASE WHEN lang IN ('en', 'de') THEN 'PROJCS_A' ELSE 'PROJCS_B' END AS proj, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 4 "
+            "ELSE 8 END AS INTEGER) AS bands, "
+            "CAST(doc_id % 2 + 1 AS INTEGER) AS datatype FROM documents) "
+            "WHERE proj = 'PROJCS_A' AND (bands = 4 OR bands = 1) "
+            "AND datatype = 1 ORDER BY doc_id"
+        ),
+        # Explicit CASE interpolation over the 'mr' breakpoints with
+        # calfact=0.5/offset=0/omax=255: xs = i/0.5 over the 6-point input
+        # curve, ys = 255*o; all dyadic rationals, so slope*(dn-x0)+y0 is
+        # exact in both engines regardless of operation order.
+        "lut_stretch": (
+            "SELECT l_orderkey, l_linenumber, dn, "
+            "CASE WHEN dn <= 0.0 THEN 0.0 "
+            "WHEN dn <= 0.25 THEN 0.0 + (dn - 0.0) * 382.5 "
+            "WHEN dn <= 0.5 THEN 95.625 + (dn - 0.25) * 255.0 "
+            "WHEN dn <= 0.75 THEN 159.375 + (dn - 0.5) * 127.5 "
+            "WHEN dn <= 1.25 THEN 191.25 + (dn - 0.75) * 63.75 "
+            "WHEN dn <= 2.0 THEN 223.125 + (dn - 1.25) * 42.5 "
+            "ELSE 255.0 END AS lut_out FROM ("
+            "SELECT l_orderkey, l_linenumber, l_quantity / 32.0 AS dn "
+            "FROM lineitem) ORDER BY l_orderkey, l_linenumber"
+        ),
+        "tile_grid_names": (
+            "SELECT CAST(j AS INTEGER) AS row, CAST(i AS INTEGER) AS col, "
+            "concat('mos_', lpad(cast(j as varchar), 2, '0'), '_', "
+            "lpad(cast(i as varchar), 2, '0')) AS name, '1' AS status, "
+            "-120.0 + (i - 1) * 5.5 AS xmin, "
+            "CASE WHEN -120.0 + i * 5.5 > -61.5 THEN -61.5 "
+            "ELSE -120.0 + i * 5.5 END AS xmax, "
+            "-56.0 + (j - 1) * 5.625 AS ymin, "
+            "CASE WHEN -56.0 + j * 5.625 > 56.5 THEN 56.5 "
+            "ELSE -56.0 + j * 5.625 END AS ymax, "
+            "CAST(4326 AS INTEGER) AS epsg "
+            "FROM range(1, 12) t1(i), range(1, 21) t2(j) ORDER BY name"
+        ),
+        "union_extents": _IO.union_oracle_sql(
+            _oracle_sf_dir(), _snapped_rects_sql()),
+        "pansharpen": _pansharpen_oracle_sql(),
+        "band_stack": (
+            "SELECT doc_id, cast((doc_id * 10) % 97 as double) AS b_a, "
+            "cast((doc_id * 8) % 97 as double) AS b_b "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "parse_attrs": (
+            "SELECT doc_id, strftime(coalesce("
+            "try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%fZ'), "
+            "try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'), "
+            "try_strptime(ts_str, '%Y-%m-%d %H:%M GMT'), "
+            "try_strptime(ts_str, '%Y%m%d%H%M%S')), "
+            "'%Y-%m-%d %H:%M:%S') AS acq_out, "
+            "replace(replace(proj4_in, "
+            "'+ellps=GRS80 +towgs84=0,0,0,0,0,0,0', '+datum=NAD83'), "
+            "'+ellps=WGS84 +towgs84=0,0,0,0,0,0,0', '+datum=WGS84') AS proj4_out "
+            f"FROM (SELECT doc_id, {_TS_STR_SQL} AS ts_str, "
+            f"{_PROJ4_IN_SQL} AS proj4_in FROM documents) ORDER BY doc_id"
+        ),
     }

@@ -26,6 +26,7 @@ import math
 from datetime import datetime
 
 import numpy as np
+import pandas as pd
 
 from .scalar import calc_earth_sun_dist
 
@@ -251,3 +252,19 @@ def apply_lut(values: np.ndarray, points: list[tuple[float, float]]) -> np.ndarr
     xs = np.asarray([p[0] for p in points], dtype=np.float64)
     ys = np.asarray([p[1] for p in points], dtype=np.float64)
     return np.interp(np.asarray(values, dtype=np.float64), xs, ys)
+
+
+def apply_lut_udf(points: list[tuple[float, float]]):
+    """Column form of :func:`apply_lut` — an Arrow-batched pandas UDF so the
+    LUT runs vectorized per batch (the per-pixel hot path at raster scale).
+    ``points`` is captured at plan-build time (driver-side breakpoints,
+    broadcast with the serialized closure)."""
+    from pyspark.sql import functions as F
+
+    pts = [(float(x), float(y)) for x, y in points]
+
+    @F.pandas_udf("double")
+    def _lut(v: pd.Series) -> pd.Series:
+        return pd.Series(apply_lut(v.to_numpy(dtype=np.float64), pts))
+
+    return _lut

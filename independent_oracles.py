@@ -176,11 +176,123 @@ def cutline_expected(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
     return out
 
 
+# ------------------------------------------------- R1 trimmed footprint
+
+def footprint_expected(sf_dir: str, pages_sql: str, res: int = 6):
+    """(group_id, footprint_wkt, n_vertices) per strip — independent
+    re-derivation of the reference's GetExactTrimmedGeom contract
+    (/root/reference/lib/mosaic.py:911-981): scan occupancy rows north to
+    south; per row with data push the right edge (last_col + 1, line) onto
+    a top list and the left edge (first_col, line) onto a bottom list;
+    ring = top + reversed(bottom), pixel->map via the gdal geotransform
+    with the half-cell y offset. Written against the spec, not the engine:
+    absolute grid indices and direct dict-of-rows bookkeeping here vs the
+    engine's window-relative numpy occupancy matrix. All cell-edge
+    coordinates at res=6 are exact binary fractions (360/64 = 5.625 =
+    45/8), so both derivations produce bit-identical doubles and therefore
+    identical '%.16f' WKT text.
+
+    ``pages_sql`` must yield (group_id, lon, lat) rows with the documents
+    parquet registered as view ``documents``."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    groups: dict[str, dict[int, set[int]]] = {}
+    for gid, lon, lat in con.sql(pages_sql).fetchall():
+        gx = min(n - 1, max(0, int((float(lon) + 180.0) / 360.0 * n)))
+        gy = min(n - 1, max(0, int((float(lat) + 90.0) / 180.0 * n)))
+        groups.setdefault(str(gid), {}).setdefault(gy, set()).add(gx)
+    out = []
+    for gid, rows in groups.items():
+        top, bottom = [], []
+        for gy in sorted(rows, reverse=True):  # north -> south scan
+            cols = rows[gy]
+            y = -90.0 + (gy + 1) * ch - ch * 0.5  # cell-center latitude
+            top.append((-180.0 + (max(cols) + 1) * cw, y))
+            bottom.append((-180.0 + min(cols) * cw, y))
+        ring = top + bottom[::-1]
+        pts = ", ".join(f"{x:.16f} {y:.16f}" for x, y in ring)
+        first = f"{ring[0][0]:.16f} {ring[0][1]:.16f}"
+        out.append((gid, f"POLYGON (( {pts}, {first} ))", len(ring)))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+# ------------------------------------------- A4/A5 rect-union aggregate
+
+def union_expected(sf_dir: str, rects_sql: str):
+    """(group_id, union_area, bounds_wkt) per group — independent rect-union
+    via coordinate compression (mark covered cells on the sorted-unique
+    x/y break grid, sum cell areas) vs the engine's slab algebra. The
+    battery feeds GRID-SNAPPED envelopes (dyadic edge coordinates), so
+    every cell area and partial sum is exact in binary floating point and
+    the doubles match bit-for-bit regardless of summation order.
+
+    ``rects_sql`` must yield (group_id, x0, y0, x1, y1) rows with the
+    documents parquet registered as view ``documents``."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    groups: dict[str, list[tuple[float, float, float, float]]] = {}
+    for gid, x0, y0, x1, y1 in con.sql(rects_sql).fetchall():
+        groups.setdefault(str(gid), []).append(
+            (float(x0), float(y0), float(x1), float(y1)))
+    out = []
+    for gid, rects in groups.items():
+        xs = sorted({v for r in rects for v in (r[0], r[2])})
+        ys = sorted({v for r in rects for v in (r[1], r[3])})
+        covered = np.zeros((len(ys) - 1, len(xs) - 1), dtype=bool)
+        for x0, y0, x1, y1 in rects:
+            i0, i1 = xs.index(x0), xs.index(x1)
+            j0, j1 = ys.index(y0), ys.index(y1)
+            covered[j0:j1, i0:i1] = True
+        area = 0.0
+        for j in range(len(ys) - 1):
+            for i in range(len(xs) - 1):
+                if covered[j, i]:
+                    area += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+        bx0 = min(r[0] for r in rects)
+        by0 = min(r[1] for r in rects)
+        bx1 = max(r[2] for r in rects)
+        by1 = max(r[3] for r in rects)
+        wkt = (f"POLYGON (({bx0} {by0}, {bx0} {by1}, {bx1} {by1}, "
+               f"{bx1} {by0}, {bx0} {by0}))")
+        out.append((gid, area, wkt))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+# --------------------------------------------- K3 manifest text rendering
+
+def manifest_expected(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
+                      threshold: float = 1.0):
+    """(tile_name, manifest_text): the *_intersects.txt body — newline-
+    joined contributor ids in paint order — built from this module's own
+    cutline expectation, so the manifest oracle is independent end to end."""
+    rows = cutline_expected(sf_dir, strips_sql, tile_deg, threshold)
+    by_tile: dict[str, list[tuple[int, str]]] = {}
+    for tile, sid, po in rows:
+        by_tile.setdefault(tile, []).append((po, sid))
+    return sorted(
+        (tile, "\n".join(sid for _, sid in sorted(pairs)))
+        for tile, pairs in by_tile.items()
+    )
+
+
 # ----------------------------------------------------------- SQL builders
 
-def _values_sql(rows, columns_sql: str, order_by: str) -> str:
+def _values_sql(rows, columns_sql: str, order_by: str, ncols: int = 3) -> str:
+    names = ", ".join(f"c{i}" for i in range(ncols))
     if not rows:
-        return f"SELECT {columns_sql} FROM (VALUES (NULL, NULL, NULL)) t(c0, c1, c2) WHERE FALSE"
+        nulls = ", ".join("NULL" for _ in range(ncols))
+        return (f"SELECT {columns_sql} FROM (VALUES ({nulls})) t({names}) "
+                f"WHERE FALSE")
     vals = ", ".join(
         "(" + ", ".join(
             "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
@@ -188,7 +300,7 @@ def _values_sql(rows, columns_sql: str, order_by: str) -> str:
         ) + ")"
         for r in rows
     )
-    return (f"SELECT {columns_sql} FROM (VALUES {vals}) t(c0, c1, c2) "
+    return (f"SELECT {columns_sql} FROM (VALUES {vals}) t({names}) "
             f"ORDER BY {order_by}")
 
 
@@ -212,4 +324,38 @@ def cutline_oracle_sql(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
         "CAST(c0 AS VARCHAR) AS tile_name, CAST(c1 AS VARCHAR) AS scene_id, "
         "CAST(c2 AS INTEGER) AS paint_order",
         "tile_name, paint_order",
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def footprint_oracle_sql(sf_dir: str, pages_sql: str, res: int = 6) -> str:
+    rows = footprint_expected(sf_dir, pages_sql, res)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS group_id, CAST(c1 AS VARCHAR) AS footprint_wkt, "
+        "CAST(c2 AS INTEGER) AS n_vertices",
+        "group_id",
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def union_oracle_sql(sf_dir: str, rects_sql: str) -> str:
+    rows = union_expected(sf_dir, rects_sql)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS group_id, CAST(c1 AS DOUBLE) AS union_area, "
+        "CAST(c2 AS VARCHAR) AS bounds_wkt",
+        "group_id",
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def manifest_oracle_sql(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
+                        threshold: float = 1.0) -> str:
+    rows = manifest_expected(sf_dir, strips_sql, tile_deg, threshold)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS tile_name, CAST(c1 AS VARCHAR) AS manifest_text",
+        "tile_name",
+        ncols=2,
     )

@@ -80,3 +80,45 @@ def test_cutline_values_sql_roundtrip():
 def test_popcount_matrix():
     x = np.array([0, 1, 3, (1 << 64) - 1], dtype=np.uint64)
     assert list(IO._popcount64_matrix(x)) == [0, 1, 2, 64]
+
+
+def test_footprint_expected_hand_case():
+    """Hand-computed staircase: group g occupies cells (gx,gy) in
+    {(0,0),(1,0),(1,1)} at res=6 (cw=5.625, ch=2.8125). North->south scan:
+    row gy=1 -> right edge (2, y1c), left edge (1, y1c); row gy=0 ->
+    right edge (2, y0c), left edge (0, y0c); ring = top + reversed(bottom).
+    pages_sql is a VALUES literal so the test needs no parquet."""
+    cw, ch = 360.0 / 64, 180.0 / 64
+    # points at cell centers of (0,0), (1,0), (1,1)
+    pts = [
+        ("g", -180.0 + 0.5 * cw, -90.0 + 0.5 * ch),
+        ("g", -180.0 + 1.5 * cw, -90.0 + 0.5 * ch),
+        ("g", -180.0 + 1.5 * cw, -90.0 + 1.5 * ch),
+    ]
+    vals = ", ".join(f"('{g}', {x!r}, {y!r})" for g, x, y in pts)
+    sql = f"SELECT * FROM (VALUES {vals}) t(group_id, lon, lat)"
+    rows = IO.footprint_expected("/root/testdata/sf0.001", sql, res=6)
+    assert len(rows) == 1
+    gid, wkt, n = rows[0]
+    assert gid == "g" and n == 4
+    y1c = -90.0 + 1 * ch + 0.5 * ch
+    y0c = -90.0 + 0.5 * ch
+    exp_ring = [
+        (-180.0 + 2 * cw, y1c),  # top: right edge of row gy=1
+        (-180.0 + 2 * cw, y0c),  # top: right edge of row gy=0
+        (-180.0 + 0 * cw, y0c),  # bottom reversed: left edge gy=0
+        (-180.0 + 1 * cw, y1c),  # bottom reversed: left edge gy=1
+    ]
+    body = ", ".join(f"{x:.16f} {y:.16f}" for x, y in exp_ring)
+    first = f"{exp_ring[0][0]:.16f} {exp_ring[0][1]:.16f}"
+    assert wkt == f"POLYGON (( {body}, {first} ))"
+
+
+def test_manifest_expected_joins_cutline_rows(monkeypatch):
+    monkeypatch.setattr(
+        IO, "cutline_expected",
+        lambda *a, **k: [("t1", "s9", 1), ("t1", "s2", 2), ("t2", "s5", 1)],
+    )
+    assert IO.manifest_expected("ignored", "ignored") == [
+        ("t1", "s9\ns2"), ("t2", "s5"),
+    ]
