@@ -297,13 +297,14 @@ def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
     minhash recall on this fixture is 1.0 at every sf (pinned in
     tests/test_text_dedup.py vs exact all-pairs), so the result EQUALS the
     exact all-pairs Jaccard join the DuckDB oracle computes over the raw
-    strings. ``max_bucket`` is effectively disabled here so the battery
-    result is cap-independent (the cap's star-link semantics are pytest-pinned)."""
+    strings. No cap knob: auto_bucket_cap resolves to uncapped below the
+    scale threshold (r4, one code path; capped == uncapped pinned in
+    tests/test_text_dedup.py)."""
     from imagery_utils_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16,
-                             max_bucket=1_000_000).orderBy("key_a", "key_b")
+    return minhash_lsh_pairs(docs, threshold=0.5, k=64,
+                             bands=16).orderBy("key_a", "key_b")
 
 
 def q_simhash_near_dup(spark, sf_dir) -> DataFrame:
@@ -315,8 +316,7 @@ def q_simhash_near_dup(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3,
-                                  max_bucket=1_000_000).orderBy("key_a", "key_b")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("key_a", "key_b")
 
 
 def q_cosine_topk(spark, sf_dir) -> DataFrame:

@@ -38,6 +38,31 @@ def _hash_family(k: int, seed: int = 42):
     return a, b
 
 
+# Auto-gate for LSH bucket caps (VERDICT r3 ask #7, mirroring rank_auto):
+# one code path; the star-link cap engages from a caller ESTIMATE of the
+# input size (table stats / pipeline metadata — never a speculative extra
+# count job). Below the threshold the join runs uncapped — complete recall,
+# and at battery scale capped == uncapped is pytest-pinned.
+UNCAPPED_BUCKET = 1 << 62
+DEFAULT_BUCKET_CAP = 256
+BUCKET_CAP_THRESHOLD_ROWS = 10_000_000
+
+
+def auto_bucket_cap(max_bucket: int | None, est_rows: int | None,
+                    default_cap: int = DEFAULT_BUCKET_CAP,
+                    threshold: int = BUCKET_CAP_THRESHOLD_ROWS) -> int:
+    """Resolve the effective bucket cap: an explicit ``max_bucket`` wins;
+    otherwise uncapped (complete recall) until ``est_rows`` crosses
+    ``threshold``, where one degenerate (boilerplate) bucket starts to
+    threaten the band-join's task time/memory budget and the star-link
+    cap pays for its cap-conditional recall contract."""
+    if max_bucket is not None:
+        return max_bucket
+    if est_rows is not None and est_rows > threshold:
+        return default_cap
+    return UNCAPPED_BUCKET
+
+
 def bucket_pairs(keyed: DataFrame, key: str, bucket_cols: list[str],
                  max_bucket: int) -> DataFrame:
     """Candidate ``(key_a < key_b)`` pairs from an LSH bucket self-join,
@@ -233,13 +258,18 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    max_bucket: int = 64,
+    max_bucket: int | None = None,
     seed: int = 42,
+    est_rows: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with exact-Jaccard verification.
 
     Returns (key_a, key_b, jaccard) with key_a < key_b and jaccard >= threshold.
-    """
+    The band-bucket cap auto-gates (:func:`auto_bucket_cap`): uncapped
+    (complete recall) by default; pass ``est_rows`` from table stats and
+    star-linking engages automatically past the scale threshold, or pin
+    ``max_bucket`` explicitly."""
+    max_bucket = auto_bucket_cap(max_bucket, est_rows)
     rows = k // bands
     sig_udf = minhash_signature_udf(k, seed, n_gram)
     sh_udf = shingle_hash_udf(n_gram)
@@ -329,7 +359,8 @@ def simhash_udf(n_bits: int = 64):
 
 def simhash_near_dup_pairs(
     df: DataFrame, content: str = "text", key: str = "doc_id",
-    max_hamming: int = 3, max_bucket: int = 256,
+    max_hamming: int = 3, max_bucket: int | None = None,
+    est_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, blocked on 4x16-bit
     chunks.
@@ -341,8 +372,11 @@ def simhash_near_dup_pairs(
     members) instead of emitting all pairs, so a member-member pair inside
     an over-cap bucket is found only if it also shares some under-cap
     bucket in another chunk — recall is cap-conditional, mirroring the
-    bucket_pairs contract for minhash/embedding LSH. The oracle battery
-    runs uncapped (complete); the capped path is the 100-TB scale shape."""
+    bucket_pairs contract for minhash/embedding LSH. The cap auto-gates
+    (:func:`auto_bucket_cap`): uncapped by default (complete — the oracle
+    battery's regime); pass ``est_rows`` from table stats to engage
+    star-linking automatically at scale, or pin ``max_bucket``."""
+    max_bucket = auto_bucket_cap(max_bucket, est_rows)
     sh = df.select(F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
     chunks = sh.select(
         "_k", "_fp",

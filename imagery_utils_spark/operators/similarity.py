@@ -223,8 +223,9 @@ def ivf_search(fact_assigned: DataFrame, queries: DataFrame, centroids: np.ndarr
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding", id_col: str = "vec_id",
                              dim: int | None = None, n_bits: int = 8,
-                             n_tables: int = 8, max_bucket: int = 128,
-                             seed: int = 42) -> DataFrame:
+                             n_tables: int = 8, max_bucket: int | None = None,
+                             seed: int = 42,
+                             est_rows: int | None = None) -> DataFrame:
     """All-pairs embedding near-duplicates: hyperplane-LSH bucket self-join
     candidates (any shared table-bucket), exact cosine verify >= threshold.
     Returns (id_a, id_b, cosine) with id_a < id_b.
@@ -244,9 +245,14 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     * the self-join and (id_a, id_b) dedup carry ids only — both vectors are
       re-attached ONCE per verified candidate pair via joins against the base
       table, instead of shuffling 2 full vectors per (pair x table);
-    * verify cosine is the Arrow/numpy UDF (no interpreted HOF)."""
-    from .dedup import bucket_pairs
+    * verify cosine is the Arrow/numpy UDF (no interpreted HOF).
 
+    The cap auto-gates (dedup.auto_bucket_cap): uncapped by default; pass
+    ``est_rows`` from table stats to engage star-linking at scale, or pin
+    ``max_bucket`` explicitly."""
+    from .dedup import auto_bucket_cap, bucket_pairs
+
+    max_bucket = auto_bucket_cap(max_bucket, est_rows)
     udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
     fact = df.select(F.col(id_col).alias("_id"),
                      F.explode(udf(F.col(vec_col))).alias("bucket"))

@@ -127,3 +127,72 @@ def test_auto_backend_sniffs_containers(spark):
     by_id = {r.media_id: r.channel_means for r in got}
     assert by_id[0] == [100.0, 100.0, 100.0]
     assert by_id[1] == [100.0, 100.0, 100.0]
+
+
+def test_png_roundtrip_and_filters():
+    """Roundtrip for gray/RGB/RGBA, plus decode of every PNG row filter
+    (Sub/Up/Average/Paeth forward-filtered by the test, independently of
+    the encoder which always emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from imagery_utils_spark.sources.multimodal import (
+        _PNG_MAGIC, decode_png, encode_png)
+
+    rng = np.random.default_rng(7)
+    for shape in [(9, 7), (9, 7, 3), (9, 7, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+    # hand-filtered PNG: one row per filter type
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    stride, bpp = w * c, c
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    blob = (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert (decode_png(blob) == img).all()
+
+
+def test_png_unsupported_variants_raise():
+    import pytest as _pytest
+
+    from imagery_utils_spark.sources.multimodal import decode_png, encode_png
+    import numpy as np
+
+    with _pytest.raises(ValueError):
+        decode_png(b"nope")
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4, 2), dtype=np.uint8))

@@ -216,3 +216,33 @@ def test_bucket_pairs_star_semantics(spark):
            bucket_pairs(df, "k", ["bkt"], max_bucket=3).collect()}
     assert got == {(1, 2), (1, 3), (2, 3),          # b1 all-pairs (+b3 dup merged)
                    (10, 11), (10, 12), (10, 13)}    # b2 star from min key 10
+
+
+def test_auto_bucket_cap_resolution():
+    """rank_auto's contract mirrored for LSH caps: explicit wins; no
+    estimate -> uncapped; estimate over threshold -> default cap."""
+    assert DD.auto_bucket_cap(17, None) == 17
+    assert DD.auto_bucket_cap(17, 10**9) == 17
+    assert DD.auto_bucket_cap(None, None) == DD.UNCAPPED_BUCKET
+    assert DD.auto_bucket_cap(None, 1000) == DD.UNCAPPED_BUCKET
+    assert DD.auto_bucket_cap(None, DD.BUCKET_CAP_THRESHOLD_ROWS + 1) == DD.DEFAULT_BUCKET_CAP
+
+
+def test_capped_equals_uncapped_on_battery_fixture(spark, sf_dir):
+    """The scale path (star-linked DEFAULT_BUCKET_CAP, what est_rows >
+    threshold engages) must produce the SAME verified pairs as the
+    uncapped battery default on the oracle fixture — the cap is a
+    candidate-generation guardrail, not a semantic change here."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh_auto = {(r.key_a, r.key_b) for r in
+               DD.minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16).collect()}
+    mh_scale = {(r.key_a, r.key_b) for r in
+                DD.minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16,
+                                     est_rows=10**8).collect()}
+    assert mh_auto == mh_scale and mh_auto
+    sh_auto = {(r.key_a, r.key_b) for r in
+               DD.simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    sh_scale = {(r.key_a, r.key_b) for r in
+                DD.simhash_near_dup_pairs(docs, max_hamming=3,
+                                          est_rows=10**8).collect()}
+    assert sh_auto == sh_scale
