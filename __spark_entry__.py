@@ -835,6 +835,68 @@ def q_parse_attrs(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_prod_status_gate(spark, sf_dir) -> DataFrame:
+    """F6+F9 — product-code rejection (mosaic *M, level-3, 2A tiled tif;
+    /root/reference/lib/ortho_functions.py:863-872) composed with the
+    status gates (tape scenes out). Codes/status derived deterministically
+    from documents; the oracle replicates the substring predicates."""
+    from imagery_utils_spark.functions.filters import prod_code_gate, scene_not_on_tape
+
+    docs = load(spark, sf_dir, "documents")
+    scenes = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(c) for c in
+                      ("P1BS", "M1BM", "P3BS", "P2AS", "M1BS")]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("prod_code"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("tape"))
+        .otherwise(F.lit("online")).alias("status"),
+        F.lit("t01").alias("tile"),
+        F.lit(".tif").alias("ext"),
+    )
+    keep = prod_code_gate(
+        F.col("prod_code"), tile=F.col("tile"), ext=F.col("ext")
+    ) & scene_not_on_tape(F.col("status"))
+    return scenes.filter(keep).select("doc_id", "prod_code").orderBy("doc_id")
+
+
+def q_output_names(spark, sf_dir) -> DataFrame:
+    """C14 — ortho output naming ``{src}_{bitdepth}{stretch}{epsg}[_pansh]
+    {ext}`` (/root/reference/lib/ortho_functions.py:446-453), pansh branch
+    on. String-concat contract; direct SQL oracle."""
+    from imagery_utils_spark.functions.naming import output_name_col
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("WV02_20190513_"), F.col("doc_id").cast("string")).alias("srcfn"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("u08")).otherwise(F.lit("u16")).alias("bitdepth"),
+        F.element_at(F.array(F.lit("ns"), F.lit("rf"), F.lit("rd"), F.lit("mr")),
+                     (F.col("doc_id") % 4 + 1).cast("int")).alias("stretch"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(3413)).otherwise(F.lit(4326)).alias("epsg"),
+    )
+    return base.select(
+        "doc_id",
+        output_name_col(F.col("srcfn"), F.col("bitdepth"), F.col("stretch"),
+                        F.col("epsg"), pansh=True).alias("outname"),
+    ).orderBy("doc_id")
+
+
+def q_earth_sun(spark, sf_dir) -> DataFrame:
+    """C4 — Julian-day Earth-Sun distance as a pure column expression over
+    the pages' warc_ts (the golden-pinned scalar's SQL-parity form). Both
+    engines run the same arithmetic text; round(9) absorbs the final
+    libm-cos ULP (diff ~1e-18 of a ~1.0 value)."""
+    from imagery_utils_spark.functions.scalar import calc_earth_sun_dist_col
+
+    pages = MQ.geocoded_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        F.round(calc_earth_sun_dist_col(F.col("warc_ts")), 9).alias("esd"),
+    ).orderBy("doc_id")
+
+
 # Shared raw-string derivations for q_parse_attrs (same SQL text on both
 # engines; each engine then runs its OWN parser over them).
 _TS_STR_SQL = (
@@ -936,6 +998,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen": q_pansharpen,
         "band_stack": q_band_stack,
         "parse_attrs": q_parse_attrs,
+        "prod_status_gate": q_prod_status_gate,
+        "output_names": q_output_names,
+        "earth_sun": q_earth_sun,
     }
 
 
@@ -1438,5 +1503,46 @@ def oracle_sql() -> dict[str, str]:
             "'+ellps=WGS84 +towgs84=0,0,0,0,0,0,0', '+datum=WGS84') AS proj4_out "
             f"FROM (SELECT doc_id, {_TS_STR_SQL} AS ts_str, "
             f"{_PROJ4_IN_SQL} AS proj4_in FROM documents) ORDER BY doc_id"
+        ),
+        "prod_status_gate": (
+            "SELECT doc_id, prod_code FROM ("
+            "SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'P1BS' "
+            "WHEN 1 THEN 'M1BM' WHEN 2 THEN 'P3BS' WHEN 3 THEN 'P2AS' "
+            "ELSE 'M1BS' END AS prod_code, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'tape' ELSE 'online' END AS status "
+            "FROM documents) "
+            "WHERE NOT (substr(prod_code, 4, 1) = 'M' "
+            "OR substr(prod_code, 2, 1) = '3' "
+            "OR substr(prod_code, 2, 2) = '2A') "
+            "AND status <> 'tape' ORDER BY doc_id"
+        ),
+        "output_names": (
+            "SELECT doc_id, concat('WV02_20190513_', cast(doc_id as varchar), "
+            "'_', CASE WHEN doc_id % 2 = 0 THEN 'u08' ELSE 'u16' END, "
+            "CASE doc_id % 4 WHEN 0 THEN 'ns' WHEN 1 THEN 'rf' "
+            "WHEN 2 THEN 'rd' ELSE 'mr' END, "
+            "CASE WHEN doc_id % 2 = 0 THEN '3413' ELSE '4326' END, "
+            "'_pansh', '.tif') AS outname FROM documents ORDER BY doc_id"
+        ),
+        # C4 — identical arithmetic text on both engines; round(9) absorbs
+        # the final libm-cos ULP.
+        "earth_sun": (
+            f"WITH {pages}, parts AS (SELECT doc_id, "
+            "cast(CASE WHEN month(warc_ts) <= 2 THEN year(warc_ts) - 1 "
+            "ELSE year(warc_ts) END as double) AS yy, "
+            "cast(CASE WHEN month(warc_ts) <= 2 THEN month(warc_ts) + 12 "
+            "ELSE month(warc_ts) END as double) AS mm, "
+            "(hour(warc_ts) + minute(warc_ts) / 60.0 "
+            "+ second(warc_ts) / 3600.0) AS ut, "
+            "day(warc_ts) AS dd FROM pages), "
+            "jdt AS (SELECT doc_id, floor(365.25 * (yy + 4716)) "
+            "+ floor(30.6001 * (mm + 1)) + dd + ut / 24 "
+            "+ (2 - floor(yy / 100) + floor(floor(yy / 100) / 4)) "
+            "- 1524.5 AS jd FROM parts), "
+            "gt AS (SELECT doc_id, 357.529 + 0.98560028 * (jd - 2451545.0) "
+            "AS g FROM jdt) "
+            "SELECT doc_id, round(1.00014 - 0.01671 * cos(radians(g)) "
+            "- 0.00014 * cos(radians(2.0 * g)), 9) AS esd "
+            "FROM gt ORDER BY doc_id"
         ),
     }
