@@ -897,6 +897,376 @@ def q_earth_sun(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CALIB_SATS = ("WV02", "WV03", "GE01", "QB02")
+# band -> (abscal multiplier, effective bandwidth); all dyadic so the
+# per-band abscal products are float-exact
+_CALIB_BANDS = (("BAND_B", 1.0, 0.0625), ("BAND_G", 1.25, 0.0703125),
+                ("BAND_R", 1.5, 0.046875))
+
+
+def q_calib_factors(spark, sf_dir) -> DataFrame:
+    """C6 — DG radiometric calibration factors as a broadcast-dim join +
+    pure JVM arithmetic (get_dg_calib_dict,
+    /root/reference/lib/ortho_functions.py:2195-2299): scene stream x
+    72-row (sat,band) constant dim, refl/rad factor expressions sharing
+    the Julian-day earth-sun-distance text with the earth_sun row, and
+    the GE01 units rescale rule (x10 iff abscal_B < 0.004, :2255-2267 —
+    the dyadic abscal grid makes both branches populated). The constant
+    tables ARE the spec (pinned against the reference in test_calib);
+    the oracle re-runs the identical arithmetic text over the same
+    VALUES dim. round(9) absorbs the final libm-cos ULP."""
+    from imagery_utils_spark.functions.calib import calib_dim_df, dg_calib_cols
+    from imagery_utils_spark.functions.scalar import calc_earth_sun_dist_col
+
+    docs = load(spark, sf_dir, "documents")
+    sat = (
+        F.when(F.col("doc_id") % 4 == 0, "WV02")
+        .when(F.col("doc_id") % 4 == 1, "WV03")
+        .when(F.col("doc_id") % 4 == 2, "GE01")
+        .otherwise("QB02")
+    )
+    scenes = docs.select(
+        "doc_id", sat.alias("sat"),
+        ((F.lit(1) + F.col("doc_id") % 16) / F.lit(1024.0)).alias("abscal_b"),
+        (F.lit(10) + F.col("doc_id") % 60).cast("double").alias("sun_elev"),
+        F.timestamp_seconds(
+            F.lit(1546300800) + (F.col("doc_id") * 104729) % 157766400
+        ).alias("acq_ts"),
+    ).select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.lit(m).alias("bmul"),
+                     F.lit(w).alias("effbandw"))
+            for b, m, w in _CALIB_BANDS
+        ])).alias("bw"),
+    ).select(
+        "doc_id", "sat", "abscal_b", "sun_elev", "acq_ts",
+        F.col("bw.band").alias("band"),
+        (F.col("abscal_b") * F.col("bw.bmul")).alias("abscal"),
+        F.col("bw.effbandw").alias("effbandw"),
+    )
+    dim = calib_dim_df(spark)
+    joined = scenes.join(
+        F.broadcast(dim),
+        F.concat(F.col("sat"), F.lit("_"), F.col("band")) == F.col("satband"),
+        "inner",
+    )
+    units = (
+        F.when((F.col("sat") == "GE01") & (F.col("abscal_b") < 0.004), 10.0)
+        .otherwise(1.0)
+    )
+    des = calc_earth_sun_dist_col(F.col("acq_ts"))
+    refl_fact, refl_offset, rad_fact = dg_calib_cols(
+        F.col("abscal"), F.col("effbandw"), F.col("esun"), F.col("gain"),
+        F.col("bias"), des, F.col("sun_elev"), units)
+    return joined.select(
+        "doc_id", "band",
+        F.round(refl_fact, 9).alias("refl_fact"),
+        F.round(refl_offset, 9).alias("refl_offset"),
+        F.round(rad_fact, 9).alias("rad_fact"),
+    ).orderBy("doc_id", "band")
+
+
+def q_ik_calib(spark, sf_dir) -> DataFrame:
+    """C7 — IKONOS calibration with the 2001-02-22 coefficient break
+    (/root/reference/lib/ortho_functions.py:2302-2342): per-band dim
+    broadcast, pre/post CASE on the acquisition timestamp, rad =
+    10000/(cal*bw), refl = 10000*des^2*pi/(cal*bw*Esun*cos(90-sunel)).
+    Acquisition dates span 2000-2004 so both coefficient eras are
+    exercised; same shared-arithmetic-text + round(9) policy as
+    calib_factors."""
+    from imagery_utils_spark.functions.calib import ik_calib_cols, ik_calib_dim_df
+
+    docs = load(spark, sf_dir, "documents")
+    scenes = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("int").alias("band_idx"),
+        (F.lit(5) + F.col("doc_id") % 70).cast("double").alias("sun_elev"),
+        F.timestamp_seconds(
+            F.lit(946684800) + (F.col("doc_id") * 7919) % 126230400
+        ).alias("acq_ts"),
+    )
+    joined = scenes.join(F.broadcast(ik_calib_dim_df(spark)), "band_idx", "inner")
+    refl_fact, rad_fact = ik_calib_cols(
+        F.col("acq_ts"), F.col("sun_elev"), F.col("esun"), F.col("bandwidth"),
+        F.col("cal_pre"), F.col("cal_post"))
+    return joined.select(
+        "doc_id", "band_idx",
+        F.round(refl_fact, 9).alias("refl_fact"),
+        F.round(rad_fact, 9).alias("rad_fact"),
+    ).orderBy("doc_id")
+
+
+def q_pl2xy_affine(spark, sf_dir) -> DataFrame:
+    """C3 — pixel/line -> map x,y against a GDAL geotransform
+    (/root/reference/lib/mosaic.py pl2xy; engine scalar.pl2xy_cols),
+    including the reference's half-cell y offset. Dyadic geotransform
+    (0.0625 / -0.03125) keeps every output an exact binary fraction —
+    bit-identical oracle with no rounding."""
+    from imagery_utils_spark.functions.scalar import pl2xy_cols
+
+    docs = load(spark, sf_dir, "documents")
+    p = (F.col("doc_id") % 2048).cast("double")
+    line = ((F.col("doc_id") * 7) % 1024).cast("double")
+    x, y = pl2xy_cols(-180.0, 0.0625, 90.0, -0.03125, p, line)
+    return docs.select(
+        "doc_id", p.alias("p"), line.alias("line"),
+        x.alias("x"), y.alias("y"),
+    ).orderBy("doc_id")
+
+
+def q_intersect_extent(spark, sf_dir) -> DataFrame:
+    """J8 — pairwise rectangle-intersection extent join (the reference's
+    image-extent x target-extent clip, lib/ortho_functions.py:1442-1459 /
+    pgc_mosaic.py:520-531) via catalog.intersect_extent_join: strip
+    envelopes against a broadcast 45-degree tile grid; emits the
+    greatest/least intersection extent + area. Inputs are the shared
+    strip-envelope derivation; outputs are copies/products of identical
+    doubles — bit-exact, no rounding."""
+    from imagery_utils_spark.operators.catalog import intersect_extent_join
+
+    strips = _strips(spark, sf_dir).select(
+        F.col("strip_id").alias("id_a"),
+        F.col("s_xmin").alias("axmin"), F.col("s_ymin").alias("aymin"),
+        F.col("s_xmax").alias("axmax"), F.col("s_ymax").alias("aymax"),
+    )
+    cells = spark.range(32).select(
+        F.col("id").cast("int").alias("id_b"),
+        (F.lit(-180.0) + (F.col("id") % 8) * 45.0).alias("bxmin"),
+        (F.lit(-90.0) + F.floor(F.col("id") / 8) * 45.0).alias("bymin"),
+        (F.lit(-180.0) + (F.col("id") % 8 + 1) * 45.0).alias("bxmax"),
+        (F.lit(-90.0) + (F.floor(F.col("id") / 8) + 1) * 45.0).alias("bymax"),
+    )
+    return intersect_extent_join(strips, cells).orderBy("id_a", "id_b")
+
+
+def _lineage_base(sf_dir: str, tag: str) -> str:
+    import tempfile
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"iuspark_{tag}_{sf}")
+
+
+def q_lineage_resume(spark, sf_dir) -> DataFrame:
+    """§2.10 — incremental/resume restart semantics (the reference's
+    file-existence memoization, pgc_mosaic.py:448-449/pgc_ortho.py:351-357,
+    re-expressed as lineage-table anti-join): a first run commits every
+    third work unit to the LineageStore; the restarted job's
+    remaining_units broadcast-anti-join yields exactly the uncommitted
+    rest. The driver-side commit list is the documented LineageStore
+    contract (unit counts, not data rows — O(units) driver memory)."""
+    import shutil
+
+    from imagery_utils_spark.operators.lineage import LineageStore
+
+    base = _lineage_base(sf_dir, "lineage")
+    shutil.rmtree(base, ignore_errors=True)
+    store = LineageStore(spark, base)
+    orders = load(spark, sf_dir, "orders")
+    unit_id = F.concat(
+        F.lit("u"), F.lpad((F.col("o_orderkey") % 997).cast("string"), 3, "0"))
+    units = orders.select(unit_id.alias("unit_id"),
+                          (F.col("o_orderkey") % 997).alias("k")).distinct()
+    done = [(r["unit_id"], 1) for r in
+            units.filter(F.col("k") % 3 == 0).select("unit_id").collect()]
+    store.commit_units("warp", done, run_id="r1")
+    return (
+        store.remaining_units(units, "warp", "unit_id")
+        .select("unit_id").orderBy("unit_id")
+    )
+
+
+def q_runtime_stats(spark, sf_dir) -> DataFrame:
+    """A7 — runtime-stats rollup over the lineage table
+    (get_runtime_stats.sh:150-188 analog): two committed stages with
+    deterministic per-unit row counts, aggregated by
+    LineageStore.runtime_stats (cnt/sum/min/max/median/avg/std).
+    round(9) on the interpolated median / mean / sample stddev (the two
+    engines' stddev accumulation orders differ below 1e-12)."""
+    import shutil
+
+    from imagery_utils_spark.operators.lineage import LineageStore
+
+    base = _lineage_base(sf_dir, "stats")
+    shutil.rmtree(base, ignore_errors=True)
+    store = LineageStore(spark, base)
+    store.commit_units(
+        "warp", [(f"u{k:03d}", (k * 17) % 101 + 1) for k in range(200)],
+        run_id="r1")
+    store.commit_units(
+        "mosaic", [(f"v{k:03d}", (k * 29) % 503 + 5) for k in range(150)],
+        run_id="r2")
+    s = store.runtime_stats()
+    return s.select(
+        "stage", "run_id", "cnt", "rows_total", "rows_min", "rows_max",
+        F.round(F.col("rows_median"), 9).alias("rows_median"),
+        F.round(F.col("rows_avg"), 9).alias("rows_avg"),
+        # sample-stddev accumulation order differs across engines below
+        # ~1e-12 relative; 6 decimals keeps the check real without
+        # boundary-flip risk
+        F.round(F.col("rows_std"), 6).alias("rows_std"),
+    ).orderBy("stage")
+
+
+def q_simplify_dp(spark, sf_dir) -> DataFrame:
+    """E5 — Douglas-Peucker ring simplification (the footprint sink's
+    ogr Simplify analog, /root/reference/lib/mosaic.py:978 tolerance
+    pass) over deterministic dyadic zigzag polylines, one applyInPandas
+    group per ring. Oracle: an INDEPENDENT recursive DP implementation
+    (independent_oracles.simplify_expected — plain-python floats,
+    explicit recursion) rendered as a VALUES table; dyadic coordinates
+    keep every cross product exact so the kept-vertex sets match
+    bit-for-bit."""
+    import pandas as pd
+
+    import independent_oracles as IO
+    from imagery_utils_spark.operators.footprint import _dp_simplify
+
+    n_g, n_p, tol = IO.SIMPLIFY_GROUPS, IO.SIMPLIFY_PTS, IO.SIMPLIFY_TOL
+    pts = spark.range(n_g * n_p).select(
+        F.floor(F.col("id") / n_p).alias("gid"),
+        (F.col("id") % n_p).alias("i"),
+    ).select(
+        "gid", "i",
+        F.col("i").cast("double").alias("x"),
+        (((F.col("i") * (F.col("gid") + 2) + 3) % 7) * F.lit(0.25)).alias("y"),
+    )
+
+    def simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("i")
+        kept = _dp_simplify(
+            np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()]), tol)
+        return pd.DataFrame({
+            "gid": pdf["gid"].iloc[0], "seq": range(len(kept)),
+            "x": kept[:, 0], "y": kept[:, 1],
+        })
+
+    return (
+        pts.groupBy("gid")
+        .applyInPandas(simplify, "gid bigint, seq int, x double, y double")
+        .orderBy("gid", "seq")
+    )
+
+
+def q_sunel_gate(spark, sf_dir) -> DataFrame:
+    """F5 — the sun-elevation gate in isolation (lib/mosaic.py:635-637:
+    sunel < 2 -> score -1): engine scoring over the low-sun slice of the
+    scene stream, so both gate branches are populated and the -1 sentinel
+    rows are value-checked (same engine-emitted-SQL oracle convention as
+    flagship_rank)."""
+    from imagery_utils_spark.functions.scoring import score_col
+
+    pages = MQ.geocoded_pages(spark, sf_dir)
+    attrs = MQ.with_scene_attrs(pages)
+    scored = attrs.withColumn(
+        "score",
+        score_col(
+            ScoreParams(bands=1),
+            cloudcover=F.col("cloudcover"), sun_elev=F.col("sun_elev"),
+            off_nadir=F.col("off_nadir"), sensor=F.col("sensor"),
+            bands=F.col("bands"), acq_time=F.col("warc_ts"),
+        ),
+    )
+    return scored.filter(F.col("sun_elev") < 5).select(
+        "doc_id", "sun_elev", "score"
+    ).orderBy("doc_id")
+
+
+def q_wrap_180(spark, sf_dir) -> DataFrame:
+    """C15/E4 — anti-meridian split (getWrappedGeometry,
+    /root/reference/lib/utils.py:561-645) over deterministic straddling
+    quadrilaterals, one applyInPandas group per ring. The fixture's
+    crossing edges have power-of-two x-runs so the float interpolation is
+    exact; the oracle is an INDEPENDENT exact-rational implementation
+    (independent_oracles._wrap_exact, fractions.Fraction) rendered as a
+    VALUES table — bit-for-bit agreement required."""
+    import pandas as pd
+
+    import independent_oracles as IO
+    from imagery_utils_spark.core.geom import wrap_geometry_180
+
+    gids = spark.range(IO.WRAP_GROUPS).select(F.col("id").alias("gid"))
+
+    def wrap(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = {"gid": [], "part": [], "seq": [], "x": [], "y": []}
+        for gid in pdf["gid"]:
+            ring = np.asarray(IO.wrap_fixture_ring(int(gid)))
+            for part in wrap_geometry_180(ring):
+                label = "W" if part[:, 0].min() < 0 else "E"
+                for seq in range(len(part)):
+                    out["gid"].append(int(gid))
+                    out["part"].append(label)
+                    out["seq"].append(seq)
+                    out["x"].append(float(part[seq, 0]))
+                    out["y"].append(float(part[seq, 1]))
+        return pd.DataFrame(out)
+
+    return (
+        gids.groupBy("gid")
+        .applyInPandas(wrap, "gid bigint, part string, seq int, x double, y double")
+        .orderBy("gid", "part", "seq")
+    )
+
+
+def q_catid_extract(spark, sf_dir) -> DataFrame:
+    """C17 — catid / order-id / tile extraction from renamed-DG names via
+    the engine's RENAMED_DG signature (verbatim from
+    /root/reference/lib/utils.py:123-136; the standalone overlap tool's
+    PGC_DG_FILE fields, pgc_get_scene_overlaps_standalone.py:606-642).
+    Fixture names exercise the optional r#c# tile group (every third row)
+    and a non-matching name (every seventh row -> all-NULL extraction).
+    Oracle: the same regex under DuckDB RE2 with nullif('') mirroring the
+    engine's miss-to-NULL convention."""
+    from imagery_utils_spark.functions import naming as N
+    from imagery_utils_spark.functions.naming import _x
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    srcfn = F.when(
+        d % 7 == 0, F.concat(F.lit("garbage_"), d.cast("string"), F.lit(".tif"))
+    ).otherwise(F.concat(
+        F.lit("wv02_20190513"), F.lpad((d % 1000000).cast("string"), 6, "0"),
+        F.lit("_"), F.lpad(d.cast("string"), 16, "0"),
+        F.lit("_12may"), F.lpad((d % 10000).cast("string"), 8, "0"),
+        F.lit("-"), F.when(d % 2 == 0, "m1bs").otherwise("p1bs"),
+        F.when(d % 3 == 0, "_r1c2").otherwise(""),
+        F.lit("-"), F.lpad((d % 100000).cast("string"), 12, "0"),
+        F.lit("_01_p001.tif"),
+    ))
+    named = docs.select("doc_id", srcfn.alias("srcfn"))
+    s = F.col("srcfn")
+    return named.select(
+        "doc_id", "srcfn",
+        _x(s, N.RENAMED_DG, 3).alias("catid"),
+        _x(s, N.RENAMED_DG, 4).alias("order_id"),
+        _x(s, N.RENAMED_DG, 6).alias("tile"),
+        _x(s, N.RENAMED_DG, 7).alias("order_part"),
+    ).orderBy("doc_id")
+
+
+def q_xml_meta(spark, sf_dir) -> DataFrame:
+    """K5 — per-output XML metadata rendering (the ortho tools' .xml
+    sidecar per product, /root/reference/lib/ortho_functions.py:774-833)
+    as pure JVM concat + escape (sinks.render_xml_metadata); source
+    names carry '&' so the escape path is exercised."""
+    from imagery_utils_spark.sources.sinks import render_xml_metadata
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("WV02_20190513_"), F.col("doc_id").cast("string"),
+                 F.lit("_P001.ntf")).alias("outname"),
+        F.concat(F.lit("orders/a&b/WV02_"), F.col("doc_id").cast("string"),
+                 F.lit("<raw>.ntf")).alias("srcfn"),
+        F.when(F.col("doc_id") % 2 == 0, "rf").otherwise("ns").alias("stretch"),
+        F.when(F.col("doc_id") % 2 == 0, 3413).otherwise(4326).alias("epsg"),
+    )
+    return render_xml_metadata(docs, keep=("doc_id",)).orderBy("doc_id")
+
+
 # Shared raw-string derivations for q_parse_attrs (same SQL text on both
 # engines; each engine then runs its OWN parser over them).
 _TS_STR_SQL = (
@@ -1001,6 +1371,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prod_status_gate": q_prod_status_gate,
         "output_names": q_output_names,
         "earth_sun": q_earth_sun,
+        "calib_factors": q_calib_factors,
+        "ik_calib": q_ik_calib,
+        "pl2xy_affine": q_pl2xy_affine,
+        "intersect_extent": q_intersect_extent,
+        "lineage_resume": q_lineage_resume,
+        "runtime_stats": q_runtime_stats,
+        "simplify_dp": q_simplify_dp,
+        "sunel_gate": q_sunel_gate,
+        "wrap_180": q_wrap_180,
+        "catid_extract": q_catid_extract,
+        "xml_meta": q_xml_meta,
     }
 
 
@@ -1090,6 +1471,59 @@ def _tile_cols_sql() -> str:
     name = (f"concat('world_', lpad(cast({row} as varchar), 2, '0'), '_', "
             f"lpad(cast({col} as varchar), 2, '0'))")
     return f"{row} AS tile_row, {col} AS tile_col, {name} AS tile_name"
+
+
+def _esd_ctes(src: str, ts: str) -> str:
+    """CTE chain deriving ``des`` (earth-sun distance) from timestamp column
+    ``ts`` of CTE ``src`` — the identical arithmetic text as
+    calc_earth_sun_dist_col (same convention as the earth_sun row); carries
+    every ``src`` column through."""
+    return (
+        f"esd_parts AS (SELECT *, "
+        f"cast(CASE WHEN month({ts}) <= 2 THEN year({ts}) - 1 "
+        f"ELSE year({ts}) END as double) AS yy, "
+        f"cast(CASE WHEN month({ts}) <= 2 THEN month({ts}) + 12 "
+        f"ELSE month({ts}) END as double) AS mm, "
+        f"(hour({ts}) + minute({ts}) / 60.0 + second({ts}) / 3600.0) AS ut, "
+        f"day({ts}) AS dd FROM {src}), "
+        "esd_jd AS (SELECT *, floor(365.25 * (yy + 4716)) "
+        "+ floor(30.6001 * (mm + 1)) + dd + ut / 24 "
+        "+ (2 - floor(yy / 100) + floor(floor(yy / 100) / 4)) "
+        "- 1524.5 AS jd FROM esd_parts), "
+        "esd_g AS (SELECT *, 357.529 + 0.98560028 * (jd - 2451545.0) AS g "
+        "FROM esd_jd), "
+        "esd AS (SELECT *, 1.00014 - 0.01671 * cos(radians(g)) "
+        "- 0.00014 * cos(radians(2.0 * g)) AS des FROM esd_g)"
+    )
+
+
+def _calib_dim_values() -> str:
+    """The (sat,band) constant dim rows exercised by calib_factors, from the
+    engine's reference-pinned tables (the constants ARE the spec — pinned
+    against /root/reference/lib/ortho_functions.py:62-306 in test_calib)."""
+    from imagery_utils_spark.functions.calib import BIAS, ESUN, GAIN
+
+    keys = [f"{s}_BAND_{b[5:]}" for s in _CALIB_SATS
+            for b, _m, _w in _CALIB_BANDS]
+    vals = ", ".join(
+        f"('{k}', {ESUN[k]!r}, {GAIN[k]!r}, {BIAS[k]!r})" for k in keys)
+    return (f"dim AS (SELECT * FROM (VALUES {vals}) "
+            "t(satband, esun, gain, bias))")
+
+
+def _ik_dim_values() -> str:
+    from imagery_utils_spark.functions.calib import (
+        IK_BANDWIDTH, IK_CALCOEF_POST, IK_CALCOEF_PRE, IK_ESUN)
+
+    vals = ", ".join(
+        f"({i}, {IK_ESUN[i]!r}, {IK_BANDWIDTH[i]!r}, "
+        f"{IK_CALCOEF_PRE[i]}, {IK_CALCOEF_POST[i]})" for i in range(5))
+    return (f"dim AS (SELECT * FROM (VALUES {vals}) "
+            "t(band_idx, esun, bandwidth, cal_pre, cal_post))")
+
+
+_XML_ESC = ("replace(replace(replace({c}, '&', '&amp;'), '<', '&lt;'), "
+            "'>', '&gt;')")
 
 
 def _scored_cte() -> str:
@@ -1544,5 +1978,157 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(1.00014 - 0.01671 * cos(radians(g)) "
             "- 0.00014 * cos(radians(2.0 * g)), 9) AS esd "
             "FROM gt ORDER BY doc_id"
+        ),
+        # C6 — identical arithmetic text over the same VALUES dim; the
+        # constant tables are reference-pinned in test_calib.
+        "calib_factors": (
+            "WITH scenes AS (SELECT doc_id, "
+            "CASE doc_id % 4 WHEN 0 THEN 'WV02' WHEN 1 THEN 'WV03' "
+            "WHEN 2 THEN 'GE01' ELSE 'QB02' END AS sat, "
+            "(1 + doc_id % 16) / 1024.0 AS abscal_b, "
+            "cast(10 + doc_id % 60 as double) AS sun_elev, "
+            "to_timestamp(1546300800 + (doc_id * 104729) % 157766400) "
+            "AS acq_ts FROM documents), "
+            "bands AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{b}', {m!r}, {w!r})" for b, m, w in _CALIB_BANDS)
+            + ") t(band, bmul, effbandw)), "
+            "sb AS (SELECT scenes.*, band, abscal_b * bmul AS abscal, "
+            "effbandw FROM scenes CROSS JOIN bands), "
+            + _esd_ctes("sb", "acq_ts") + ", "
+            + _calib_dim_values() + ", "
+            "j AS (SELECT esd.*, esun, gain, bias, "
+            "CASE WHEN sat = 'GE01' AND abscal_b < 0.004 THEN 10.0 "
+            "ELSE 1.0 END AS units, "
+            "cos(radians(90.0 - sun_elev)) AS cos_theta "
+            "FROM esd JOIN dim ON concat(sat, '_', band) = satband) "
+            "SELECT doc_id, band, "
+            "round(units * (gain * abscal * des * des * 3.141592653589793) "
+            "/ (esun * cos_theta * effbandw), 9) AS refl_fact, "
+            "round(units * (bias * des * des * 3.141592653589793) "
+            "/ (esun * cos_theta), 9) AS refl_offset, "
+            "round(units * gain * abscal / effbandw, 9) AS rad_fact "
+            "FROM j ORDER BY doc_id, band"
+        ),
+        # C7 — IKONOS pre/post-2001-02-22 coefficient break.
+        "ik_calib": (
+            "WITH scenes AS (SELECT doc_id, "
+            "cast(doc_id % 5 as int) AS band_idx, "
+            "cast(5 + doc_id % 70 as double) AS sun_elev, "
+            "to_timestamp(946684800 + (doc_id * 7919) % 126230400) "
+            "AS acq_ts FROM documents), "
+            + _esd_ctes("scenes", "acq_ts") + ", "
+            + _ik_dim_values() + ", "
+            "j AS (SELECT esd.*, esun, bandwidth, "
+            "cast(CASE WHEN acq_ts < timestamp '2001-02-22' THEN cal_pre "
+            "ELSE cal_post END as double) AS cal, "
+            "cos(radians(90.0 - sun_elev)) AS cos_theta "
+            "FROM esd JOIN dim USING (band_idx)) "
+            "SELECT doc_id, band_idx, "
+            "round((10000.0 * des * des * 3.141592653589793) "
+            "/ (cal * bandwidth * esun * cos_theta), 9) AS refl_fact, "
+            "round(10000.0 / (cal * bandwidth), 9) AS rad_fact "
+            "FROM j ORDER BY doc_id"
+        ),
+        # C3 — dyadic affine: bit-exact, no rounding.
+        "pl2xy_affine": (
+            "WITH d AS (SELECT doc_id, "
+            "cast(doc_id % 2048 as double) AS p, "
+            "cast((doc_id * 7) % 1024 as double) AS line FROM documents) "
+            "SELECT doc_id, p, line, "
+            "0.0625 * p + (-180.0) AS x, "
+            "90.0 - 0.03125 * line - 0.03125 * 0.5 AS y "
+            "FROM d ORDER BY doc_id"
+        ),
+        # J8 — intersection extents are copies/products of identical doubles.
+        "intersect_extent": (
+            f"WITH {pages}, strips AS (SELECT {_strip_id_sql()} AS id_a, "
+            "min(lon) AS axmin, max(lon) AS axmax, "
+            "min(lat) AS aymin, max(lat) AS aymax FROM pages GROUP BY 1), "
+            "cells AS (SELECT cast(i as int) AS id_b, "
+            "-180.0 + (i % 8) * 45.0 AS bxmin, "
+            "-90.0 + floor(i / 8) * 45.0 AS bymin, "
+            "-180.0 + (i % 8 + 1) * 45.0 AS bxmax, "
+            "-90.0 + (floor(i / 8) + 1) * 45.0 AS bymax FROM range(32) t(i)) "
+            "SELECT id_a, id_b, "
+            "greatest(axmin, bxmin) AS ixmin, greatest(aymin, bymin) AS iymin, "
+            "least(axmax, bxmax) AS ixmax, least(aymax, bymax) AS iymax, "
+            "(least(axmax, bxmax) - greatest(axmin, bxmin)) "
+            "* (least(aymax, bymax) - greatest(aymin, bymin)) AS ix_area "
+            "FROM strips JOIN cells ON axmin < bxmax AND bxmin < axmax "
+            "AND aymin < bymax AND bymin < aymax "
+            "ORDER BY id_a, id_b"
+        ),
+        # §2.10 — restart anti-join: the uncommitted two-thirds of the units.
+        "lineage_resume": (
+            "SELECT DISTINCT concat('u', lpad(cast(o_orderkey % 997 "
+            "as varchar), 3, '0')) AS unit_id FROM orders "
+            "WHERE (o_orderkey % 997) % 3 <> 0 ORDER BY unit_id"
+        ),
+        # A7 — same deterministic unit counts, aggregated in SQL.
+        "runtime_stats": (
+            "WITH w AS (SELECT (k * 17) % 101 + 1 AS n FROM range(200) t(k)), "
+            "m AS (SELECT (k * 29) % 503 + 5 AS n FROM range(150) t(k)), "
+            "agg AS (SELECT 'warp' AS stage, 'r1' AS run_id, "
+            "count(*) AS cnt, cast(sum(n) as bigint) AS rows_total, "
+            "cast(min(n) as bigint) AS rows_min, "
+            "cast(max(n) as bigint) AS rows_max, "
+            "quantile_cont(n, 0.5) AS med, avg(n) AS a, stddev_samp(n) AS s "
+            "FROM w UNION ALL "
+            "SELECT 'mosaic', 'r2', count(*), cast(sum(n) as bigint), "
+            "cast(min(n) as bigint), cast(max(n) as bigint), "
+            "quantile_cont(n, 0.5), avg(n), stddev_samp(n) FROM m) "
+            "SELECT stage, run_id, cnt, rows_total, rows_min, rows_max, "
+            "round(med, 9) AS rows_median, round(a, 9) AS rows_avg, "
+            "round(s, 6) AS rows_std FROM agg ORDER BY stage"
+        ),
+        # E5 — independent recursive DP implementation as a VALUES table.
+        "simplify_dp": _IO.simplify_oracle_sql(),
+        # F5 — sun-elevation gate slice (engine-emitted score SQL, the
+        # flagship_rank convention; both gate branches populated).
+        "sunel_gate": (
+            f"WITH {pages} SELECT doc_id, "
+            f"{MQ.scene_attrs_sql('doc_id')['sun_elev']} AS sun_elev, "
+            f"{MQ.score_gated_sql(ScoreParams(bands=1), MQ.scene_attrs_sql('doc_id'), acq='warc_ts')} AS score "
+            f"FROM pages WHERE {MQ.scene_attrs_sql('doc_id')['sun_elev']} < 5 "
+            "ORDER BY doc_id"
+        ),
+        # C15/E4 — independent exact-rational wrap as a VALUES table.
+        "wrap_180": _IO.wrap_oracle_sql(),
+        # C17 — same RENAMED_DG signature under RE2; nullif mirrors the
+        # engine's miss-to-NULL convention.
+        "catid_extract": (
+            "WITH named AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "concat('garbage_', cast(doc_id as varchar), '.tif') ELSE "
+            "concat('wv02_20190513', "
+            "lpad(cast(doc_id % 1000000 as varchar), 6, '0'), '_', "
+            "lpad(cast(doc_id as varchar), 16, '0'), '_12may', "
+            "lpad(cast(doc_id % 10000 as varchar), 8, '0'), '-', "
+            "CASE WHEN doc_id % 2 = 0 THEN 'm1bs' ELSE 'p1bs' END, "
+            "CASE WHEN doc_id % 3 = 0 THEN '_r1c2' ELSE '' END, '-', "
+            "lpad(cast(doc_id % 100000 as varchar), 12, '0'), "
+            "'_01_p001.tif') END AS srcfn FROM documents) "
+            "SELECT doc_id, srcfn, "
+            f"nullif(regexp_extract(srcfn, '{_RENAMED_DG}', 3), '') AS catid, "
+            f"nullif(regexp_extract(srcfn, '{_RENAMED_DG}', 4), '') AS order_id, "
+            f"nullif(regexp_extract(srcfn, '{_RENAMED_DG}', 6), '') AS tile, "
+            f"nullif(regexp_extract(srcfn, '{_RENAMED_DG}', 7), '') "
+            "AS order_part FROM named ORDER BY doc_id"
+        ),
+        # K5 — identical concat + escape text.
+        "xml_meta": (
+            "WITH docs AS (SELECT doc_id, "
+            "concat('WV02_20190513_', cast(doc_id as varchar), '_P001.ntf') "
+            "AS outname, "
+            "concat('orders/a&b/WV02_', cast(doc_id as varchar), '<raw>.ntf') "
+            "AS srcfn, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'rf' ELSE 'ns' END AS stretch, "
+            "CASE WHEN doc_id % 2 = 0 THEN 3413 ELSE 4326 END AS epsg "
+            "FROM documents) "
+            "SELECT doc_id, outname, "
+            "concat('<output name=\"', " + _XML_ESC.format(c="outname") + ", "
+            "'\"><source>', " + _XML_ESC.format(c="srcfn") + ", "
+            "'</source><params stretch=\"', " + _XML_ESC.format(c="stretch")
+            + ", '\" epsg=\"', cast(epsg as varchar), '\"/></output>') AS xml "
+            "FROM docs ORDER BY doc_id"
         ),
     }

@@ -272,7 +272,10 @@ def main() -> None:
             f"{pair_rows}\n"
         )
     print(json.dumps({
-        "metric": "cluster scaling efficiency N->4N executors (spark-submit, pinned workers)",
+        "metric": ("cluster scaling efficiency N->4N executors (spark-submit, "
+                   + ("pinned" if os.environ.get("SPARK_GRAFT_PIN", "0") == "1"
+                      else "unpinned")
+                   + f" workers, {CORES_PER_WORKER} cores each)"),
         "value": pairs[0]["efficiency"] if pairs else None,
         "unit": "ratio",
         "pairs": pairs,

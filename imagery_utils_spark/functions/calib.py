@@ -268,3 +268,68 @@ def apply_lut_udf(points: list[tuple[float, float]]):
         return pd.Series(apply_lut(v.to_numpy(dtype=np.float64), pts))
 
     return _lut
+
+
+# ------------------------------------------------- column forms (broadcast dim)
+#
+# The driver-side dict functions above are per-scene; at 100 TB the calib
+# factors are computed inside the plan. The Spark-first form is a tiny
+# broadcast dimension table (72 (sat,band) rows) equi-joined to the scene
+# stream, with the factor arithmetic as pure JVM column expressions sharing
+# the earth-sun-distance text with calc_earth_sun_dist_col — zero Python in
+# the hot path, zero fact-side shuffle (the dim is broadcast).
+
+
+def calib_dim_df(spark):
+    """(satband, esun, gain, bias) — the reference constant tables
+    (/root/reference/lib/ortho_functions.py:62-306) as a broadcast dim."""
+    rows = [(k, ESUN[k], GAIN[k], BIAS[k]) for k in sorted(ESUN)]
+    return spark.createDataFrame(
+        rows, "satband string, esun double, gain double, bias double")
+
+
+def dg_calib_cols(abscal, effbandw, esun, gain, bias, des, sun_elev, units):
+    """(refl_fact, refl_offset, rad_fact) column expressions — the exact
+    arithmetic of get_dg_calib_dict (/root/reference/lib/ortho_functions.py:
+    2269-2282), operand order preserved so the ANSI-SQL oracle text evaluates
+    the identical IEEE sequence. ``units`` is the GE01 rescale column
+    (10 iff abscal_B < 0.004 / abscal_P < 0.01, :2255-2267)."""
+    from pyspark.sql import functions as F
+
+    cos_theta = F.cos(F.radians(F.lit(90.0) - sun_elev))
+    rad_fact = units * gain * abscal / effbandw
+    refl_fact = units * (gain * abscal * des * des * F.lit(math.pi)) / (
+        esun * cos_theta * effbandw)
+    refl_offset = units * (bias * des * des * F.lit(math.pi)) / (esun * cos_theta)
+    return refl_fact, refl_offset, rad_fact
+
+
+def ik_calib_dim_df(spark):
+    """IKONOS per-band dim: (band_idx, esun, bandwidth, cal_pre, cal_post) —
+    /root/reference/lib/ortho_functions.py:2302-2342; the calibration
+    coefficient breaks at 2001-02-22 (pre/post columns, picked by acq date
+    in the plan)."""
+    rows = [(i, float(IK_ESUN[i]), float(IK_BANDWIDTH[i]),
+             IK_CALCOEF_PRE[i], IK_CALCOEF_POST[i]) for i in range(5)]
+    return spark.createDataFrame(
+        rows,
+        "band_idx int, esun double, bandwidth double, cal_pre int, cal_post int")
+
+
+def ik_calib_cols(acq_ts, sun_elev, esun, bandwidth, cal_pre, cal_post):
+    """(refl_fact, rad_fact) columns for IKONOS — rad = 10000/(cal*bw),
+    refl = 10000*des^2*pi/(cal*bw*esun*cos(90-sunel)); the coefficient
+    break (acq < 2001-02-22 -> pre) is a CASE on the acquisition date
+    (ik_calib_factors parity, ortho_functions.py:2315-2342)."""
+    from pyspark.sql import functions as F
+
+    from .scalar import calc_earth_sun_dist_col
+
+    cal = F.when(acq_ts < F.lit("2001-02-22").cast("timestamp"), cal_pre) \
+        .otherwise(cal_post).cast("double")
+    des = calc_earth_sun_dist_col(acq_ts)
+    cos_theta = F.cos(F.radians(F.lit(90.0) - sun_elev))
+    rad_fact = F.lit(10000.0) / (cal * bandwidth)
+    refl_fact = (F.lit(10000.0) * des * des * F.lit(math.pi)) / (
+        cal * bandwidth * esun * cos_theta)
+    return refl_fact, rad_fact

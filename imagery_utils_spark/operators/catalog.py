@@ -119,3 +119,37 @@ def containment_min_rank_pick(points: DataFrame, rects: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def intersect_extent_join(a: DataFrame, b: DataFrame,
+                          a_id: str = "id_a", b_id: str = "id_b",
+                          broadcast_b: bool = True) -> DataFrame:
+    """J8 — pairwise rectangle-intersection extent join: the reference's
+    overlap_check / target-extent clip (/root/reference/lib/ortho_functions.py
+    :1442-1459 getstrips intersection; pgc_mosaic.py:520-531 tile-extent
+    clip): keep pairs whose envelopes overlap with positive area and emit
+    the intersection extent (greatest/least of the edges) plus its area.
+
+    ``a`` carries (a_id, axmin, aymin, axmax, aymax); ``b`` carries
+    (b_id, bxmin, bymin, bxmax, bymax). ``b`` is the small side (tile grid /
+    DEM footprints) -> broadcast by default so the fact side never shuffles;
+    the overlap predicate is a pure JVM range condition (BroadcastNestedLoop
+    with a pushed range filter — at 100 TB pre-bucket ``a`` by coarse cell
+    and equi-join on cell to bound the pair space, as spatial_join does)."""
+    bb = F.broadcast(b) if broadcast_b else b
+    ix0 = F.greatest(F.col("axmin"), F.col("bxmin"))
+    iy0 = F.greatest(F.col("aymin"), F.col("bymin"))
+    ix1 = F.least(F.col("axmax"), F.col("bxmax"))
+    iy1 = F.least(F.col("aymax"), F.col("bymax"))
+    return (
+        a.join(bb, (F.col("axmin") < F.col("bxmax"))
+               & (F.col("bxmin") < F.col("axmax"))
+               & (F.col("aymin") < F.col("bymax"))
+               & (F.col("bymin") < F.col("aymax")), "inner")
+        .select(
+            a_id, b_id,
+            ix0.alias("ixmin"), iy0.alias("iymin"),
+            ix1.alias("ixmax"), iy1.alias("iymax"),
+            ((ix1 - ix0) * (iy1 - iy0)).alias("ix_area"),
+        )
+    )

@@ -52,13 +52,36 @@ class LineageStore:
 
     def commit_units(self, stage: str, unit_rows: list[tuple[str, int]],
                      run_id: str | None = None) -> str:
-        """Append one lineage row per completed unit (atomic at file level)."""
+        """Append one lineage row per completed unit (atomic at file level).
+
+        The commit is a DRIVER-side metadata write (pyarrow, one new file per
+        commit, os.replace for atomicity) — the same shape as an Iceberg
+        snapshot commit, where the manifest write is a driver/catalog
+        operation, not a Spark job. Payload is O(units), never data rows.
+        A Spark write job for a few hundred bookkeeping rows would pay task
+        scheduling + Hadoop ChecksumFS overhead for nothing (measured 3-5 s
+        per commit on this host)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         run_id = run_id or uuid.uuid4().hex[:12]
         now = time.time()
-        df = self.spark.createDataFrame(
-            [(u, stage, run_id, now, int(n)) for u, n in unit_rows], LINEAGE_SCHEMA
-        )
-        df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+        table = pa.table({
+            "unit_id": pa.array([u for u, _n in unit_rows], pa.string()),
+            "stage": pa.array([stage] * len(unit_rows), pa.string()),
+            "run_id": pa.array([run_id] * len(unit_rows), pa.string()),
+            "committed_at": pa.array([now] * len(unit_rows), pa.float64()),
+            "n_rows": pa.array([int(n) for _u, n in unit_rows], pa.int64()),
+        })
+        os.makedirs(self.lineage_path, exist_ok=True)
+        final = os.path.join(self.lineage_path,
+                             f"commit-{int(now * 1000)}-{run_id}.parquet")
+        # dot-prefix: Spark's file index skips hidden files, so a crashed
+        # half-written temp can never be read as a commit
+        tmp = os.path.join(self.lineage_path,
+                           f".commit-{int(now * 1000)}-{run_id}.inprogress")
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # readers never see a partial commit
         return run_id
 
     # ------------------------------------------------------------ metrics

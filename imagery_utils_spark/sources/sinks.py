@@ -144,3 +144,34 @@ def write_run_metadata(spark, path: str, outputs: list[dict], mode: str = "appen
         return
     df = spark.createDataFrame(outputs)
     df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def xml_escape_col(c: Column) -> Column:
+    """Minimal XML text escaping (&, <, >) as JVM replaces — enough for the
+    provenance fields the reference writes (ortho output names, EPSG codes,
+    stretch tags: none may contain quotes)."""
+    return F.replace(F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")),
+                               F.lit("<"), F.lit("&lt;")),
+                     F.lit(">"), F.lit("&gt;"))
+
+
+def render_xml_metadata(df: DataFrame, name_col: str = "outname",
+                        source_col: str = "srcfn", stretch_col: str = "stretch",
+                        epsg_col: str = "epsg",
+                        keep: tuple[str, ...] = ()) -> DataFrame:
+    """K5 column form — one XML document string per output row, mirroring the
+    reference's per-product metadata writer (ortho tools emit an .xml sidecar
+    per output; /root/reference/lib/ortho_functions.py:774-833 builds it from
+    the processing parameters). Pure JVM concat so the sink body is
+    whole-stage-codegen'd; write with write_tile_partitioned / text sink."""
+    return df.select(
+        *keep,
+        F.col(name_col).alias("outname"),
+        F.concat(
+            F.lit('<output name="'), xml_escape_col(F.col(name_col)),
+            F.lit('"><source>'), xml_escape_col(F.col(source_col)),
+            F.lit('</source><params stretch="'), xml_escape_col(F.col(stretch_col)),
+            F.lit('" epsg="'), F.col(epsg_col).cast("string"),
+            F.lit('"/></output>'),
+        ).alias("xml"),
+    )

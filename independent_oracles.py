@@ -359,3 +359,138 @@ def manifest_oracle_sql(sf_dir: str, strips_sql: str, tile_deg: float = 10.0,
         "tile_name",
         ncols=2,
     )
+
+
+# ------------------------------------------------------- DP simplify (E5)
+#
+# Recursive Douglas-Peucker, written independently of the engine's
+# iterative-stack numpy version (imagery_utils_spark/operators/footprint.py
+# _dp_simplify): plain-python floats, explicit recursion, strict-> argmax
+# tie-break (first index wins — both formulations keep the identical point
+# set because DP's kept set is independent of traversal order given a
+# deterministic per-segment farthest-point rule). The fixture polylines are
+# dyadic (x integer, y multiples of 0.25) so every cross product is exact
+# and no distance can sit within ULP of the tolerance.
+
+SIMPLIFY_GROUPS = 8
+SIMPLIFY_PTS = 40
+SIMPLIFY_TOL = 0.3
+
+
+def simplify_fixture_point(gid: int, i: int) -> tuple[float, float]:
+    """Shared input derivation (same arithmetic the engine's query runs in
+    Spark over range(320)): x = i, y = ((i*(gid+2) + 3) % 7) * 0.25."""
+    return float(i), ((i * (gid + 2) + 3) % 7) * 0.25
+
+
+def _dp_recursive(pts: list[tuple[float, float]], tol: float) -> list[int]:
+    keep = {0, len(pts) - 1}
+
+    def recurse(a: int, b: int) -> None:
+        if b - a < 2:
+            return
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        sx, sy = bx - ax, by - ay
+        L = (sx * sx + sy * sy) ** 0.5
+        best_i, best_d = -1, -1.0
+        for j in range(a + 1, b):
+            dx, dy = pts[j][0] - ax, pts[j][1] - ay
+            if L == 0.0:
+                d = (dx * dx + dy * dy) ** 0.5
+            else:
+                d = abs(sx * dy - sy * dx) / L
+            if d > best_d:
+                best_i, best_d = j, d
+        if best_d > tol:
+            keep.add(best_i)
+            recurse(a, best_i)
+            recurse(best_i, b)
+
+    recurse(0, len(pts) - 1)
+    return sorted(keep)
+
+
+def simplify_expected():
+    rows = []
+    for gid in range(SIMPLIFY_GROUPS):
+        pts = [simplify_fixture_point(gid, i) for i in range(SIMPLIFY_PTS)]
+        for seq, idx in enumerate(_dp_recursive(pts, SIMPLIFY_TOL)):
+            rows.append((gid, seq, pts[idx][0], pts[idx][1]))
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def simplify_oracle_sql() -> str:
+    return _values_sql(
+        simplify_expected(),
+        "CAST(c0 AS BIGINT) AS gid, CAST(c1 AS INT) AS seq, "
+        "CAST(c2 AS DOUBLE) AS x, CAST(c3 AS DOUBLE) AS y",
+        "gid, seq",
+        ncols=4,
+    )
+
+
+# --------------------------------------------------- 180-degree wrap (C15/E4)
+#
+# Exact-rational reimplementation of the anti-meridian split contract
+# (reference getWrappedGeometry, /root/reference/lib/utils.py:561-645),
+# written against the spec, not the engine: vertices x<0 -> west part,
+# x>=0 -> east, crossing points interpolated at +-180 in +360-shifted x
+# space. All interpolation here is fractions.Fraction (exact); the fixture
+# rings use power-of-two runs so the engine's float path is exact too and
+# the two implementations must agree bit-for-bit.
+
+WRAP_GROUPS = 8
+
+
+def wrap_fixture_ring(gid: int) -> list[tuple[float, float]]:
+    """Shared input derivation: a 4-vertex ring straddling the anti-meridian;
+    x-run of every crossing edge is 64 (power of two), dys multiples of 4."""
+    x_w = 128.0 + 8 * (gid % 3)
+    x_e = x_w - 296.0  # shifted: x_w + 64
+    y0 = float(4 * gid)
+    return [(x_w, y0), (x_e, y0 + 8.0), (x_w, y0 + 16.0), (x_w - 8.0, y0 + 4.0)]
+
+
+def _wrap_exact(ring: list[tuple[float, float]]):
+    from fractions import Fraction as Fr
+
+    west: list[tuple[float, float]] = []
+    east: list[tuple[float, float]] = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        (west if x1 < 0.0 else east).append((x1, y1))
+        s1 = (x1 > 0) - (x1 < 0)
+        s2 = (x2 > 0) - (x2 < 0)
+        if s1 != s2:
+            x1s = Fr(x1) + (360 if x1 < 0.0 else 0)
+            x2s = Fr(x2) + (360 if x2 < 0.0 else 0)
+            y3 = (180 - x1s) * (Fr(y2) - Fr(y1)) / (x2s - x1s) + Fr(y1)
+            west.append((-180.0, float(y3)))
+            east.append((180.0, float(y3)))
+    return [p for p in (west, east) if p]
+
+
+def wrap_expected():
+    rows = []
+    for gid in range(WRAP_GROUPS):
+        for part in _wrap_exact(wrap_fixture_ring(gid)):
+            label = "W" if min(x for x, _y in part) < 0 else "E"
+            for seq, (x, y) in enumerate(part):
+                rows.append((gid, label, seq, x, y))
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def wrap_oracle_sql() -> str:
+    return _values_sql(
+        wrap_expected(),
+        "CAST(c0 AS BIGINT) AS gid, CAST(c1 AS VARCHAR) AS part, "
+        "CAST(c2 AS INT) AS seq, CAST(c3 AS DOUBLE) AS x, "
+        "CAST(c4 AS DOUBLE) AS y",
+        "gid, part, seq",
+        ncols=5,
+    )

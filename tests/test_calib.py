@@ -118,3 +118,68 @@ def test_full_table_coverage_and_corrections():
     # unknown sensor degrades explicitly: band simply absent, no KeyError
     out = calib.dg_calib_factors("XX99", {"BAND_P": (0.06, 0.4)}, ACQ, 45.0)
     assert out == {}
+
+
+def test_dg_calib_cols_matches_dict_form(spark):
+    """The broadcast-dim column form must agree with the driver-side dict
+    form (same reference arithmetic; des**2 vs des*des differ below 1e-15
+    relative)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from imagery_utils_spark.functions.scalar import calc_earth_sun_dist_col
+
+    acq = datetime(2011, 9, 1, 21, 4, 34)
+    sun_elev = 39.2
+    rows = []
+    for sat, bands in (("WV02", WV02_BANDS),
+                       ("GE01", {"BAND_B": (0.003, 0.054),
+                                 "BAND_P": (0.009, 0.403)})):
+        expected = calib.dg_calib_factors(sat, bands, acq, sun_elev, "rf")
+        for band, (abscal, effbandw) in bands.items():
+            rows.append((sat, band, abscal, effbandw,
+                         expected[band][0], expected[band][1]))
+    df = spark.createDataFrame(
+        rows, "sat string, band string, abscal double, effbandw double, "
+              "exp_fact double, exp_off double")
+    dim = calib.calib_dim_df(spark)
+    joined = df.join(
+        F.broadcast(dim),
+        F.concat(F.col("sat"), F.lit("_"), F.col("band")) == F.col("satband"))
+    # GE01 fixture: abscal_B=0.003 < 0.004 -> units 10 (both bands; the
+    # reference applies the scene-level rescale to every band)
+    units = F.when(F.col("sat") == "GE01", 10.0).otherwise(1.0)
+    des = calc_earth_sun_dist_col(F.lit(acq.isoformat()).cast("timestamp"))
+    fact, off, _rad = calib.dg_calib_cols(
+        F.col("abscal"), F.col("effbandw"), F.col("esun"), F.col("gain"),
+        F.col("bias"), des, F.lit(sun_elev), units)
+    out = joined.select("exp_fact", "exp_off", fact.alias("fact"),
+                        off.alias("off")).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["fact"] == pytest.approx(r["exp_fact"], rel=1e-12)
+        assert r["off"] == pytest.approx(r["exp_off"], rel=1e-12)
+
+
+def test_ik_calib_cols_break_parity(spark):
+    """Column form picks pre/post coefficients by acquisition date exactly
+    like ik_calib_factors."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    for acq in (datetime(2000, 6, 1), datetime(2003, 6, 1)):
+        expected_rf = calib.ik_calib_factors(acq, 25.0, "rf")
+        expected_rd = calib.ik_calib_factors(acq, 25.0, "rd")
+        dim = calib.ik_calib_dim_df(spark)
+        refl, rad = calib.ik_calib_cols(
+            F.lit(acq.isoformat()).cast("timestamp"), F.lit(25.0),
+            F.col("esun"), F.col("bandwidth"),
+            F.col("cal_pre"), F.col("cal_post"))
+        out = {r["band_idx"]: (r["refl"], r["rad"]) for r in
+               dim.select("band_idx", refl.alias("refl"),
+                          rad.alias("rad")).collect()}
+        for band in range(5):
+            assert out[band][0] == pytest.approx(expected_rf[band][0], rel=1e-12)
+            assert out[band][1] == pytest.approx(expected_rd[band][0], rel=1e-12)

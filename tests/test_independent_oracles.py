@@ -122,3 +122,51 @@ def test_manifest_expected_joins_cutline_rows(monkeypatch):
     assert IO.manifest_expected("ignored", "ignored") == [
         ("t1", "s9\ns2"), ("t2", "s5"),
     ]
+
+
+def test_dp_recursive_matches_engine_stack_dp():
+    """The independent recursive DP and the engine's iterative-stack numpy DP
+    must keep the identical vertex set on the dyadic battery fixture (and on
+    a degenerate repeated-point polyline)."""
+    import numpy as np
+
+    from imagery_utils_spark.operators.footprint import _dp_simplify
+
+    for gid in range(IO.SIMPLIFY_GROUPS):
+        pts = [IO.simplify_fixture_point(gid, i) for i in range(IO.SIMPLIFY_PTS)]
+        kept_engine = _dp_simplify(np.asarray(pts), IO.SIMPLIFY_TOL)
+        kept_oracle = [pts[i] for i in IO._dp_recursive(pts, IO.SIMPLIFY_TOL)]
+        assert [tuple(p) for p in kept_engine] == kept_oracle
+
+    # zero-length base segment branch (first == last)
+    loop = [(0.0, 0.0), (1.0, 2.0), (2.0, 0.25), (0.0, 0.0)]
+    kept_engine = _dp_simplify(np.asarray(loop), 0.3)
+    kept_oracle = [loop[i] for i in IO._dp_recursive(loop, 0.3)]
+    assert [tuple(p) for p in kept_engine] == kept_oracle
+
+
+def test_simplify_expected_keeps_endpoints_and_order():
+    rows = IO.simplify_expected()
+    by_gid = {}
+    for gid, seq, x, y in rows:
+        by_gid.setdefault(gid, []).append((seq, x, y))
+    assert set(by_gid) == set(range(IO.SIMPLIFY_GROUPS))
+    for gid, pts in by_gid.items():
+        assert [s for s, _x, _y in pts] == list(range(len(pts)))
+        assert pts[0][1] == 0.0 and pts[-1][1] == float(IO.SIMPLIFY_PTS - 1)
+        assert 2 <= len(pts) < IO.SIMPLIFY_PTS  # non-trivial simplification
+
+
+def test_wrap_exact_matches_engine_float_wrap():
+    """Fraction-exact oracle wrap vs the engine's float wrap: identical
+    parts, order, and bit-identical interpolated crossings on the
+    power-of-two fixture."""
+    import numpy as np
+
+    from imagery_utils_spark.core.geom import wrap_geometry_180
+
+    for gid in range(IO.WRAP_GROUPS):
+        ring = IO.wrap_fixture_ring(gid)
+        engine = [p.tolist() for p in wrap_geometry_180(np.asarray(ring))]
+        oracle = [[list(pt) for pt in p] for p in IO._wrap_exact(ring)]
+        assert engine == oracle

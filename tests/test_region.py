@@ -107,3 +107,30 @@ def test_property_symmetry(a, b):
     assert a.union(b).area() == pytest.approx(b.union(a).area())
     assert a.intersection(b).area() == pytest.approx(b.intersection(a).area())
     assert a.intersects(b) == b.intersects(a)
+
+
+def test_intersect_extent_join_pairs(spark):
+    """J8 DF form: open-interval overlap (touching edges excluded), exact
+    greatest/least extents, broadcast small side."""
+    from pyspark.sql import functions as F
+
+    from imagery_utils_spark.operators.catalog import intersect_extent_join
+
+    a = spark.createDataFrame(
+        [("s1", 0.0, 0.0, 10.0, 10.0), ("s2", 20.0, 0.0, 30.0, 5.0)],
+        "id_a string, axmin double, aymin double, axmax double, aymax double")
+    b = spark.createDataFrame(
+        [(1, 5.0, 5.0, 15.0, 15.0),   # overlaps s1 corner
+         (2, 10.0, 0.0, 20.0, 10.0),  # touches s1 edge only -> excluded
+         (3, 25.0, 1.0, 26.0, 2.0)],  # inside s2
+        "id_b int, bxmin double, bymin double, bxmax double, bymax double")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           intersect_extent_join(a, b).collect()}
+    assert set(got) == {("s1", 1), ("s2", 3)}
+    r = got[("s1", 1)]
+    assert (r["ixmin"], r["iymin"], r["ixmax"], r["iymax"]) == (5.0, 5.0, 10.0, 10.0)
+    assert r["ix_area"] == 25.0
+    r2 = got[("s2", 3)]
+    assert r2["ix_area"] == 1.0
+    plan = intersect_extent_join(a, b)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

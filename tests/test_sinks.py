@@ -79,3 +79,15 @@ def test_write_raster_tiles_roundtrip(spark, tmp_path):
     # 4 tall over 4 deg), top-left pixel CENTER at (-9.5, 43.5)
     wld = [float(x) for x in open(out["w_A"].path + ".wld").read().split()]
     assert wld == [1.0, 0.0, 0.0, -1.0, -9.5, 43.5]
+
+
+def test_render_xml_metadata_escapes(spark):
+    from imagery_utils_spark.sources.sinks import render_xml_metadata
+
+    df = spark.createDataFrame(
+        [("out1.tif", "a&b<c>.ntf", "rf", 3413)],
+        "outname string, srcfn string, stretch string, epsg int")
+    row = render_xml_metadata(df).collect()[0]
+    assert row["xml"] == (
+        '<output name="out1.tif"><source>a&amp;b&lt;c&gt;.ntf</source>'
+        '<params stretch="rf" epsg="3413"/></output>')
