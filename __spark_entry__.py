@@ -1150,6 +1150,24 @@ def q_simplify_dp(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tile_geoms(spark, sf_dir) -> DataFrame:
+    """K2 — the tile shapefile sink's geometry content: closed-ring WKT per
+    buildable tile (pgc_mosaic.py:560-596 writes these via OGR), rendered
+    by the engine's JVM rect_wkt_col over the computed grid. Grid edges are
+    short dyadic decimals, so shortest-roundtrip double->string rendering
+    is identical on both engines."""
+    from imagery_utils_spark.operators.tile_grid import buildable_tiles, tile_grid_df
+    from imagery_utils_spark.sources.sinks import rect_wkt_col
+
+    grid = buildable_tiles(tile_grid_df(
+        spark, -120.0, -61.5, -56.0, 56.5, 5.5, 5.625, mosaicname="mos"))
+    return grid.select(
+        "name",
+        rect_wkt_col(F.col("xmin"), F.col("ymin"),
+                     F.col("xmax"), F.col("ymax")).alias("geom_wkt"),
+    ).orderBy("name")
+
+
 def q_sunel_gate(spark, sf_dir) -> DataFrame:
     """F5 — the sun-elevation gate in isolation (lib/mosaic.py:635-637:
     sunel < 2 -> score -1): engine scoring over the low-sun slice of the
@@ -1378,6 +1396,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": q_lineage_resume,
         "runtime_stats": q_runtime_stats,
         "simplify_dp": q_simplify_dp,
+        "tile_geoms": q_tile_geoms,
         "sunel_gate": q_sunel_gate,
         "wrap_180": q_wrap_180,
         "catid_extract": q_catid_extract,
@@ -2083,6 +2102,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         # E5 — independent recursive DP implementation as a VALUES table.
         "simplify_dp": _IO.simplify_oracle_sql(),
+        # K2 — identical WKT concat over the same computed grid (the
+        # tile_grid_names CTE), cast(double as varchar) on dyadic edges.
+        "tile_geoms": (
+            # cast(... as double) everywhere: DuckDB otherwise types the
+            # 5.625 literals as DECIMAL and renders '-11.000' vs the
+            # engine's double '-11.0'
+            "WITH grid AS (SELECT "
+            "concat('mos_', lpad(cast(j as varchar), 2, '0'), '_', "
+            "lpad(cast(i as varchar), 2, '0')) AS name, "
+            "cast(-120.0 + (i - 1) * 5.5 as double) AS xmin, "
+            "cast(CASE WHEN -120.0 + i * 5.5 > -61.5 THEN -61.5 "
+            "ELSE -120.0 + i * 5.5 END as double) AS xmax, "
+            "cast(-56.0 + (j - 1) * 5.625 as double) AS ymin, "
+            "cast(CASE WHEN -56.0 + j * 5.625 > 56.5 THEN 56.5 "
+            "ELSE -56.0 + j * 5.625 END as double) AS ymax "
+            "FROM range(1, 12) t1(i), range(1, 21) t2(j)) "
+            "SELECT name, concat('POLYGON ((', "
+            "cast(xmin as varchar), ' ', cast(ymin as varchar), ', ', "
+            "cast(xmax as varchar), ' ', cast(ymin as varchar), ', ', "
+            "cast(xmax as varchar), ' ', cast(ymax as varchar), ', ', "
+            "cast(xmin as varchar), ' ', cast(ymax as varchar), ', ', "
+            "cast(xmin as varchar), ' ', cast(ymin as varchar), '))') "
+            "AS geom_wkt FROM grid ORDER BY name"
+        ),
         # F5 — sun-elevation gate slice (engine-emitted score SQL, the
         # flagship_rank convention; both gate branches populated).
         "sunel_gate": (

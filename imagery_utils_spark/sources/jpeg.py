@@ -1,0 +1,534 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Written from the published spec to close the last declared codec stub in
+:mod:`multimodal`: no codec library exists in this container, and the
+reference pipeline's raster outputs are opaque binaries to the engine
+anyway — what the 100-TB pipeline needs is a REAL compressed container it
+can decode inside ``mapInPandas`` tasks. Supported:
+
+* encode: 8-bit grayscale / RGB, quality-scaled Annex K quantization
+  tables, standard Annex K Huffman tables, 4:4:4 (``subsample=False``) or
+  4:2:0 (``subsample=True``) chroma;
+* decode: baseline (SOF0) interleaved scans, arbitrary DQT/DHT tables from
+  the stream, component sampling factors up to 2x2 (covers 4:4:4, 4:2:2,
+  4:2:0), restart markers (DRI/RSTn); progressive (SOF2), 12-bit, and
+  arithmetic coding raise ``NotImplementedError`` (declared, not silently
+  wrong).
+
+The DCT/IDCT are exact float64 8x8 matrix products (not the fast integer
+approximations) — bit-for-bit reproducible across platforms, which matters
+more here than raw speed: determinism is what the oracle checks lean on.
+Python-level bit I/O makes this a test/metadata-scale codec; the Spark-side
+plumbing (Arrow batches, schema, partitioning) is the part that scales.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+# Annex K.1/K.2 base quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+# zig-zag scan order (spec Figure 5)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.3 Huffman table specs: (BITS[1..16], HUFFVAL)
+HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# exact 8x8 DCT-II basis: C[u,x] = a(u) * cos((2x+1) u pi / 16)
+_DCT = np.array([[
+    (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+    * np.cos((2 * x + 1) * u * np.pi / 16)
+    for x in range(8)] for u in range(8)])
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (the de-facto standard mapping 1..100)."""
+    quality = min(100, max(1, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (qt * s + 50) // 100
+    return np.clip(out, 1, 255).astype(np.int32)
+
+
+# ----------------------------------------------------------------- huffman
+
+
+def _build_codes(bits, values):
+    """(value -> (code, length)) from a DHT spec — canonical Huffman
+    (spec Annex C code assignment)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits, values):
+    """((length, code) -> value) lookup for decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:      # byte stuffing (spec F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (spec E.1.4)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n % 8)])
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1    # stuffed
+                else:
+                    # marker: rewind and present 1-bits (decoder stops at EOB)
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:   # trailing pad
+            self.acc <<= (n - self.nbits)
+            self.nbits = n
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+
+    def skip_rst(self) -> None:
+        """Consume an RSTn marker at the current byte position."""
+        self.align()
+        self.acc &= (1 << self.nbits) - 1
+        # the 0xFF D0-D7 pair may be in the accumulator or the stream
+        if self.nbits >= 16:
+            top = (self.acc >> (self.nbits - 16)) & 0xFFFF
+            if 0xFFD0 <= top <= 0xFFD7:
+                self.nbits -= 16
+                return
+        while self.pos < len(self.data) - 1:
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                self.acc = 0
+                self.nbits = 0
+                return
+            self.pos += 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, amplitude bits) per spec F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+# ------------------------------------------------------------------ encode
+
+
+def _encode_block(block, qt, dc_codes, ac_codes, pred, out):
+    """block: 8x8 float (level-shifted). Returns new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    q = np.round(coef / qt).astype(np.int32)
+    zz = q.flatten()[ZIGZAG]
+    dc = int(zz[0])
+    cat, bits = _magnitude(dc - pred)
+    code, length = dc_codes[cat]
+    out.write(code, length)
+    out.write(bits, cat)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]   # ZRL
+            out.write(code, length)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | cat]
+        out.write(code, length)
+        out.write(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]       # EOB
+        out.write(code, length)
+    return dc
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(payload) + 2) + payload
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF: 8-bit grayscale (2-D or HxWx1) or RGB (HxWx3);
+    ``subsample=True`` writes 4:2:0 chroma (2x2 luma sampling factors);
+    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs (the segmenting
+    real encoders use so a corrupted segment doesn't poison the scan)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        comps = [arr.astype(np.float64) - 128.0]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down2(c):
+                hh, ww = (c.shape[0] + 1) // 2 * 2, (c.shape[1] + 1) // 2 * 2
+                p = np.pad(c, ((0, hh - c.shape[0]), (0, ww - c.shape[1])),
+                           mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2]
+                        + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            comps = [y - 128.0, down2(cb) - 128.0, down2(cr) - 128.0]
+        else:
+            comps = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    qt_l = _quality_scale(QT_LUMA, quality)
+    qt_c = _quality_scale(QT_CHROMA, quality)
+    dc_l, ac_l = _build_codes(*HT_DC_LUMA), _build_codes(*HT_AC_LUMA)
+    dc_c, ac_c = _build_codes(*HT_DC_CHROMA), _build_codes(*HT_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")                                 # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xFFDB, b"\x00" + bytes(qt_l.flatten()[ZIGZAG].tolist()))
+    if not gray:
+        out += _marker(0xFFDB, b"\x01" + bytes(qt_c.flatten()[ZIGZAG].tolist()))
+
+    hs = 2 if (subsample and not gray) else 1
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += bytes([1, (hs << 4) | hs, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _marker(0xFFC0, sof)                                  # SOF0
+
+    def dht(klass, ident, spec):
+        bits, vals = spec
+        return _marker(0xFFC4, bytes([(klass << 4) | ident])
+                       + bytes(bits) + bytes(vals))
+    out += dht(0, 0, HT_DC_LUMA) + dht(1, 0, HT_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
+
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))  # DRI
+
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xFFDA, sos)                                  # SOS
+
+    bw = _BitWriter()
+    mcu_h, mcu_w = 8 * hs, 8 * hs
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    padded = []
+    for ci, c in enumerate(comps):
+        f = hs if ci == 0 else 1
+        ph, pw = mcus_y * 8 * f, mcus_x * 8 * f
+        padded.append(np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])),
+                             mode="edge"))
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                bw.restart(rst_n)
+                rst_n += 1
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(padded):
+                f = hs if ci == 0 else 1
+                qt = qt_l if ci == 0 else qt_c
+                dcc = dc_l if ci == 0 else dc_c
+                acc = ac_l if ci == 0 else ac_c
+                for by in range(f):
+                    for bx in range(f):
+                        y0 = (my * f + by) * 8
+                        x0 = (mx * f + bx) * 8
+                        preds[ci] = _encode_block(
+                            c[y0:y0 + 8, x0:x0 + 8], qt, dcc, acc,
+                            preds[ci], bw)
+    out += bw.flush()
+    out += b"\xff\xd9"                                           # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ decode
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline (SOF0) decoder; returns HxW uint8 (grayscale) or HxWx3 RGB."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", blob[pos:pos + 2])
+        seg = blob[pos + 2:pos + seglen]
+        if marker == 0xDB:                     # DQT
+            p = 0
+            while p < len(seg):
+                prec, ident = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if prec != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                qts[ident] = np.array(list(seg[p:p + 64]),
+                                      dtype=np.int32)[UNZIGZAG].reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:                   # DHT
+            p = 0
+            while p < len(seg):
+                klass, ident = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                (dc_tabs if klass == 0 else ac_tabs)[ident] = _build_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/"
+                                      "arithmetic) not supported")
+        elif marker == 0xDD:                   # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                   # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 0x0F)
+            data = blob[pos + seglen:]
+            return _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data,
+                                restart_interval)
+        pos += seglen
+    raise ValueError("no scan found")
+
+
+def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = [np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]),
+                       dtype=np.float64) for c in comps]
+    br = _BitReader(data)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.skip_rst()
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                td, ta = sel[c["id"]]
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        cat = br.huff(dc_tabs[td])
+                        preds[ci] += _extend(br.bits(cat), cat)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = (zz[UNZIGZAG].reshape(8, 8) * qt).astype(np.float64)
+                        block = _DCT.T @ coef @ _DCT + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

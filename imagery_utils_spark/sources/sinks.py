@@ -175,3 +175,22 @@ def render_xml_metadata(df: DataFrame, name_col: str = "outname",
             F.lit('"/></output>'),
         ).alias("xml"),
     )
+
+
+def rect_wkt_col(xmin, ymin, xmax, ymax) -> Column:
+    """Closed-ring rectangle WKT as a pure JVM concat — the geometry column
+    the K1/K2 shapefile-analog geo tables carry for tile/cutline rects
+    (reference writes these via OGR, pgc_mosaic.py:560-596). Double->string
+    uses shortest-roundtrip rendering on both engines, so the text is
+    deterministic for the dyadic grids the tile math produces."""
+    def s(c):
+        return c.cast("string")
+
+    return F.concat(
+        F.lit("POLYGON (("),
+        s(xmin), F.lit(" "), s(ymin), F.lit(", "),
+        s(xmax), F.lit(" "), s(ymin), F.lit(", "),
+        s(xmax), F.lit(" "), s(ymax), F.lit(", "),
+        s(xmin), F.lit(" "), s(ymax), F.lit(", "),
+        s(xmin), F.lit(" "), s(ymin), F.lit("))"),
+    )
