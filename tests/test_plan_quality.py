@@ -92,3 +92,37 @@ def test_density_raster_single_shuffle(spark, sf_dir, tmp_path):
                 if "hashpartitioning(" in l and "Arguments" in l]
     assert shuffles, "expected the aggregate/group shuffles"
     assert all("tile_name" in s for s in shuffles), shuffles
+
+
+def test_calib_factors_broadcast_dim_no_fact_shuffle(spark, sf_dir):
+    """C6 column form: the 72-row constant dim broadcasts; the scene stream
+    never hash-shuffles (the only exchanges are the broadcast and the
+    battery row's final orderBy range exchange); factor arithmetic is pure
+    JVM (no Python eval)."""
+    import __spark_entry__ as E
+
+    df = E._raw_queries()["calib_factors"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_intersect_extent_broadcasts_small_side(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E._raw_queries()["intersect_extent"](spark, sf_dir)
+    plan = plan_of(df)
+    # range-predicate theta join against the broadcast 32-row grid
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_xml_meta_is_pure_jvm(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = plan_of(E._raw_queries()["xml_meta"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
