@@ -1150,6 +1150,22 @@ def q_simplify_dp(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_text_passthrough(spark, sf_dir) -> DataFrame:
+    """North-rule per-row invariant (BASELINE.json input_hint): byte-
+    identical extracted text per url. The engine builds page html from the
+    documents, then EXTRACTS the body text back (pages.extract_text_col,
+    pure JVM) and hashes it; the oracle hashes the source text directly.
+    A single flipped byte anywhere in the build->extract round trip flips
+    the sha256."""
+    from imagery_utils_spark.sources.pages import extract_text_col
+
+    pages = P.synthesize_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id", "url",
+        F.sha2(extract_text_col(F.col("html")), 256).alias("text_sha"),
+    ).orderBy("doc_id")
+
+
 def q_tile_geoms(spark, sf_dir) -> DataFrame:
     """K2 — the tile shapefile sink's geometry content: closed-ring WKT per
     buildable tile (pgc_mosaic.py:560-596 writes these via OGR), rendered
@@ -1396,6 +1412,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": q_lineage_resume,
         "runtime_stats": q_runtime_stats,
         "simplify_dp": q_simplify_dp,
+        "text_passthrough": q_text_passthrough,
         "tile_geoms": q_tile_geoms,
         "sunel_gate": q_sunel_gate,
         "wrap_180": q_wrap_180,
@@ -2102,6 +2119,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # E5 — independent recursive DP implementation as a VALUES table.
         "simplify_dp": _IO.simplify_oracle_sql(),
+        # North-rule text invariant — the oracle hashes the SOURCE text;
+        # the engine must reproduce it byte-for-byte from the built html.
+        "text_passthrough": (
+            "SELECT doc_id, concat('https://host', "
+            "cast(doc_id % 997 as varchar), '.example/p/', "
+            "cast(doc_id as varchar)) AS url, "
+            "sha256(text) AS text_sha FROM documents ORDER BY doc_id"
+        ),
         # K2 — identical WKT concat over the same computed grid (the
         # tile_grid_names CTE), cast(double as varchar) on dyadic edges.
         "tile_geoms": (

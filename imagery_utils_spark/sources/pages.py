@@ -198,3 +198,19 @@ def geocode(pages: DataFrame, method: str = "fast") -> DataFrame:
         pages.withColumn("lat", F.when(lat_s != "", lat_s).cast("double"))
         .withColumn("lon", F.when(lon_s != "", lon_s).cast("double"))
     )
+
+
+def extract_text_col(html: Column) -> Column:
+    """Recover the EXACT original body text from the page html — the
+    north-rule per-row invariant (BASELINE.json input_hint: "byte-identical
+    extracted text per url").
+
+    The synthesized html head is fixed-format (it never contains the
+    string '<body>'), and every document ends with the fixed 14-char
+    '</body></html>' suffix — so slicing [first '<body>' + 6, len - 14]
+    is exact even when the body text itself contains html markers (no
+    regex, no split-on-suffix ambiguity). Pure JVM: decode + locate +
+    substring, whole-stage-codegen'd."""
+    s = F.decode(html, "UTF-8")
+    start = F.locate("<body>", s) + F.lit(6)
+    return F.substring(s, start, F.length(s) - start - F.lit(13))
