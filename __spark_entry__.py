@@ -244,7 +244,9 @@ def q_sidecar_attrs(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.functions.metadata import with_scene_metadata
     from imagery_utils_spark.functions.sidecar_text import with_sidecar_xml
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    from imagery_utils_spark.sources.tables import spread_small_input
+
+    docs = spread_small_input(load(spark, sf_dir, "documents").select("doc_id"))
     d = F.col("doc_id")
     pvl = F.concat(
         F.lit('BEGIN_GROUP = productOrderInfo;\n  archiveId = "'),
@@ -275,8 +277,9 @@ def q_sidecar_attrs(spark, sf_dir) -> DataFrame:
 
 def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.dedup import jaccard_col, shingle_hash_udf
+    from imagery_utils_spark.sources.tables import spread_small_input
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_small_input(load(spark, sf_dir, "documents"))
     sh = shingle_hash_udf(3)
     # equi-join on the derived key (key_a + 1) — a non-equi predicate would
     # force a broadcast nested loop; int64 shingle hashes shuffle cheaply

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_col, tokens_col
+from ..sources.tables import spread_small_input
 
 # Deterministic hash family h_i(x) = (a_i * x + b_i) mod p over a Mersenne-31
 # prime: a_i, x < 2^31 keeps every product inside int64 (ANSI-safe, no
@@ -61,24 +62,6 @@ def auto_bucket_cap(max_bucket: int | None, est_rows: int | None,
     if est_rows is not None and est_rows > threshold:
         return default_cap
     return UNCAPPED_BUCKET
-
-
-def spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition an UNDER-parallel input before a pandas-UDF
-    stage.
-
-    A small parquet table arrives as one split (files below
-    maxPartitionBytes never subdivide), so a per-row Python/Arrow UDF runs
-    single-threaded no matter how many cores the session has — measured 3x
-    of the whole simhash battery wall at sf0.1. At 100-TB scale the scan
-    arrives with thousands of splits and this is a no-op (the gate fires
-    only when partitions < half the default parallelism); the shuffle it
-    inserts on the small side costs microseconds."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
 
 
 def bucket_pairs(keyed: DataFrame, key: str, bucket_cols: list[str],

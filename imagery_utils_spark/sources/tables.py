@@ -29,3 +29,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDER-parallel input before a heavy
+    per-row (pandas-UDF) stage.
+
+    A small parquet table arrives as one split (files below
+    maxPartitionBytes never subdivide), so an Arrow UDF over it runs
+    single-threaded no matter how many cores the session has. At 100-TB
+    scale scans arrive with thousands of splits and this is a no-op (the
+    gate fires only when partitions < half the default parallelism); when
+    it does fire, the inserted shuffle moves only the small table."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
