@@ -401,6 +401,48 @@ def q_sessionize(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_stream_champion(spark, sf_dir) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    event_type running champion (max value, ties to lowest event_id) with
+    change-only emission. The battery REALLY runs the stream — events are
+    split into two parquet micro-batches (even/odd event_id), drained
+    availableNow with one file per trigger, so cross-batch state
+    transitions execute. The returned fixed point is batch-boundary
+    independent (order-independent fold), which is exactly what the SQL
+    argmax oracle checks."""
+    import shutil
+    import uuid
+
+    from imagery_utils_spark.streaming.stateful import (
+        run_champion_stream_to_memory,
+    )
+
+    base = _lineage_base(sf_dir, "champ")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(base, "b=1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(base, "b=2"))
+    emissions = run_champion_stream_to_memory(
+        spark, base,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, b int",
+        f"champ_{uuid.uuid4().hex[:8]}",
+        key_col="event_type", id_col="event_id", score_col="value",
+        max_files=1,
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.desc("score"), F.asc("champion_id"))
+    return (
+        emissions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("key").alias("event_type"), "champion_id", "score")
+        .orderBy("event_type")
+    )
+
+
 def q_epsg_pick(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.functions.scalar import epsg_col
 
@@ -1382,6 +1424,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "pyramid_rollup": q_pyramid_rollup,
         "stream_window_counts": q_stream_window_counts,
+        "stream_champion": q_stream_champion,
         "sessionize": q_sessionize,
         "epsg_pick": q_epsg_pick,
         "strip_tile_candidates": q_strip_tile_candidates,
@@ -1723,6 +1766,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, "
             "cast(sum(cast(value as decimal(18,2))) as double) AS value_sum "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # Custom stateful streaming op — the stream's fixed point must
+        # equal the batch argmax under the same (value desc, id asc)
+        # total order, whatever the micro-batch boundaries were.
+        "stream_champion": (
+            "SELECT event_type, event_id AS champion_id, value AS score "
+            "FROM (SELECT event_type, event_id, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value DESC, event_id ASC) "
+            "AS rn FROM events) WHERE rn = 1 ORDER BY event_type"
         ),
         "sessionize": (
             "WITH s AS (SELECT user_id, ts, event_id, "

@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The mosaic pipeline's streaming form: as scene records arrive, each tile
+keeps a CHAMPION (the best-scoring contributor so far) and emits a row only
+when the champion changes — the incremental-refresh path for cutline/
+composite inputs (the batch engine re-ranks everything;
+/root/reference/pgc_mosaic.py re-sorts the full candidate list per run).
+The built-in windowed aggregates can't express "running argmax with
+change-only emission"; this is exactly the custom-state shape
+``applyInPandasWithState`` exists for.
+
+State per key: (champion id, champion score, tie id) — O(1) bytes per key,
+bounded by key cardinality, no timeout (champions never expire here; a
+production deployment with retiring tiles would use event-time timeouts).
+
+Determinism contract: the winner is max(score), ties broken by LOWEST id —
+a total order, so the FINAL champion per key is batch/stream identical
+regardless of how the input is split into micro-batches (the emission
+HISTORY depends on batch boundaries; the fixed point does not — tests pin
+both)."""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+CHAMPION_OUT = StructType([
+    StructField("key", StringType()),
+    StructField("champion_id", LongType()),
+    StructField("score", DoubleType()),
+    StructField("n_challengers", LongType()),
+])
+CHAMPION_STATE = StructType([
+    StructField("champion_id", LongType()),
+    StructField("score", DoubleType()),
+    StructField("n_seen", LongType()),
+])
+
+
+def _champion_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        champ_id, champ_score, n_seen = state.get
+    else:
+        champ_id, champ_score, n_seen = None, float("-inf"), 0
+    prev = (champ_id, champ_score)
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        for cid, score in zip(pdf["id"], pdf["score"]):
+            score = float(score)
+            # order-independent fold: keeps (max score, min id at that
+            # score) whatever the row order inside or across batches
+            if score > champ_score or (
+                score == champ_score and (champ_id is None or cid < champ_id)
+            ):
+                champ_id, champ_score = int(cid), score
+    state.update((champ_id, champ_score, n_seen))
+    if champ_id is not None and (champ_id, champ_score) != prev:
+        yield pd.DataFrame({
+            "key": [key[0]], "champion_id": [champ_id],
+            "score": [champ_score], "n_challengers": [n_seen],
+        })
+
+
+def running_champion(df: DataFrame, key_col: str, id_col: str,
+                     score_col: str) -> DataFrame:
+    """(key, champion_id, score, n_challengers) per key per micro-batch —
+    update output mode; the last row per key is the running champion."""
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        F.col(key_col).alias("key").cast("string"),
+        F.col(id_col).alias("id").cast("long"),
+        F.col(score_col).alias("score").cast("double"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _champion_update, CHAMPION_OUT, CHAMPION_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_champion_stream_to_memory(spark, src_path: str, schema: str,
+                                  name: str, key_col: str, id_col: str,
+                                  score_col: str, max_files: int = 1):
+    """availableNow harness: drain ``src_path`` (one micro-batch per
+    ``max_files`` files -> real multi-batch state transitions), memory sink
+    accumulates every emission."""
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files).parquet(src_path))
+    q = (running_champion(src, key_col, id_col, score_col)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -144,3 +144,69 @@ def test_pages_stream_matches_batch(spark, sf_dir, tmp_path):
         .groupBy("tile_name").agg(F.count("*").alias("n_pages"))
     )
     assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_running_champion_stateful_multi_batch(spark, tmp_path):
+    """applyInPandasWithState running-argmax: real multi-batch state
+    transitions (one file per trigger), change-only emission, and a final
+    fixed point equal to the batch argmax regardless of batch boundaries."""
+    from imagery_utils_spark.streaming.stateful import run_champion_stream_to_memory
+
+    schema = "tile string, scene long, score double"
+    src = tmp_path / "champ_src"
+    # batch 1: t1 champion 10 (score 5.0), t2 champion 20 (3.0)
+    spark.createDataFrame(
+        [("t1", 10, 5.0), ("t1", 11, 4.0), ("t2", 20, 3.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b=1"))
+    # batch 2: t1 beaten by 12 (6.0); t2 tie at 3.0 with LOWER id 19 -> wins;
+    # t3 appears
+    spark.createDataFrame(
+        [("t1", 12, 6.0), ("t2", 19, 3.0), ("t3", 30, 1.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b=2"))
+
+    out = run_champion_stream_to_memory(
+        spark, str(src), "tile string, scene long, score double, b int",
+        "champ_emissions", key_col="tile", id_col="scene", score_col="score",
+        max_files=1,
+    ).collect()
+
+    emissions = {}
+    for r in out:
+        emissions.setdefault(r["key"], []).append(
+            (r["champion_id"], r["score"], r["n_challengers"]))
+    # t1: initial champion then the batch-2 upset -> exactly 2 emissions
+    assert [e[:2] for e in emissions["t1"]] == [(10, 5.0), (12, 6.0)]
+    assert emissions["t1"][-1][2] == 3  # challengers seen across batches
+    # t2: tie replaced by lower id -> 2 emissions
+    assert [e[:2] for e in emissions["t2"]] == [(20, 3.0), (19, 3.0)]
+    # t3: single appearance
+    assert [e[:2] for e in emissions["t3"]] == [(30, 1.0)]
+
+    # final fixed point == batch argmax with the same total order
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(str(src / "b=1"), str(src / "b=2"))
+    w = Window.partitionBy("tile").orderBy(F.desc("score"), F.asc("scene"))
+    expect = {r["tile"]: (r["scene"], r["score"]) for r in
+              batch.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").collect()}
+    final = {k: v[-1][:2] for k, v in emissions.items()}
+    assert final == expect
+
+
+def test_running_champion_unchanged_batch_emits_nothing(spark, tmp_path):
+    from imagery_utils_spark.streaming.stateful import run_champion_stream_to_memory
+
+    schema = "tile string, scene long, score double"
+    src = tmp_path / "champ_src2"
+    spark.createDataFrame([("t1", 10, 5.0)], schema).coalesce(1).write.parquet(
+        str(src / "b=1"))
+    spark.createDataFrame([("t1", 11, 4.0)], schema).coalesce(1).write.parquet(
+        str(src / "b=2"))  # loses -> no second emission
+    out = run_champion_stream_to_memory(
+        spark, str(src), "tile string, scene long, score double, b int",
+        "champ_emissions2", key_col="tile", id_col="scene", score_col="score",
+        max_files=1,
+    ).collect()
+    assert [(r["champion_id"], r["score"]) for r in out] == [(10, 5.0)]
