@@ -94,8 +94,19 @@ def run_champion_stream_to_memory(spark, src_path: str, schema: str,
     accumulates every emission."""
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files).parquet(src_path))
-    q = (running_champion(src, key_col, id_col, score_col)
-         .writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # The stateful exchange materializes one state-store instance per
+    # shuffle partition PER TRIGGER; with a handful of keys, inheriting a
+    # batch-tuned 4x-cores partition count just multiplies state-store
+    # setup I/O (measured ~2x of the drain wall at 128 partitions). Clamp
+    # while the stream is planned, restore after — a real deployment sets
+    # this per-job at submit time.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (running_champion(src, key_col, id_col, score_col)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
