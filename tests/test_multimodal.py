@@ -259,3 +259,47 @@ def test_jpeg_auto_sniff_and_declared_limits():
     bad = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bad)
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    from imagery_utils_spark.sources.multimodal import (
+        decode_wav, encode_wav, extract_audio_features)
+
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    blob = encode_wav(tone, 16000)
+    back, rate = decode_wav(blob)
+    assert rate == 16000 and (back[:, 0] == tone).all()
+
+    silent = encode_wav(np.zeros(8000, dtype=np.int16), 8000)
+    df = spark.createDataFrame([(1, blob), (2, silent)], "media_id long, blob binary")
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["duration_s"] == 1.0
+    # 440 Hz sine: RMS = amp/sqrt(2), ZCR = 2 crossings per cycle
+    assert abs(rows[1]["rms"] - 12000 / 2 ** 0.5) < 100
+    assert abs(rows[1]["zero_crossing_rate"] - 2 * 440 / 16000) < 0.005
+    assert rows[2]["rms"] == 0.0 and rows[2]["duration_s"] == 1.0
+
+
+def test_mjpeg_container_and_demux_sampling(spark):
+    import numpy as np
+
+    from imagery_utils_spark.sources.jpeg import decode_jpeg
+    from imagery_utils_spark.sources.multimodal import (
+        decode_mjpeg, encode_mjpeg, sample_mjpeg_frames)
+
+    frames = [_gradient_rgb(24, 32), _gradient_rgb(24, 32)[::-1].copy(),
+              _gradient_rgb(24, 32)[:, ::-1].copy()]
+    blob = encode_mjpeg(frames, quality=90)
+    decoded = decode_mjpeg(blob)
+    assert len(decoded) == 3
+    for orig, dec in zip(frames, decoded):
+        assert dec.shape == orig.shape and _psnr(orig, dec) > 35
+
+    df = spark.createDataFrame([(7, blob)], "media_id long, blob binary")
+    out = sample_mjpeg_frames(df, every=2).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in out] == [(7, 0), (7, 2)]
+    # demuxed frames are standalone JPEGs decodable on their own
+    assert _psnr(frames[2], decode_jpeg(bytes(out[1]["blob"]))) > 35
