@@ -372,6 +372,69 @@ def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
     ).select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def q_ivf_search(spark, sf_dir) -> DataFrame:
+    """IVF approximate nearest neighbor, oracle-checked END TO END: train
+    centroids on the deterministic sample (driver-side Lloyd), assign every
+    vector its argmax cell (distributed Arrow matmul), probe the n_probe
+    nearest cells per query, exact cosine top-k within. The oracle derives
+    the IDENTICAL centroids from the raw parquet (shared
+    lloyd_unit_centroids on the same sorted sample) and replays
+    assignment + probe pruning + ranking in SQL — so the check covers the
+    IVF pruning semantics, not just brute-force recall. Ids/ranks only in
+    the output (the float-parity convention of lsh_ann)."""
+    from imagery_utils_spark.operators.similarity import (
+        ivf_assign, ivf_search, train_centroids)
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=16, id_col="vec_id")
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_search(assigned, queries, cents, k=5, n_probe=4).select(
+        "q_id", "vec_id", "rn").orderBy("q_id", "rn")
+
+
+def _ivf_oracle_sql() -> str:
+    """Centroids recomputed from the raw parquet with the shared Lloyd
+    routine, rendered as a VALUES table; assignment/probing/ranking in
+    pure SQL (QUALIFY row_number)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from imagery_utils_spark.operators.similarity import lloyd_unit_centroids
+
+    tbl = _pq.read_table(
+        _os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id").head(2048)
+    import numpy as _np
+
+    x = _np.asarray([list(map(float, v)) for v in df["embedding"]])
+    c = lloyd_unit_centroids(x, 16)
+    vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (j, ", ".join(repr(float(v)) for v in row))
+        for j, row in enumerate(c))
+    return (
+        f"WITH cents AS (SELECT * FROM (VALUES {vals}) t(cell, cv)), "
+        "assign AS (SELECT e.vec_id, e.embedding, "
+        "(SELECT c.cell FROM cents c ORDER BY "
+        "list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC, c.cell "
+        "LIMIT 1) AS cell FROM embeddings e), "
+        "qs AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings WHERE vec_id < 4), "
+        "probes AS (SELECT q.q_id, q.qv, c.cell FROM qs q, cents c "
+        "QUALIFY row_number() OVER (PARTITION BY q.q_id ORDER BY "
+        "list_cosine_similarity(q.qv, c.cv) DESC, c.cell) <= 4), "
+        "cand AS (SELECT p.q_id, p.qv, a.vec_id, a.embedding FROM probes p "
+        "JOIN assign a ON a.cell = p.cell) "
+        "SELECT q_id, vec_id, rn FROM (SELECT q_id, vec_id, "
+        "row_number() OVER (PARTITION BY q_id ORDER BY "
+        "list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id) AS rn "
+        "FROM cand) WHERE rn <= 5 ORDER BY q_id, rn"
+    )
+
+
 def q_pyramid_rollup(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.compose import pyramid_rollup
 
@@ -1422,6 +1485,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_search": q_ivf_search,
         "pyramid_rollup": q_pyramid_rollup,
         "stream_window_counts": q_stream_window_counts,
         "stream_champion": q_stream_champion,
@@ -1752,6 +1816,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM base a JOIN base b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY id_a, id_b"
         ),
+        # IVF pruning semantics replayed in SQL over the shared centroids.
+        "ivf_search": _ivf_oracle_sql(),
         "pyramid_rollup": (
             f"WITH {pages}, base AS (SELECT {SJ.cell_sql('lon', 'lat', 6)} AS cell6 FROM pages) "
             f"SELECT 4 AS level_res, {CPO.parent_cell_sql('cell6', 6, 2)} AS cell, "

@@ -165,7 +165,18 @@ def train_centroids(df: DataFrame, n_centroids: int = 16, vec_col: str = "embedd
     by the vector)."""
     rows = df.select(vec_col).orderBy(F.col(id_col)).limit(sample).collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    return lloyd_unit_centroids(x, n_centroids, iters, seed)
+
+
+def lloyd_unit_centroids(x: np.ndarray, n_centroids: int, iters: int = 8,
+                         seed: int = 42) -> np.ndarray:
+    """The pure-numpy Lloyd core (deterministic: seeded init, fixed
+    iteration count). Factored out so the DuckDB oracle can derive the
+    IDENTICAL centroids from the raw parquet sample — the shared-input
+    convention: centroids are the input to the assign/search operator
+    under test, not the operator itself."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=n_centroids, replace=False)]
     for _ in range(iters):
