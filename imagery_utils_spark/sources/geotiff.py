@@ -1,0 +1,188 @@
+"""Pure-python GeoTIFF writer/reader (uncompressed baseline TIFF 6.0 +
+GeoTIFF 1.1 georeferencing tags).
+
+Closes the K4 residual: the reference emits one GeoTIFF per mosaic tile
+(/root/reference/pgc_mosaic_build_tile.py; gdalwarp outputs in
+lib/ortho_functions.py) and rounds 1-3 could only produce BMP/PPM + world
+files because no raster library exists in this container. TIFF itself is
+just a tag directory over raw strips, and GeoTIFF georeferencing is three
+more tags — all plain ``struct`` packing, written here from the published
+TIFF 6.0 and OGC GeoTIFF specs:
+
+* baseline tags: width/length/bits/compression(1=none)/photometric
+  (1=gray, 2=RGB)/strip offsets+counts/samples/rows-per-strip/planar(1);
+* GeoTIFF tags: ModelPixelScale (33550), ModelTiepoint (33922) — the
+  affine a world file carries — and the GeoKeyDirectory (34735) with
+  model type + raster type + the EPSG code (geographic 2048 or projected
+  3072, chosen by EPSG range like the engine's EPSG picker).
+
+One strip per image (tiles here are bounded); single-band uint8/uint16 or
+3-band uint8. The reader parses any single-strip uncompressed file this
+writer produces and returns (array, geotransform, epsg) for roundtrip
+verification — GDAL compatibility follows from the spec but cannot be
+asserted in this sandbox (no GDAL), which is the declared limit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_II = b"II*\x00"  # little-endian TIFF magic
+
+# tag ids
+_W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_STRIP_OFF, _SAMPLES, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR, _SAMPLE_FMT = 284, 339
+_MODEL_SCALE, _MODEL_TIEPOINT, _GEO_KEYS = 33550, 33922, 34735
+
+_SHORT, _LONG, _DOUBLE = 3, 4, 12
+
+
+def _geo_keys(epsg: int) -> list[int]:
+    """GeoKeyDirectory shorts: header (1,1,0,n) then per-key
+    (id, location=0, count=1, value)."""
+    geographic = 4000 <= epsg < 5000  # the engine's EPSG-range convention
+    keys = [
+        (1024, 0, 1, 2 if geographic else 1),   # GTModelType
+        (1025, 0, 1, 1),                        # GTRasterType = PixelIsArea
+        ((2048 if geographic else 3072), 0, 1, epsg),
+    ]
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
+
+
+def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
+                   ymax: float, epsg: int = 4326) -> bytes:
+    """HxW (gray, uint8/uint16) or HxWx3 (RGB uint8) -> GeoTIFF bytes.
+    North-up geotransform derived from the extent (row 0 = ymax edge)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        samples, photo = 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        samples, photo = 3, 2
+        if arr.dtype != np.uint8:
+            raise ValueError("RGB GeoTIFF must be uint8")
+    else:
+        raise ValueError("need HxW gray or HxWx3 RGB")
+    if arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError("uint8/uint16 only")
+    h, w = arr.shape[:2]
+    bits = arr.dtype.itemsize * 8
+    if arr.dtype == np.uint16:
+        arr = arr.astype("<u2")
+    strip = arr.tobytes()
+
+    px = (xmax - xmin) / w
+    py = (ymax - ymin) / h
+    scale = struct.pack("<3d", px, py, 0.0)
+    # tiepoint: raster (0,0) [pixel corner, PixelIsArea] -> (xmin, ymax)
+    tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, xmin, ymax, 0.0)
+    keys = _geo_keys(epsg)
+    keys_b = struct.pack("<%dH" % len(keys), *keys)
+    bits_b = struct.pack("<%dH" % samples, *([bits] * samples))
+    fmt_b = struct.pack("<%dH" % samples, *([1] * samples))
+
+    # layout: header(8) | strip | external arrays | IFD
+    pos = 8
+    strip_off = pos
+    pos += len(strip)
+    ext: list[bytes] = []
+
+    def external(data: bytes) -> int:
+        nonlocal pos
+        if pos % 2:                    # word-align external values
+            ext.append(b"\x00")
+            pos += 1
+        off = pos
+        ext.append(data)
+        pos += len(data)
+        return off
+
+    entries: list[tuple[int, int, int, int]] = []
+
+    def tag(tid: int, ttype: int, count: int, value_or_data) -> None:
+        if isinstance(value_or_data, bytes):
+            if len(value_or_data) <= 4:
+                v = int.from_bytes(value_or_data.ljust(4, b"\x00"), "little")
+                entries.append((tid, ttype, count, v))
+            else:
+                entries.append((tid, ttype, count, external(value_or_data)))
+        else:
+            entries.append((tid, ttype, count, int(value_or_data)))
+
+    tag(_W, _LONG, 1, w)
+    tag(_H, _LONG, 1, h)
+    tag(_BITS, _SHORT, samples, bits_b)
+    tag(_COMP, _SHORT, 1, 1)
+    tag(_PHOTO, _SHORT, 1, photo)
+    tag(_STRIP_OFF, _LONG, 1, strip_off)
+    tag(_SAMPLES, _SHORT, 1, samples)
+    tag(_ROWS_PER_STRIP, _LONG, 1, h)
+    tag(_STRIP_CNT, _LONG, 1, len(strip))
+    tag(_PLANAR, _SHORT, 1, 1)
+    tag(_SAMPLE_FMT, _SHORT, samples, fmt_b)
+    tag(_MODEL_SCALE, _DOUBLE, 3, scale)
+    tag(_MODEL_TIEPOINT, _DOUBLE, 6, tiepoint)
+    tag(_GEO_KEYS, _SHORT, len(keys), keys_b)
+
+    if pos % 2:
+        ext.append(b"\x00")
+        pos += 1
+    ifd_off = pos
+    entries.sort()                     # TIFF requires ascending tag order
+    ifd = struct.pack("<H", len(entries))
+    for tid, ttype, count, value in entries:
+        ifd += struct.pack("<HHII", tid, ttype, count, value & 0xFFFFFFFF)
+    ifd += struct.pack("<I", 0)        # no next IFD
+
+    return (_II + struct.pack("<I", ifd_off) + strip + b"".join(ext) + ifd)
+
+
+def decode_geotiff(blob: bytes):
+    """-> (array, (xmin, px, 0, ymax, 0, -py) GDAL-style geotransform,
+    epsg). Single-strip uncompressed only (what encode_geotiff writes)."""
+    if blob[:4] != _II:
+        raise ValueError("not a little-endian TIFF")
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        tid, ttype, count, value = struct.unpack_from(
+            "<HHII", blob, ifd_off + 2 + 12 * i)
+        tags[tid] = (ttype, count, value)
+
+    def shorts(tid):
+        ttype, count, value = tags[tid]
+        if count * 2 <= 4:
+            return list(struct.unpack("<%dH" % count,
+                                      value.to_bytes(4, "little")[:2 * count]))
+        return list(struct.unpack_from("<%dH" % count, blob, value))
+
+    def doubles(tid):
+        _t, count, off = tags[tid]
+        return list(struct.unpack_from("<%dd" % count, blob, off))
+
+    w = tags[_W][2]
+    h = tags[_H][2]
+    samples = tags[_SAMPLES][2] if _SAMPLES in tags else 1
+    bits = shorts(_BITS)[0]
+    if tags[_COMP][2] != 1:
+        raise NotImplementedError("compressed TIFF not supported")
+    off, cnt = tags[_STRIP_OFF][2], tags[_STRIP_CNT][2]
+    dt = np.uint8 if bits == 8 else np.dtype("<u2")
+    arr = np.frombuffer(blob, dtype=dt, count=cnt // (bits // 8), offset=off)
+    arr = arr.reshape((h, w) if samples == 1 else (h, w, samples))
+
+    px, py, _pz = doubles(_MODEL_SCALE)
+    tp = doubles(_MODEL_TIEPOINT)
+    xmin, ymax = tp[3] - tp[0] * px, tp[4] + tp[1] * py
+    keys = shorts(_GEO_KEYS)
+    epsg = 0
+    for i in range(4, len(keys), 4):
+        if keys[i] in (2048, 3072) and keys[i + 1] == 0:
+            epsg = keys[i + 3]
+    return arr.copy(), (xmin, px, 0.0, ymax, 0.0, -py), epsg

@@ -79,9 +79,11 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
     import numpy as np
     import pandas as pd
 
+    from .geotiff import encode_geotiff
     from .multimodal import encode_bmp, encode_ppm
 
-    enc = {"bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+    if fmt not in ("bmp", "ppm", "tif"):
+        raise ValueError(f"unknown raster format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -96,14 +98,20 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
         img[r[ok], c[ok], 0] = pdf["red"].to_numpy(dtype=np.int64)[ok]
         img[r[ok], c[ok], 1] = pdf["green"].to_numpy(dtype=np.int64)[ok]
         img[r[ok], c[ok], 2] = pdf["blue"].to_numpy(dtype=np.int64)[ok]
+        xmin = float(pdf["xmin"].iloc[0])
+        ymin = float(pdf["ymin"].iloc[0])
+        xmax = float(pdf["xmax"].iloc[0])
+        ymax = float(pdf["ymax"].iloc[0])
         path = os.path.join(out_dir, f"{tile}.{fmt}")
         with open(path, "wb") as f:
-            f.write(enc(img))
-        with open(path + ".wld", "w") as f:
-            f.write(world_file_text(
-                float(pdf["xmin"].iloc[0]), float(pdf["ymin"].iloc[0]),
-                float(pdf["xmax"].iloc[0]), float(pdf["ymax"].iloc[0]),
-                width, height))
+            if fmt == "tif":
+                # georeferencing rides INSIDE the container (GeoTIFF tags)
+                f.write(encode_geotiff(img, xmin, ymin, xmax, ymax))
+            else:
+                f.write({"bmp": encode_bmp, "ppm": encode_ppm}[fmt](img))
+        if fmt != "tif":
+            with open(path + ".wld", "w") as f:
+                f.write(world_file_text(xmin, ymin, xmax, ymax, width, height))
         return pd.DataFrame([(tile, path, width, height, int(ok.sum()))],
                             columns=["tile_name", "path", "width", "height",
                                      "n_pixels"])

@@ -91,3 +91,46 @@ def test_render_xml_metadata_escapes(spark):
     assert row["xml"] == (
         '<output name="out1.tif"><source>a&amp;b&lt;c&gt;.ntf</source>'
         '<params stretch="rf" epsg="3413"/></output>')
+
+
+def test_geotiff_roundtrip_and_geokeys():
+    import numpy as np
+
+    from imagery_utils_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rgb = (np.arange(20 * 30 * 3) % 251).astype(np.uint8).reshape(20, 30, 3)
+    arr, gtf, epsg = decode_geotiff(
+        encode_geotiff(rgb, -120.0, 30.0, -114.0, 34.0, epsg=4326))
+    assert (arr == rgb).all()
+    assert gtf == (-120.0, 0.2, 0.0, 34.0, 0.0, -0.2)
+    assert epsg == 4326
+
+    # projected CS uses the 3072 key; 16-bit single band
+    g16 = (np.arange(16 * 16) % 60000).astype(np.uint16).reshape(16, 16)
+    arr, gtf, epsg = decode_geotiff(
+        encode_geotiff(g16, 500000.0, 4000000.0, 510000.0, 4010000.0,
+                       epsg=32617))
+    assert (arr == g16).all() and arr.dtype == np.uint16 and epsg == 32617
+    assert gtf[1] == 625.0 and gtf[5] == -625.0
+
+
+def test_write_raster_tiles_geotiff(spark, tmp_path):
+    import numpy as np
+
+    from imagery_utils_spark.sources.geotiff import decode_geotiff
+    from imagery_utils_spark.sources.sinks import write_raster_tiles
+
+    pixels = spark.createDataFrame(
+        [("t1", -10.0, -5.0, 10.0, 5.0, 0, 0, 255, 0, 0),
+         ("t1", -10.0, -5.0, 10.0, 5.0, 3, 7, 0, 255, 0)],
+        "tile_name string, xmin double, ymin double, xmax double, ymax double, "
+        "px_row int, px_col int, red int, green int, blue int")
+    out = str(tmp_path / "tiles")
+    manifest = write_raster_tiles(pixels, out, width=8, height=4,
+                                  fmt="tif").collect()
+    assert manifest[0]["n_pixels"] == 2
+    arr, gtf, epsg = decode_geotiff(open(manifest[0]["path"], "rb").read())
+    assert arr.shape == (4, 8, 3)
+    assert tuple(arr[0, 0]) == (255, 0, 0) and tuple(arr[3, 7]) == (0, 255, 0)
+    assert gtf == (-10.0, 2.5, 0.0, 5.0, 0.0, -2.5)
+    assert epsg == 4326
