@@ -98,3 +98,24 @@ def test_tile_density_rasters_over_pages(spark, tmp_path):
     # world file pixel size = 10 deg / 20 px
     wld = [float(x) for x in open(best.path + ".wld").read().split()]
     assert wld[0] == 0.5 and wld[3] == -0.5
+
+
+def test_mosaic_composite_to_geotiff(spark, tmp_path):
+    """Same composite path as test_mosaic_pipeline_end_to_end but sunk to
+    the GeoTIFF container: georeferencing must ride inside the file and
+    the auto-sniffing decoder must pick it up by magic."""
+    from imagery_utils_spark.sources.geotiff import decode_geotiff
+    from imagery_utils_spark.sources.multimodal import _decode
+
+    pixels = spark.createDataFrame(
+        [("t1", 0.0, 0.0, 10.0, 10.0, r, c, 200, 10, 10)
+         for r in range(4) for c in range(4)],
+        "tile_name string, xmin double, ymin double, xmax double, ymax double, "
+        "px_row int, px_col int, red int, green int, blue int")
+    man = write_raster_tiles(pixels, str(tmp_path / "tif"), width=4, height=4,
+                             fmt="tif").collect()
+    blob = open(man[0].path, "rb").read()
+    arr, gtf, epsg = decode_geotiff(blob)
+    assert (arr[:, :, 0] == 200).all()
+    assert gtf == (0.0, 2.5, 0.0, 10.0, 0.0, -2.5) and epsg == 4326
+    assert (_decode(blob, "auto") == arr).all()  # II* magic sniffed
