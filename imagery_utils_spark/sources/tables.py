@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -46,3 +47,19 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def load_filelist(spark: SparkSession, path: str,
+                  col: str = "src_path") -> DataFrame:
+    """S2 — a reference 'textfile of image paths' source
+    (/root/reference/pgc_ortho.py:300-310 reads src as a .txt of paths,
+    one per line): ``spark.read.text`` with blank/comment lines dropped
+    and whitespace trimmed. Join it ``left_semi`` against the files table
+    to scope a run, exactly the reference's list-driven selection."""
+    lines = spark.read.text(path)
+    v = F.trim(F.col("value"))
+    return (
+        lines.select(v.alias(col))
+        .filter((F.length(col) > 0) & ~F.col(col).startswith("#"))
+        .dropDuplicates([col])
+    )

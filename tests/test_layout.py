@@ -45,3 +45,20 @@ def test_within_partition_cell_ordering(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(os.path.join(path, one_dir)) if f.endswith(".parquet")]
     if len(files) == 1:
         assert vals == sorted(vals)
+
+
+def test_load_filelist_semi_join_scoping(spark, tmp_path):
+    """S2: list-driven run scoping — textfile of ids, trimmed, comments and
+    blanks dropped, deduped, then left_semi against the catalog."""
+    from pyspark.sql import functions as F
+
+    from imagery_utils_spark.sources.tables import load_filelist
+
+    lst = tmp_path / "scenes.txt"
+    lst.write_text("s1\n  s2  \n\n# comment\ns2\ns9\n")
+    files = spark.createDataFrame(
+        [("s1", 1), ("s2", 2), ("s3", 3)], "scene_id string, x int")
+    wanted = load_filelist(spark, str(lst), col="scene_id")
+    assert sorted(r["scene_id"] for r in wanted.collect()) == ["s1", "s2", "s9"]
+    scoped = files.join(F.broadcast(wanted), "scene_id", "left_semi")
+    assert sorted(r["scene_id"] for r in scoped.collect()) == ["s1", "s2"]
