@@ -272,13 +272,42 @@ def minhash_lsh_pairs(
     ``max_bucket`` explicitly."""
     max_bucket = auto_bucket_cap(max_bucket, est_rows)
     rows = k // bands
-    sig_udf = minhash_signature_udf(k, seed, n_gram)
-    sh_udf = shingle_hash_udf(n_gram)
-    df = spread_small_input(df)
-    sig = df.select(
-        F.col(key).alias("_k"),
-        sig_udf(F.col(content)).alias("_sig"),
-    ).filter(F.col("_sig").isNotNull())
+    # ONE tokenize+shingle+hash pass per document: the combined UDF emits
+    # both the k-minhash signature (band keys) and the sorted shingle-hash
+    # set (exact verify), and the frame is persisted — this IS the LSH
+    # index build a 100-TB dedup run materializes once and reuses across
+    # the band explode and both verify attaches (previously the text was
+    # re-shingled three times: once for signatures, twice for verify).
+    import zlib
+
+    a_f, b_f = _hash_family(k, seed)
+    a_f = a_f[:, None]
+    b_f = b_f[:, None]
+
+    @F.pandas_udf("struct<sig: array<long>, sh: array<long>>")
+    def _sig_sh(text: pd.Series) -> pd.DataFrame:
+        sigs, shs = [], []
+        for t in text:
+            toks = t.lower().split() if t else []
+            if len(toks) < n_gram:
+                sigs.append(None)
+                shs.append(None)
+                continue
+            grams = {" ".join(toks[i:i + n_gram])
+                     for i in range(len(toks) - n_gram + 1)}
+            hset = {zlib.crc32(s.encode()) for s in grams}
+            h = np.fromiter(hset, dtype=np.int64, count=len(hset))
+            sigs.append(((a_f * h[None, :] + b_f) % _P).min(axis=1).tolist())
+            shs.append(sorted(hset))
+        return pd.DataFrame({"sig": sigs, "sh": shs})
+
+    base = (
+        spread_small_input(df)
+        .select(F.col(key).alias("_k"), _sig_sh(F.col(content)).alias("_ss"))
+        .filter(F.col("_ss.sig").isNotNull())
+        .persist()
+    )
+    sig = base.select("_k", F.col("_ss.sig").alias("_sig"))
     banded = sig.select(
         "_k",
         F.explode(
@@ -298,8 +327,9 @@ def minhash_lsh_pairs(
     # over-cap buckets star-link instead of dropping (boilerplate guardrail)
     pairs = bucket_pairs(banded, "_k", ["band", "bucket"], max_bucket)
     # exact-verify re-attaches int64 shingle-hash sets once per side (equal
-    # to string-shingle jaccard up to crc32 collisions)
-    sh = df.select(F.col(key).alias("_k"), sh_udf(F.col(content)).alias("_sh"))
+    # to string-shingle jaccard up to crc32 collisions) — from the SAME
+    # persisted index frame, no recompute
+    sh = base.select("_k", F.col("_ss.sh").alias("_sh"))
     return (
         pairs
         .join(sh.select(F.col("_k").alias("key_a"), F.col("_sh").alias("_sh_a")), "key_a")
