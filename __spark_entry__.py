@@ -281,12 +281,16 @@ def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
 
     docs = spread_small_input(load(spark, sf_dir, "documents"))
     sh = shingle_hash_udf(3)
-    # equi-join on the derived key (key_a + 1) — a non-equi predicate would
-    # force a broadcast nested loop; int64 shingle hashes shuffle cheaply
-    a = docs.select((F.col("doc_id") + 1).alias("k"), F.col("doc_id").alias("key_a"),
-                    sh(F.col("text")).alias("_a"))
-    b = docs.select(F.col("doc_id").alias("k"), F.col("doc_id").alias("key_b"),
-                    sh(F.col("text")).alias("_b"))
+    # shingle each document ONCE (persisted), then derive both join sides
+    # from the same frame — the self-join otherwise re-runs the shingle UDF
+    # per side. Equi-join on the derived key (key_a + 1): a non-equi
+    # predicate would force a broadcast nested loop; int64 shingle hashes
+    # shuffle cheaply.
+    shingled = docs.select("doc_id", sh(F.col("text")).alias("_sh")).persist()
+    a = shingled.select((F.col("doc_id") + 1).alias("k"),
+                        F.col("doc_id").alias("key_a"), F.col("_sh").alias("_a"))
+    b = shingled.select(F.col("doc_id").alias("k"),
+                        F.col("doc_id").alias("key_b"), F.col("_sh").alias("_b"))
     return (
         a.join(b, "k")
         .select("key_a", "key_b", jaccard_col(F.col("_a"), F.col("_b")).alias("jaccard"))
