@@ -56,9 +56,13 @@ def _geo_keys(epsg: int) -> list[int]:
 
 
 def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
-                   ymax: float, epsg: int = 4326) -> bytes:
+                   ymax: float, epsg: int = 4326,
+                   compress: str | None = None) -> bytes:
     """HxW (gray, uint8/uint16) or HxWx3 (RGB uint8) -> GeoTIFF bytes.
-    North-up geotransform derived from the extent (row 0 = ymax edge)."""
+    North-up geotransform derived from the extent (row 0 = ymax edge).
+    ``compress='deflate'`` writes Deflate strips (TIFF compression 8,
+    stdlib zlib) — the engine's analog of the reference's lzw/zstd output
+    options (pgc_mosaic_build_tile.py gdal_translate -co COMPRESS)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         samples, photo = 1, 1
@@ -75,6 +79,16 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
     if arr.dtype == np.uint16:
         arr = arr.astype("<u2")
     strip = arr.tobytes()
+    if compress == "deflate":
+        import zlib
+
+        strip = zlib.compress(strip, 6)
+        comp_tag = 8
+    elif compress is None:
+        comp_tag = 1
+    else:
+        raise NotImplementedError(f"compression {compress!r} not supported "
+                                  "(deflate or None)")
 
     px = (xmax - xmin) / w
     py = (ymax - ymin) / h
@@ -117,7 +131,7 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
     tag(_W, _LONG, 1, w)
     tag(_H, _LONG, 1, h)
     tag(_BITS, _SHORT, samples, bits_b)
-    tag(_COMP, _SHORT, 1, 1)
+    tag(_COMP, _SHORT, 1, comp_tag)
     tag(_PHOTO, _SHORT, 1, photo)
     tag(_STRIP_OFF, _LONG, 1, strip_off)
     tag(_SAMPLES, _SHORT, 1, samples)
@@ -170,11 +184,19 @@ def decode_geotiff(blob: bytes):
     h = tags[_H][2]
     samples = tags[_SAMPLES][2] if _SAMPLES in tags else 1
     bits = shorts(_BITS)[0]
-    if tags[_COMP][2] != 1:
-        raise NotImplementedError("compressed TIFF not supported")
+    comp = tags[_COMP][2]
+    if comp not in (1, 8):
+        raise NotImplementedError("only uncompressed / Deflate TIFF")
     off, cnt = tags[_STRIP_OFF][2], tags[_STRIP_CNT][2]
     dt = np.uint8 if bits == 8 else np.dtype("<u2")
-    arr = np.frombuffer(blob, dtype=dt, count=cnt // (bits // 8), offset=off)
+    if comp == 8:
+        import zlib
+
+        raw = zlib.decompress(blob[off:off + cnt])
+        arr = np.frombuffer(raw, dtype=dt)
+    else:
+        arr = np.frombuffer(blob, dtype=dt, count=cnt // (bits // 8),
+                            offset=off)
     arr = arr.reshape((h, w) if samples == 1 else (h, w, samples))
 
     px, py, _pz = doubles(_MODEL_SCALE)

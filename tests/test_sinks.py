@@ -134,3 +134,18 @@ def test_write_raster_tiles_geotiff(spark, tmp_path):
     assert tuple(arr[0, 0]) == (255, 0, 0) and tuple(arr[3, 7]) == (0, 255, 0)
     assert gtf == (-10.0, 2.5, 0.0, 5.0, 0.0, -2.5)
     assert epsg == 4326
+
+
+def test_geotiff_deflate_compression():
+    import numpy as np
+
+    from imagery_utils_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    # compressible content: repeated rows
+    img = np.tile(np.arange(64, dtype=np.uint8), (32, 1))
+    plain = encode_geotiff(img, 0.0, 0.0, 1.0, 1.0)
+    comp = encode_geotiff(img, 0.0, 0.0, 1.0, 1.0, compress="deflate")
+    assert len(comp) < len(plain) // 2
+    for blob in (plain, comp):
+        arr, gtf, epsg = decode_geotiff(blob)
+        assert (arr == img).all() and epsg == 4326
