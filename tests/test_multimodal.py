@@ -303,3 +303,21 @@ def test_mjpeg_container_and_demux_sampling(spark):
     assert [(r["media_id"], r["frame_idx"]) for r in out] == [(7, 0), (7, 2)]
     # demuxed frames are standalone JPEGs decodable on their own
     assert _psnr(frames[2], decode_jpeg(bytes(out[1]["blob"]))) > 35
+
+
+def test_jpeg_extreme_sizes_and_empty_wav():
+    import numpy as np
+
+    from imagery_utils_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from imagery_utils_spark.sources.multimodal import decode_wav, encode_wav
+
+    for shape in [(1, 1, 3), (1, 1), (5, 3, 3), (7, 9)]:
+        img = (np.arange(np.prod(shape)) % 256).astype(np.uint8).reshape(shape)
+        for sub in (False, True):
+            if img.ndim == 2 and sub:
+                continue
+            dec = decode_jpeg(encode_jpeg(img, subsample=sub))
+            assert dec.shape == img.shape
+
+    samples, rate = decode_wav(encode_wav(np.zeros(0, dtype=np.int16)))
+    assert samples.shape == (0, 1) and rate == 16000
