@@ -1672,8 +1672,8 @@ def _ik_dim_values() -> str:
             "t(band_idx, esun, bandwidth, cal_pre, cal_post))")
 
 
-_XML_ESC = ("replace(replace(replace({c}, '&', '&amp;'), '<', '&lt;'), "
-            "'>', '&gt;')")
+_XML_ESC = ("replace(replace(replace(replace({c}, '&', '&amp;'), "
+            "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;')")
 
 
 def _scored_cte() -> str:

@@ -171,21 +171,35 @@ def shingle_hash_udf(n_gram: int = 3):
     Output contract: each array is SORTED and UNIQUE (the hash values are
     dedup'd, so two distinct shingles that crc32-collide contribute one
     element) — jaccard_np_udf's assume_unique fast path relies on this."""
-    import zlib
-
     @F.pandas_udf("array<long>")
     def _sh(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            toks = t.lower().split() if t else []
-            if len(toks) < n_gram:
-                out.append([])
-                continue
-            sh = {" ".join(toks[i:i + n_gram]) for i in range(len(toks) - n_gram + 1)}
-            out.append(sorted({zlib.crc32(s.encode()) for s in sh}))
+            hset = _shingle_hash_set(t, n_gram)
+            out.append([] if hset is None else sorted(hset))
         return pd.Series(out)
 
     return _sh
+
+
+def _shingle_hash_set(t: str | None, n_gram: int) -> set[int] | None:
+    """crc32 hash set of distinct word n-grams; None below n_gram tokens.
+    THE single shingling definition — every minhash/jaccard path derives
+    from it so the implementations cannot diverge."""
+    import zlib
+
+    toks = t.lower().split() if t else []
+    if len(toks) < n_gram:
+        return None
+    grams = {" ".join(toks[i:i + n_gram]) for i in range(len(toks) - n_gram + 1)}
+    return {zlib.crc32(s.encode()) for s in grams}
+
+
+def _min_sigs(hset: set[int], a: np.ndarray, b: np.ndarray) -> list[int]:
+    """k-minhash signature from a hash set: min over (a_i*h+b_i) mod p as
+    one (k x n) matrix op (a, b pre-shaped (k, 1))."""
+    h = np.fromiter(hset, dtype=np.int64, count=len(hset))
+    return ((a * h[None, :] + b) % _P).min(axis=1).tolist()
 
 
 def minhash_signature_udf(k: int = 64, seed: int = 42, n_gram: int = 3):
@@ -196,8 +210,6 @@ def minhash_signature_udf(k: int = 64, seed: int = 42, n_gram: int = 3):
     functions execute interpreted (no whole-stage codegen), so per-element
     lambda costs dominate there; here the inner loops are C.
     """
-    import zlib
-
     a, b = _hash_family(k, seed)
     a = a[:, None]
     b = b[:, None]
@@ -206,15 +218,8 @@ def minhash_signature_udf(k: int = 64, seed: int = 42, n_gram: int = 3):
     def _sig(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            toks = t.lower().split() if t else []
-            if len(toks) < n_gram:
-                out.append(None)
-                continue
-            sh = {" ".join(toks[i:i + n_gram]) for i in range(len(toks) - n_gram + 1)}
-            h = np.fromiter((zlib.crc32(s.encode()) for s in sh),
-                            dtype=np.int64, count=len(sh))
-            sig = ((a * h[None, :] + b) % _P).min(axis=1)
-            out.append(sig.tolist())
+            hset = _shingle_hash_set(t, n_gram)
+            out.append(None if hset is None else _min_sigs(hset, a, b))
         return pd.Series(out)
 
     return _sig
@@ -251,6 +256,46 @@ def jaccard_np_udf():
     return _j
 
 
+def build_minhash_index(df: DataFrame, content: str = "text",
+                        key: str = "doc_id", n_gram: int = 3, k: int = 64,
+                        seed: int = 42) -> DataFrame:
+    """The persisted minhash LSH index: ONE tokenize+shingle+hash pass per
+    document emitting struct(sig array<long>, sh array<long>) — the band
+    keys AND the sorted shingle-hash verify set. A 100-TB dedup run builds
+    this once and reuses it across the band explode and both verify
+    attaches (without it the text is re-shingled three times).
+
+    CACHE CONTRACT: the returned frame is ``persist()``-ed; the CALLER owns
+    the lifecycle — ``idx.unpersist()`` when the derived pair results are
+    materialized. :func:`minhash_lsh_pairs` builds one internally when no
+    ``index`` is passed, in which case the cache lives until session end /
+    LRU eviction (fine for one-shot jobs; long-running sessions should
+    build and release explicitly)."""
+    a_f, b_f = _hash_family(k, seed)
+    a_f = a_f[:, None]
+    b_f = b_f[:, None]
+
+    @F.pandas_udf("struct<sig: array<long>, sh: array<long>>")
+    def _sig_sh(text: pd.Series) -> pd.DataFrame:
+        sigs, shs = [], []
+        for t in text:
+            hset = _shingle_hash_set(t, n_gram)
+            if hset is None:
+                sigs.append(None)
+                shs.append(None)
+            else:
+                sigs.append(_min_sigs(hset, a_f, b_f))
+                shs.append(sorted(hset))
+        return pd.DataFrame({"sig": sigs, "sh": shs})
+
+    return (
+        spread_small_input(df)
+        .select(F.col(key).alias("_k"), _sig_sh(F.col(content)).alias("_ss"))
+        .filter(F.col("_ss.sig").isNotNull())
+        .persist()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content: str = "text",
@@ -262,6 +307,7 @@ def minhash_lsh_pairs(
     max_bucket: int | None = None,
     seed: int = 42,
     est_rows: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with exact-Jaccard verification.
 
@@ -269,44 +315,14 @@ def minhash_lsh_pairs(
     The band-bucket cap auto-gates (:func:`auto_bucket_cap`): uncapped
     (complete recall) by default; pass ``est_rows`` from table stats and
     star-linking engages automatically past the scale threshold, or pin
-    ``max_bucket`` explicitly."""
+    ``max_bucket`` explicitly. ``index``: a pre-built
+    :func:`build_minhash_index` frame (its n_gram/k/seed must match) —
+    pass it to control the cache lifecycle and amortize the index across
+    several thresholds/band configurations."""
     max_bucket = auto_bucket_cap(max_bucket, est_rows)
     rows = k // bands
-    # ONE tokenize+shingle+hash pass per document: the combined UDF emits
-    # both the k-minhash signature (band keys) and the sorted shingle-hash
-    # set (exact verify), and the frame is persisted — this IS the LSH
-    # index build a 100-TB dedup run materializes once and reuses across
-    # the band explode and both verify attaches (previously the text was
-    # re-shingled three times: once for signatures, twice for verify).
-    import zlib
-
-    a_f, b_f = _hash_family(k, seed)
-    a_f = a_f[:, None]
-    b_f = b_f[:, None]
-
-    @F.pandas_udf("struct<sig: array<long>, sh: array<long>>")
-    def _sig_sh(text: pd.Series) -> pd.DataFrame:
-        sigs, shs = [], []
-        for t in text:
-            toks = t.lower().split() if t else []
-            if len(toks) < n_gram:
-                sigs.append(None)
-                shs.append(None)
-                continue
-            grams = {" ".join(toks[i:i + n_gram])
-                     for i in range(len(toks) - n_gram + 1)}
-            hset = {zlib.crc32(s.encode()) for s in grams}
-            h = np.fromiter(hset, dtype=np.int64, count=len(hset))
-            sigs.append(((a_f * h[None, :] + b_f) % _P).min(axis=1).tolist())
-            shs.append(sorted(hset))
-        return pd.DataFrame({"sig": sigs, "sh": shs})
-
-    base = (
-        spread_small_input(df)
-        .select(F.col(key).alias("_k"), _sig_sh(F.col(content)).alias("_ss"))
-        .filter(F.col("_ss.sig").isNotNull())
-        .persist()
-    )
+    base = index if index is not None else build_minhash_index(
+        df, content=content, key=key, n_gram=n_gram, k=k, seed=seed)
     sig = base.select("_k", F.col("_ss.sig").alias("_sig"))
     banded = sig.select(
         "_k",

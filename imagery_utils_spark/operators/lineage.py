@@ -60,12 +60,25 @@ class LineageStore:
         operation, not a Spark job. Payload is O(units), never data rows.
         A Spark write job for a few hundred bookkeeping rows would pay task
         scheduling + Hadoop ChecksumFS overhead for nothing (measured 3-5 s
-        per commit on this host)."""
+        per commit on this host).
+
+        Non-local stores (hdfs://, s3a://, ...) go through the Hadoop FS via
+        a Spark write instead — pyarrow/os speak only the driver's local
+        filesystem, and a silently-local commit against a remote lineage
+        path would defeat resume entirely (every restart would reprocess
+        everything)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         run_id = run_id or uuid.uuid4().hex[:12]
         now = time.time()
+        scheme = self.lineage_path.split("://", 1)[0] if "://" in self.lineage_path else ""
+        if scheme not in ("", "file"):
+            df = self.spark.createDataFrame(
+                [(u, stage, run_id, now, int(n)) for u, n in unit_rows],
+                LINEAGE_SCHEMA)
+            df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+            return run_id
         table = pa.table({
             "unit_id": pa.array([u for u, _n in unit_rows], pa.string()),
             "stage": pa.array([stage] * len(unit_rows), pa.string()),
@@ -73,12 +86,14 @@ class LineageStore:
             "committed_at": pa.array([now] * len(unit_rows), pa.float64()),
             "n_rows": pa.array([int(n) for _u, n in unit_rows], pa.int64()),
         })
-        os.makedirs(self.lineage_path, exist_ok=True)
-        final = os.path.join(self.lineage_path,
+        local = (self.lineage_path.split("://", 1)[1]
+                 if scheme == "file" else self.lineage_path)
+        os.makedirs(local, exist_ok=True)
+        final = os.path.join(local,
                              f"commit-{int(now * 1000)}-{run_id}.parquet")
         # dot-prefix: Spark's file index skips hidden files, so a crashed
         # half-written temp can never be read as a commit
-        tmp = os.path.join(self.lineage_path,
+        tmp = os.path.join(local,
                            f".commit-{int(now * 1000)}-{run_id}.inprogress")
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # readers never see a partial commit

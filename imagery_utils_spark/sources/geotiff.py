@@ -182,6 +182,19 @@ def decode_geotiff(blob: bytes):
 
     w = tags[_W][2]
     h = tags[_H][2]
+    # Declared limits, not silent garbage: a plain (non-geo) TIFF or a
+    # multi-strip file from another writer must fail with a clear error —
+    # the strip-offset value field would otherwise be misread as a data
+    # offset and reshape noise.
+    missing = [t for t in (_MODEL_SCALE, _MODEL_TIEPOINT, _GEO_KEYS)
+               if t not in tags]
+    if missing:
+        raise NotImplementedError(
+            "TIFF without GeoTIFF tags (ModelPixelScale/Tiepoint/GeoKeys) — "
+            "plain TIFFs need an image library this environment lacks")
+    if tags[_STRIP_OFF][1] != 1:
+        raise NotImplementedError("multi-strip TIFF not supported "
+                                  "(this reader pairs encode_geotiff)")
     samples = tags[_SAMPLES][2] if _SAMPLES in tags else 1
     bits = shorts(_BITS)[0]
     comp = tags[_COMP][2]

@@ -61,7 +61,8 @@ def world_file_text(xmin: float, ymin: float, xmax: float, ymax: float,
 
 
 def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
-                       fmt: str = "bmp", background: int = 0) -> DataFrame:
+                       fmt: str = "bmp", background: int = 0,
+                       epsg: int = 4326) -> DataFrame:
     """K4 real-raster form: one image file + world file per tile.
 
     ``pixels``: one row per painted pixel with columns ``tile_name, xmin,
@@ -105,8 +106,11 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
         path = os.path.join(out_dir, f"{tile}.{fmt}")
         with open(path, "wb") as f:
             if fmt == "tif":
-                # georeferencing rides INSIDE the container (GeoTIFF tags)
-                f.write(encode_geotiff(img, xmin, ymin, xmax, ymax))
+                # georeferencing rides INSIDE the container (GeoTIFF tags);
+                # epsg MUST match the tile grid's CRS (a projected mosaic
+                # passes its 3413/3031/326xx code, never the default)
+                f.write(encode_geotiff(img, xmin, ymin, xmax, ymax,
+                                       epsg=epsg))
             else:
                 f.write({"bmp": encode_bmp, "ppm": encode_ppm}[fmt](img))
         if fmt != "tif":
@@ -155,12 +159,15 @@ def write_run_metadata(spark, path: str, outputs: list[dict], mode: str = "appen
 
 
 def xml_escape_col(c: Column) -> Column:
-    """Minimal XML text escaping (&, <, >) as JVM replaces — enough for the
-    provenance fields the reference writes (ortho output names, EPSG codes,
-    stretch tags: none may contain quotes)."""
-    return F.replace(F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")),
-                               F.lit("<"), F.lit("&lt;")),
-                     F.lit(">"), F.lit("&gt;"))
+    """XML escaping (&, <, >, \") as JVM replaces. The quote escape matters
+    because render_xml_metadata interpolates these values into double-quoted
+    ATTRIBUTES — a quote in a source-derived name must not truncate the
+    attribute."""
+    return F.replace(
+        F.replace(F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")),
+                            F.lit("<"), F.lit("&lt;")),
+                  F.lit(">"), F.lit("&gt;")),
+        F.lit('"'), F.lit("&quot;"))
 
 
 def render_xml_metadata(df: DataFrame, name_col: str = "outname",

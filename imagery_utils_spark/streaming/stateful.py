@@ -106,7 +106,12 @@ def run_champion_stream_to_memory(spark, src_path: str, schema: str,
         q = (running_champion(src, key_col, id_col, score_col)
              .writeStream.format("memory").queryName(name)
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a partial drain would silently return a wrong fixed point
+            # (and race the caller's source cleanup) — fail loudly instead
+            q.stop()
+            raise TimeoutError(
+                f"champion stream {name!r} did not drain within 300 s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)

@@ -85,11 +85,11 @@ def test_render_xml_metadata_escapes(spark):
     from imagery_utils_spark.sources.sinks import render_xml_metadata
 
     df = spark.createDataFrame(
-        [("out1.tif", "a&b<c>.ntf", "rf", 3413)],
+        [('out"1.tif', "a&b<c>.ntf", "rf", 3413)],
         "outname string, srcfn string, stretch string, epsg int")
     row = render_xml_metadata(df).collect()[0]
     assert row["xml"] == (
-        '<output name="out1.tif"><source>a&amp;b&lt;c&gt;.ntf</source>'
+        '<output name="out&quot;1.tif"><source>a&amp;b&lt;c&gt;.ntf</source>'
         '<params stretch="rf" epsg="3413"/></output>')
 
 
@@ -127,13 +127,13 @@ def test_write_raster_tiles_geotiff(spark, tmp_path):
         "px_row int, px_col int, red int, green int, blue int")
     out = str(tmp_path / "tiles")
     manifest = write_raster_tiles(pixels, out, width=8, height=4,
-                                  fmt="tif").collect()
+                                  fmt="tif", epsg=3413).collect()
     assert manifest[0]["n_pixels"] == 2
     arr, gtf, epsg = decode_geotiff(open(manifest[0]["path"], "rb").read())
     assert arr.shape == (4, 8, 3)
     assert tuple(arr[0, 0]) == (255, 0, 0) and tuple(arr[3, 7]) == (0, 255, 0)
     assert gtf == (-10.0, 2.5, 0.0, 5.0, 0.0, -2.5)
-    assert epsg == 4326
+    assert epsg == 3413  # the caller's CRS, not a hardcoded default
 
 
 def test_geotiff_deflate_compression():
@@ -149,3 +149,23 @@ def test_geotiff_deflate_compression():
     for blob in (plain, comp):
         arr, gtf, epsg = decode_geotiff(blob)
         assert (arr == img).all() and epsg == 4326
+
+
+def test_decode_geotiff_declared_limits():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from imagery_utils_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    blob = encode_geotiff(np.zeros((4, 4), dtype=np.uint8), 0, 0, 1, 1)
+    # strip the three geo tags -> a 'plain' TIFF must raise a DECLARED error
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    entries = [blob[ifd_off + 2 + 12 * i: ifd_off + 14 + 12 * i] for i in range(n)]
+    keep = [e for e in entries if struct.unpack("<H", e[:2])[0] < 33000]
+    plain = (blob[:ifd_off] + struct.pack("<H", len(keep)) + b"".join(keep)
+             + struct.pack("<I", 0))
+    with _pytest.raises(NotImplementedError):
+        decode_geotiff(plain)
