@@ -128,6 +128,19 @@ def main() -> None:
             rep_walls[name] = ws
             timings[name] = min(ws)
 
+    # Same-window hardware context: this VM's throughput swings 2-3x
+    # between host time-slice windows (BENCH/SCALING_NOTES.md), so the
+    # record carries its own calibration — pure-CPU multiprocess Mops on
+    # the same core count, measured right after the timed work. Best
+    # observed on this box is ~420 @ 32 procs; readings far below that
+    # mean the walls above are window-inflated, not code regressions.
+    try:
+        from scaling_bench import cpu_calibration
+
+        box_mops = cpu_calibration(cpus)
+    except Exception:
+        box_mops = None
+
     pages_per_sec = n_pages_in / t_flag if t_flag > 0 else 0.0
     compact = {
         "metric": "flagship spatial-join+tile-assignment wall time",
@@ -141,6 +154,7 @@ def main() -> None:
         "pages_per_sec": round(pages_per_sec, 1),
         "cpus": cpus,
         "replicate": replicate,
+        "box_mops_same_window": box_mops,
     }
     # Per-rep battery walls are diagnostics, not headline: they doubled the
     # r3 JSON line past the driver's tail capture (BENCH_r03 parsed: null).
