@@ -103,3 +103,58 @@ def test_jpeg_roundtrip_psnr_floor(w, h, seed, quality, subsample):
     mse = np.mean((img.astype(float) - dec.astype(float)) ** 2)
     psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
     assert psnr > 22.0, (w, h, seed, quality, subsample, psnr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 10 ** 6),
+       st.sampled_from([1, 3, 4]))
+def test_png_roundtrip_exact(w, h, seed, channels):
+    from imagery_utils_spark.sources.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, channels)).astype(np.uint8)
+    if channels == 1:
+        arr = arr[:, :, 0]
+    assert (decode_png(encode_png(arr)) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 10 ** 6))
+def test_bmp_ppm_roundtrip_exact(w, h, seed):
+    from imagery_utils_spark.sources.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm)
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 4), st.integers(0, 10 ** 6),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_exact(n, channels, seed, rate):
+    from imagery_utils_spark.sources.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, channels)).astype(np.int16)
+    back, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate and (back == samples).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 10 ** 6),
+       st.sampled_from([None, "deflate"]), st.booleans())
+def test_geotiff_roundtrip_exact(w, h, seed, compress, sixteen):
+    from imagery_utils_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.default_rng(seed)
+    if sixteen:
+        arr = rng.integers(0, 65536, size=(h, w)).astype(np.uint16)
+    else:
+        arr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out, gtf, epsg = decode_geotiff(
+        encode_geotiff(arr, 0.0, 0.0, float(w), float(h), epsg=3413,
+                       compress=compress))
+    assert (out == arr).all() and epsg == 3413
+    assert gtf[1] == 1.0 and gtf[5] == -1.0
