@@ -232,6 +232,26 @@ def q_lang_profile(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_winnow_fps(spark, sf_dir) -> DataFrame:
+    """Document fingerprinting via winnowing (Schleimer/Wilkerson/Aiken
+    SIGMOD'03; engine: numpy prefix-difference rolling hashes + sliding
+    window minima, text.py). Output per doc: fingerprint count + sha256 of
+    the sorted comma-joined fingerprint set — value-exact against an
+    INDEPENDENT plain-python direct-polynomial implementation
+    (independent_oracles._winnow_doc) rendered as a VALUES table."""
+    from imagery_utils_spark.functions.text import winnowing_fingerprints_udf
+    from imagery_utils_spark.sources.tables import spread_small_input
+
+    docs = spread_small_input(load(spark, sf_dir, "documents"))
+    fps = winnowing_fingerprints_udf()(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.sha2(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string"))),
+               256).alias("fps_sha"),
+    ).orderBy("doc_id")
+
+
 def q_sidecar_attrs(spark, sf_dir) -> DataFrame:
     """S7 content-parse end-to-end (r3): synthesize a GE PVL sidecar text
     per document from its own fields, run the real text->XML parser
@@ -1483,6 +1503,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_profile": q_lang_profile,
         "jaccard_pairs": q_jaccard_pairs,
+        "winnow_fps": q_winnow_fps,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1822,6 +1843,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # IVF pruning semantics replayed in SQL over the shared centroids.
         "ivf_search": _ivf_oracle_sql(),
+        # Winnowing vs an independent direct-polynomial implementation.
+        "winnow_fps": _IO.winnow_oracle_sql(_oracle_sf_dir()),
         "pyramid_rollup": (
             f"WITH {pages}, base AS (SELECT {SJ.cell_sql('lon', 'lat', 6)} AS cell6 FROM pages) "
             f"SELECT 4 AS level_res, {CPO.parent_cell_sql('cell6', 6, 2)} AS cell, "

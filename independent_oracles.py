@@ -494,3 +494,60 @@ def wrap_oracle_sql() -> str:
         "gid, part, seq",
         ncols=5,
     )
+
+
+# ------------------------------------------------- winnowing fingerprints
+#
+# Independent reimplementation of the SIGMOD'03 winnowing fingerprint
+# (text.py winnowing_fingerprints_udf is prefix-difference numpy uint64):
+# here each k-gram hash is computed DIRECTLY as the polynomial
+# sum(c_j * B^(k-1-j)) mod 2^64 in plain python ints — mathematically equal
+# to the engine's rolling-difference formulation, arrived at separately.
+
+_WB = 1000003
+_WMASK = (1 << 64) - 1
+
+
+def _winnow_doc(text: str, k: int = 5, window: int = 4) -> list[int]:
+    s = (text or "").lower().encode("utf-8")
+    if len(s) < k:
+        return []
+    grams = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for c in s[i:i + k]:
+            h = (h * _WB + c) & _WMASK
+        grams.append(h)
+    if len(grams) < window:
+        sel = {min(grams)}
+    else:
+        sel = {min(grams[i:i + window]) for i in range(len(grams) - window + 1)}
+    # two's-complement view to match the engine's int64 output
+    return sorted((v - (1 << 64)) if v >= (1 << 63) else v for v in sel)
+
+
+def winnow_expected(sf_dir: str):
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for doc_id, text in rows:
+        fps = _winnow_doc(text)
+        joined = ",".join(str(v) for v in fps)
+        out.append((int(doc_id), len(fps),
+                    hashlib.sha256(joined.encode()).hexdigest()))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def winnow_oracle_sql(sf_dir: str) -> str:
+    return _values_sql(
+        winnow_expected(sf_dir),
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS INT) AS n_fps, "
+        "CAST(c2 AS VARCHAR) AS fps_sha",
+        "doc_id",
+    )
