@@ -112,11 +112,15 @@ def winnowing_fingerprints_udf(k: int = 5, window: int = 4):
     """
     import pyspark.sql.types as T
 
-    B = np.uint64(1000003)
+    # B^(k-1) .. B^0 mod 2^64: each k-gram hash is one vectorized
+    # sliding-window multiply-sum (uint64 wraparound IS the mod) — no
+    # per-character python loop; identical values to the rolling
+    # prefix-difference formulation.
+    bpows = np.array([pow(1000003, k - 1 - j, 1 << 64) for j in range(k)],
+                     dtype=np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _fp(text: pd.Series) -> pd.Series:
-        bk = np.uint64(pow(1000003, k, 1 << 64))  # B^k mod 2^64
         out = []
         with np.errstate(over="ignore"):
             for t in text:
@@ -126,13 +130,8 @@ def winnowing_fingerprints_udf(k: int = 5, window: int = 4):
                     out.append([])
                     continue
                 b = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
-                h = np.zeros(n + 1, dtype=np.uint64)
-                acc = np.uint64(0)
-                for i in range(n):
-                    acc = acc * B + b[i]
-                    h[i + 1] = acc
-                idx = np.arange(0, n - k + 1)
-                grams = h[idx + k] - h[idx] * bk  # uint64 wrap == mod 2^64
+                win = np.lib.stride_tricks.sliding_window_view(b, k)
+                grams = (win * bpows[None, :]).sum(axis=1)
                 if len(grams) < window:
                     sel = {int(np.int64(grams.min()))}
                 else:
