@@ -62,18 +62,24 @@ def tag_points(points: DataFrame, res: int, lon="lon", lat="lat",
 def cover_rects(rects: DataFrame, res: int, xmin="xmin", ymin="ymin",
                 xmax="xmax", ymax="ymax", out="cell") -> DataFrame:
     """Explode a rectangle table into one row per covering cell — pure
-    column sequence/explode, JVM-side. Upper edges use a half-open epsilon so
-    a rect ending exactly on a cell boundary does not cover the next cell,
-    except that the max edge stays covered (grid-edge clamp parity with
-    core.cells.cover_bbox_linear)."""
+    column sequence/explode, JVM-side.
+
+    Cover contract: MAY over-approximate, NEVER under-approximates — the
+    exact-refine stage removes false positives, so the only unsafe failure is
+    a dropped cell. The upper edge therefore uses ``floor(f(xmax))`` with no
+    epsilon: ``f(lon) = (lon+180)/360*n`` is monotone non-decreasing under
+    IEEE rounding, so every point with ``lon < xmax`` tags a cell
+    ``floor(f(lon)) <= floor(f(xmax))`` — the cover is a provable superset of
+    the point-assignment cells (property-tested in tests/test_spatial_join.py).
+    A rect ending *exactly* on a cell boundary over-covers by one empty
+    cell row on the small broadcast side (refine drops its pairs) — the safe
+    direction, unlike the previous fixed-epsilon subtraction which could
+    silently drop a sub-epsilon sliver."""
     n = 1 << res
     x0 = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(xmin) + 180.0) / 360.0 * n)))
     y0 = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor((F.col(ymin) + 90.0) / 180.0 * n)))
-    # nextafter(xmax, -inf) analog: subtract one ulp-ish epsilon scaled to cell
-    eps_x = 360.0 / n * 1e-9
-    eps_y = 180.0 / n * 1e-9
-    x1 = F.least(F.lit(n - 1), F.greatest(x0, F.floor((F.col(xmax) - eps_x + 180.0) / 360.0 * n)))
-    y1 = F.least(F.lit(n - 1), F.greatest(y0, F.floor((F.col(ymax) - eps_y + 90.0) / 180.0 * n)))
+    x1 = F.least(F.lit(n - 1), F.greatest(x0, F.floor((F.col(xmax) + 180.0) / 360.0 * n)))
+    y1 = F.least(F.lit(n - 1), F.greatest(y0, F.floor((F.col(ymax) + 90.0) / 180.0 * n)))
     return (
         rects.withColumn("_cx", F.explode(F.sequence(x0, x1)))
         .withColumn("_cy", F.explode(F.sequence(y0, y1)))

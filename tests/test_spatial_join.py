@@ -88,6 +88,76 @@ def test_points_in_polygons_antimeridian(spark):
     assert got == {"west", "east"}
 
 
+def test_points_in_rects_boundary_sliver(spark):
+    # Regression for the under-cover epsilon bug: a rect whose upper edge sits
+    # a sub-epsilon sliver ABOVE a cell boundary (res 6 -> cell width 5.625
+    # deg; old code subtracted 5.625e-9 before flooring, losing the sliver).
+    # The point lives inside that sliver cell and inside the rect; the old
+    # cover dropped the pair silently.
+    rects = spark.createDataFrame(
+        [("sliver", -1.0, -1.0, 1e-9, 1.0)],
+        "rect_id string, xmin double, ymin double, xmax double, ymax double",
+    )
+    points = spark.createDataFrame(
+        [("p_sliver", 5e-10, 0.5)], "pid string, lon double, lat double"
+    )
+    out = sj.points_in_rects(points, rects, res=6)
+    assert {(r.pid, r.rect_id) for r in out.collect()} == {("p_sliver", "sliver")}
+
+
+def _cover_x_range(xmin, xmax, res):
+    """Pure-python replica of cover_rects' x-axis column arithmetic — the
+    Spark expression is ((col + 180.0) / 360.0) * n then FLOOR, which is the
+    identical IEEE-754 double sequence here."""
+    n = 1 << res
+    x0 = min(n - 1, max(0, int(np.floor((xmin + 180.0) / 360.0 * n))))
+    x1 = min(n - 1, max(x0, int(np.floor((xmax + 180.0) / 360.0 * n))))
+    return x0, x1
+
+
+def _tag_x(lon, res):
+    n = 1 << res
+    return min(n - 1, max(0, int(np.floor((lon + 180.0) / 360.0 * n))))
+
+
+@pytest.mark.parametrize("res", [4, 6, 10])
+def test_cover_superset_property(res):
+    # Hypothesis-style property (deterministic rng for reproducibility):
+    # covered cells must be a superset of the tag cells of every point inside
+    # the rect — especially for edges straddling cell boundaries within 1e-8.
+    from hypothesis import given, settings, strategies as st
+
+    n = 1 << res
+    width = 360.0 / n
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        bi=st.integers(min_value=1, max_value=n - 1),
+        delta=st.floats(min_value=-1e-8, max_value=1e-8, allow_nan=False),
+        span=st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        toff=st.floats(min_value=0.0, max_value=1.0, allow_nan=False,
+                       exclude_max=True),
+    )
+    def check(bi, delta, span, toff):
+        boundary = bi * width - 180.0
+        xmax = boundary + delta
+        xmin = xmax - span - 1e-6
+        if xmin < -180.0 or xmax > 180.0:
+            return
+        x0, x1 = _cover_x_range(xmin, xmax, res)
+        # a point anywhere in [xmin, xmax) — bias toward the upper sliver
+        lon = xmin + (xmax - xmin) * toff
+        lon = max(lon, np.nextafter(xmax, -np.inf) if toff > 0.5 else lon)
+        if not (xmin <= lon < xmax):
+            return
+        assert x0 <= _tag_x(lon, res) <= x1, (
+            f"under-cover: lon={lon!r} in [{xmin!r},{xmax!r}) tags "
+            f"{_tag_x(lon, res)} outside cover [{x0},{x1}]"
+        )
+
+    check()
+
+
 def test_cover_rects_matches_numpy(spark):
     rects = spark.createDataFrame(
         [("a", -1.0, -1.0, 1.0, 1.0), ("b", 170.0, 60.0, 180.0, 90.0)],
