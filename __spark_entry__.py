@@ -295,6 +295,9 @@ def q_sidecar_attrs(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_JACCARD_SHINGLE_CACHE: list = []  # last persisted shingle frame (1 max)
+
+
 def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     from imagery_utils_spark.operators.dedup import jaccard_col, shingle_hash_udf
     from imagery_utils_spark.sources.tables import spread_small_input
@@ -306,7 +309,14 @@ def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     # per side. Equi-join on the derived key (key_a + 1): a non-equi
     # predicate would force a broadcast nested loop; int64 shingle hashes
     # shuffle cheaply.
+    # Cache lifecycle (same contract as build_minhash_index): the persisted
+    # frame must outlive the returned lazy DataFrame, so we cannot unpersist
+    # here; instead each call releases the PREVIOUS call's frame, bounding a
+    # long session to one cached copy.
+    while _JACCARD_SHINGLE_CACHE:
+        _JACCARD_SHINGLE_CACHE.pop().unpersist()
     shingled = docs.select("doc_id", sh(F.col("text")).alias("_sh")).persist()
+    _JACCARD_SHINGLE_CACHE.append(shingled)
     a = shingled.select((F.col("doc_id") + 1).alias("k"),
                         F.col("doc_id").alias("key_a"), F.col("_sh").alias("_a"))
     b = shingled.select(F.col("doc_id").alias("k"),

@@ -216,7 +216,9 @@ def ivf_search(fact_assigned: DataFrame, queries: DataFrame, centroids: np.ndarr
     def _probes(vecs: pd.Series) -> pd.Series:
         m = np.asarray(vecs.tolist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
-        order = np.argsort(-(m @ c.T), axis=1)[:, :n_probe]
+        # stable sort => ties on similarity keep ascending cell index, the
+        # same total order as the oracle's ORDER BY sim DESC, cell ASC
+        order = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
     qs = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"),

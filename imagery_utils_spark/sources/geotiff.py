@@ -158,7 +158,8 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
 
 def decode_geotiff(blob: bytes):
     """-> (array, (xmin, px, 0, ymax, 0, -py) GDAL-style geotransform,
-    epsg). Single-strip uncompressed only (what encode_geotiff writes)."""
+    epsg). Single-strip, uncompressed or Deflate (what encode_geotiff
+    writes)."""
     if blob[:4] != _II:
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", blob, 4)
