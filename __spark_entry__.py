@@ -735,6 +735,29 @@ def q_warp_utm(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_rpc_warp(spark, sf_dir) -> DataFrame:
+    """R3 — RPC00B terrain-corrected ground->image mapping (the per-point
+    math behind the reference's ``gdalwarp -rpc -to RPC_DEM/RPC_HEIGHT``,
+    /root/reference/lib/ortho_functions.py:1878-1932), via the ortho_points
+    operator: pure JVM column algebra, zero UDF. Inputs and the demo model
+    are all-dyadic; the oracle renders the identical 20-term rational
+    polynomial in SQL (shared exponent table + association order), so the
+    doubles are bit-equal."""
+    from imagery_utils_spark.core.rpc import demo_model
+    from imagery_utils_spark.operators.warp import ortho_points
+
+    docs = load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        (F.lit(-0.5) + (F.col("doc_id") % 128).cast("double") * 0.0078125).alias("lon"),
+        (F.lit(-0.5) + ((F.col("doc_id") * 3) % 128).cast("double") * 0.0078125).alias("lat"),
+        (F.lit(-192.0) + ((F.col("doc_id") * 7) % 64).cast("double") * 8.0).alias("height"),
+    )
+    return ortho_points(pts, demo_model()).select(
+        "doc_id", "lon", "lat", "height", "line", "samp"
+    ).orderBy("doc_id")
+
+
 def q_classify_filename(spark, sf_dir) -> DataFrame:
     """Rows-only: F8 regex classification over synthetic PGC-style names."""
     from imagery_utils_spark.functions.naming import classify_filename
@@ -1535,6 +1558,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndvi": q_ndvi,
         "pan_pair_match": q_pan_pair_match,
         "warp_utm": q_warp_utm,
+        "rpc_warp": q_rpc_warp,
         "classify_filename": q_classify_filename,
         "knn_ring": q_knn_ring,
         "footprint_r1": q_footprint_r1,
@@ -1713,6 +1737,21 @@ def _scored_cte() -> str:
     return (
         f"scored AS (SELECT doc_id, lang, lon, lat, {_tile_cols_sql()}, "
         f"{score} AS score FROM pages)"
+    )
+
+
+def _rpc_warp_oracle_sql() -> str:
+    from imagery_utils_spark.core.rpc import demo_model, rpc_forward_sql
+
+    line_e, samp_e = rpc_forward_sql(demo_model(), "lon", "lat", "height")
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "-0.5 + cast(doc_id % 128 as double) * 0.0078125 AS lon, "
+        "-0.5 + cast((doc_id * 3) % 128 as double) * 0.0078125 AS lat, "
+        "-192.0 + cast((doc_id * 7) % 64 as double) * 8.0 AS height "
+        "FROM documents) "
+        f"SELECT doc_id, lon, lat, height, {line_e} AS line, {samp_e} AS samp "
+        "FROM d ORDER BY doc_id"
     )
 
 
@@ -1987,6 +2026,10 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {pages} SELECT doc_id, {_UTM_X_SQL} AS utm_x, {_UTM_Y_SQL} AS utm_y "
             "FROM pages WHERE lat >= -60 AND lat <= 60 ORDER BY doc_id"
         ),
+        # R3 — RPC00B forward model: the oracle renders the identical 20-term
+        # rational polynomial (shared exponent table + association order,
+        # e-notation DOUBLE literals); all-dyadic inputs/model => bit-equal.
+        "rpc_warp": _rpc_warp_oracle_sql(),
         # F8 regex classification: the fixture filenames all match RENAMED_DG
         # (the first pattern in the reference's DG trial order), so the
         # single-pattern SQL rendering is equivalent to the full cascade here.

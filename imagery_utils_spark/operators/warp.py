@@ -129,6 +129,51 @@ def unwarp_from_utm(df: DataFrame, epsg: int, x: str = "x", y: str = "y",
     return df.withColumn(out_lon, v["lon"]).withColumn(out_lat, v["lat"])
 
 
+def ortho_points(df: DataFrame, model, lon: str = "lon", lat: str = "lat",
+                 height: str = "height", out_line: str = "line",
+                 out_samp: str = "samp") -> DataFrame:
+    """Terrain-corrected ground->image mapping: the RPC00B forward model as
+    pure JVM column algebra (the per-point math behind the reference's
+    ``gdalwarp -rpc -to RPC_DEM=...``,
+    /root/reference/lib/ortho_functions.py:1878-1932). ``height`` is the
+    terrain height column — joined from a DEM table (dem_pick, J7) or a
+    constant ortho height / the model's HEIGHT_OFF (get_rpc_height,
+    ortho_functions.py:1936+). Zero shuffles, zero Python: one codegen
+    projection over the fact table."""
+    from ..core import rpc as RPC
+
+    line, samp = RPC.rpc_forward_cols(
+        model, F.col(lon), F.col(lat), F.col(height))
+    return df.withColumn(out_line, line).withColumn(out_samp, samp)
+
+
+def ground_points(df: DataFrame, model, line: str = "line", samp: str = "samp",
+                  height: str = "height", out_lon: str = "lon",
+                  out_lat: str = "lat") -> DataFrame:
+    """image->ground at terrain height: Newton inversion of the RPC00B
+    rationals (the direction gdalwarp's RPC transformer iterates when
+    building the ortho grid), vectorized numpy per Arrow batch."""
+    import numpy as np
+
+    from ..core import rpc as RPC
+
+    out_type = T.StructType([
+        T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def _inv(lines: pd.Series, samps: pd.Series, hs: pd.Series) -> pd.DataFrame:
+        lon_, lat_ = RPC.rpc_inverse_np(
+            model,
+            np.asarray(lines.values, dtype=np.float64),
+            np.asarray(samps.values, dtype=np.float64),
+            np.asarray(hs.values, dtype=np.float64))
+        return pd.DataFrame({"lon": lon_, "lat": lat_})
+
+    v = _inv(F.col(line), F.col(samp), F.col(height))
+    return df.withColumn(out_lon, v["lon"]).withColumn(out_lat, v["lat"])
+
+
 def pansharpen(pan: Column, ms: Column, n_bands: int | None = None,
                weights: list[float] | None = None) -> Column:
     """Brovey weighted combine: out_i = ms_i * pan / sum(w_i * ms_i).
