@@ -80,10 +80,10 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
     import numpy as np
     import pandas as pd
 
-    from .geotiff import encode_geotiff
+    from .geotiff import encode_cog, encode_geotiff
     from .multimodal import encode_bmp, encode_ppm
 
-    if fmt not in ("bmp", "ppm", "tif"):
+    if fmt not in ("bmp", "ppm", "tif", "cog"):
         raise ValueError(f"unknown raster format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -103,7 +103,8 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
         ymin = float(pdf["ymin"].iloc[0])
         xmax = float(pdf["xmax"].iloc[0])
         ymax = float(pdf["ymax"].iloc[0])
-        path = os.path.join(out_dir, f"{tile}.{fmt}")
+        path = os.path.join(out_dir, f"{tile}.tif" if fmt == "cog"
+                            else f"{tile}.{fmt}")
         with open(path, "wb") as f:
             if fmt == "tif":
                 # georeferencing rides INSIDE the container (GeoTIFF tags);
@@ -111,9 +112,14 @@ def write_raster_tiles(pixels: DataFrame, out_dir: str, width: int, height: int,
                 # passes its 3413/3031/326xx code, never the default)
                 f.write(encode_geotiff(img, xmin, ymin, xmax, ymax,
                                        epsg=epsg))
+            elif fmt == "cog":
+                # the reference's COG-format mosaic path (tiled layout +
+                # internal gdaladdo-style 2/4/8/16 pyramid,
+                # pgc_mosaic_build_tile.py:205-216)
+                f.write(encode_cog(img, xmin, ymin, xmax, ymax, epsg=epsg))
             else:
                 f.write({"bmp": encode_bmp, "ppm": encode_ppm}[fmt](img))
-        if fmt != "tif":
+        if fmt not in ("tif", "cog"):
             with open(path + ".wld", "w") as f:
                 f.write(world_file_text(xmin, ymin, xmax, ymax, width, height))
         return pd.DataFrame([(tile, path, width, height, int(ok.sum()))],

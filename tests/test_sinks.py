@@ -169,3 +169,84 @@ def test_decode_geotiff_declared_limits():
              + struct.pack("<I", 0))
     with _pytest.raises(NotImplementedError):
         decode_geotiff(plain)
+
+
+def test_cog_roundtrip_overviews_and_layout():
+    """VERDICT r4 #4: COG = tiled IFDs + internal overview chain. Asserts
+    (a) pixel + geotransform + epsg roundtrip, (b) one overview IFD per
+    gdaladdo level (2 4 8 16, pgc_mosaic_build_tile.py:216), (c) tile-offset
+    tags present on every IFD, (d) the COG byte layout: all IFDs precede all
+    tile data and full-res tile data comes last."""
+    import struct
+
+    import numpy as np
+
+    from imagery_utils_spark.sources.geotiff import (
+        _TILE_OFF, _parse_ifd, _tag_longs, decode_cog, encode_cog)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(700, 900, 3), dtype=np.uint8)
+    blob = encode_cog(img, -120.0, 30.0, -111.0, 37.0, epsg=4326,
+                      tile_size=256, levels=(2, 4, 8, 16))
+    arrays, gtf, epsg = decode_cog(blob)
+    assert len(arrays) == 5                      # full + 4 overviews
+    assert (arrays[0] == img).all()
+    assert gtf == (-120.0, 0.01, 0.0, 37.0, 0.0, -0.01)
+    assert epsg == 4326
+    # nearest-overview semantics: level f = top-left sample of each block
+    for a, f in zip(arrays[1:], (2, 4, 8, 16)):
+        assert a.shape[:2] == (-(-700 // f), -(-900 // f))
+        assert (a == img[::f, ::f]).all()
+
+    # layout: walk the chain, record IFD offsets and min tile offsets
+    (first,) = struct.unpack_from("<I", blob, 4)
+    off, ifd_offs, level_tile_offs = first, [], []
+    while off:
+        tags, off = _parse_ifd(blob, off)
+        assert _TILE_OFF in tags                 # tiled, never strips
+        ifd_offs.append(off)
+        level_tile_offs.append(_tag_longs(blob, tags, _TILE_OFF))
+    assert len(level_tile_offs) == 5
+    all_tile_min = min(min(t) for t in level_tile_offs)
+    assert max(o for o in ifd_offs if o) < all_tile_min  # IFDs at file head
+    # full-res data last, smallest overview first
+    assert min(level_tile_offs[0]) > max(level_tile_offs[-1])
+    assert max(blob_off for t in level_tile_offs[1:] for blob_off in t) \
+        < min(level_tile_offs[0])
+
+
+def test_cog_deflate_and_average_and_uint16():
+    import numpy as np
+
+    from imagery_utils_spark.sources.geotiff import decode_cog, encode_cog
+
+    g16 = (np.arange(300 * 280) % 60000).astype(np.uint16).reshape(300, 280)
+    blob = encode_cog(g16, 0.0, 0.0, 28.0, 30.0, epsg=32617, tile_size=128,
+                      levels=(2, 4), resample="average", compress="deflate")
+    arrays, gtf, epsg = decode_cog(blob)
+    assert (arrays[0] == g16).all() and arrays[0].dtype == np.uint16
+    assert epsg == 32617 and len(arrays) == 3
+    # average semantics: exact box mean where blocks divide evenly
+    blk = g16[:2, :2].astype(np.float64).mean()
+    assert arrays[1][0, 0] == np.round(blk).astype(np.uint16)
+
+
+def test_write_raster_tiles_cog(spark, tmp_path):
+    import numpy as np
+
+    from imagery_utils_spark.sources.geotiff import decode_cog
+    from imagery_utils_spark.sources.sinks import write_raster_tiles
+
+    pixels = spark.createDataFrame(
+        [("t1", -10.0, -5.0, 10.0, 5.0, 0, 0, 255, 0, 0),
+         ("t1", -10.0, -5.0, 10.0, 5.0, 300, 500, 0, 255, 0)],
+        "tile_name string, xmin double, ymin double, xmax double, ymax double, "
+        "px_row int, px_col int, red int, green int, blue int")
+    out = str(tmp_path / "cogtiles")
+    manifest = write_raster_tiles(pixels, out, width=600, height=400,
+                                  fmt="cog", epsg=3413).collect()
+    assert manifest[0]["path"].endswith("t1.tif")
+    arrays, gtf, epsg = decode_cog(open(manifest[0]["path"], "rb").read())
+    assert len(arrays) == 5 and epsg == 3413
+    assert tuple(arrays[0][0, 0]) == (255, 0, 0)
+    assert tuple(arrays[0][300, 500]) == (0, 255, 0)
