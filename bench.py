@@ -109,6 +109,46 @@ def main() -> None:
         finally:
             del os.environ["SPARK_GRAFT_RANK_IMPL"]
 
+    # ---- cutline grouped-map skew diagnostic (VERDICT r4 #7): one tile
+    # deliberately holds 25% of all candidates, so its applyInPandas task is
+    # the straggler the plan docs reason about. Diagnostic row, not an
+    # oracle query — records the wall; the max group size rides in the
+    # detail file.
+    if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
+        from pyspark.sql import functions as F
+
+        from imagery_utils_spark.operators.cutline import cutline_contributors
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_cand = 8000
+        base = docs.select("doc_id").limit(n_cand)
+        hot = (F.col("doc_id") % 4 == 0)  # 25% of candidates -> one tile
+        cand = base.select(
+            F.when(hot, F.lit("hot_tile"))
+            .otherwise(F.concat(F.lit("t"), (F.col("doc_id") % 60).cast("string")))
+            .alias("tile_name"),
+            F.lit(0.0).alias("xmin"), F.lit(10.0).alias("xmax"),
+            F.lit(0.0).alias("ymin"), F.lit(10.0).alias("ymax"),
+            F.col("doc_id").cast("string").alias("scene_id"),
+            (F.col("doc_id") % 1000).cast("double").alias("score"),
+            ((F.col("doc_id") % 16).cast("double") * 0.5).alias("s_xmin"),
+            ((F.col("doc_id") % 12).cast("double") * 0.5).alias("s_ymin"),
+            ((F.col("doc_id") % 16).cast("double") * 0.5 + 2.5).alias("s_xmax"),
+            ((F.col("doc_id") % 12).cast("double") * 0.5 + 2.5).alias("s_ymax"),
+        )
+        t0 = time.perf_counter()
+        cutline_contributors(cand, contribution_threshold=0.05).write.format(
+            "noop").mode("overwrite").save()
+        timings["cutline_hot_tile_diag"] = round(time.perf_counter() - t0, 3)
+        rep_walls_extra = {
+            "cutline_hot_tile_max_group": int(
+                cand.groupBy("tile_name").count().agg(
+                    {"count": "max"}).collect()[0][0]),
+            "cutline_hot_tile_n_cand": int(cand.count()),
+        }
+    else:
+        rep_walls_extra = {}
+
     # ---- operator battery at sf scale (no replication). Best-of-2 per
     # query (VERDICT r2 ask #7): battery walls swing up to 2x when a
     # memory-heavy query forces Arrow/UDF worker respawns for its successor;
@@ -161,6 +201,7 @@ def main() -> None:
     # Detail goes to a file; the LAST stdout line stays compact and parseable.
     detail = dict(compact)
     detail["battery_rep_walls"] = rep_walls
+    detail.update(rep_walls_extra)
     try:
         os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
         with open(os.path.join(repo, "BENCH", "last_bench_detail.json"), "w") as f:
