@@ -32,21 +32,67 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition an UNDER-parallel input before a heavy
-    per-row (pandas-UDF) stage.
+SPREAD_MIN_BYTES = 32 * 1024 * 1024
 
-    A small parquet table arrives as one split (files below
-    maxPartitionBytes never subdivide), so an Arrow UDF over it runs
-    single-threaded no matter how many cores the session has. At 100-TB
-    scale scans arrive with thousands of splits and this is a no-op (the
-    gate fires only when partitions < half the default parallelism); when
-    it does fire, the inserted shuffle moves only the small table."""
+
+def spread_small_input(df: DataFrame,
+                       min_bytes: int = SPREAD_MIN_BYTES) -> DataFrame:
+    """Round-robin repartition an UNDER-parallel input before a heavy
+    per-row (pandas-UDF) stage — but only when the single-split work is big
+    enough to amortize the inserted shuffle.
+
+    A parquet file below maxPartitionBytes arrives as ONE split, so an
+    Arrow UDF over it runs single-threaded no matter how many cores the
+    session has. Spreading it is NOT free though: the repartition exchange
+    + a python-worker spawn per new partition cost ~1-3 s wall (measured,
+    r5 A/B vs r3 — the r4 always-spread version was the whole
+    minhash/sidecar battery regression). So the gate is byte-aware:
+
+    * tiny input (< ``min_bytes`` total): return unchanged — the UDF
+      finishes single-threaded faster than the shuffle alone would run;
+    * already-parallel input (file count or size/maxPartitionBytes splits
+      >= half the core count): return unchanged — 100-TB scans land here,
+      making this a no-op at scale;
+    * genuinely under-parallel big input (one/few multi-MB files): spread.
+
+    The probe uses ``inputFiles()`` + file stat, never ``df.rdd`` — the
+    RDD conversion alone costs ~1.5 s per call on this plan size. Non-file
+    sources (createDataFrame locals) already inherit their parallelism
+    from the session and pass through unchanged."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    half = max(2, target // 2)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    if len(files) >= half:
+        return df
+    mpb_conf = str(df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"))
+    mpb = int(mpb_conf.rstrip("bB")) if mpb_conf.rstrip("bB").isdigit() else 134217728
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file:") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            # remote scheme: stat through the session's Hadoop FS
+            try:
+                jvm = sc._jvm
+                path = jvm.org.apache.hadoop.fs.Path(f)
+                fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+                total += fs.getFileStatus(path).getLen()
+            except Exception:
+                return df.repartition(target)  # unknown size: spread (safe)
+    if total < min_bytes:
+        return df
+    est_splits = -(-total // mpb)
+    if max(len(files), est_splits) >= half:
+        return df
+    return df.repartition(target)
 
 
 def load_filelist(spark: SparkSession, path: str,

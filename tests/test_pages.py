@@ -122,3 +122,29 @@ def test_geocode_marker_in_body_first_occurrence(spark):
     for method in ("fast", "jvm", "pandas"):
         r = pages.geocode(df, method=method).first()
         assert (r.lat, r.lon) == (15.1, 179.8), method
+
+
+def test_spread_small_input_byte_gate(spark, tmp_path):
+    """r5: the spread must NOT fire for tiny file inputs (the repartition
+    exchange + worker spawns cost more than single-threaded UDF work — the
+    r4 always-spread was the minhash/sidecar battery regression), must fire
+    when forced by min_bytes=0, and must never use df.rdd (probe cost)."""
+    from imagery_utils_spark.sources.tables import spread_small_input
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    p = str(tmp_path / "tiny.parquet")
+    df.coalesce(1).write.parquet(p)
+    tiny = spark.read.parquet(p)
+
+    # tiny file: unchanged plan object (no inserted exchange)
+    out = spread_small_input(tiny)
+    assert out is tiny
+
+    # forced: spreads to session parallelism
+    forced = spread_small_input(tiny, min_bytes=0)
+    assert forced is not tiny
+    assert forced.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # non-file source passes through
+    local = spark.createDataFrame([(1,)], "a int")
+    assert spread_small_input(local) is local
