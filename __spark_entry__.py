@@ -758,6 +758,44 @@ def q_rpc_warp(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_nitf_stack_meta(spark, sf_dir) -> DataFrame:
+    """R7 residual — NITF metadata carry-over of the IKONOS band stack
+    (stack_ik_bands, /root/reference/lib/ortho_functions.py:1054-1106):
+    remove-list, double-quote filter, NITF_ prefix strip, forced IREP=MULTI,
+    sorted -co order, band color interpretation. Pure column algebra
+    (functions/nitf.py); the pixel side is band_stack (R7)."""
+    from imagery_utils_spark.functions.nitf import ik_band_interp_col, stack_ik_meta
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    entries = docs.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit("NITF_FHDR").alias("meta_key"),
+                     F.lit("NITF02.10").alias("meta_value")),
+            F.struct(F.lit("NITF_IREP").alias("meta_key"),
+                     F.lit("MONO").alias("meta_value")),
+            F.struct(F.lit("NITF_ABPP").alias("meta_key"),
+                     (F.col("doc_id") % 16).cast("string").alias("meta_value")),
+            F.struct(F.lit("NITF_FTITLE").alias("meta_key"),
+                     F.concat(F.lit("po_"), F.col("doc_id").cast("string")
+                              ).alias("meta_value")),
+            F.struct(F.lit("ACQDATE").alias("meta_key"),
+                     F.when(F.col("doc_id") % 3 == 0,
+                            F.lit('bad"quote')).otherwise(F.lit("20080801")
+                                                          ).alias("meta_value")),
+        )).alias("_e"),
+    ).select("doc_id", "_e.meta_key", "_e.meta_value")
+    meta = stack_ik_meta(entries)
+    interp = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 4) + 1).cast("int").alias("band_idx"),
+    ).select("doc_id", "band_idx",
+             ik_band_interp_col(F.col("band_idx")).alias("interp"))
+    return meta.join(interp, "doc_id").select(
+        "doc_id", "opt_order", "opt_key", "opt_value", "band_idx", "interp"
+    ).orderBy("doc_id", "opt_order")
+
+
 def q_classify_filename(spark, sf_dir) -> DataFrame:
     """Rows-only: F8 regex classification over synthetic PGC-style names."""
     from imagery_utils_spark.functions.naming import classify_filename
@@ -1559,6 +1597,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pan_pair_match": q_pan_pair_match,
         "warp_utm": q_warp_utm,
         "rpc_warp": q_rpc_warp,
+        "nitf_stack_meta": q_nitf_stack_meta,
         "classify_filename": q_classify_filename,
         "knn_ring": q_knn_ring,
         "footprint_r1": q_footprint_r1,
@@ -2030,6 +2069,31 @@ def oracle_sql() -> dict[str, str]:
         # rational polynomial (shared exponent table + association order,
         # e-notation DOUBLE literals); all-dyadic inputs/model => bit-equal.
         "rpc_warp": _rpc_warp_oracle_sql(),
+        # R7 residual — stack_ik_bands metadata carry-over: remove-list,
+        # quote filter, NITF_ strip, forced IREP=MULTI last in sort order,
+        # band color dict (ortho_functions.py:1054-1106).
+        "nitf_stack_meta": (
+            "WITH e AS ("
+            "SELECT doc_id, 'NITF_FHDR' AS k, 'NITF02.10' AS v FROM documents "
+            "UNION ALL SELECT doc_id, 'NITF_IREP', 'MONO' FROM documents "
+            "UNION ALL SELECT doc_id, 'NITF_ABPP', cast(doc_id % 16 as varchar) FROM documents "
+            "UNION ALL SELECT doc_id, 'NITF_FTITLE', concat('po_', cast(doc_id as varchar)) FROM documents "
+            "UNION ALL SELECT doc_id, 'ACQDATE', CASE WHEN doc_id % 3 = 0 "
+            "THEN 'bad\"quote' ELSE '20080801' END FROM documents), "
+            "kept AS (SELECT doc_id, regexp_replace(k, '^NITF_', '') AS opt_key, "
+            "v AS opt_value, 0 AS forced FROM e "
+            "WHERE k NOT IN ('NITF_FHDR','NITF_IREP','NITF_OSTAID','NITF_IC',"
+            "'NITF_ICORDS','NITF_IGEOLO','IREPBAND') AND v NOT LIKE '%\"%' "
+            "UNION ALL SELECT DISTINCT doc_id, 'IREP', 'MULTI', 1 FROM e), "
+            "m AS (SELECT doc_id, opt_key, opt_value, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY forced, opt_key) "
+            "AS opt_order FROM kept), "
+            "b AS (SELECT doc_id, cast((doc_id % 4) + 1 as integer) AS band_idx, "
+            "CASE doc_id % 4 WHEN 0 THEN 'blue' WHEN 1 THEN 'green' "
+            "WHEN 2 THEN 'red' ELSE 'undefined' END AS interp FROM documents) "
+            "SELECT m.doc_id, opt_order, opt_key, opt_value, band_idx, interp "
+            "FROM m JOIN b ON m.doc_id = b.doc_id ORDER BY m.doc_id, opt_order"
+        ),
         # F8 regex classification: the fixture filenames all match RENAMED_DG
         # (the first pattern in the reference's DG trial order), so the
         # single-pattern SQL rendering is equivalent to the full cascade here.

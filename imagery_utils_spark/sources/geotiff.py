@@ -350,10 +350,15 @@ def _parse_ifd(blob: bytes, off: int):
 
 
 def _tag_longs(blob: bytes, tags: dict, tid: int) -> list[int]:
+    """Offset/count tag values as ints — SHORT(3) or LONG(4) typed, inline
+    (<= 4 value bytes) or external."""
     ttype, count, value = tags[tid]
-    if count == 1:
-        return [value]
-    return list(struct.unpack_from("<%dI" % count, blob, value))
+    unit = 2 if ttype == _SHORT else 4
+    fmt = "H" if ttype == _SHORT else "I"
+    if count * unit <= 4:
+        return list(struct.unpack("<%d%s" % (count, fmt),
+                                  value.to_bytes(4, "little")[:count * unit]))
+    return list(struct.unpack_from("<%d%s" % (count, fmt), blob, value))
 
 
 def decode_cog(blob: bytes):
@@ -448,24 +453,27 @@ def decode_geotiff(blob: bytes):
         raise NotImplementedError(
             "TIFF without GeoTIFF tags (ModelPixelScale/Tiepoint/GeoKeys) — "
             "plain TIFFs need an image library this environment lacks")
-    if tags[_STRIP_OFF][1] != 1:
-        raise NotImplementedError("multi-strip TIFF not supported "
-                                  "(this reader pairs encode_geotiff)")
     samples = tags[_SAMPLES][2] if _SAMPLES in tags else 1
     bits = shorts(_BITS)[0]
     comp = tags[_COMP][2]
     if comp not in (1, 8):
         raise NotImplementedError("only uncompressed / Deflate TIFF")
-    off, cnt = tags[_STRIP_OFF][2], tags[_STRIP_CNT][2]
+    # multi-strip (r5): concatenate RowsPerStrip-sized strips in order —
+    # the layout most external writers emit (GDAL defaults to ~8 KB strips)
+    offs = _tag_longs(blob, tags, _STRIP_OFF)
+    cnts = _tag_longs(blob, tags, _STRIP_CNT)
     dt = np.uint8 if bits == 8 else np.dtype("<u2")
-    if comp == 8:
-        import zlib
+    parts = []
+    for off, cnt in zip(offs, cnts):
+        if comp == 8:
+            import zlib
 
-        raw = zlib.decompress(blob[off:off + cnt])
-        arr = np.frombuffer(raw, dtype=dt)
-    else:
-        arr = np.frombuffer(blob, dtype=dt, count=cnt // (bits // 8),
-                            offset=off)
+            raw = zlib.decompress(blob[off:off + cnt])
+            parts.append(np.frombuffer(raw, dtype=dt))
+        else:
+            parts.append(np.frombuffer(blob, dtype=dt,
+                                       count=cnt // (bits // 8), offset=off))
+    arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
     arr = arr.reshape((h, w) if samples == 1 else (h, w, samples))
 
     px, py, _pz = doubles(_MODEL_SCALE)

@@ -321,3 +321,147 @@ def test_jpeg_extreme_sizes_and_empty_wav():
 
     samples, rate = decode_wav(encode_wav(np.zeros(0, dtype=np.int16)))
     assert samples.shape == (0, 1) and rate == 16000
+
+
+# ---------------------------------------------------- MP4 / ISO BMFF (r5)
+
+
+def test_mp4_roundtrip_and_layout():
+    import struct
+
+    import numpy as np
+
+    from imagery_utils_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from imagery_utils_spark.sources.multimodal import (
+        decode_mp4, demux_mp4, encode_mp4_mjpeg, iter_mp4_frames)
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+              for _ in range(5)]
+    blob = encode_mp4_mjpeg(frames, fps=24)
+
+    # layout: ftyp first, moov before mdat (fast start)
+    assert blob[4:8] == b"ftyp"
+    assert blob.index(b"moov") < blob.index(b"mdat")
+
+    info = demux_mp4(blob)
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (64, 48)
+    assert info["timescale"] == 24 and info["duration"] == 5
+    assert len(info["samples"]) == 5
+    # every sample offset lands on a JPEG SOI marker
+    for off, size in info["samples"]:
+        assert blob[off:off + 2] == b"\xff\xd8"
+        assert blob[off + size - 2:off + size] == b"\xff\xd9"
+
+    # demuxed sample bytes ARE the standalone JPEGs
+    for raw, f in zip(iter_mp4_frames(blob), frames):
+        assert raw == encode_jpeg(f, quality=85)
+    # decode parity with the bare codec
+    for dec, f in zip(decode_mp4(blob), frames):
+        assert (dec == decode_jpeg(encode_jpeg(f, quality=85))).all()
+
+
+def test_mp4_multichunk_stsc_and_co64():
+    """Demux must expand multi-run stsc over several chunks and read co64
+    (64-bit offsets) — the shapes real muxers emit."""
+    import struct
+
+    from imagery_utils_spark.sources import multimodal as M
+
+    samples = [b"\xff\xd8AA\xff\xd9", b"\xff\xd8BBB\xff\xd9",
+               b"\xff\xd8C\xff\xd9"]
+    sizes = [len(s) for s in samples]
+    ftyp = M._box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    # chunks: chunk1 = samples 0,1 ; chunk2 = sample 2
+    entry = (b"\x00" * 6 + struct.pack(">H", 1) + struct.pack(">HH", 0, 0)
+             + b"\x00" * 12 + struct.pack(">HHIII", 8, 6, 0x480000, 0x480000, 0)
+             + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = M._fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + M._box(b"jpeg", entry))
+    stts = M._fullbox(b"stts", 0, 0, struct.pack(">III", 1, 3, 1))
+    stsc = M._fullbox(b"stsc", 0, 0, struct.pack(">I", 2)
+                      + struct.pack(">III", 1, 2, 1)
+                      + struct.pack(">III", 2, 1, 1))
+    stsz = M._fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 3)
+                      + struct.pack(">3I", *sizes))
+    mdhd = M._fullbox(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 10, 3,
+                                                 0x55C4, 0))
+    hdlr = M._fullbox(b"hdlr", 0, 0, struct.pack(">I4s", 0, b"vide")
+                      + b"\x00" * 12 + b"V\x00")
+
+    def build(chunk_offs, use_co64):
+        if use_co64:
+            stco = M._fullbox(b"co64", 0, 0, struct.pack(">I", 2)
+                              + struct.pack(">2Q", *chunk_offs))
+        else:
+            stco = M._fullbox(b"stco", 0, 0, struct.pack(">I", 2)
+                              + struct.pack(">2I", *chunk_offs))
+        stbl = M._box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = M._box(b"minf", stbl)
+        mdia = M._box(b"mdia", mdhd + hdlr + minf)
+        moov = M._box(b"moov", M._box(b"trak", mdia))
+        mdat_payload = b"".join(samples)
+        head = ftyp + moov
+        blob = head + M._box(b"mdat", mdat_payload)
+        # chunk offsets: chunk1 at mdat start, chunk2 after samples 0+1
+        off1 = len(head) + 8
+        return blob, (off1, off1 + sizes[0] + sizes[1])
+
+    for use_co64 in (False, True):
+        blob, offs = build((0, 0), use_co64)
+        blob, offs = build(offs, use_co64)
+        info = M.demux_mp4(blob)
+        got = [blob[o:o + s] for o, s in info["samples"]]
+        assert got == samples, f"co64={use_co64}"
+
+
+def test_sample_mp4_frames_spark(spark):
+    import numpy as np
+
+    from imagery_utils_spark.sources.jpeg import decode_jpeg
+    from imagery_utils_spark.sources.multimodal import (
+        encode_mp4_mjpeg, sample_mp4_frames)
+
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+              for _ in range(6)]
+    blob = encode_mp4_mjpeg(frames, fps=10)
+    media = spark.createDataFrame([(1, bytearray(blob))],
+                                  "media_id long, blob binary")
+    rows = sample_mp4_frames(media, every=2).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+    for r in rows:
+        img = decode_jpeg(bytes(r.blob))
+        assert img.shape == (32, 32, 3)
+
+
+# ------------------------------------------------------- MP3 demux (r5)
+
+
+def test_parse_mp3_frames():
+    from imagery_utils_spark.sources.multimodal import parse_mp3_frames
+
+    # MPEG1 Layer III 128 kbps @ 44100: 144*128000//44100 = 417 bytes
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = hdr + b"\x00" * (417 - 4)
+    pad_hdr = bytes([0xFF, 0xFB, 0x92, 0x00])    # padding bit -> 418
+    pad_frame = pad_hdr + b"\x00" * (418 - 4)
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    blob = id3 + frame + pad_frame + frame + b"TAG" + b"\x00" * 125
+    frames = parse_mp3_frames(blob)
+    assert len(frames) == 3
+    assert [f["size"] for f in frames] == [417, 418, 417]
+    assert frames[0]["offset"] == len(id3)
+    assert frames[1]["offset"] == len(id3) + 417
+    assert all(f["bitrate_kbps"] == 128 and f["sample_rate"] == 44100
+               and f["samples"] == 1152 for f in frames)
+
+    # MPEG2 Layer III 64 kbps @ 22050: 72*64000//22050 = 208
+    h2 = bytes([0xFF, 0xF3, 0x80, 0x00])
+    f2 = h2 + b"\x00" * (208 - 4)
+    got = parse_mp3_frames(f2 * 2)
+    assert len(got) == 2 and got[0]["size"] == 208
+    assert got[0]["sample_rate"] == 22050 and got[0]["samples"] == 576
+
+    # garbage stops cleanly
+    assert parse_mp3_frames(b"\x00\x01\x02") == []
