@@ -232,6 +232,22 @@ def q_lang_profile(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark, sf_dir) -> DataFrame:
+    """Exact-substring (repeated-span) dedup at k=8 token windows — the
+    ExactSubstr policy of Lee et al. 2021 (arXiv:2107.06499) at token-
+    window granularity: corpus-wide keep-first occurrence per gram, later
+    occurrences merged into maximal per-doc spans. Pure column algebra
+    (operators/exact_substring.py); the oracle replays gram ranking +
+    interval merge over identical DuckDB regex tokenization."""
+    from imagery_utils_spark.operators.exact_substring import repeated_spans
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (repeated_spans(docs, k=8)
+            .select("doc_id", F.col("span_id").cast("long").alias("span_id"),
+                    "span_start", "span_end", "n_windows")
+            .orderBy("doc_id", "span_id"))
+
+
 def q_winnow_fps(spark, sf_dir) -> DataFrame:
     """Document fingerprinting via winnowing (Schleimer/Wilkerson/Aiken
     SIGMOD'03; engine: numpy prefix-difference rolling hashes + sliding
@@ -1575,6 +1591,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q_lang_profile,
         "jaccard_pairs": q_jaccard_pairs,
         "winnow_fps": q_winnow_fps,
+        "repeated_spans": q_repeated_spans,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1933,6 +1950,31 @@ def oracle_sql() -> dict[str, str]:
         "ivf_search": _ivf_oracle_sql(),
         # Winnowing vs an independent direct-polynomial implementation.
         "winnow_fps": _IO.winnow_oracle_sql(_oracle_sf_dir()),
+        # ExactSubstr repeated-span dedup (Lee et al. 2021) at k=8 token
+        # windows: identical regex tokenization, per-gram keep-first rank,
+        # interval merge (overlap-or-touch), token-offset spans.
+        "repeated_spans": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "g0 AS (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos "
+            "FROM toks WHERE len(t) >= 8), "
+            "g AS (SELECT doc_id, pos, "
+            "array_to_string(t[pos+1:pos+8], chr(31)) AS gram FROM g0), "
+            "occ AS (SELECT doc_id, pos, row_number() OVER ("
+            "PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g), "
+            "d AS (SELECT doc_id, pos FROM occ WHERE rk > 1), "
+            "m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL "
+            "OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS nw FROM d "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+            "s AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id FROM m) "
+            "SELECT doc_id, cast(span_id AS bigint) AS span_id, "
+            "cast(min(pos) AS bigint) AS span_start, "
+            "cast(max(pos) + 8 AS bigint) AS span_end, "
+            "count(*) AS n_windows FROM s GROUP BY doc_id, span_id "
+            "ORDER BY doc_id, span_id"
+        ),
         "pyramid_rollup": (
             f"WITH {pages}, base AS (SELECT {SJ.cell_sql('lon', 'lat', 6)} AS cell6 FROM pages) "
             f"SELECT 4 AS level_res, {CPO.parent_cell_sql('cell6', 6, 2)} AS cell, "
