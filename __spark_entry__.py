@@ -240,8 +240,10 @@ def q_repeated_spans(spark, sf_dir) -> DataFrame:
     (operators/exact_substring.py); the oracle replays gram ranking +
     interval merge over identical DuckDB regex tokenization."""
     from imagery_utils_spark.operators.exact_substring import repeated_spans
+    from imagery_utils_spark.sources.tables import spread_small_input
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_small_input(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (repeated_spans(docs, k=8)
             .select("doc_id", F.col("span_id").cast("long").alias("span_id"),
                     "span_start", "span_end", "n_windows")
