@@ -516,6 +516,43 @@ def q_sessionize(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark, sf_dir) -> DataFrame:
+    """Streaming exact dedup on ingest (dropDuplicatesWithinWatermark):
+    micro-batch 1 is the events table, micro-batch 2 REPLAYS every row (an
+    at-least-once source re-queuing a crawl segment) — the stream REALLY
+    runs (availableNow, one file per trigger) and must drop the entire
+    second batch via cross-batch keyed state. The oracle is the batch
+    fixed point: aggregate over SELECT DISTINCT of the raw table — any
+    missed duplicate doubles a count and breaks the hash."""
+    import shutil
+
+    from imagery_utils_spark.streaming.events import (
+        run_dedup_stream_to_memory,
+    )
+
+    base = _lineage_base(sf_dir, "sdedup")
+    shutil.rmtree(base, ignore_errors=True)
+    keys = ["user_id", "event_type", "ts", "value"]
+    ev = load(spark, sf_dir, "events").select(*keys)
+    ev.coalesce(1).write.parquet(os.path.join(base, "b=1"))
+    ev.coalesce(1).write.parquet(os.path.join(base, "b=2"))  # exact replay
+    import uuid
+
+    survivors = run_dedup_stream_to_memory(
+        spark, base,
+        "user_id long, event_type string, ts timestamp, value double, b int",
+        f"sdedup_{uuid.uuid4().hex[:8]}", key_cols=keys,
+        watermark="45 days", max_files=1,
+    )
+    return (
+        survivors.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("value_sum"))
+        .orderBy("event_type")
+    )
+
+
 def q_stream_champion(spark, sf_dir) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per
     event_type running champion (max value, ties to lowest event_id) with
@@ -1604,6 +1641,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "stream_window_counts": q_stream_window_counts,
         "stream_champion": q_stream_champion,
+        "stream_dedup": q_stream_dedup,
         "sessionize": q_sessionize,
         "epsg_pick": q_epsg_pick,
         "strip_tile_candidates": q_strip_tile_candidates,
@@ -1995,6 +2033,16 @@ def oracle_sql() -> dict[str, str]:
         # Custom stateful streaming op — the stream's fixed point must
         # equal the batch argmax under the same (value desc, id asc)
         # total order, whatever the micro-batch boundaries were.
+        # streaming dedup-on-ingest: the engine drains a REAL two-batch
+        # stream whose 2nd batch replays every row; the batch fixed point
+        # (DISTINCT then aggregate) is the oracle.
+        "stream_dedup": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type, ts, value "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n, "
+            "cast(sum(cast(value AS decimal(18,2))) AS double) AS value_sum "
+            "FROM d GROUP BY event_type ORDER BY event_type"
+        ),
         "stream_champion": (
             "SELECT event_type, event_id AS champion_id, value AS score "
             "FROM (SELECT event_type, event_id, value, row_number() OVER ("

@@ -114,3 +114,44 @@ def run_pages_stream_to_memory(spark: SparkSession, src_path: str,
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------- stream dedup
+
+
+def stream_exact_dedup(events: DataFrame, key_cols: list[str],
+                       watermark: str = "1 hour",
+                       ts_col: str = "ts") -> DataFrame:
+    """Exact dedup on ingest — the training-pipeline scenario where a crawl
+    segment is replayed (re-queued WARC batch, at-least-once source) and
+    later copies must be dropped exactly once, across micro-batch
+    boundaries.  Streaming: ``dropDuplicatesWithinWatermark`` — per-key
+    state is EVICTED once the watermark passes a key's event time, so state
+    is bounded by the duplicate-arrival horizon (the at-least-once window
+    of the source), not by stream length; duplicates arriving within
+    ``watermark`` of the first copy are guaranteed dropped.  Batch: plain
+    ``dropDuplicates`` — the same transformation function in both regimes,
+    the module's parity-by-construction pattern."""
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(key_cols))
+    return events.dropDuplicates(key_cols)
+
+
+def run_dedup_stream_to_memory(spark: SparkSession, src_path: str,
+                               schema: str, name: str, key_cols: list[str],
+                               watermark: str = "1 hour",
+                               max_files: int = 1) -> DataFrame:
+    """availableNow drain of a dedup stream (append mode — dropDuplicates
+    emits each survivor exactly once)."""
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files).parquet(src_path))
+    q = (
+        stream_exact_dedup(src, key_cols, watermark)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

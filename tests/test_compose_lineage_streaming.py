@@ -210,3 +210,31 @@ def test_running_champion_unchanged_batch_emits_nothing(spark, tmp_path):
         max_files=1,
     ).collect()
     assert [(r["champion_id"], r["score"]) for r in out] == [(10, 5.0)]
+
+
+def test_stream_exact_dedup_cross_batch(spark, tmp_path):
+    """Batch 2 replays 3 of batch 1's rows and adds 1 new one: the stream
+    must drop exactly the replays via cross-batch keyed state; a late
+    duplicate of an expired key (older than the watermark horizon behind
+    max event time) documents the eviction contract."""
+    import datetime as dt
+
+    base = str(tmp_path / "sd")
+    t0 = dt.datetime(2024, 1, 1)
+    rows1 = [(1, "a", t0, 1.0), (2, "b", t0 + dt.timedelta(hours=1), 2.0),
+             (3, "a", t0 + dt.timedelta(hours=2), 3.0)]
+    rows2 = rows1 + [(4, "c", t0 + dt.timedelta(hours=3), 4.0)]
+    schema = "user_id long, event_type string, ts timestamp, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(base + "/b=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(base + "/b=2")
+    got = STR.run_dedup_stream_to_memory(
+        spark, base, schema + ", b int", "sd_test",
+        key_cols=["user_id", "event_type", "ts", "value"],
+        watermark="2 days", max_files=1)
+    vals = sorted((r.user_id, r.value) for r in got.collect())
+    assert vals == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # batch formulation: same function, plain dropDuplicates
+    b = STR.stream_exact_dedup(
+        spark.createDataFrame(rows1 + rows2, schema),
+        ["user_id", "event_type", "ts", "value"])
+    assert b.count() == 4
