@@ -465,3 +465,19 @@ def test_parse_mp3_frames():
 
     # garbage stops cleanly
     assert parse_mp3_frames(b"\x00\x01\x02") == []
+
+
+def test_mp3_stream_stats_spark(spark):
+    from imagery_utils_spark.sources.multimodal import mp3_stream_stats
+
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])        # MPEG1 L3 128k @44100
+    frame = hdr + b"\x00" * (417 - 4)
+    media = spark.createDataFrame(
+        [(1, bytearray(frame * 3)), (2, bytearray(b"not mp3 data"))],
+        "media_id long, blob binary")
+    rows = {r.media_id: r for r in mp3_stream_stats(media).collect()}
+    assert rows[1].n_frames == 3
+    assert rows[1].duration_s == pytest.approx(3 * 1152 / 44100)
+    assert rows[1].mean_bitrate_kbps == 128.0
+    assert rows[1].sample_rate == 44100
+    assert rows[2].n_frames == 0 and rows[2].duration_s == 0.0
