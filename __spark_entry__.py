@@ -250,6 +250,26 @@ def q_repeated_spans(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id", "span_id"))
 
 
+def q_mask_spans(spark, sf_dir) -> DataFrame:
+    """The ExactSubstr REMOVAL step: every token inside a duplicated span
+    dropped (corpus-wide first occurrence survives), clean text compared by
+    sha256 — so the whole pipeline (tokenize -> gram rank -> span merge ->
+    token filter -> rejoin) is value-checked end to end. The oracle rebuilds
+    clean_text in SQL via an anti-join of token positions against spans and
+    an ordered string_agg."""
+    from imagery_utils_spark.operators.exact_substring import (
+        mask_repeated_spans,
+    )
+    from imagery_utils_spark.sources.tables import spread_small_input
+
+    docs = spread_small_input(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return (mask_repeated_spans(docs, k=8)
+            .select("doc_id", F.sha2("clean_text", 256).alias("clean_sha"),
+                    "n_removed_tokens")
+            .orderBy("doc_id"))
+
+
 def q_winnow_fps(spark, sf_dir) -> DataFrame:
     """Document fingerprinting via winnowing (Schleimer/Wilkerson/Aiken
     SIGMOD'03; engine: numpy prefix-difference rolling hashes + sliding
@@ -1631,6 +1651,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "winnow_fps": q_winnow_fps,
         "repeated_spans": q_repeated_spans,
+        "mask_spans": q_mask_spans,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1990,6 +2011,41 @@ def oracle_sql() -> dict[str, str]:
         "ivf_search": _ivf_oracle_sql(),
         # Winnowing vs an independent direct-polynomial implementation.
         "winnow_fps": _IO.winnow_oracle_sql(_oracle_sf_dir()),
+        # ExactSubstr removal: rebuild clean_text by anti-joining token
+        # positions against the merged spans, ordered string_agg, sha256.
+        "mask_spans": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "g0 AS (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos "
+            "FROM toks WHERE len(t) >= 8), "
+            "g AS (SELECT doc_id, pos, "
+            "array_to_string(t[pos+1:pos+8], chr(31)) AS gram FROM g0), "
+            "occ AS (SELECT doc_id, pos, row_number() OVER ("
+            "PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM g), "
+            "d AS (SELECT doc_id, pos FROM occ WHERE rk > 1), "
+            "m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL "
+            "OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS nw FROM d "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+            "s AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id FROM m), "
+            "spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + 8 AS se "
+            "FROM s GROUP BY doc_id, span_id), "
+            "tok AS (SELECT doc_id, t, unnest(range(0, len(t))) AS i "
+            "FROM toks), "
+            "tok2 AS (SELECT doc_id, i, t[i+1] AS w FROM tok), "
+            "kept AS (SELECT k.doc_id, k.i, k.w FROM tok2 k "
+            "WHERE NOT EXISTS (SELECT 1 FROM spans sp "
+            "WHERE sp.doc_id = k.doc_id AND k.i >= sp.ss AND k.i < sp.se)), "
+            "agg AS (SELECT doc_id, "
+            "coalesce(string_agg(w, ' ' ORDER BY i), '') AS ct, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT tk.doc_id, sha256(coalesce(a.ct, '')) AS clean_sha, "
+            "cast(len(tk.t) - coalesce(a.n_kept, 0) AS bigint) "
+            "AS n_removed_tokens "
+            "FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id "
+            "ORDER BY tk.doc_id"
+        ),
         # ExactSubstr repeated-span dedup (Lee et al. 2021) at k=8 token
         # windows: identical regex tokenization, per-gram keep-first rank,
         # interval merge (overlap-or-touch), token-offset spans.
