@@ -250,6 +250,42 @@ def q_repeated_spans(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id", "span_id"))
 
 
+def q_url_canon(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + canonical dedup (RFC 3986 normalization +
+    tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
+    shapes synthesized per doc_id (case/default-port/fragment, utm/gclid
+    params, param order) collapse to two canonical groups per path. The
+    oracle reimplements every rule in DuckDB SQL."""
+    from imagery_utils_spark.functions.urlnorm import dedup_canonical
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    base = F.concat(F.lit("example"), g, F.lit(".com/p/"), g)
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), base))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(base),
+                               F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("http://"), base,
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://"), base,
+                            F.lit("?a=1&b=2&gclid=z")))
+    )
+    # v=1 uppercases host AND path; give it the :80 default port and a
+    # path that matches v=0's after host-lowering only when the path has
+    # no letters — use the digit-only path by keeping base lowercase there
+    url = (
+        F.when(v == 1, F.concat(
+            F.lit("HTTP://EXAMPLE"), g, F.lit(".COM:80/p/"), g,
+            F.lit("#frag")))
+        .otherwise(url)
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return (dedup_canonical(pages)
+            .select("canonical_url", "kept_id", "n_variants")
+            .orderBy("canonical_url"))
+
+
 def q_mask_spans(spark, sf_dir) -> DataFrame:
     """The ExactSubstr REMOVAL step: every token inside a duplicated span
     dropped (corpus-wide first occurrence survives), clean text compared by
@@ -1652,6 +1688,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "repeated_spans": q_repeated_spans,
         "mask_spans": q_mask_spans,
+        "url_canon": q_url_canon,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2011,6 +2048,50 @@ def oracle_sql() -> dict[str, str]:
         "ivf_search": _ivf_oracle_sql(),
         # Winnowing vs an independent direct-polynomial implementation.
         "winnow_fps": _IO.winnow_oracle_sql(_oracle_sf_dir()),
+        # URL canonicalization: every normalization rule (lowercase
+        # scheme/host, default-port strip, fragment drop, tracking-param
+        # scrub, param sort, empty-path /) reimplemented in DuckDB SQL.
+        "url_canon": (
+            "WITH p AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 4 = 0 THEN 'http://example' || (doc_id % 50) "
+            "|| '.com/p/' || (doc_id % 50) "
+            "WHEN doc_id % 4 = 1 THEN 'HTTP://EXAMPLE' || (doc_id % 50) "
+            "|| '.COM:80/p/' || (doc_id % 50) || '#frag' "
+            "WHEN doc_id % 4 = 2 THEN 'http://example' || (doc_id % 50) "
+            "|| '.com/p/' || (doc_id % 50) || '?utm_source=x&b=2&a=1' "
+            "ELSE 'http://example' || (doc_id % 50) || '.com/p/' "
+            "|| (doc_id % 50) || '?a=1&b=2&gclid=z' END AS url "
+            "FROM documents), "
+            "c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u "
+            "FROM p), "
+            "c2 AS (SELECT doc_id, lower(regexp_extract(u, "
+            "'^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+            "regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest "
+            "FROM c1), "
+            "c3 AS (SELECT doc_id, scheme, rest, "
+            "lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport "
+            "FROM c2), "
+            "c4 AS (SELECT doc_id, scheme, CASE "
+            "WHEN scheme = 'http' AND hostport LIKE '%:80' "
+            "THEN regexp_replace(hostport, ':80$', '') "
+            "WHEN scheme = 'https' AND hostport LIKE '%:443' "
+            "THEN regexp_replace(hostport, ':443$', '') "
+            "ELSE hostport END AS host, "
+            "substring(rest, length(hostport) + 1) AS pathq FROM c3), "
+            "c5 AS (SELECT doc_id, scheme, host, "
+            "CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/' "
+            "ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path, "
+            r"list_sort(list_filter(string_split(regexp_extract(pathq, "
+            r"'\?(.*)$', 1), '&'), x -> x <> '' AND NOT regexp_matches(x, "
+            r"'^(utm_[^=]*|fbclid|gclid)(=.*)?$'))) AS params FROM c4), "
+            "c6 AS (SELECT doc_id, scheme || '://' || host || path || "
+            "CASE WHEN len(params) > 0 THEN '?' || "
+            "array_to_string(params, '&') ELSE '' END AS canonical_url "
+            "FROM c5) "
+            "SELECT canonical_url, min(doc_id) AS kept_id, "
+            "count(*) AS n_variants FROM c6 GROUP BY canonical_url "
+            "ORDER BY canonical_url"
+        ),
         # ExactSubstr removal: rebuild clean_text by anti-joining token
         # positions against the merged spans, ordered string_agg, sha256.
         "mask_spans": (

@@ -1,0 +1,69 @@
+"""URL canonicalization + canonical dedup — the Common-Crawl ingest step
+that collapses crawl-variant URLs (case, default ports, fragments,
+tracking params, query-param order) before exact dedup.
+
+Standard rules (RFC 3986 §6 syntax-based normalization + the tracking-
+param scrub every large crawl pipeline applies):
+
+* scheme and host lowercased; fragment dropped;
+* default port stripped when it matches the scheme (``http://x:80`` →
+  ``http://x``, ``https://x:443`` → ``https://x``; a NON-default port is
+  kept, including ``:80`` on https);
+* empty path → ``/``;
+* tracking query params removed (``utm_*``, ``fbclid``, ``gclid``);
+* surviving params sorted bytewise (order-insensitive equality);
+* a query left empty loses its ``?``.
+
+Everything is a single JVM column expression (regexp + higher-order array
+functions — whole-stage codegen, no UDF), so canonicalization runs at scan
+speed and the dedup is one hash shuffle on the canonical key.  Extension
+scope: the reference has no URL handling; rules cite RFC 3986 only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+
+def canonical_url(url: Column) -> Column:
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = (
+        F.when((scheme == "http") & hostport.rlike(":80$"),
+               F.regexp_replace(hostport, ":80$", ""))
+        .when((scheme == "https") & hostport.rlike(":443$"),
+              F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def dedup_canonical(pages: DataFrame, url_col: str = "url",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL exact dedup: keep the lowest id per canonical URL
+    (deterministic survivor), report the collapsed count.  One map-side-
+    combinable hash aggregation — the canonical key is computed in the
+    scan stage, so the only exchange is the groupBy."""
+    return (
+        pages.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("kept_id"),
+             F.count("*").alias("n_variants"))
+    )
