@@ -250,6 +250,25 @@ def q_repeated_spans(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id", "span_id"))
 
 
+def q_zorder_key(spark, sf_dir) -> DataFrame:
+    """Z-order layout key (operators/zorder.py): bit-interleaved Morton id
+    with the res<<56 tag, as one closed-form JVM column expression —
+    value-checked bit for bit against the identical shift/and algebra
+    rendered in SQL. Inputs are exact dyadic lon/lat so floor() is
+    IEEE-identical in both engines."""
+    from imagery_utils_spark.operators.zorder import morton_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lon = ((F.col("doc_id") % 360) - 180 + 0.25).cast("double")
+    lat = ((F.col("doc_id") % 180) - 90 + 0.25).cast("double")
+    z = morton_col(lon, lat, 8)
+    return docs.select(
+        "doc_id", z.alias("zkey"),
+        F.shiftright(z.bitwiseAND(F.lit((1 << 56) - 1)), 2 * (8 - 4))
+        .alias("parent4"),
+    ).orderBy("doc_id")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -500,6 +519,27 @@ def q_ivf_search(spark, sf_dir) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding")
     return ivf_search(assigned, queries, cents, k=5, n_probe=4).select(
         "q_id", "vec_id", "rn").orderBy("q_id", "rn")
+
+
+def _zorder_oracle_sql() -> str:
+    """The identical Morton shift/and algebra rendered in ANSI SQL by
+    operators/zorder.py (morton_sql / cell_xy_sql) — x/y cell floors over
+    exact dyadic lon/lat, bit-interleave, res<<56 tag, parent-cell shift."""
+    from imagery_utils_spark.operators.zorder import cell_xy_sql, morton_sql
+
+    x, y = cell_xy_sql("lon", "lat", 8)
+    z = morton_sql("lon", "lat", 8)
+    mask = (1 << 56) - 1
+    return (
+        "WITH pts AS (SELECT doc_id, "
+        "CAST((doc_id % 360) - 180 + 0.25 AS DOUBLE) AS lon, "
+        "CAST((doc_id % 180) - 90 + 0.25 AS DOUBLE) AS lat "
+        "FROM documents), "
+        f"xy AS (SELECT doc_id, {x} AS x, {y} AS y FROM pts), "
+        f"z AS (SELECT doc_id, {z} AS zkey FROM xy) "
+        f"SELECT doc_id, zkey, CAST((zkey & {mask}) >> 8 AS BIGINT) "
+        "AS parent4 FROM z ORDER BY doc_id"
+    )
 
 
 def _ivf_oracle_sql() -> str:
@@ -1689,6 +1729,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "mask_spans": q_mask_spans,
         "url_canon": q_url_canon,
+        "zorder_key": q_zorder_key,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2092,6 +2133,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_variants FROM c6 GROUP BY canonical_url "
             "ORDER BY canonical_url"
         ),
+        # Z-order key: the identical shift/and interleave algebra rendered
+        # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
+        "zorder_key": _zorder_oracle_sql(),
         # ExactSubstr removal: rebuild clean_text by anti-joining token
         # positions against the merged spans, ordered string_agg, sha256.
         "mask_spans": (

@@ -402,6 +402,25 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
 # ------------------------------------------------------------------ decode
 
 
+def _upsample(p: np.ndarray, factor: int, axis: int) -> np.ndarray:
+    """Chroma upsample along one axis. Factor 2 uses the triangle filter
+    (libjpeg's default "fancy" upsampling for centered chroma samples):
+    out[2i] = (3*in[i] + in[i-1])/4, out[2i+1] = (3*in[i] + in[i+1])/4
+    with edge replication — several dB better than pixel replication on
+    gradient chroma. Other factors fall back to replication."""
+    if factor == 1:
+        return p
+    if factor != 2:
+        return np.repeat(p, factor, axis=axis)
+    a = np.moveaxis(p, axis, 0)
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    out = np.empty((a.shape[0] * 2,) + a.shape[1:], dtype=np.float64)
+    out[0::2] = (3.0 * a + prev) / 4.0
+    out[1::2] = (3.0 * a + nxt) / 4.0
+    return np.moveaxis(out, 0, axis)
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline (SOF0) decoder; returns HxW uint8 (grayscale) or HxWx3 RGB."""
     if blob[:2] != b"\xff\xd8":
@@ -523,7 +542,8 @@ def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        p = _upsample(p, vmax // c["v"], axis=0)
+        p = _upsample(p, hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
