@@ -269,6 +269,37 @@ def q_zorder_key(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_connected_components(spark, sf_dir) -> DataFrame:
+    """Distributed connected components (operators/graph.py, large-star/
+    small-star): deterministic graph of 20-chains over doc_id plus
+    chain-merging cross edges every 97 ids, resolved to (node, min-id
+    component); oracle is DuckDB's recursive-CTE reachability closure
+    with a min() rollup — value-identical by construction."""
+    from imagery_utils_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.filter((F.col("doc_id") % 20) != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst"))
+    cross = docs.filter((F.col("doc_id") % 97) == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 40).alias("dst"))
+    cc = connected_components(chain.unionByName(cross))
+    return cc.orderBy("node")
+
+
+def q_gopher_quality(spark, sf_dir) -> DataFrame:
+    """Gopher quality rules (functions/quality.py, Rae et al. 2021 Table
+    A1): the corpus word-wrapped into 5-word lines (identical regex both
+    engines), then all 8 metrics + the keep flag; every ratio is an
+    exact int/int double division so the oracle is bit-identical."""
+    from imagery_utils_spark.functions.quality import gopher_quality
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n")
+        .alias("text"))
+    return gopher_quality(docs, min_words=20).orderBy("doc_id")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1730,6 +1761,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_spans": q_mask_spans,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
+        "connected_components": q_connected_components,
+        "gopher_quality": q_gopher_quality,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2136,6 +2169,89 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Gopher quality rules: every metric re-derived in DuckDB with the
+        # pinned conventions (module docstring of functions/quality.py);
+        # all ratios are int/int double divisions -> bit-identical.
+        "gopher_quality": (
+            r"WITH t AS (SELECT doc_id, regexp_replace(text, "
+            r"'(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text "
+            "FROM documents), "
+            r"w AS (SELECT doc_id, text, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS w FROM t), "
+            "scal AS (SELECT doc_id, text, w, len(w) AS n_words, "
+            "coalesce(list_sum(list_transform(w, x -> length(x))), 0) "
+            "AS sum_len, "
+            "length(text) - length(replace(text, '#', '')) AS n_hash, "
+            "(length(text) - length(replace(text, '...', ''))) // 3 "
+            "AS n_ellip, "
+            "len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) "
+            "AS n_alpha, "
+            "len(list_distinct(list_intersect("
+            "list_transform(w, x -> lower(x)), "
+            "['the','be','to','of','and','that','have','with']))) "
+            "AS n_stop FROM w), "
+            "lines AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, chr(10)), x -> x <> '')) AS line FROM t), "
+            "lg AS (SELECT doc_id, line, count(*) AS cnt, "
+            "length(line) AS ln FROM lines GROUP BY doc_id, line), "
+            "ld AS (SELECT doc_id, "
+            "CASE WHEN sum(cnt) > 0 THEN CAST(sum(cnt) - count(*) AS "
+            "DOUBLE) / CAST(sum(cnt) AS DOUBLE) ELSE 0.0 END "
+            "AS dup_line_frac, "
+            "CASE WHEN sum(cnt * ln) > 0 THEN "
+            "CAST(sum((cnt - 1) * ln) AS DOUBLE) / "
+            "CAST(sum(cnt * ln) AS DOUBLE) ELSE 0.0 END "
+            "AS dup_line_char_frac FROM lg GROUP BY doc_id), "
+            "gr AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b FROM "
+            "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w "
+            "WHERE len(w) >= 2)), "
+            "gg AS (SELECT doc_id, a, b, count(*) * (length(a) + "
+            "length(b)) AS wcnt FROM gr GROUP BY doc_id, a, b), "
+            "gm AS (SELECT doc_id, max(wcnt) AS top2w FROM gg "
+            "GROUP BY doc_id), "
+            "m AS (SELECT s.doc_id, s.n_words, "
+            "CASE WHEN s.n_words > 0 THEN CAST(s.sum_len AS DOUBLE) / "
+            "CAST(s.n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len, "
+            "CASE WHEN s.n_words > 0 THEN CAST(s.n_hash + s.n_ellip AS "
+            "DOUBLE) / CAST(s.n_words AS DOUBLE) ELSE 0.0 END "
+            "AS symbol_word_ratio, "
+            "CASE WHEN s.n_words > 0 THEN CAST(s.n_alpha AS DOUBLE) / "
+            "CAST(s.n_words AS DOUBLE) ELSE 0.0 END AS frac_alpha_words, "
+            "s.n_stop AS n_stopwords, "
+            "coalesce(ld.dup_line_frac, 0.0) AS dup_line_frac, "
+            "coalesce(ld.dup_line_char_frac, 0.0) AS dup_line_char_frac, "
+            "CASE WHEN s.sum_len > 0 THEN CAST(coalesce(gm.top2w, 0) AS "
+            "DOUBLE) / CAST(s.sum_len AS DOUBLE) ELSE 0.0 END "
+            "AS top_2gram_char_frac "
+            "FROM scal s LEFT JOIN ld ON s.doc_id = ld.doc_id "
+            "LEFT JOIN gm ON s.doc_id = gm.doc_id) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, "
+            "frac_alpha_words, n_stopwords, dup_line_frac, "
+            "dup_line_char_frac, top_2gram_char_frac, "
+            "(n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3.0 "
+            "AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1 "
+            "AND frac_alpha_words >= 0.8 AND n_stopwords >= 2 "
+            "AND dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 "
+            "AND top_2gram_char_frac <= 0.20) AS keep "
+            "FROM m ORDER BY doc_id"
+        ),
+        # Connected components: recursive-CTE reachability closure over the
+        # symmetrized edge set, min reachable id per node.
+        "connected_components": (
+            "WITH RECURSIVE e AS ("
+            "SELECT doc_id AS u, doc_id - 1 AS v FROM documents "
+            "WHERE doc_id % 20 <> 0 "
+            "UNION ALL SELECT doc_id, doc_id + 40 FROM documents "
+            "WHERE doc_id % 97 = 0), "
+            "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), "
+            "walk(node, comp) AS ("
+            "SELECT DISTINCT u, u FROM sym "
+            "UNION "
+            "SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.node) "
+            "SELECT CAST(node AS BIGINT) AS node, "
+            "CAST(min(comp) AS BIGINT) AS component "
+            "FROM walk GROUP BY node ORDER BY node"
+        ),
         # ExactSubstr removal: rebuild clean_text by anti-joining token
         # positions against the merged spans, ordered string_agg, sha256.
         "mask_spans": (
