@@ -300,6 +300,70 @@ def q_gopher_quality(spark, sf_dir) -> DataFrame:
     return gopher_quality(docs, min_words=20).orderBy("doc_id")
 
 
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction (functions/pii.py): deterministic email/phone/IPv4
+    injection into 4 of every 5 docs, then JVM regexp detection counts +
+    token scrub; oracle re-runs the identical RE2-safe patterns in
+    DuckDB, value-checked via sha256 of the scrubbed text."""
+    from imagery_utils_spark.functions.pii import pii_report
+
+    d = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"), F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 10).cast("string"),
+        F.lit(".com tel +1-555-"),
+        F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (d % 256).cast("string"),
+        F.lit(".0."), (d % 100).cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 5 == 0, F.col("text")).otherwise(inj).alias("text"))
+    rep = pii_report(docs)
+    return rep.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
+def q_decontam(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): 13-token-gram
+    overlap against an eval set (every 41st doc), benchmark side
+    collapsed to distinct broadcast gram hashes; oracle joins the raw
+    gram strings in DuckDB — identical counts (hash is injective here)."""
+    from imagery_utils_spark.operators.decontam import contamination_flags
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter((F.col("doc_id") % 41) == 0)
+    return contamination_flags(docs, bench, n=13).orderBy("doc_id")
+
+
+def q_domain_cap(spark, sf_dir) -> DataFrame:
+    """Per-domain cap sampling (operators/sampling.py): keep 10 docs per
+    source via the deterministic Lehmer ordering (cross-engine-exact
+    integer algebra — see module docstring for why not xxhash64 here);
+    oracle is the identical windowed row_number in DuckDB."""
+    from imagery_utils_spark.operators.sampling import domain_cap, lehmer_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    order = [lehmer_col(F.col("doc_id")), F.col("doc_id")]
+    return domain_cap(docs, "source", cap=10, order=order).orderBy("doc_id")
+
+
+def q_det_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic rate sampling (operators/sampling.py): pushed-filter
+    keep-20% decision as a pure function of doc_id (partitioning/resume
+    invariant — no rand(), no df.sample)."""
+    from imagery_utils_spark.operators.sampling import (
+        SAMPLE_DENOM, deterministic_sample, lehmer_col)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = lehmer_col(F.col("doc_id"))
+    return (deterministic_sample(docs, 0.2, F.col("doc_id"), hash_col=h)
+            .select("doc_id",
+                    F.pmod(h, F.lit(SAMPLE_DENOM)).alias("bucket"))
+            .orderBy("doc_id"))
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1763,6 +1827,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
         "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
+        "decontam": q_decontam,
+        "domain_cap": q_domain_cap,
+        "det_sample": q_det_sample,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2169,6 +2237,66 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Domain cap: identical Lehmer ordering + windowed row_number.
+        "domain_cap": (
+            "WITH h AS (SELECT doc_id, source, "
+            "(doc_id % 2147483647) * 48271 % 2147483647 AS hh "
+            "FROM documents), "
+            "r AS (SELECT doc_id, source, CAST(row_number() OVER ("
+            "PARTITION BY source ORDER BY hh, doc_id) AS INT) "
+            "AS sample_rank FROM h) "
+            "SELECT doc_id, source, sample_rank FROM r "
+            "WHERE sample_rank <= 10 ORDER BY doc_id"
+        ),
+        # Deterministic sample: same Lehmer bucket filter.
+        "det_sample": (
+            "WITH h AS (SELECT doc_id, "
+            "(doc_id % 2147483647) * 48271 % 2147483647 AS hh "
+            "FROM documents) "
+            "SELECT doc_id, hh % 1000000 AS bucket FROM h "
+            "WHERE hh % 1000000 < 200000 ORDER BY doc_id"
+        ),
+        # Decontamination: 13-gram overlap re-derived over raw gram strings.
+        "decontam": (
+            r"WITH w AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "dg AS (SELECT doc_id, array_to_string(w[i:i+12], ' ') AS gram "
+            "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS i "
+            "FROM w WHERE len(w) >= 13)), "
+            "bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 41 = 0), "
+            "hits AS (SELECT d.doc_id, count(DISTINCT d.gram) AS n "
+            "FROM dg d JOIN bg USING (gram) GROUP BY d.doc_id) "
+            "SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) "
+            "AS n_contam_grams, coalesce(n, 0) > 0 AS contaminated "
+            "FROM documents LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
+        ),
+        # PII scrub: identical RE2-safe patterns + pinned scrub order
+        # (emails -> phones -> IPv4), sha256 of the scrubbed text.
+        "pii_scrub": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text "
+            "ELSE text || ' contact user' || doc_id || '@mail' || "
+            "(doc_id % 10) || '.com tel +1-555-' || "
+            "lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || "
+            "' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) END "
+            "AS text FROM documents), "
+            r"s AS (SELECT doc_id, text, "
+            r"len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) "
+            r"AS n_emails, "
+            r"len(regexp_extract_all(text, '\+\d{1,3}-\d{3}-\d{4}')) "
+            r"AS n_phones, "
+            r"len(regexp_extract_all(text, "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips, "
+            r"regexp_replace(regexp_replace(regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            r"'<EMAIL>', 'g'), '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') "
+            "AS clean FROM t) "
+            "SELECT doc_id, CAST(n_emails AS INT) AS n_emails, "
+            "CAST(n_phones AS INT) AS n_phones, CAST(n_ips AS INT) AS n_ips, "
+            "sha256(clean) AS clean_sha FROM s ORDER BY doc_id"
+        ),
         # Gopher quality rules: every metric re-derived in DuckDB with the
         # pinned conventions (module docstring of functions/quality.py);
         # all ratios are int/int double divisions -> bit-identical.

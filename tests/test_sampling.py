@@ -1,0 +1,49 @@
+"""Deterministic sampling (operators/sampling.py): rate exactness,
+partitioning invariance, per-domain caps, skew-path equivalence."""
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.operators.sampling import (
+    deterministic_sample, domain_cap, lehmer_col)
+
+
+def test_sample_is_partitioning_invariant(spark):
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = deterministic_sample(df, 0.2, F.col("doc_id"))
+    b = deterministic_sample(df.repartition(17), 0.2, F.col("doc_id"))
+    ra = sorted(r.doc_id for r in a.collect())
+    rb = sorted(r.doc_id for r in b.collect())
+    assert ra == rb
+    # rate lands near 20% for a 64-bit hash
+    assert 0.15 < len(ra) / 10_000 < 0.25
+
+
+def test_lehmer_matches_python(spark):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    got = {r.k: r.h for r in
+           df.select("k", lehmer_col(F.col("k")).alias("h")).collect()}
+    for k in range(100):
+        assert got[k] == (k % 2147483647) * 48271 % 2147483647
+
+
+def test_domain_cap(spark):
+    rows = [(i, f"dom{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = domain_cap(df, "domain", cap=10).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"dom0", "dom1", "dom2"}
+    assert all(len(v) == 10 for v in by_dom.values())
+    assert all(1 <= r.sample_rank <= 10 for r in kept)
+    # deterministic: same pick twice
+    again = sorted((r.doc_id for r in domain_cap(df, "domain", 10).collect()))
+    assert again == sorted(r.doc_id for r in kept)
+
+
+def test_domain_cap_skew_path_equivalence(spark):
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    plain = sorted(r.doc_id for r in domain_cap(df, "domain", 25).collect())
+    skewed = sorted(r.doc_id for r in domain_cap(
+        df, "domain", 25, max_group_rows=10 ** 9).collect())
+    assert plain == skewed
