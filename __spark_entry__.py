@@ -364,6 +364,45 @@ def q_det_sample(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_c4_filters(spark, sf_dir) -> DataFrame:
+    """C4 line/document filters (functions/c4.py, Raffel et al. 2020):
+    corpus word-wrapped into 5-word lines, terminal punctuation added by
+    a content-derived rule (length(line)%3), lorem-ipsum/brace bans
+    injected on deterministic doc slices; all counts + sha256(clean)
+    value-checked against the identical algebra in DuckDB."""
+    from imagery_utils_spark.functions.c4 import c4_filter
+
+    d = F.col("doc_id")
+    wrapped = F.regexp_replace(
+        "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n")
+    with_p = F.array_join(
+        F.transform(
+            F.split(wrapped, "\n"),
+            lambda ln: F.when(F.length(ln) % 3 != 0,
+                              F.concat(ln, F.lit("."))).otherwise(ln)),
+        "\n")
+    text2 = (F.when(d % 53 == 0, F.concat(with_p, F.lit(" lorem ipsum")))
+             .when(d % 67 == 0, F.concat(with_p, F.lit(" {x}")))
+             .otherwise(with_p))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text2.alias("text"))
+    out = c4_filter(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept", "n_lines_dropped",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"), "keep",
+    ).orderBy("doc_id")
+
+
+def q_mixture_stats(spark, sf_dir) -> DataFrame:
+    """Corpus mixture table (operators/sampling.py): per (lang, source)
+    doc/token counts, exact corpus share, √tokens sampling weight —
+    int-exact divisions and correctly-rounded sqrt, so bit-identical."""
+    from imagery_utils_spark.operators.sampling import mixture_stats
+
+    docs = load(spark, sf_dir, "documents").select("lang", "source", "text")
+    return mixture_stats(docs, ["lang", "source"]).orderBy("lang", "source")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1831,6 +1870,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "domain_cap": q_domain_cap,
         "det_sample": q_det_sample,
+        "c4_filters": q_c4_filters,
+        "mixture_stats": q_mixture_stats,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2237,6 +2278,45 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Mixture stats: same grouping, int-exact share, IEEE sqrt weight.
+        "mixture_stats": (
+            r"WITH tok AS (SELECT lang, source, len(list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '')) AS nt "
+            "FROM documents), "
+            "g AS (SELECT lang, source, count(*) AS n_docs, "
+            "sum(nt) AS n_tokens FROM tok GROUP BY lang, source), "
+            "t AS (SELECT sum(n_tokens) AS tot FROM g) "
+            "SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) "
+            "AS n_tokens, CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) "
+            "AS share, sqrt(CAST(n_tokens AS DOUBLE)) AS samp_weight "
+            "FROM g, t ORDER BY lang, source"
+        ),
+        # C4 filters: identical wrap + punctuation rule + line filter.
+        "c4_filters": (
+            r"WITH t0 AS (SELECT doc_id, regexp_replace(text, "
+            r"'(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS w "
+            "FROM documents), "
+            "t1 AS (SELECT doc_id, array_to_string(list_transform("
+            "string_split(w, chr(10)), x -> CASE WHEN length(x) % 3 <> 0 "
+            "THEN x || '.' ELSE x END), chr(10)) AS w FROM t0), "
+            "t AS (SELECT doc_id, CASE WHEN doc_id % 53 = 0 THEN "
+            "w || ' lorem ipsum' WHEN doc_id % 67 = 0 THEN w || ' {x}' "
+            "ELSE w END AS text FROM t1), "
+            "s AS (SELECT doc_id, text, list_filter(string_split(text, "
+            "chr(10)), x -> x <> '') AS lines FROM t), "
+            "k AS (SELECT doc_id, text, lines, list_filter(lines, "
+            "x -> regexp_matches(x, '[.!?\"]$') AND "
+            r"len(list_filter(string_split_regex(x, '\s+'), "
+            "w -> w <> '')) >= 5) AS kept FROM s) "
+            "SELECT doc_id, CAST(len(lines) AS INT) AS n_lines, "
+            "CAST(len(kept) AS INT) AS n_lines_kept, "
+            "CAST(len(lines) - len(kept) AS INT) AS n_lines_dropped, "
+            "sha256(coalesce(array_to_string(kept, chr(10)), '')) "
+            "AS clean_sha, "
+            "(NOT (contains(lower(text), 'lorem ipsum') OR "
+            "contains(text, '{')) AND len(kept) >= 3) AS keep "
+            "FROM k ORDER BY doc_id"
+        ),
         # Domain cap: identical Lehmer ordering + windowed row_number.
         "domain_cap": (
             "WITH h AS (SELECT doc_id, source, "

@@ -48,22 +48,28 @@ def _canon(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    """Emitted pairs (v, m) satisfy m ≤ u < v, so the output is ALREADY
+    hi→lo oriented and self-loop-free — a plain distinct re-canonicalizes."""
     sym = e.unionByName(e.select(F.col("v").alias("u"),
                                  F.col("u").alias("v")))
     mins = (sym.groupBy("u")
             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
     return (sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    # e is already oriented hi→lo (canonical); min lo-neighbor per hi
+    """Input hi→lo oriented; emits (x, m) with m ≤ x — orientation again
+    preserved, only the m's own self-loop needs dropping."""
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
     j = e.join(mins, "u")
     to_min = j.select(F.col("v").alias("u"), F.col("m").alias("v"))
     hi_edge = mins.select(F.col("u"), F.col("m").alias("v"))
-    return to_min.unionByName(hi_edge)
+    return (to_min.unionByName(hi_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -86,7 +92,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     e = _canon(raw).localCheckpoint(eager=True)
     n_e = e.count()
     for _ in range(max_iter):
-        e2 = _canon(_small_star(_canon(_large_star(e))))
+        e2 = _small_star(_large_star(e))
         e2 = e2.localCheckpoint(eager=True)
         # converged when the canonical edge set is unchanged. Both frames
         # are distinct sets, so equal cardinality plus one empty

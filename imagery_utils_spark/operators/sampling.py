@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from .rank import rank_auto
 
-__all__ = ["lehmer_col", "deterministic_sample", "domain_cap"]
+__all__ = ["lehmer_col", "deterministic_sample", "domain_cap",
+           "mixture_stats"]
 
 _LEHMER_MOD = 2147483647          # Mersenne-31
 _LEHMER_MULT = 48271              # MINSTD multiplier
@@ -70,3 +71,33 @@ def domain_cap(df: DataFrame, domain: str, cap: int,
     ranked = rank_auto(df, domain, order, bucket, out=out,
                        max_group_rows=max_group_rows)
     return ranked.filter(F.col(out) <= cap)
+
+
+def mixture_stats(df: DataFrame, group_cols: list[str],
+                  text: str = "text") -> DataFrame:
+    """Per-group corpus mixture statistics: doc/token counts, exact
+    corpus share, and the √tokens sampling weight (temperature-scaled
+    mixture with α = 0.5, the multilingual-T5 recipe — sqrt is IEEE
+    correctly-rounded, so the weight is bit-reproducible across engines,
+    unlike a general pow()).
+
+    One groupBy shuffle with map-side partial aggregation; the corpus
+    total joins back as a broadcast single row. The share is an
+    int/int double division — exact, no float accumulation across rows.
+    Normalizing weights to probabilities is the caller's last step (a
+    tiny driver-side sum over #groups rows) because cross-row float
+    sums are order-dependent and would break reproducibility."""
+    from ..functions.text import token_count_col
+
+    per_doc = df.select(*group_cols,
+                        token_count_col(F.col(text)).alias("_nt"))
+    g = (per_doc.groupBy(*group_cols)
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("_nt").alias("n_tokens")))
+    total = g.agg(F.sum("n_tokens").alias("_tot"))
+    return (g.crossJoin(F.broadcast(total))
+            .select(*group_cols, "n_docs", "n_tokens",
+                    (F.col("n_tokens").cast("double")
+                     / F.col("_tot").cast("double")).alias("share"),
+                    F.sqrt(F.col("n_tokens").cast("double"))
+                    .alias("samp_weight")))

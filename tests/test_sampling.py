@@ -3,7 +3,7 @@ partitioning invariance, per-domain caps, skew-path equivalence."""
 from pyspark.sql import functions as F
 
 from imagery_utils_spark.operators.sampling import (
-    deterministic_sample, domain_cap, lehmer_col)
+    deterministic_sample, domain_cap, lehmer_col, mixture_stats)
 
 
 def test_sample_is_partitioning_invariant(spark):
@@ -47,3 +47,17 @@ def test_domain_cap_skew_path_equivalence(spark):
     skewed = sorted(r.doc_id for r in domain_cap(
         df, "domain", 25, max_group_rows=10 ** 9).collect())
     assert plain == skewed
+
+
+def test_mixture_stats(spark):
+    import math
+    rows = [(0, "en", "a b c"), (1, "en", "d e"), (2, "fr", "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r for r in mixture_stats(df, ["lang"]).collect()}
+    assert got["en"].n_docs == 2 and got["en"].n_tokens == 5
+    assert got["fr"].n_docs == 1 and got["fr"].n_tokens == 4
+    assert got["en"].share == 5 / 9 and got["fr"].share == 4 / 9
+    assert got["fr"].samp_weight == math.sqrt(4.0)
+    plan = mixture_stats(df, ["lang"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
