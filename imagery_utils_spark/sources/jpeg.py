@@ -9,11 +9,16 @@ can decode inside ``mapInPandas`` tasks. Supported:
 * encode: 8-bit grayscale / RGB, quality-scaled Annex K quantization
   tables, standard Annex K Huffman tables, 4:4:4 (``subsample=False``) or
   4:2:0 (``subsample=True``) chroma;
-* decode: baseline (SOF0) interleaved scans, arbitrary DQT/DHT tables from
-  the stream, component sampling factors up to 2x2 (covers 4:4:4, 4:2:2,
-  4:2:0), restart markers (DRI/RSTn); progressive (SOF2), 12-bit, and
-  arithmetic coding raise ``NotImplementedError`` (declared, not silently
-  wrong).
+* decode: baseline (SOF0/1) interleaved scans AND progressive (SOF2,
+  Huffman, Annex G: DC/AC first + successive-approximation refinement
+  scans, EOB runs, per-scan restart handling), arbitrary DQT/DHT tables
+  from the stream, component sampling factors up to 2x2 (covers 4:4:4,
+  4:2:2, 4:2:0), restart markers (DRI/RSTn); 12-bit, lossless, and
+  arithmetic coding raise ``NotImplementedError`` (declared, not
+  silently wrong).
+* ``encode_jpeg_progressive``: SOF2 writer (DC Al=1 → per-component AC
+  bands → DC refinement) whose reconstruction is bit-identical to the
+  baseline encoding of the same image.
 
 The DCT/IDCT are exact float64 8x8 matrix products (not the fast integer
 approximations) — bit-for-bit reproducible across platforms, which matters
@@ -294,12 +299,8 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">HH", tag, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF: 8-bit grayscale (2-D or HxWx1) or RGB (HxWx3);
-    ``subsample=True`` writes 4:2:0 chroma (2x2 luma sampling factors);
-    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs (the segmenting
-    real encoders use so a corrupted segment doesn't poison the scan)."""
+def _split_components(arr: np.ndarray, subsample: bool):
+    """uint8 image -> (gray, h, w, level-shifted YCbCr planes)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -324,6 +325,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
             comps = [y - 128.0, down2(cb) - 128.0, down2(cr) - 128.0]
         else:
             comps = [y - 128.0, cb - 128.0, cr - 128.0]
+    return gray, h, w, comps
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF: 8-bit grayscale (2-D or HxWx1) or RGB (HxWx3);
+    ``subsample=True`` writes 4:2:0 chroma (2x2 luma sampling factors);
+    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs (the segmenting
+    real encoders use so a corrupted segment doesn't poison the scan)."""
+    gray, h, w, comps = _split_components(arr, subsample)
 
     qt_l = _quality_scale(QT_LUMA, quality)
     qt_c = _quality_scale(QT_CHROMA, quality)
@@ -399,6 +410,143 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """Progressive JFIF (SOF2, Huffman, T.81 Annex G) with the scan
+    script: DC all comps at Al=1 → per-component full AC band (Ss=1..63,
+    Al=0) → DC refinement (Ah=1, Al=0).
+
+    Quantized coefficients are IDENTICAL to :func:`encode_jpeg` at the
+    same (quality, subsample), so ``decode_jpeg`` reconstructs the two
+    streams to the same pixels bit for bit (property-tested). AC scans
+    end each block with EOB0 — within the Annex K code alphabet, so the
+    standard tables serve; longer EOB runs are a decoder-side feature
+    (exercised by crafted-stream tests)."""
+    gray, h, w, comps = _split_components(arr, subsample)
+    qt_l = _quality_scale(QT_LUMA, quality)
+    qt_c = _quality_scale(QT_CHROMA, quality)
+    dc_l, ac_l = _build_codes(*HT_DC_LUMA), _build_codes(*HT_AC_LUMA)
+    dc_c, ac_c = _build_codes(*HT_DC_CHROMA), _build_codes(*HT_AC_CHROMA)
+
+    hs = 2 if (subsample and not gray) else 1
+    ncomp = 1 if gray else 3
+    mcu_px = 8 * hs
+    mcus_y = (h + mcu_px - 1) // mcu_px
+    mcus_x = (w + mcu_px - 1) // mcu_px
+
+    # quantized zigzag coefficients per component, MCU-aligned grid
+    coefs = []
+    for ci, c in enumerate(comps):
+        f = hs if ci == 0 else 1
+        qt = qt_l if ci == 0 else qt_c
+        ph, pw = mcus_y * 8 * f, mcus_x * 8 * f
+        p = np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])),
+                   mode="edge")
+        zz = np.zeros((ph // 8, pw // 8, 64), dtype=np.int32)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                q = np.round((_DCT @ blk @ _DCT.T) / qt).astype(np.int32)
+                zz[by, bx] = q.flatten()[ZIGZAG]
+        coefs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xFFDB, b"\x00" + bytes(qt_l.flatten()[ZIGZAG].tolist()))
+    if not gray:
+        out += _marker(0xFFDB, b"\x01" + bytes(qt_c.flatten()[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += bytes([1, (hs << 4) | hs, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _marker(0xFFC2, sof)                                  # SOF2
+
+    def dht(klass, ident, spec):
+        bits, vals = spec
+        return _marker(0xFFC4, bytes([(klass << 4) | ident])
+                       + bytes(bits) + bytes(vals))
+    out += dht(0, 0, HT_DC_LUMA) + dht(1, 0, HT_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, HT_DC_CHROMA) + dht(1, 1, HT_AC_CHROMA)
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        payload = bytes([len(comp_specs)])
+        for cid, tdta in comp_specs:
+            payload += bytes([cid, tdta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xFFDA, payload)
+
+    # --- scan 1: DC, all components, Al=1
+    specs = [(1, 0x00)] + ([] if gray else [(2, 0x11), (3, 0x11)])
+    out += sos_header(specs, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                f = hs if ci == 0 else 1
+                dcc = dc_l if ci == 0 else dc_c
+                for by in range(f):
+                    for bx in range(f):
+                        v = int(coefs[ci][my * f + by, mx * f + bx, 0]) >> 1
+                        cat, bits = _magnitude(v - preds[ci])
+                        preds[ci] = v
+                        code, length = dcc[cat]
+                        bw.write(code, length)
+                        bw.write(bits, cat)
+    out += bw.flush()
+
+    # --- scans 2..: one full AC band per component, Al=0, EOB0 per block
+    for ci in range(ncomp):
+        f = hs if ci == 0 else 1
+        acc = ac_l if ci == 0 else ac_c
+        # non-interleaved grid = ceil over the component's own samples
+        sx = (w * f + hs - 1) // hs
+        sy = (h * f + hs - 1) // hs
+        bh, bw_n = (sy + 7) // 8, (sx + 7) // 8
+        out += sos_header([(ci + 1, 0x00 if ci == 0 else 0x11)], 1, 63, 0, 0)
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_n):
+                zz = coefs[ci][by, bx]
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = int(nz[-1]) + 1 if nz.size else 0
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = acc[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    cat, bits = _magnitude(v)
+                    code, length = acc[(run << 4) | cat]
+                    bw.write(code, length)
+                    bw.write(bits, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, length = acc[0x00]         # EOB0
+                    bw.write(code, length)
+        out += bw.flush()
+
+    # --- final scan: DC refinement, Ah=1, Al=0 (one bit per block)
+    out += sos_header(specs, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                f = hs if ci == 0 else 1
+                for by in range(f):
+                    for bx in range(f):
+                        bw.write(int(coefs[ci][my * f + by,
+                                               mx * f + bx, 0]) & 1, 1)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ decode
 
 
@@ -421,8 +569,23 @@ def _upsample(p: np.ndarray, factor: int, axis: int) -> np.ndarray:
     return np.moveaxis(out, 0, axis)
 
 
+def _find_scan_end(blob: bytes, start: int) -> int:
+    """First real marker after ``start`` (skips stuffed 0xFF00 and RSTn)."""
+    i, n = start, len(blob)
+    while i < n - 1:
+        if blob[i] == 0xFF:
+            b = blob[i + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline (SOF0) decoder; returns HxW uint8 (grayscale) or HxWx3 RGB."""
+    """Baseline (SOF0/1) and progressive (SOF2, Huffman, Annex G)
+    decoder; returns HxW uint8 (grayscale) or HxWx3 RGB."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -430,6 +593,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    store = None          # progressive: per-comp zigzag coefficient arrays
     restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -462,19 +626,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 (dc_tabs if klass == 0 else ac_tabs)[ident] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/"
-                                      "arithmetic) not supported")
+            raise NotImplementedError("lossless/arithmetic/12-bit JPEG "
+                                      "not supported")
         elif marker == 0xDD:                   # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                   # SOS
@@ -485,11 +650,189 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0x0F)
-            data = blob[pos + seglen:]
-            return _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data,
-                                restart_interval)
+            if not frame.get("prog"):
+                data = blob[pos + seglen:]
+                return _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            # spec G.1.1.1.1: DC scans have Se=0; AC scans are
+            # single-component with 1 <= Ss <= Se <= 63
+            if (ss == 0 and se != 0) or (ss > 0 and (ns != 1 or se < ss
+                                                     or se > 63)):
+                raise ValueError("invalid progressive scan band")
+            if store is None:
+                store = _prog_store(frame)
+            start = pos + seglen
+            end = _find_scan_end(blob, start)
+            _decode_progressive_scan(
+                frame, store, sel, dc_tabs, ac_tabs, blob[start:end],
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F)
+            pos = end
+            continue
         pos += seglen
+    if store is not None:
+        return _reconstruct_progressive(frame, store, qts)
     raise ValueError("no scan found")
+
+
+def _prog_store(frame) -> list[np.ndarray]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+            for c in comps]
+
+
+def _ni_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid (spec A.2.2): ceil over the component's
+    OWN sample dimensions, not the MCU-padded plane."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    sx = (frame["w"] * c["h"] + hmax - 1) // hmax
+    sy = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (sy + 7) // 8, (sx + 7) // 8
+
+
+def _decode_progressive_scan(frame, store, sel, dc_tabs, ac_tabs, data,
+                             ri, ss, se, ah, al):
+    """One progressive scan (T.81 Annex G, Huffman): DC first/refine,
+    AC first/refine with EOB runs; restart markers reset predictors and
+    the EOB run."""
+    comps = frame["comps"]
+    br = _BitReader(data)
+    scomps = [(ci, c) for ci, c in enumerate(comps) if c["id"] in sel]
+    if ss == 0:                                       # ---- DC scan
+        preds = {ci: 0 for ci, _ in scomps}
+        units = 0
+
+        def dc_block(ci, c, by, bx):
+            blk = store[ci][by, bx]
+            if ah == 0:
+                t = br.huff(dc_tabs[sel[c["id"]][0]])
+                preds[ci] += _extend(br.bits(t), t)
+                blk[0] = preds[ci] << al
+            elif br.bits(1):
+                blk[0] |= (1 << al)
+
+        if len(scomps) > 1:                           # interleaved MCUs
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if ri and units and units % ri == 0:
+                        br.skip_rst()
+                        preds = {ci: 0 for ci, _ in scomps}
+                    units += 1
+                    for ci, c in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(ci, c, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+        else:
+            ci, c = scomps[0]
+            bh, bw_ = _ni_grid(frame, c)
+            for by in range(bh):
+                for bx in range(bw_):
+                    if ri and units and units % ri == 0:
+                        br.skip_rst()
+                        preds = {ci: 0}
+                    units += 1
+                    dc_block(ci, c, by, bx)
+        return
+
+    # ---- AC scan: exactly one component (spec G.1.1.1.1)
+    ci, c = scomps[0]
+    ac_tab = ac_tabs[sel[c["id"]][1]]
+    bh, bw_ = _ni_grid(frame, c)
+    eobrun = 0
+    p1 = 1 << al
+    units = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            if ri and units and units % ri == 0:
+                br.skip_rst()
+                eobrun = 0
+            units += 1
+            blk = store[ci][by, bx]
+            if ah == 0:                               # AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+            else:                                     # AC refinement
+                if eobrun:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if blk[k] and br.bits(1) and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else -p1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            r = 64    # corrections through to se, no insert
+                    else:
+                        newval = p1 if br.bits(1) else -p1
+                    while k <= se:
+                        if blk[k]:
+                            if br.bits(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else -p1
+                        else:
+                            if r == 0:
+                                if newval:
+                                    blk[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+
+
+def _reconstruct_progressive(frame, store, qts) -> np.ndarray:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = store[ci]
+        by_n, bx_n = zz.shape[0], zz.shape[1]
+        qt = qts[c["tq"]]
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                coef = (zz[by, bx][UNZIGZAG].reshape(8, 8)
+                        * qt).astype(np.float64)
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _DCT.T @ coef @ _DCT + 128.0)
+        planes.append(plane)
+    return _planes_to_image(planes, comps, hmax, vmax,
+                            frame["h"], frame["w"])
 
 
 def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
@@ -538,7 +881,12 @@ def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-    # upsample to full resolution and crop
+    return _planes_to_image(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_image(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Shared tail of baseline + progressive decode: chroma upsample,
+    crop, color convert."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]

@@ -254,11 +254,16 @@ def test_jpeg_auto_sniff_and_declared_limits():
     blob = encode_jpeg(img)
     assert _decode(blob, "auto").shape == img.shape
     assert _decode(blob, "jpeg").shape == img.shape
-    # progressive SOF2 is a declared NotImplementedError, not a wrong answer
+    # a baseline scan relabeled SOF2 is an INVALID progressive band
+    # (Ss=0, Se=63) — rejected loudly, not mis-decoded
     from imagery_utils_spark.sources.jpeg import decode_jpeg
     bad = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(bad)
+    # lossless SOF3 remains a declared limit
+    bad2 = blob.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bad2)
 
 
 def test_wav_roundtrip_and_audio_features(spark):
