@@ -403,6 +403,17 @@ def q_mixture_stats(spark, sf_dir) -> DataFrame:
     return mixture_stats(docs, ["lang", "source"]).orderBy("lang", "source")
 
 
+def q_seq_pack(spark, sf_dir) -> DataFrame:
+    """Sequence packing (operators/pack.py): exact global token offsets
+    via the two-phase distributed prefix sum (NO single-partition global
+    window), chunk spans at seq_len=512; oracle is SQL's windowed
+    running sum over the same doc_id order — int-exact."""
+    from imagery_utils_spark.operators.pack import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=512).orderBy("doc_id")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1872,6 +1883,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "c4_filters": q_c4_filters,
         "mixture_stats": q_mixture_stats,
+        "seq_pack": q_seq_pack,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2278,6 +2290,19 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Sequence packing: SQL running sum over the same order, exact ints.
+        "seq_pack": (
+            r"WITH n AS (SELECT doc_id, len(list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens "
+            "FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) "
+            "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS start FROM n) "
+            "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, start, "
+            "CASE WHEN n_tokens > 0 THEN start // 512 END AS first_chunk, "
+            "CASE WHEN n_tokens > 0 THEN (start + n_tokens - 1) // 512 END "
+            "AS last_chunk FROM o ORDER BY doc_id"
+        ),
         # Mixture stats: same grouping, int-exact share, IEEE sqrt weight.
         "mixture_stats": (
             r"WITH tok AS (SELECT lang, source, len(list_filter("

@@ -126,3 +126,46 @@ def test_xml_meta_is_pure_jvm(spark, sf_dir):
     plan = plan_of(E._raw_queries()["xml_meta"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_gopher_scan_prunes_to_needed_columns(spark, sf_dir):
+    from imagery_utils_spark.functions.quality import gopher_quality
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(gopher_quality(docs))
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_decontam_broadcasts_bench_and_prunes(spark, sf_dir):
+    from imagery_utils_spark.operators.decontam import contamination_flags
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    plan = plan_of(contamination_flags(docs, bench, n=13))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_det_sample_is_pure_pushed_filter(spark, sf_dir):
+    from imagery_utils_spark.operators.sampling import deterministic_sample
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    plan = plan_of(deterministic_sample(docs, 0.2, F.col("doc_id")))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_pack_has_no_single_partition_global_window(spark, sf_dir):
+    from imagery_utils_spark.operators.pack import pack_sequences
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(pack_sequences(docs, 512))
+    # the window must be partitioned by _pid, never a global (empty
+    # partition-spec) window that funnels the corpus into one task
+    for line in plan.splitlines():
+        if "Window" in line and "Arguments" in line:
+            assert "_pid" in line, line
+    assert "rangepartitioning" in plan
+
+
+def test_pii_single_projection_no_shuffle(spark, sf_dir):
+    from imagery_utils_spark.functions.pii import pii_report
+    docs = load(spark, sf_dir, "documents")
+    plan = plan_of(pii_report(docs))
+    assert "Exchange" not in plan
