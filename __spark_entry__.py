@@ -414,6 +414,41 @@ def q_seq_pack(spark, sf_dir) -> DataFrame:
     return pack_sequences(docs, seq_len=512).orderBy("doc_id")
 
 
+def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
+    """WARC container (sources/warc.py, ISO 28500): 10 docs per .warc.gz
+    blob (one gzip member per record, the splittable Common Crawl
+    layout) built executor-side, exploded back by the Arrow parser; the
+    oracle recomputes url/date/status/sha direct from the corpus — any
+    writer/parser asymmetry breaks the hash."""
+    import pandas as pd
+
+    from imagery_utils_spark.sources import warc as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for _, r in pdf.iterrows():
+            d = int(r.doc_id)
+            recs.append(W.build_response_record(
+                f"https://host{d % 997}.example/p/{d}",
+                f"2026-{1 + d % 12:02d}-01T00:00:00Z",
+                str(r.text).encode("utf-8"),
+                status=404 if d % 7 == 0 else 200,
+                content_type="text/plain"))
+        return pd.DataFrame({"warc_id": [int(key[0])],
+                             "warc": [W.write_warc(recs)]})
+
+    blobs = (docs.groupBy(F.floor(F.col("doc_id") / 10).alias("g"))
+             .applyInPandas(build, "warc_id long, warc binary"))
+    recs = W.warc_records(blobs)
+    return recs.select(
+        "url", "warc_date", "status", "content_type",
+        F.sha2(F.col("body"), 256).alias("body_sha"),
+    ).orderBy("url")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1884,6 +1919,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "mixture_stats": q_mixture_stats,
         "seq_pack": q_seq_pack,
+        "warc_roundtrip": q_warc_roundtrip,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2290,6 +2326,16 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # WARC roundtrip: invariant recomputed direct from the corpus.
+        "warc_roundtrip": (
+            "SELECT 'https://host' || (doc_id % 997) || '.example/p/' || "
+            "doc_id AS url, "
+            "'2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || "
+            "'-01T00:00:00Z' AS warc_date, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT) "
+            "AS status, 'text/plain' AS content_type, "
+            "sha256(text) AS body_sha FROM documents ORDER BY url"
+        ),
         # Sequence packing: SQL running sum over the same order, exact ints.
         "seq_pack": (
             r"WITH n AS (SELECT doc_id, len(list_filter("
