@@ -449,6 +449,19 @@ def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
     ).orderBy("url")
 
 
+def q_near_dup_keep(spark, sf_dir) -> DataFrame:
+    """The full near-dup pipeline composed end to end: minhash-LSH
+    candidate pairs (recall-1.0 fixture contract) -> large-star/small-star
+    connected components -> deterministic keep/drop per clustered doc.
+    Oracle replays it as exact all-pairs Jaccard + recursive-CTE closure."""
+    from imagery_utils_spark.operators.dedup import minhash_lsh_pairs
+    from imagery_utils_spark.operators.graph import dedup_by_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16)
+    return dedup_by_components(pairs, "key_a", "key_b").orderBy("node")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1920,6 +1933,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": q_mixture_stats,
         "seq_pack": q_seq_pack,
         "warc_roundtrip": q_warc_roundtrip,
+        "near_dup_keep": q_near_dup_keep,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2326,6 +2340,30 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Near-dup pipeline composition: exact all-pairs Jaccard pairs
+        # (the minhash recall-1.0 contract) + recursive-CTE closure.
+        "near_dup_keep": (
+            r"WITH RECURSIVE toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || "
+            "' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s "
+            "FROM toks WHERE len(t) >= 3), "
+            "pairs AS (SELECT key_a, key_b FROM ("
+            "SELECT a.doc_id AS key_a, b.doc_id AS key_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
+            "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5), "
+            "sym AS (SELECT key_a AS u, key_b AS v FROM pairs "
+            "UNION SELECT key_b, key_a FROM pairs), "
+            "walk(node, comp) AS (SELECT DISTINCT u, u FROM sym "
+            "UNION SELECT s.v, w.comp FROM walk w JOIN sym s "
+            "ON s.u = w.node) "
+            "SELECT node, CAST(min(comp) AS BIGINT) AS component, "
+            "(node = min(comp)) AS keep FROM walk "
+            "GROUP BY node ORDER BY node"
+        ),
         # WARC roundtrip: invariant recomputed direct from the corpus.
         "warc_roundtrip": (
             "SELECT 'https://host' || (doc_id % 997) || '.example/p/' || "
