@@ -462,6 +462,42 @@ def q_near_dup_keep(spark, sf_dir) -> DataFrame:
     return dedup_by_components(pairs, "key_a", "key_b").orderBy("node")
 
 
+def q_robots_gate(spark, sf_dir) -> DataFrame:
+    """Robots exclusion (operators/robots.py, RFC 9309): per-host
+    robots.txt TEXT is generated executor-side, parsed by the engine
+    (groups, wildcards, agent fallback), and gated for 'trainingbot';
+    the oracle constructs the RULES directly in SQL and replays the
+    longest-match/allow-wins verdict — any parser or precedence bug
+    breaks parity."""
+    import pandas as pd
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select((d % 20).alias("h")).distinct()
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for h in pdf["h"]:
+                h = int(h)
+                t = ("# synthetic robots\nUser-agent: *\n"
+                     f"Disallow: /p/*{h}\nAllow: /p/{h}\n")
+                if h % 3 == 0:
+                    t += f"\nUser-agent: trainingbot\nDisallow: /p/{h}*\n"
+                rows.append((h, t))
+            yield pd.DataFrame(rows, columns=["h", "body"])
+
+    from imagery_utils_spark.operators.robots import parse_robots, robots_gate
+
+    robots = hosts.mapInPandas(build, "h long, body string")
+    rules = parse_robots(robots, host_col="h")
+    pages = docs.select(
+        "doc_id", (d % 20).alias("h"),
+        F.concat(F.lit("/p/"), d.cast("string")).alias("path"))
+    out = robots_gate(pages, rules, "trainingbot", host_col="h")
+    return out.select("doc_id", "allowed").orderBy("doc_id")
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1934,6 +1970,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "warc_roundtrip": q_warc_roundtrip,
         "near_dup_keep": q_near_dup_keep,
+        "robots_gate": q_robots_gate,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2340,6 +2377,31 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Robots gate: rules constructed directly, verdict replayed with
+        # longest-match + allow-wins precedence.
+        "robots_gate": (
+            "WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h "
+            "FROM documents), "
+            "rules AS ("
+            "SELECT h, FALSE AS allow, '/p/*' || h AS pat FROM hosts "
+            "WHERE h % 3 <> 0 "
+            "UNION ALL SELECT h, TRUE, '/p/' || h FROM hosts "
+            "WHERE h % 3 <> 0 "
+            "UNION ALL SELECT h, FALSE, '/p/' || h || '*' FROM hosts "
+            "WHERE h % 3 = 0), "
+            "pages AS (SELECT doc_id, doc_id % 20 AS h, "
+            "'/p/' || doc_id AS path FROM documents), "
+            "m AS (SELECT p.doc_id, r.allow, length(r.pat) AS slen "
+            "FROM pages p JOIN rules r ON p.h = r.h "
+            "WHERE regexp_matches(p.path, "
+            "'^' || replace(r.pat, '*', '.*'))), "
+            "w AS (SELECT doc_id, allow, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY slen DESC, allow DESC) AS rn "
+            "FROM m) "
+            "SELECT p.doc_id, coalesce(w.allow, TRUE) AS allowed "
+            "FROM pages p LEFT JOIN (SELECT doc_id, allow FROM w "
+            "WHERE rn = 1) w USING (doc_id) ORDER BY doc_id"
+        ),
         # Near-dup pipeline composition: exact all-pairs Jaccard pairs
         # (the minhash recall-1.0 contract) + recursive-CTE closure.
         "near_dup_keep": (
