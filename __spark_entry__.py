@@ -498,6 +498,44 @@ def q_robots_gate(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "allowed").orderBy("doc_id")
 
 
+def q_cdx_index(spark, sf_dir) -> DataFrame:
+    """CDX index keys (functions/urlnorm.surt_col): SURT transform over
+    three deterministic URL shapes (www prefix, explicit port, plain) —
+    host labels reversed/comma-joined, port + www stripped; sorting by
+    the key clusters each domain contiguously (the range-scannable
+    archive-index layout). Oracle re-derives the transform in SQL."""
+    from imagery_utils_spark.functions.urlnorm import surt_col
+
+    d = F.col("doc_id")
+    hostn = (d % 997).cast("string")
+    p = F.concat(F.lit("/p/"), d.cast("string"))
+    url = (F.when(d % 4 == 0, F.concat(F.lit("https://www.host"), hostn,
+                                       F.lit(".example"), p))
+           .when(d % 4 == 1, F.concat(F.lit("http://host"), hostn,
+                                      F.lit(".example:8080"), p))
+           .otherwise(F.concat(F.lit("https://host"), hostn,
+                               F.lit(".example"), p)))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+    return (docs.select("doc_id", "url",
+                        surt_col(F.col("url")).alias("surt"))
+            .orderBy("surt", "doc_id"))
+
+
+def q_vocab_topk(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary top-50 (token frequency): explode lowercased
+    whitespace tokens, hash-groupBy with map-side partial aggregation
+    (Zipf skew absorbed by the combine), TakeOrdered top-k — no full
+    sort. Deterministic (count desc, word asc) tie-break."""
+    from imagery_utils_spark.functions.text import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
+    return (words.groupBy("word").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "word").limit(50))
+
+
 def q_url_canon(spark, sf_dir) -> DataFrame:
     """URL canonicalization + canonical dedup (RFC 3986 normalization +
     tracking-param scrub, functions/urlnorm.py): four crawl-variant URL
@@ -1971,6 +2009,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "near_dup_keep": q_near_dup_keep,
         "robots_gate": q_robots_gate,
+        "cdx_index": q_cdx_index,
+        "vocab_topk": q_vocab_topk,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2377,6 +2417,37 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # CDX/SURT: the transform re-derived in SQL over the same URLs.
+        "cdx_index": (
+            "WITH u AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 4 = 0 THEN 'https://www.host' || (doc_id % 997) "
+            "|| '.example/p/' || doc_id "
+            "WHEN doc_id % 4 = 1 THEN 'http://host' || (doc_id % 997) "
+            "|| '.example:8080/p/' || doc_id "
+            "ELSE 'https://host' || (doc_id % 997) || '.example/p/' "
+            "|| doc_id END AS url FROM documents), "
+            "s AS (SELECT doc_id, url, "
+            "lower(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')) "
+            "AS rest FROM u), "
+            "h AS (SELECT doc_id, url, rest, "
+            "regexp_extract(rest, '^([^/?]*)', 1) AS hostport FROM s), "
+            "f AS (SELECT doc_id, url, "
+            r"regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), "
+            r"'^www\.', '') AS host, "
+            "CASE WHEN substring(rest, length(hostport) + 1) = '' THEN '/' "
+            "ELSE substring(rest, length(hostport) + 1) END AS pathq "
+            "FROM h) "
+            "SELECT doc_id, url, array_to_string(list_reverse("
+            "string_split(host, '.')), ',') || ')' || pathq AS surt "
+            "FROM f ORDER BY surt, doc_id"
+        ),
+        # Vocab top-50: same tokenization, same deterministic tie-break.
+        "vocab_topk": (
+            r"WITH w AS (SELECT unnest(list_filter(string_split_regex("
+            r"lower(text), '\s+'), x -> x <> '')) AS word FROM documents) "
+            "SELECT word, count(*) AS n FROM w GROUP BY word "
+            "ORDER BY n DESC, word LIMIT 50"
+        ),
         # Robots gate: rules constructed directly, verdict replayed with
         # longest-match + allow-wins precedence.
         "robots_gate": (

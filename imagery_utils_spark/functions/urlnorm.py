@@ -67,3 +67,25 @@ def dedup_canonical(pages: DataFrame, url_col: str = "url",
         .agg(F.min(id_col).alias("kept_id"),
              F.count("*").alias("n_variants"))
     )
+
+
+def surt_col(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    index key of web-archive CDX indexes (OpenWayback / Common Crawl's
+    cc-index, public format): host labels reversed and comma-joined,
+    ``)`` separator, then path+query; scheme and a leading ``www.``
+    dropped; lowercased. ``https://www.Example.com/a?b=1`` →
+    ``com,example)/a?b=1``. Sorting by SURT clusters a domain's pages
+    (and its subdomains) contiguously — the layout that makes a
+    100-TB archive index range-scannable by domain.
+
+    Pure JVM column algebra (split/reverse/join) — no UDF."""
+    u = F.lower(F.regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""))
+    hostport = F.regexp_extract(u, "^([^/?]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    pathq = F.substring(u, F.length(hostport) + 1, F.lit(1 << 30))
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"), pathq)

@@ -40,3 +40,23 @@ def test_dedup_canonical(spark):
     assert rows["http://a.com/x"].kept_id == 0
     assert rows["http://b.com/y?p=1&q=2"].n_variants == 2
     assert rows["http://b.com/y?p=1&q=2"].kept_id == 3
+
+
+def test_surt_key(spark):
+    from imagery_utils_spark.functions.urlnorm import surt_col
+    from pyspark.sql import functions as F
+    rows = [
+        (0, "https://www.Example.com/a?b=1"),
+        (1, "http://sub.example.com:8080/x/y"),
+        (2, "https://example.com"),
+        (3, "http://a.b.c.org/p"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r.i: r.s for r in
+           df.select("i", surt_col(F.col("url")).alias("s")).collect()}
+    assert got[0] == "com,example)/a?b=1"
+    assert got[1] == "com,example,sub)/x/y"
+    assert got[2] == "com,example)/"
+    assert got[3] == "org,c,b,a)/p"
+    # domain-contiguity: all example.com variants sort together
+    assert got[0].split(")")[0] == got[2].split(")")[0]
