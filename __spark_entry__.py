@@ -498,6 +498,36 @@ def q_robots_gate(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "allowed").orderBy("doc_id")
 
 
+def q_stream_quota(spark, sf_dir) -> DataFrame:
+    """Streaming per-domain quota (streaming/stateful.py
+    streaming_domain_quota): REAL two-micro-batch availableNow stream
+    (even/odd doc_id split, so cross-batch EVICTION executes); the
+    order-independent running top-K fold makes the fixed point equal
+    the batch window row_number <= 5 — which is the oracle."""
+    import shutil
+    import uuid
+
+    from imagery_utils_spark.streaming.stateful import (
+        run_quota_stream_to_memory)
+
+    base = _lineage_base(sf_dir, "quota")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(base, "b=1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(base, "b=2"))
+    em = run_quota_stream_to_memory(
+        spark, base, "doc_id long, source string, b int",
+        f"quota_{uuid.uuid4().hex[:8]}", "source", "doc_id", k=5)
+    fixed = (em.withColumn(
+        "_m", F.max("batch_seq").over(Window.partitionBy("domain")))
+        .filter(F.col("batch_seq") == F.col("_m"))
+        .select(F.col("domain").alias("source"), "doc_id",
+                F.col("rank").cast("int").alias("rank")))
+    return fixed.orderBy("source", "rank")
+
+
 def q_cdx_index(spark, sf_dir) -> DataFrame:
     """CDX index keys (functions/urlnorm.surt_col): SURT transform over
     three deterministic URL shapes (www prefix, explicit port, plain) —
@@ -2011,6 +2041,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "cdx_index": q_cdx_index,
         "vocab_topk": q_vocab_topk,
+        "stream_quota": q_stream_quota,
         "sidecar_attrs": q_sidecar_attrs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2417,6 +2448,13 @@ def oracle_sql() -> dict[str, str]:
         # Z-order key: the identical shift/and interleave algebra rendered
         # in SQL (operators/zorder.py morton_sql) over exact dyadic inputs.
         "zorder_key": _zorder_oracle_sql(),
+        # Streaming quota: fixed point == batch window row_number <= 5.
+        "stream_quota": (
+            "SELECT source, doc_id, CAST(rn AS INT) AS rank FROM ("
+            "SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 5 ORDER BY source, rank"
+        ),
         # CDX/SURT: the transform re-derived in SQL over the same URLs.
         "cdx_index": (
             "WITH u AS (SELECT doc_id, CASE "

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 CHAMPION_OUT = StructType([
@@ -112,6 +112,78 @@ def run_champion_stream_to_memory(spark, src_path: str, schema: str,
             q.stop()
             raise TimeoutError(
                 f"champion stream {name!r} did not drain within 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
+QUOTA_OUT = StructType([
+    StructField("domain", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("rank", LongType()),
+    StructField("batch_seq", LongType()),
+])
+QUOTA_STATE = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("batch_seq", LongType()),
+])
+
+
+def streaming_domain_quota(df: DataFrame, domain_col: str, id_col: str,
+                           k: int) -> DataFrame:
+    """Streaming twin of ``sampling.domain_cap``: each domain keeps the K
+    LOWEST ids seen so far (an order-independent running top-K fold —
+    unlike a first-K-arrivals quota, the fixed point is batch-boundary
+    independent, so late arrivals with smaller ids correctly EVICT
+    earlier members). State is O(K) longs per domain; every batch emits
+    the domain's full current membership stamped with a batch sequence
+    number, so the caller reads the fixed point as the rows of the
+    highest batch_seq per domain."""
+    from pyspark.sql import functions as F
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, seq = state.get
+            ids = list(ids)
+        else:
+            ids, seq = [], 0
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["id"])
+        ids = sorted(set(ids))[:k]
+        seq += 1
+        state.update((ids, seq))
+        yield pd.DataFrame({
+            "domain": [key[0]] * len(ids),
+            "doc_id": ids,
+            "rank": list(range(1, len(ids) + 1)),
+            "batch_seq": [seq] * len(ids),
+        })
+
+    keyed = df.select(F.col(domain_col).alias("domain").cast("string"),
+                      F.col(id_col).alias("id").cast("long"))
+    return keyed.groupBy("domain").applyInPandasWithState(
+        update, QUOTA_OUT, QUOTA_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_quota_stream_to_memory(spark, src_path: str, schema: str,
+                               name: str, domain_col: str, id_col: str,
+                               k: int, max_files: int = 1):
+    """availableNow drain harness (same shape as the champion's)."""
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files).parquet(src_path))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (streaming_domain_quota(src, domain_col, id_col, k)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"quota stream {name!r} did not drain within 300 s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)

@@ -238,3 +238,38 @@ def test_stream_exact_dedup_cross_batch(spark, tmp_path):
         spark.createDataFrame(rows1 + rows2, schema),
         ["user_id", "event_type", "ts", "value"])
     assert b.count() == 4
+
+
+def test_streaming_domain_quota_eviction(spark, tmp_path):
+    """Late arrivals with smaller ids EVICT earlier members: the fixed
+    point equals the batch window row_number <= k, independent of how
+    the stream was split into micro-batches."""
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imagery_utils_spark.streaming.stateful import (
+        run_quota_stream_to_memory)
+
+    rows = ([(i, "A") for i in range(0, 20, 2)]           # batch 1: evens
+            + [(i, "B") for i in (10, 12)])
+    rows2 = ([(i, "A") for i in range(1, 10, 2)]          # batch 2: odds
+             + [(3, "B")])
+    base = str(tmp_path / "quota_src")
+    spark.createDataFrame(rows, "doc_id long, domain string") \
+        .coalesce(1).write.parquet(base + "/b=1")
+    spark.createDataFrame(rows2, "doc_id long, domain string") \
+        .coalesce(1).write.parquet(base + "/b=2")
+    em = run_quota_stream_to_memory(
+        spark, base, "doc_id long, domain string, b int",
+        f"q_{uuid.uuid4().hex[:8]}", "domain", "doc_id", k=5)
+    w = Window.partitionBy("domain").orderBy(F.desc("batch_seq"))
+    fixed = (em.withColumn("_m", F.max("batch_seq").over(
+        Window.partitionBy("domain")))
+        .filter(F.col("batch_seq") == F.col("_m"))
+        .select("domain", "doc_id", "rank"))
+    got = {(r.domain, r.rank): r.doc_id for r in fixed.collect()}
+    # A: evens filled 0,2,4,6,8 then odds 1,3 evict 6,8
+    assert [got[("A", i)] for i in range(1, 6)] == [0, 1, 2, 3, 4]
+    assert [got[("B", i)] for i in range(1, 4)] == [3, 10, 12]
