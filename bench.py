@@ -154,13 +154,21 @@ def main() -> None:
     # memory-heavy query forces Arrow/UDF worker respawns for its successor;
     # the second rep runs against warm workers, so min(2 reps) is
     # attributable to the query rather than to its predecessor.
+    # Exception: rows whose wall is dominated by their OWN multi-stage work
+    # (real stream drains, the iterative connected-components loop, the
+    # composed near-dup pipeline, the warc build+parse roundtrip) gain
+    # nothing from a warm-worker rerun — one rep each keeps the battery
+    # wall bounded as the query count grows.
+    SINGLE_REP = {"stream_quota", "stream_champion", "stream_dedup",
+                  "connected_components", "near_dup_keep", "warc_roundtrip"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
         battery = E.queries()
         for name, fn in battery.items():
             ws = []
-            for _ in range(max(1, battery_reps)):
+            reps = 1 if name in SINGLE_REP else max(1, battery_reps)
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
