@@ -602,6 +602,24 @@ def q_url_canon(spark, sf_dir) -> DataFrame:
             .orderBy("canonical_url"))
 
 
+def q_para_dedup(spark, sf_dir) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (operators/paragraphs.py,
+    RefinedWeb §3.3 semantics): fixed-size token-window paragraphs, keep
+    the corpus-first occurrence of each exact paragraph string (min
+    (doc_id, idx) via groupBy partial agg — boilerplate skew absorbed
+    map-side, never a hot window task), rebuild each doc's clean text in
+    order. Value check is sha256 of the rebuilt text plus exact
+    kept/removed counts; the oracle replays keep-first with a window
+    rank and an ordered string_agg."""
+    from imagery_utils_spark.operators.paragraphs import dedup_paragraphs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_paragraphs(docs, chunk=10)
+    return out.select(
+        "doc_id", F.sha2("clean_text", 256).alias("clean_sha"),
+        "n_paras", "n_removed").orderBy("doc_id")
+
+
 def q_mask_spans(spark, sf_dir) -> DataFrame:
     """The ExactSubstr REMOVAL step: every token inside a duplicated span
     dropped (corpus-wide first occurrence survives), clean text compared by
@@ -2025,6 +2043,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "repeated_spans": q_repeated_spans,
         "mask_spans": q_mask_spans,
+        "para_dedup": q_para_dedup,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2510,6 +2529,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.doc_id, coalesce(w.allow, TRUE) AS allowed "
             "FROM pages p LEFT JOIN (SELECT doc_id, allow FROM w "
             "WHERE rn = 1) w USING (doc_id) ORDER BY doc_id"
+        ),
+        # Paragraph dedup: keep-first replayed via window rank, clean
+        # text rebuilt with an ordered string_agg, sha256-compared.
+        "para_dedup": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "chunks AS (SELECT doc_id, i AS para_idx, "
+            "array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ') "
+            "AS para "
+            "FROM toks, unnest(range((len(t) + 9) // 10)) AS u(i)), "
+            "ranked AS (SELECT para, doc_id, para_idx, "
+            "row_number() OVER (PARTITION BY para "
+            "ORDER BY doc_id, para_idx) AS rn FROM chunks), "
+            "kept AS (SELECT doc_id, para_idx, para FROM ranked "
+            "WHERE rn = 1), "
+            "tot AS (SELECT doc_id, count(*) AS n_paras FROM chunks "
+            "GROUP BY doc_id), "
+            "reb AS (SELECT doc_id, string_agg(para, ' ' "
+            "ORDER BY para_idx) AS clean_text, count(*) AS nk "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, sha256(coalesce(r.clean_text, '')) "
+            "AS clean_sha, t.n_paras, "
+            "t.n_paras - coalesce(r.nk, 0) AS n_removed "
+            "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id"
         ),
         # Near-dup pipeline composition: exact all-pairs Jaccard pairs
         # (the minhash recall-1.0 contract) + recursive-CTE closure.
