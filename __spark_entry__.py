@@ -836,6 +836,90 @@ def q_ivf_search(spark, sf_dir) -> DataFrame:
         "q_id", "vec_id", "rn").orderBy("q_id", "rn")
 
 
+def q_link_graph(spark, sf_dir) -> DataFrame:
+    """Link extraction + anchor-text rollup (operators/webgraph.py):
+    page html with two anchor tags per doc is built executor-side; the
+    engine EXTRACTS (href, anchor) pairs back out with JVM
+    regexp_extract_all (zipped groups), resolves target hosts, and
+    rolls up per-host in-link counts + the sha256 of the ordered
+    anchor-text profile. The oracle runs the identical RE2 pattern in
+    DuckDB over the identically-built strings — an extraction bug on
+    either side breaks the hash."""
+    from imagery_utils_spark.operators.webgraph import (
+        anchor_text_rollup, extract_links, host_col)
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://host'),
+        ((d * 7) % 64).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+        F.lit('">w'), (d % 13).cast("string"),
+        F.lit(" w"), F.expr("(doc_id div 13) % 11").cast("string"),
+        F.lit('</a>skip<a href="https://host'),
+        ((d * 13 + 5) % 64).cast("string"),
+        F.lit('.example/">x'), (d % 7).cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(html, "utf-8").alias("html"))
+    links = (extract_links(docs)
+             .withColumn("dst_host", host_col(F.col("href"))))
+    return anchor_text_rollup(links).orderBy("dst_host")
+
+
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """Integer fixed-point PageRank (operators/webgraph.pagerank_int)
+    over a deterministic host graph (src = doc_id % 61, dst =
+    doc_id*7 % 64 — hosts 61..63 are DANGLING, so the uniform
+    dangling-mass redistribution path executes). Eight fixed iterations
+    of pure int64 floor arithmetic: partial sums are exact under any
+    partitioning, so the answer is bit-identical at local[8] and on a
+    1000-executor cluster. The oracle unrolls the same eight updates as
+    chained CTEs with identical integer algebra."""
+    from imagery_utils_spark.operators.webgraph import pagerank_int
+
+    d = F.col("doc_id")
+    edges = load(spark, sf_dir, "documents").select(
+        (d % 61).alias("src"), ((d * 7) % 64).alias("dst"))
+    return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
+
+
+def _pagerank_oracle_sql(iters: int = 8, scale: int = 10 ** 12) -> str:
+    """Unrolled integer-PageRank CTE chain — the exact update rule of
+    webgraph.pagerank_int, one (contrib, dangling, rank) CTE triple per
+    iteration, all BIGINT floor arithmetic."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT doc_id % 61 AS src, "
+        "(doc_id * 7) % 64 AS dst FROM documents "
+        "WHERE doc_id % 61 <> (doc_id * 7) % 64)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            "sum(r.rank // d.outdeg) AS insum "
+            f"FROM {p} r JOIN e ON r.node = e.src "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst)")
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r.rank), 0) AS dang "
+            f"FROM {p} r LEFT JOIN deg dg ON r.node = dg.src "
+            "WHERE dg.src IS NULL)")
+        parts.append(
+            f"r{i} AS (SELECT nd.node, "
+            f"cast((15 * {scale}) // (100 * n) + "
+            "(85 * (coalesce(c.insum, 0) + dang // n)) // 100 "
+            "AS bigint) AS rank "
+            f"FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node, "
+            f"nn, d{i})")
+    return (", ".join(parts)
+            + f" SELECT node, rank FROM r{iters} "
+              "ORDER BY rank DESC, node")
+
+
 def _zorder_oracle_sql() -> str:
     """The identical Morton shift/and algebra rendered in ANSI SQL by
     operators/zorder.py (morton_sql / cell_xy_sql) — x/y cell floors over
@@ -2044,6 +2128,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "mask_spans": q_mask_spans,
         "para_dedup": q_para_dedup,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2530,6 +2616,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM pages p LEFT JOIN (SELECT doc_id, allow FROM w "
             "WHERE rn = 1) w USING (doc_id) ORDER BY doc_id"
         ),
+        # Link graph: identical RE2 pattern + host algebra in DuckDB
+        # (positional lockstep unnest zips the two capture groups).
+        "link_graph": (
+            "WITH h AS (SELECT doc_id, "
+            "'<html><body><a href=\"https://host' || ((doc_id*7) % 64) "
+            "|| '.example/p/' || doc_id || '\">w' || (doc_id % 13) || "
+            "' w' || ((doc_id // 13) % 11) || "
+            "'</a>skip<a href=\"https://host' || ((doc_id*13+5) % 64) "
+            "|| '.example/\">x' || (doc_id % 7) || "
+            "'</a></body></html>' AS html FROM documents), "
+            "l AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(html, "
+            "'<a href=\"([^\"]*)\">([^<]*)</a>', 1)) AS href, "
+            "unnest(regexp_extract_all(html, "
+            "'<a href=\"([^\"]*)\">([^<]*)</a>', 2)) AS anchor FROM h), "
+            "hh AS (SELECT doc_id, regexp_extract(regexp_replace(href, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^([^/:?]*)', 1) "
+            "AS dst_host, anchor FROM l) "
+            "SELECT dst_host, count(*) AS n_links, "
+            "count(DISTINCT doc_id) AS n_src_docs, "
+            "sha256(array_to_string(list_sort(list(anchor)), ',')) "
+            "AS anchors_sha "
+            "FROM hh GROUP BY dst_host ORDER BY dst_host"
+        ),
+        # PageRank: eight unrolled integer-exact iterations.
+        "pagerank": _pagerank_oracle_sql(),
         # Paragraph dedup: keep-first replayed via window rank, clean
         # text rebuilt with an ordered string_agg, sha256-compared.
         "para_dedup": (
