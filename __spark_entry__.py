@@ -884,6 +884,48 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
 
 
+def q_bm25_topk(spark, sf_dir) -> DataFrame:
+    """BM25-shaped top-k retrieval (operators/search.bm25_topk) for a
+    fixed 3-term query: per-doc tfs as pure column algebra (no explode),
+    corpus stats as ONE broadcast singleton, candidates pre-filtered,
+    top-k via TakeOrdered. Rational-idf surrogate keeps every float op
+    an identical IEEE expression tree on both engines (module docstring
+    has the ln-avoidance rationale); the oracle is generated from the
+    same constants by search.bm25_sql."""
+    from imagery_utils_spark.operators.search import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["merge", "stream", "hash"], k=20)
+
+
+def q_inverted_index(spark, sf_dir) -> DataFrame:
+    """Batch inverted-index build (operators/search.py): explode ->
+    (term, doc) pre-agg (map-side combine absorbs Zipf head terms) ->
+    per-term rollup. Verified as df + sha256 of the ordered doc:tf
+    posting list per term; the oracle rebuilds postings with an ordered
+    string_agg."""
+    from imagery_utils_spark.operators.search import build_inverted_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_inverted_index(docs)
+    posting_strs = F.transform(
+        F.col("postings"),
+        lambda s: F.concat(s["doc_id"].cast("string"), F.lit(":"),
+                           s["tf"].cast("string")))
+    return (idx.select(
+        "term", "df",
+        F.sha2(F.concat_ws(",", posting_strs), 256).alias("postings_sha"))
+        .orderBy("term"))
+
+
+def _bm25_oracle_sql() -> str:
+    """SQL twin of q_bm25_topk, generated by the operator module from
+    the identical constants and expression tree."""
+    from imagery_utils_spark.operators.search import bm25_sql
+
+    return bm25_sql(["merge", "stream", "hash"], k=20)
+
+
 def _pagerank_oracle_sql(iters: int = 8, scale: int = 10 ** 12) -> str:
     """Unrolled integer-PageRank CTE chain — the exact update rule of
     webgraph.pagerank_int, one (contrib, dangling, rank) CTE triple per
@@ -2130,6 +2172,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
+        "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2642,6 +2686,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # PageRank: eight unrolled integer-exact iterations.
         "pagerank": _pagerank_oracle_sql(),
+        # BM25: SQL twin generated from the same constants/expression
+        # tree (operators/search.bm25_sql).
+        "bm25_topk": _bm25_oracle_sql(),
+        # Inverted index: postings replayed via ordered string_agg.
+        "inverted_index": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "e AS (SELECT doc_id, unnest(t) AS term FROM toks), "
+            "tf AS (SELECT term, doc_id, count(*) AS tf FROM e "
+            "GROUP BY term, doc_id) "
+            "SELECT term, count(*) AS df, "
+            "sha256(string_agg(doc_id || ':' || tf, ',' "
+            "ORDER BY doc_id)) AS postings_sha "
+            "FROM tf GROUP BY term ORDER BY term"
+        ),
         # Paragraph dedup: keep-first replayed via window rank, clean
         # text rebuilt with an ordered string_agg, sha256-compared.
         "para_dedup": (
