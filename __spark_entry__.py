@@ -884,6 +884,21 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
 
 
+def q_lm_bits(spark, sf_dir) -> DataFrame:
+    """Bigram-LM quality gate with integer-quantized surprisal
+    (operators/lm.py, CCNet-style perplexity filter): Laplace-smoothed
+    bigram counts trained on the even-doc_id reference split, every doc
+    scored against them; per-bigram bits = floor-log2(c1 + V) -
+    floor-log2(c2 + 1) via exact bit-length (no libm, so partial sums
+    are order-independent and N-vs-4N cluster runs hash identically).
+    The oracle replays counts + bit-lengths with printf('%b')."""
+    from imagery_utils_spark.operators.lm import lm_bits_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
+
+
 def q_bm25_topk(spark, sf_dir) -> DataFrame:
     """BM25-shaped top-k retrieval (operators/search.bm25_topk) for a
     fixed 3-term query: per-doc tfs as pure column algebra (no explode),
@@ -2174,6 +2189,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
+        "lm_bits": q_lm_bits,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2689,6 +2705,36 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # LM bits: reference-split counts + exact bit-lengths
+        # (printf('%b')) replayed with the same Laplace smoothing.
+        "lm_bits": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0), "
+            "rbg AS (SELECT t[i] AS w1, t[i + 1] AS w2 "
+            "FROM ref, unnest(range(1, len(t))) AS u(i) "
+            "WHERE len(t) >= 2), "
+            "c2 AS (SELECT w1, w2, count(*) AS n2 FROM rbg "
+            "GROUP BY w1, w2), "
+            "c1 AS (SELECT w1, count(*) AS n1 FROM rbg GROUP BY w1), "
+            "vv AS (SELECT count(DISTINCT w) AS v FROM "
+            "(SELECT unnest(t) AS w FROM ref)), "
+            "bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 "
+            "FROM toks, unnest(range(1, len(t))) AS u(i) "
+            "WHERE len(t) >= 2), "
+            "sc AS (SELECT doc_id, "
+            "(length(printf('%b', coalesce(n1, 0) + v)) - 1) - "
+            "(length(printf('%b', coalesce(n2, 0) + 1)) - 1) AS bits "
+            "FROM bg LEFT JOIN c2 USING (w1, w2) "
+            "LEFT JOIN c1 USING (w1), vv), "
+            "agg AS (SELECT doc_id, cast(sum(bits) as bigint) AS bits, "
+            "count(*) AS n_bigrams FROM sc GROUP BY doc_id) "
+            "SELECT doc_id, bits, n_bigrams, "
+            "cast(bits as double) / n_bigrams AS bits_per_token, "
+            "(cast(bits as double) / n_bigrams) < 4.5 AS keep "
+            "FROM agg ORDER BY doc_id"
+        ),
         # Inverted index: postings replayed via ordered string_agg.
         "inverted_index": (
             r"WITH toks AS (SELECT doc_id, list_filter("
