@@ -884,6 +884,36 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
 
 
+def q_stream_join(spark, sf_dir) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/events.stream_interval_
+    join): views and clicks are drained as two REAL availableNow
+    sources, one file per micro-batch, halves split by event_id % 4 so
+    many matches pair a view from batch 1 with a click from batch 2 —
+    those emit from the state-store join, not co-arrival. Fixed point
+    equals the batch interval join, which is the SQL oracle."""
+    import shutil
+    import uuid
+
+    from imagery_utils_spark.streaming.events import (
+        run_interval_join_to_memory)
+
+    base = _lineage_base(sf_dir, "sjoin")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    vdir, cdir = os.path.join(base, "v"), os.path.join(base, "c")
+    for par, path in ((0, vdir), (1, cdir)):
+        side = ev.filter(eid % 2 == par)
+        side.filter(eid % 4 < 2).coalesce(1).write.mode(
+            "append").parquet(path)
+        side.filter(eid % 4 >= 2).coalesce(1).write.mode(
+            "append").parquet(path)
+    em = run_interval_join_to_memory(
+        spark, vdir, cdir, f"sjoin_{uuid.uuid4().hex[:8]}",
+        interval="2 hours")
+    return em.orderBy("view_id", "click_id")
+
+
 def q_lm_bits(spark, sf_dir) -> DataFrame:
     """Bigram-LM quality gate with integer-quantized surprisal
     (operators/lm.py, CCNet-style perplexity filter): Laplace-smoothed
@@ -2190,6 +2220,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "lm_bits": q_lm_bits,
+        "stream_join": q_stream_join,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2705,6 +2736,14 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Stream-stream interval join: fixed point == batch join.
+        "stream_join": (
+            "SELECT v.event_id AS view_id, c.event_id AS click_id "
+            "FROM events v JOIN events c ON v.user_id = c.user_id "
+            "AND v.event_id % 2 = 0 AND c.event_id % 2 = 1 "
+            "AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR "
+            "ORDER BY view_id, click_id"
+        ),
         # LM bits: reference-split counts + exact bit-lengths
         # (printf('%b')) replayed with the same Laplace smoothing.
         "lm_bits": (

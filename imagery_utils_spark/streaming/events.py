@@ -155,3 +155,57 @@ def run_dedup_stream_to_memory(spark: SparkSession, src_path: str,
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def stream_interval_join(views: DataFrame, clicks: DataFrame,
+                         key: str = "user_id",
+                         interval: str = "2 hours",
+                         watermark: str = "90 days") -> DataFrame:
+    """Stream-stream INNER interval join: each view row matches click
+    rows of the same ``key`` whose ts falls in [view.ts, view.ts +
+    interval]. On streams this is the Structured Streaming state-store
+    join — both sides buffer keyed state, the watermark + time-range
+    condition bound it, and matches emit in append mode as soon as both
+    rows have arrived (cross-micro-batch matches come OUT OF STATE, not
+    from co-arrival). On batch frames the identical expression is a
+    plain interval join, which is the parity oracle.
+
+    ``watermark`` is deliberately larger than the fixture's full time
+    span so no row is ever late-dropped and the drained stream equals
+    the batch join exactly; production callers shrink it to bound state.
+    """
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col(key).alias("v_key"),
+                     F.col("ts").alias("v_ts")).withWatermark("v_ts", watermark)
+    c = clicks.select(F.col("event_id").alias("click_id"),
+                      F.col(key).alias("c_key"),
+                      F.col("ts").alias("c_ts")).withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("v_key") == F.col("c_key"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"interval {interval}"))
+    )
+    return v.join(c, cond).select("view_id", "click_id")
+
+
+def run_interval_join_to_memory(spark: SparkSession, views_path: str,
+                                clicks_path: str, name: str,
+                                interval: str = "2 hours",
+                                max_files: int = 1) -> DataFrame:
+    """availableNow two-sided drain: with ``max_files=1`` and multiple
+    files per source the join necessarily crosses micro-batches."""
+    v = read_event_stream(spark, views_path, max_files)
+    c = read_event_stream(spark, clicks_path, max_files)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream_interval_join(v, c, interval=interval)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"interval-join stream {name!r} did not drain in 300 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
