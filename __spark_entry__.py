@@ -884,6 +884,34 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
 
 
+def q_html_meta(spark, sf_dir) -> DataFrame:
+    """Page-head metadata mining (functions/html.py): html with title,
+    meta description, and h1 is built executor-side (title/desc carry
+    text fragments so extraction is content-dependent, not just id
+    math); the engine pulls all three back with JVM regexes in one
+    codegen projection. Oracle replays the identical RE2 patterns."""
+    from imagery_utils_spark.functions.html import (
+        first_h1_col, meta_content_col, title_col)
+
+    d = F.col("doc_id")
+    frag = F.substring("text", 1, 24)
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit(": "), frag, F.lit('</title><meta name="description" '
+                                 'content="'), F.upper(frag),
+        F.lit('"></head><body><h1>H'), (d % 37).cast("string"),
+        F.lit("</h1>"), F.col("text"), F.lit("</body></html>"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", page.alias("page"))
+    p = F.col("page")
+    return docs.select(
+        "doc_id",
+        title_col(p).alias("title"),
+        meta_content_col(p, "description").alias("description"),
+        first_h1_col(p).alias("h1"),
+    ).orderBy("doc_id")
+
+
 def q_stream_join(spark, sf_dir) -> DataFrame:
     """STREAM-STREAM interval join (streaming/events.stream_interval_
     join): views and clicks are drained as two REAL availableNow
@@ -2221,6 +2249,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "lm_bits": q_lm_bits,
         "stream_join": q_stream_join,
+        "html_meta": q_html_meta,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2736,6 +2765,22 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # HTML head mining: identical RE2 patterns replayed in SQL.
+        "html_meta": (
+            "WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || "
+            "doc_id || ': ' || substring(text, 1, 24) || "
+            "'</title><meta name=\"description\" content=\"' || "
+            "upper(substring(text, 1, 24)) || "
+            "'\"></head><body><h1>H' || (doc_id % 37) || '</h1>' || "
+            "text || '</body></html>' AS page FROM documents) "
+            "SELECT doc_id, "
+            "regexp_extract(page, '<title>([^<]*)</title>', 1) AS title, "
+            "regexp_extract(page, "
+            "'<meta name=\"description\" content=\"([^\"]*)\"', 1) "
+            "AS description, "
+            "regexp_extract(page, '<h1>([^<]*)</h1>', 1) AS h1 "
+            "FROM h ORDER BY doc_id"
+        ),
         # Stream-stream interval join: fixed point == batch join.
         "stream_join": (
             "SELECT v.event_id AS view_id, c.event_id AS click_id "
