@@ -884,6 +884,31 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
 
 
+def q_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Incremental snapshot diff (operators/lineage.snapshot_diff —
+    the scan side of checkpoint-resumable processing): the previous
+    snapshot is derived deterministically (doc_id % 17 == 3 withheld ->
+    'added'; doc_id % 11 == 5 upper-cased -> 'changed'; synthetic
+    keys +10^6 -> 'removed'), and the diff is one full outer join on
+    key comparing content sha256s. Oracle replays the construction and
+    the join in SQL."""
+    from imagery_utils_spark.operators.lineage import snapshot_diff
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old_core = (docs.filter(d % 17 != 3)
+                .select("doc_id",
+                        F.when(d % 11 == 5, F.upper("text"))
+                        .otherwise(F.col("text")).alias("text")))
+    old_extra = (docs.filter(d % 23 == 7)
+                 .select((d + 1000000).alias("doc_id"),
+                         F.concat(F.lit("gone"), d.cast("string"))
+                         .alias("text")))
+    old = old_core.unionByName(old_extra)
+    return (snapshot_diff(old, docs, "doc_id", ["text"])
+            .orderBy("key"))
+
+
 def q_html_meta(spark, sf_dir) -> DataFrame:
     """Page-head metadata mining (functions/html.py): html with title,
     meta description, and h1 is built executor-side (title/desc carry
@@ -2250,6 +2275,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bits": q_lm_bits,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
+        "snapshot_diff": q_snapshot_diff,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2765,6 +2791,29 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Snapshot diff: construction + full outer sha join replayed.
+        "snapshot_diff": (
+            "WITH newd AS (SELECT doc_id, text FROM documents), "
+            "old_core AS (SELECT doc_id, CASE WHEN doc_id % 11 = 5 "
+            "THEN upper(text) ELSE text END AS text FROM newd "
+            "WHERE doc_id % 17 <> 3), "
+            "old_extra AS (SELECT doc_id + 1000000 AS doc_id, "
+            "'gone' || doc_id AS text FROM newd WHERE doc_id % 23 = 7), "
+            "oldd AS (SELECT * FROM old_core UNION ALL "
+            "SELECT * FROM old_extra), "
+            "o AS (SELECT doc_id AS key, sha256(text) AS old_sha "
+            "FROM oldd), "
+            "n AS (SELECT doc_id AS key, sha256(text) AS new_sha "
+            "FROM newd), "
+            "j AS (SELECT coalesce(o.key, n.key) AS key, old_sha, "
+            "new_sha FROM o FULL OUTER JOIN n ON o.key = n.key) "
+            "SELECT key, CASE WHEN old_sha IS NULL THEN 'added' "
+            "WHEN new_sha IS NULL THEN 'removed' "
+            "WHEN old_sha <> new_sha THEN 'changed' END AS status, "
+            "old_sha, new_sha FROM j "
+            "WHERE old_sha IS NULL OR new_sha IS NULL "
+            "OR old_sha <> new_sha ORDER BY key"
+        ),
         # HTML head mining: identical RE2 patterns replayed in SQL.
         "html_meta": (
             "WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || "

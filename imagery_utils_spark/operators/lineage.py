@@ -139,3 +139,33 @@ def resumable_stage(
     counts = result.groupBy(unit_col).agg(F.count("*").alias("n")).collect()
     store.commit_units(stage, [(r[unit_col], r["n"]) for r in counts])
     return result
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
+                  content_cols: list[str]) -> DataFrame:
+    """Incremental snapshot diff: (key, status, old_sha, new_sha) with
+    status in {added, removed, changed} — unchanged rows are dropped.
+
+    This is the scan side of checkpoint-resumable incremental
+    processing (the north rule's Iceberg-snapshot story): downstream
+    stages re-run only for keys this diff emits. Content identity is
+    the sha256 of the '|'-joined content columns; comparison is ONE
+    full outer join on the key — both sides shuffle once on the same
+    key, and at 10^12 rows the join co-partitions (bucketed/zordered
+    layouts keep it exchange-free). Pure column algebra, no Python.
+    """
+    def _sig(df: DataFrame, out: str) -> DataFrame:
+        sig = F.sha2(F.concat_ws("|", *[F.col(c) for c in content_cols]),
+                     256)
+        return df.select(F.col(key_col).alias("key"), sig.alias(out))
+
+    o = _sig(old, "old_sha")
+    n = _sig(new, "new_sha")
+    j = o.join(n, "key", "full_outer")
+    status = (
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+    )
+    return (j.select("key", status.alias("status"), "old_sha", "new_sha")
+            .filter(F.col("status").isNotNull()))
