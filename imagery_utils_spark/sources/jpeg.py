@@ -13,9 +13,14 @@ can decode inside ``mapInPandas`` tasks. Supported:
   Huffman, Annex G: DC/AC first + successive-approximation refinement
   scans, EOB runs, per-scan restart handling), arbitrary DQT/DHT tables
   from the stream, component sampling factors up to 2x2 (covers 4:4:4,
-  4:2:2, 4:2:0), restart markers (DRI/RSTn); 12-bit, lossless, and
-  arithmetic coding raise ``NotImplementedError`` (declared, not
+  4:2:2, 4:2:0), restart markers (DRI/RSTn); 12-bit DCT, hierarchical,
+  and arithmetic coding raise ``NotImplementedError`` (declared, not
   silently wrong).
+* lossless (SOF3, Annex H): ``encode_jpeg_lossless`` + decode — all
+  seven predictors, 2..16-bit precision (12-bit science pixels
+  included), point transform, mod-2^16 difference coding with the
+  SSSS=16 escape; restart intervals in lossless scans are declared
+  unsupported.
 * ``encode_jpeg_progressive``: SOF2 writer (DC Al=1 → per-component AC
   bands → DC refinement) whose reconstruction is bit-identical to the
   baseline encoding of the same image.
@@ -626,19 +631,22 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 (dc_tabs if klass == 0 else ac_tabs)[ident] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG")
+            if marker != 0xC3 and prec != 8:
+                raise NotImplementedError("only 8-bit DCT JPEG")
+            if marker == 0xC3 and not 2 <= prec <= 16:
+                raise ValueError("invalid lossless precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps,
-                     "prog": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
+                     "prog": marker == 0xC2,
+                     "lossless": marker == 0xC3}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("lossless/arithmetic/12-bit JPEG "
+            raise NotImplementedError("hierarchical/arithmetic JPEG "
                                       "not supported")
         elif marker == 0xDD:                   # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -650,6 +658,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0x0F)
+            if frame.get("lossless"):
+                if restart_interval:
+                    raise NotImplementedError(
+                        "lossless: restart intervals not supported")
+                frame["ll_ss"] = seg[1 + 2 * ns]
+                frame["ll_al"] = seg[3 + 2 * ns] & 0x0F
+                if not 1 <= frame["ll_ss"] <= 7:
+                    raise ValueError("invalid lossless predictor in SOS")
+                return _decode_lossless_scan(
+                    frame, sel, dc_tabs, blob[pos + seglen:])
             if not frame.get("prog"):
                 data = blob[pos + seglen:]
                 return _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data,
@@ -900,3 +918,140 @@ def _planes_to_image(planes, comps, hmax, vmax, h, w) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------- lossless (SOF3, Annex H)
+
+# General-purpose difference-category Huffman table covering SSSS 0..16
+# (the standard Annex K DC tables stop at 11, which cannot code 16-bit
+# differences). Canonical lengths: categories 0-2 -> 2 bits, k -> k bits
+# for 3 <= k <= 15, category 16 -> 16 bits; Kraft sum = 1 - 2^-16.
+_LL_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+_LL_VALUES = list(range(17))
+
+
+def _ll_predict(a: int, b: int, c: int, sel: int) -> int:
+    """Predictors 1-7 per T.81 Table H.1 (a=left, b=above, c=above-left)."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {sel}")
+
+
+def encode_jpeg_lossless(arr: np.ndarray, predictor: int = 4,
+                         point_transform: int = 0,
+                         precision: int | None = None) -> bytes:
+    """Lossless sequential Huffman JPEG (T.81 Annex H, SOF3).
+
+    ``arr``: HxW or HxWxC, uint8/uint16; ``precision`` defaults to the
+    dtype width (8/16) and may be set to any 2..16 (e.g. 12-bit science
+    pixels). Samples are point-transformed (>> Pt) before prediction,
+    per H.1; differences are coded mod 2^16 with SSSS category 16 as
+    the bitless +32768 escape. Components are 1x1-sampled and
+    interleaved sample-by-sample (one MCU = one sample per component).
+    """
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if precision is None:
+        precision = 16 if arr.dtype == np.uint16 else 8
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if int(arr.max(initial=0)) >> precision:
+        raise ValueError("samples exceed declared precision")
+    pt = point_transform
+    planes = [(arr[:, :, ci].astype(np.int64) >> pt) for ci in range(nc)]
+    default = 1 << (precision - pt - 1)
+    codes = _build_codes(_LL_BITS, _LL_VALUES)
+    out = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                p = planes[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _ll_predict(int(p[y, x - 1]), int(p[y - 1, x]),
+                                       int(p[y - 1, x - 1]), predictor)
+                diff = (int(p[y, x]) - pred) & 0xFFFF
+                if diff == 32768:
+                    code, length = codes[16]
+                    out.write(code, length)
+                    continue
+                sdiff = diff - 65536 if diff > 32768 else diff
+                cat, bits = _magnitude(sdiff)
+                code, length = codes[cat]
+                out.write(code, length)
+                if cat:
+                    out.write(bits, cat)
+    entropy = out.flush()
+    head = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HHB", h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    head += _marker(0xFFC3, sof)
+    head += _marker(0xFFC4, bytes([0x00]) + bytes(_LL_BITS)
+                    + bytes(_LL_VALUES))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])      # Ss=predictor, Se=0, Ah:Al
+    head += _marker(0xFFDA, sos)
+    return bytes(head) + entropy + b"\xff\xd9"
+
+
+def _decode_lossless_scan(frame, sel, dc_tabs, data) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError("lossless: only 1x1 sampling")
+    order = [c for c in comps if c["id"] in sel]
+    if len(order) != len(comps):
+        raise NotImplementedError("lossless: single full scan only")
+    predictor, pt = frame["ll_ss"], frame["ll_al"]
+    prec = frame["prec"]
+    default = 1 << (prec - pt - 1)
+    tabs = [dc_tabs[sel[c["id"]][0]] for c in order]
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in order]
+    r = _BitReader(data)
+    for y in range(h):
+        for x in range(w):
+            for ci, p in enumerate(planes):
+                cat = r.huff(tabs[ci])
+                if cat == 16:
+                    d = 32768
+                else:
+                    d = _extend(r.bits(cat), cat)
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    pred = _ll_predict(int(p[y, x - 1]), int(p[y - 1, x]),
+                                       int(p[y - 1, x - 1]), predictor)
+                p[y, x] = (pred + d) & 0xFFFF
+    img = np.stack([p << pt for p in planes], axis=2)
+    img = img & ((1 << 16) - 1)
+    dtype = np.uint16 if prec > 8 else np.uint8
+    if img.shape[2] == 1:
+        img = img[:, :, 0]
+    return img.astype(dtype)

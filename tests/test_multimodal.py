@@ -260,10 +260,16 @@ def test_jpeg_auto_sniff_and_declared_limits():
     bad = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(ValueError):
         decode_jpeg(bad)
-    # lossless SOF3 remains a declared limit
+    # a baseline scan relabeled SOF3 is invalid as LOSSLESS too: its
+    # DCT SOS carries Ss=0, not a 1..7 predictor — rejected, not
+    # mis-decoded (lossless itself is now implemented, Annex H)
     bad2 = blob.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg(bad2)
+    # hierarchical stays a declared limit
+    bad3 = blob.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bad3)
 
 
 def test_wav_roundtrip_and_audio_features(spark):
