@@ -884,6 +884,39 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return pagerank_int(edges, iters=8).orderBy(F.desc("rank"), "node")
 
 
+def q_kmv_distinct(spark, sf_dir) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py, Bar-Yossef et
+    al. 2002): per-source cardinality of the distinct-bigram set via
+    the k=64 smallest sha256-derived 60-bit hashes — deterministic,
+    merge-order independent (identical at any cluster size), and
+    replayable in SQL ('0x'||hex cast). Output pins the exact count,
+    the estimate, and the sha256 of the sketch itself."""
+    from imagery_utils_spark.functions.text import tokens_col
+    from imagery_utils_spark.operators.sketch import (
+        kmv_estimate, kmv_sketch)
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = tokens_col(F.lower(F.col("text")))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"))
+    bg = (docs.filter(F.size(toks) >= 2)
+          .select("source", F.explode(pairs).alias("_b"))
+          .select("source", F.concat(F.col("_b.w1"), F.lit(" "),
+                                     F.col("_b.w2")).alias("b")))
+    sk = kmv_sketch(bg, ["source"], F.col("b"), k=64)
+    est = kmv_estimate(sk, k=64)
+    exact = (bg.select("source", "b").distinct()
+             .groupBy("source").agg(F.count("*").alias("n_exact")))
+    return (est.join(exact, "source")
+            .select(
+                "source", "n_exact", "est_distinct",
+                F.sha2(F.concat_ws(",", F.transform(
+                    F.col("sketch"), lambda x: x.cast("string"))), 256)
+                .alias("sketch_sha"))
+            .orderBy("source"))
+
+
 def q_snapshot_diff(spark, sf_dir) -> DataFrame:
     """Incremental snapshot diff (operators/lineage.snapshot_diff —
     the scan side of checkpoint-resumable processing): the previous
@@ -2276,6 +2309,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
         "snapshot_diff": q_snapshot_diff,
+        "kmv_distinct": q_kmv_distinct,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -2791,6 +2825,31 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # KMV sketch: identical sha-derived hashes + rank replayed.
+        "kmv_distinct": (
+            r"WITH toks AS (SELECT source, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "bg AS (SELECT source, t[i] || ' ' || t[i + 1] AS b "
+            "FROM toks, unnest(range(1, len(t))) AS u(i) "
+            "WHERE len(t) >= 2), "
+            "h AS (SELECT DISTINCT source, "
+            "cast('0x' || substr(sha256(b), 1, 15) as bigint) AS hv "
+            "FROM bg), "
+            "r AS (SELECT source, hv, row_number() OVER ("
+            "PARTITION BY source ORDER BY hv) AS rn FROM h), "
+            "s AS (SELECT source, list(hv ORDER BY hv) AS sk, "
+            "count(*) AS n FROM r WHERE rn <= 64 GROUP BY source), "
+            "ex AS (SELECT source, count(*) AS n_exact FROM h "
+            "GROUP BY source) "
+            "SELECT s.source, ex.n_exact, "
+            "CASE WHEN n < 64 THEN cast(n as double) "
+            "ELSE (63.0 * 1152921504606846976.0) / sk[64] END "
+            "AS est_distinct, "
+            "sha256(array_to_string(list_transform(sk, "
+            "x -> cast(x as varchar)), ',')) AS sketch_sha "
+            "FROM s JOIN ex USING (source) ORDER BY source"
+        ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (
             "WITH newd AS (SELECT doc_id, text FROM documents), "
