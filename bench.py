@@ -160,7 +160,8 @@ def main() -> None:
     # nothing from a warm-worker rerun — one rep each keeps the battery
     # wall bounded as the query count grows.
     SINGLE_REP = {"stream_quota", "stream_champion", "stream_dedup",
-                  "connected_components", "near_dup_keep", "warc_roundtrip"}
+                  "connected_components", "near_dup_keep", "warc_roundtrip",
+                  "stream_join", "pagerank"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))

@@ -13,9 +13,13 @@ can decode inside ``mapInPandas`` tasks. Supported:
   Huffman, Annex G: DC/AC first + successive-approximation refinement
   scans, EOB runs, per-scan restart handling), arbitrary DQT/DHT tables
   from the stream, component sampling factors up to 2x2 (covers 4:4:4,
-  4:2:2, 4:2:0), restart markers (DRI/RSTn); 12-bit DCT, hierarchical,
-  and arithmetic coding raise ``NotImplementedError`` (declared, not
-  silently wrong).
+  4:2:2, 4:2:0), restart markers (DRI/RSTn); 12-bit extended
+  sequential (SOF1, grayscale, 16-bit DQT, extended-range DHT) decodes
+  too; hierarchical and arithmetic coding raise ``NotImplementedError``
+  (declared, not silently wrong).
+* ``encode_jpeg_ext12``: 12-bit grayscale extended-sequential writer
+  (level shift 2048, Pq=1 quantization, DC categories to 15 / AC sizes
+  to 14 via in-stream extended Huffman tables).
 * lossless (SOF3, Annex H): ``encode_jpeg_lossless`` + decode — all
   seven predictors, 2..16-bit precision (12-bit science pixels
   included), point transform, mod-2^16 difference coding with the
@@ -617,11 +621,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             while p < len(seg):
                 prec, ident = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
-                if prec != 0:
-                    raise NotImplementedError("16-bit DQT not supported")
-                qts[ident] = np.array(list(seg[p:p + 64]),
-                                      dtype=np.int32)[UNZIGZAG].reshape(8, 8)
-                p += 64
+                if prec == 0:
+                    vals = np.array(list(seg[p:p + 64]), dtype=np.int32)
+                    p += 64
+                elif prec == 1:               # 16-bit entries (Pq=1)
+                    vals = np.frombuffer(
+                        seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    raise ValueError("invalid DQT precision")
+                qts[ident] = vals[UNZIGZAG].reshape(8, 8)
         elif marker == 0xC4:                   # DHT
             p = 0
             while p < len(seg):
@@ -633,8 +642,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
-            if marker != 0xC3 and prec != 8:
-                raise NotImplementedError("only 8-bit DCT JPEG")
+            if marker in (0xC0, 0xC2) and prec != 8:
+                raise NotImplementedError("only 8-bit baseline/progressive")
+            if marker == 0xC1 and prec not in (8, 12):
+                raise NotImplementedError("extended sequential: 8/12-bit")
             if marker == 0xC3 and not 2 <= prec <= 16:
                 raise ValueError("invalid lossless precision")
             comps = []
@@ -895,14 +906,17 @@ def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
                         coef = (zz[UNZIGZAG].reshape(8, 8) * qt).astype(np.float64)
-                        block = _DCT.T @ coef @ _DCT + 128.0
+                        block = (_DCT.T @ coef @ _DCT
+                                 + float(1 << (frame.get("prec", 8) - 1)))
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-    return _planes_to_image(planes, comps, hmax, vmax, h, w)
+    return _planes_to_image(planes, comps, hmax, vmax, h, w,
+                            frame.get("prec", 8))
 
 
-def _planes_to_image(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+def _planes_to_image(planes, comps, hmax, vmax, h, w,
+                     prec: int = 8) -> np.ndarray:
     """Shared tail of baseline + progressive decode: chroma upsample,
     crop, color convert."""
     full = []
@@ -912,7 +926,11 @@ def _planes_to_image(planes, comps, hmax, vmax, h, w) -> np.ndarray:
         p = _upsample(p, hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        top = (1 << prec) - 1
+        dtype = np.uint16 if prec > 8 else np.uint8
+        return np.clip(np.round(full[0]), 0, top).astype(dtype)
+    if prec != 8:
+        raise NotImplementedError("12-bit DCT: grayscale only")
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -1055,3 +1073,60 @@ def _decode_lossless_scan(frame, sel, dc_tabs, data) -> np.ndarray:
     if img.shape[2] == 1:
         img = img[:, :, 0]
     return img.astype(dtype)
+
+
+# ---------------------------------- 12-bit extended sequential (SOF1)
+
+# Extended-range Huffman tables: the Annex K defaults stop at DC
+# category 11 / AC size 10, too small for 12-bit coefficients (DC diff
+# to +-32767 -> SSSS 15; AC to +-16383 -> SSSS 14). Canonical flat
+# assignments, valid by Kraft: 16 DC symbols at 5 bits; 226 AC symbols
+# (EOB, ZRL, run 0-15 x size 1-14) at 9 bits.
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALUES = list(range(16))
+_AC12_VALUES = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)]
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC12_VALUES),
+              0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg_ext12(arr: np.ndarray, quality: int = 85) -> bytes:
+    """12-bit grayscale extended sequential JPEG (T.81 SOF1).
+
+    ``arr``: HxW uint16 with samples < 4096. Level shift 2048, 16-bit
+    quantization table (Annex K luminance scaled by quality then x16
+    for the wider dynamic range), extended Huffman tables above.
+    """
+    if arr.ndim != 2:
+        raise NotImplementedError("12-bit DCT: grayscale only")
+    if int(arr.max(initial=0)) >> 12:
+        raise ValueError("samples exceed 12-bit range")
+    h, w = arr.shape
+    qt = np.clip(_quality_scale(QT_LUMA, quality) * 16, 1, 65535)
+    dc_codes = _build_codes(_DC12_BITS, _DC12_VALUES)
+    ac_codes = _build_codes(_AC12_BITS, _AC12_VALUES)
+    out = _BitWriter()
+    pred = 0
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = arr.astype(np.float64)
+    padded[h:, :w] = padded[h - 1:h, :w]        # edge replicate
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= 2048.0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            pred = _encode_block(block, qt, dc_codes, ac_codes, pred, out)
+    entropy = out.flush()
+    head = bytearray(b"\xff\xd8")
+    dqt = bytes([0x10]) + b"".join(
+        struct.pack(">H", int(v)) for v in qt.flatten()[ZIGZAG])
+    head += _marker(0xFFDB, dqt)
+    sof = bytes([12]) + struct.pack(">HHB", h, w, 1) + bytes([1, 0x11, 0])
+    head += _marker(0xFFC1, sof)
+    head += _marker(0xFFC4, bytes([0x00]) + bytes(_DC12_BITS)
+                    + bytes(_DC12_VALUES))
+    head += _marker(0xFFC4, bytes([0x10]) + bytes(_AC12_BITS)
+                    + bytes(_AC12_VALUES))
+    head += _marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return bytes(head) + entropy + b"\xff\xd9"
