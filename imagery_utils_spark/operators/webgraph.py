@@ -118,20 +118,27 @@ def pagerank_int(edges: DataFrame, iters: int = 8,
     base = (15 * scale) // (100 * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     for _ in range(iters):
-        contrib = (ranks.join(deg_edges,
-                              ranks["node"] == deg_edges["src"])
-                   .select(F.col("dst").alias("node"),
-                           F.expr("rank div outdeg").alias("c"))
-                   .groupBy("node").agg(F.sum("c").alias("insum")))
-        dang = (ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select(
-                     "node",
-                     (F.lit(base)
-                      + F.expr(f"(85 * (coalesce(insum, 0) "
-                               f"+ dang div {n})) div 100"))
-                     .cast("long").alias("rank"),
-                 ).localCheckpoint(eager=True))
+        ranks = _pagerank_step(nodes, ranks, deg_edges, deg, base,
+                               n).localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_step(nodes: DataFrame, ranks: DataFrame,
+                   deg_edges: DataFrame, deg: DataFrame,
+                   base: int, n: int) -> DataFrame:
+    """One integer update (un-truncated — the loop checkpoints)."""
+    contrib = (ranks.join(deg_edges, ranks["node"] == deg_edges["src"])
+               .select(F.col("dst").alias("node"),
+                       F.expr("rank div outdeg").alias("c"))
+               .groupBy("node").agg(F.sum("c").alias("insum")))
+    dang = (ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")))
+    return (nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"(85 * (coalesce(insum, 0) "
+                          f"+ dang div {n})) div 100"))
+                .cast("long").alias("rank"),
+            ))

@@ -169,3 +169,62 @@ def test_pii_single_projection_no_shuffle(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     plan = plan_of(pii_report(docs))
     assert "Exchange" not in plan
+
+
+def test_bm25_scoring_scan_is_explode_free(spark, sf_dir):
+    # fixed-term tfs are column algebra: no Generate (explode) anywhere,
+    # corpus stats arrive by broadcast
+    from imagery_utils_spark.operators.search import bm25_topk
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(bm25_topk(docs, ["merge", "stream"], k=10))
+    assert "Generate" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan      # top-k, not a full sort
+
+
+def test_para_dedup_keep_first_is_partial_agg_not_window(spark, sf_dir):
+    # keep-first must be a groupBy min (map-side combinable) — a window
+    # rank over the paragraph key would serialize hot boilerplate keys
+    from imagery_utils_spark.operators.paragraphs import dedup_paragraphs
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(dedup_paragraphs(docs, chunk=10))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_pagerank_step_broadcasts_dangling_and_loop_truncates(spark):
+    from pyspark.sql import functions as _F
+
+    from imagery_utils_spark.operators.webgraph import (
+        _pagerank_step, pagerank_int)
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 8) for i in range(30)], "src long, dst long")
+    e = edges.distinct()
+    nodes = (e.select(_F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    deg = e.groupBy("src").agg(_F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", _F.lit(10 ** 11).cast("long"))
+    step = _pagerank_step(nodes, ranks, e.join(deg, "src"), deg,
+                          10 ** 10, 8)
+    plan = plan_of(step)
+    # the 1-row dangling aggregate joins in via broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # and the public loop truncates lineage: final frame is a
+    # checkpoint scan, not a 2-iteration join tree
+    final = plan_of(pagerank_int(edges, iters=2))
+    assert "Scan ExistingRDD" in final and "Join" not in final
+
+
+def test_html_meta_extraction_is_pure_jvm(spark, sf_dir):
+    import __spark_entry__ as E
+    plan = plan_of(E.queries()["html_meta"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan  # projection only
+
+
+def test_lm_bits_vocab_is_broadcast_singleton(spark, sf_dir):
+    from imagery_utils_spark.operators.lm import lm_bits_score
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(lm_bits_score(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
