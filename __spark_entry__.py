@@ -1015,6 +1015,63 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_tok_encode(spark, sf_dir) -> DataFrame:
+    """Vocabulary tokenizer ENCODE: the top-16 corpus words (count
+    desc, word asc) become ids 1..16, every other token is UNK=0; each
+    doc becomes its ordered id sequence (sha256-pinned), with token and
+    UNK counts. The vocab is corpus-derived then broadcast; the
+    sequence rebuild is one doc_id shuffle over (pos, id) structs.
+    Deliberately order-sensitive: a wrong position anywhere flips the
+    hash."""
+    from imagery_utils_spark.functions.text import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col(F.lower(F.col("text")))
+    w = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "word"))
+    cnt = w.groupBy("word").agg(F.count("*").alias("n"))
+    top = cnt.orderBy(F.desc("n"), "word").limit(16)
+    ids = top.withColumn(
+        "tid", F.row_number().over(Window.orderBy(F.desc("n"), "word")))
+    enc = (w.join(F.broadcast(ids.select("word", "tid")), "word", "left")
+           .select("doc_id", "pos",
+                   F.coalesce("tid", F.lit(0)).alias("tid")))
+    return (enc.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum((F.col("tid") == 0).cast("long")).alias("n_unk"),
+                 F.sha2(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("pos", "tid"))),
+                     lambda s: s["tid"].cast("string"))), 256)
+                 .alias("ids_sha"))
+            .orderBy("doc_id"))
+
+
+def q_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169) in the engine's integer-bits quantization: every
+    doc is scored under a TARGET bigram LM (doc_id % 3 == 0 split) and
+    a RAW/background LM (doc_id % 3 == 1 split); the importance weight
+    is bits_raw - bits_target (integer, order-independent — the
+    quantized log-likelihood ratio), selected = weight > 0. Composes
+    operators/lm.py twice + one doc_id join; the oracle replays both
+    CTE chains."""
+    from imagery_utils_spark.operators.lm import lm_bits_score
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = lm_bits_score(docs, docs.filter(d % 3 == 0)).select(
+        "doc_id", F.col("bits").alias("bits_target"))
+    raw = lm_bits_score(docs, docs.filter(d % 3 == 1)).select(
+        "doc_id", F.col("bits").alias("bits_raw"), "n_bigrams")
+    w = F.col("bits_raw") - F.col("bits_target")
+    return (tgt.join(raw, "doc_id")
+            .select("doc_id", "bits_target", "bits_raw", "n_bigrams",
+                    w.alias("weight_bits"),
+                    (w > 0).alias("selected"))
+            .orderBy("doc_id"))
+
+
 def q_bm25_topk(spark, sf_dir) -> DataFrame:
     """BM25-shaped top-k retrieval (operators/search.bm25_topk) for a
     fixed 3-term query: per-doc tfs as pure column algebra (no explode),
@@ -1047,6 +1104,46 @@ def q_inverted_index(spark, sf_dir) -> DataFrame:
         "term", "df",
         F.sha2(F.concat_ws(",", posting_strs), 256).alias("postings_sha"))
         .orderBy("term"))
+
+
+def _dsir_oracle_sql() -> str:
+    """Two lm_bits CTE chains (target/raw reference splits) joined —
+    the exact integer algebra of q_dsir_weights."""
+    def chain(sfx: str, pred: str) -> str:
+        return (
+            f"ref{sfx} AS (SELECT * FROM toks WHERE {pred}), "
+            f"rbg{sfx} AS (SELECT t[i] AS w1, t[i + 1] AS w2 "
+            f"FROM ref{sfx}, unnest(range(1, len(t))) AS u(i) "
+            "WHERE len(t) >= 2), "
+            f"c2{sfx} AS (SELECT w1, w2, count(*) AS n2 FROM rbg{sfx} "
+            "GROUP BY w1, w2), "
+            f"c1{sfx} AS (SELECT w1, count(*) AS n1 FROM rbg{sfx} "
+            "GROUP BY w1), "
+            f"vv{sfx} AS (SELECT count(DISTINCT w) AS v FROM "
+            f"(SELECT unnest(t) AS w FROM ref{sfx})), "
+            f"sc{sfx} AS (SELECT doc_id, "
+            "(length(printf('%b', coalesce(n1, 0) + v)) - 1) - "
+            "(length(printf('%b', coalesce(n2, 0) + 1)) - 1) AS bits "
+            f"FROM bg LEFT JOIN c2{sfx} USING (w1, w2) "
+            f"LEFT JOIN c1{sfx} USING (w1), vv{sfx}), "
+            f"agg{sfx} AS (SELECT doc_id, "
+            "cast(sum(bits) as bigint) AS bits, "
+            "count(*) AS n_bigrams FROM sc{sfx} GROUP BY doc_id)"
+            .replace("{sfx}", sfx)
+        )
+
+    return (
+        r"WITH toks AS (SELECT doc_id, list_filter(string_split_regex("
+        r"lower(text), '\s+'), x -> x <> '') AS t FROM documents), "
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM toks, "
+        "unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2), "
+        + chain("t", "doc_id % 3 = 0") + ", "
+        + chain("r", "doc_id % 3 = 1") + " "
+        "SELECT a.doc_id, a.bits AS bits_target, b.bits AS bits_raw, "
+        "b.n_bigrams, b.bits - a.bits AS weight_bits, "
+        "(b.bits - a.bits) > 0 AS selected "
+        "FROM aggt a JOIN aggr b USING (doc_id) ORDER BY doc_id"
+    )
 
 
 def _bm25_oracle_sql() -> str:
@@ -2306,6 +2403,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "lm_bits": q_lm_bits,
+        "dsir_weights": q_dsir_weights,
+        "tok_encode": q_tok_encode,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
         "snapshot_diff": q_snapshot_diff,
@@ -2825,6 +2924,28 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Tokenizer encode: vocab rank + ordered id rebuild replayed.
+        "tok_encode": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "w AS (SELECT doc_id, i - 1 AS pos, t[i] AS word FROM toks, "
+            "unnest(range(1, len(t) + 1)) AS u(i)), "
+            "cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word), "
+            "top AS (SELECT word, row_number() OVER ("
+            "ORDER BY n DESC, word) AS tid FROM cnt "
+            "ORDER BY n DESC, word LIMIT 16), "
+            "enc AS (SELECT doc_id, pos, coalesce(tid, 0) AS tid "
+            "FROM w LEFT JOIN top USING (word)) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "cast(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) as bigint) "
+            "AS n_unk, "
+            "sha256(string_agg(cast(tid as varchar), ',' "
+            "ORDER BY pos)) AS ids_sha "
+            "FROM enc GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # DSIR: both LM chains replayed, integer weight join.
+        "dsir_weights": _dsir_oracle_sql(),
         # KMV sketch: identical sha-derived hashes + rank replayed.
         "kmv_distinct": (
             r"WITH toks AS (SELECT source, list_filter("
