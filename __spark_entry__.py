@@ -1015,6 +1015,21 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_triangle_count(spark, sf_dir) -> DataFrame:
+    """Triangle counting with degree-ordered orientation (operators/
+    webgraph.triangle_count, Suri-Vassilvitskii WWW'11): the wedge join
+    runs over out-neighborhoods bounded O(sqrt m) by the orientation,
+    so hub skew cannot blow it up. Same doc_id-derived host graph as
+    the pagerank row; the oracle replays orientation, wedge join, and
+    the closing EXISTS in SQL."""
+    from imagery_utils_spark.operators.webgraph import triangle_count
+
+    d = F.col("doc_id")
+    edges = load(spark, sf_dir, "documents").select(
+        (d % 61).alias("src"), ((d * 7) % 64).alias("dst"))
+    return triangle_count(edges)
+
+
 def q_tok_encode(spark, sf_dir) -> DataFrame:
     """Vocabulary tokenizer ENCODE: the top-16 corpus words (count
     desc, word asc) become ids 1..16, every other token is UNK=0; each
@@ -2405,6 +2420,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bits": q_lm_bits,
         "dsir_weights": q_dsir_weights,
         "tok_encode": q_tok_encode,
+        "triangle_count": q_triangle_count,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
         "snapshot_diff": q_snapshot_diff,
@@ -2924,6 +2940,30 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Triangles: orientation + wedge join + EXISTS replayed.
+        "triangle_count": (
+            "WITH e AS (SELECT DISTINCT "
+            "least(doc_id % 61, (doc_id * 7) % 64) AS u, "
+            "greatest(doc_id % 61, (doc_id * 7) % 64) AS v "
+            "FROM documents "
+            "WHERE doc_id % 61 <> (doc_id * 7) % 64), "
+            "deg AS (SELECT n, count(*) AS d FROM "
+            "(SELECT u AS n FROM e UNION ALL SELECT v FROM e) "
+            "GROUP BY n), "
+            "o AS (SELECT CASE WHEN d1.d < d2.d OR "
+            "(d1.d = d2.d AND e.u < e.v) THEN e.u ELSE e.v END AS a, "
+            "CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v) "
+            "THEN e.v ELSE e.u END AS b "
+            "FROM e JOIN deg d1 ON e.u = d1.n "
+            "JOIN deg d2 ON e.v = d2.n), "
+            "w AS (SELECT o1.a, o1.b, o2.b AS c FROM o o1 "
+            "JOIN o o2 ON o1.b = o2.a), "
+            "t AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM o "
+            "WHERE o.a = w.a AND o.b = w.c)) "
+            "SELECT (SELECT count(*) FROM e) AS n_edges, "
+            "(SELECT count(*) FROM w) AS n_wedges, "
+            "(SELECT count(*) FROM t) AS n_triangles"
+        ),
         # Tokenizer encode: vocab rank + ordered id rebuild replayed.
         "tok_encode": (
             r"WITH toks AS (SELECT doc_id, list_filter("

@@ -39,8 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "anchor_text_rollup", "pagerank_int",
-           "LINK_RE"]
+__all__ = ["extract_links", "anchor_text_rollup", "host_col",
+           "pagerank_int", "triangle_count", "LINK_RE"]
 
 # href + anchor text of simple anchors; RE2-compatible (no backrefs) so
 # the DuckDB oracle can run the identical pattern.
@@ -142,3 +142,49 @@ def _pagerank_step(nodes: DataFrame, ranks: DataFrame,
                           f"+ dang div {n})) div 100"))
                 .cast("long").alias("rank"),
             ))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle + wedge count via DEGREE-ORDERED orientation
+    (Cohen 2009 / Suri-Vassilvitskii WWW'11 MapReduce formulation).
+
+    Each undirected edge is oriented from the endpoint of smaller
+    (degree, id) to the larger; every out-neighborhood then has size
+    O(sqrt(m)), so the wedge join (o JOIN o ON b) — the step that
+    explodes quadratically on celebrity nodes in the naive formulation
+    — is provably skew-bounded: a degree-10^7 hub contributes wedges
+    only through its (few) higher-degree peers. Three shuffles total:
+    degree agg, wedge join, closing semi join. Returns one row
+    (n_edges, n_wedges, n_triangles); each triangle is counted exactly
+    once (at its lowest-rank corner).
+    """
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    e = (edges.select(u.cast("long").alias("u"), v.cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionByName(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    ej = (e.join(deg.withColumnRenamed("n", "u")
+                 .withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v")
+                .withColumnRenamed("d", "dv"), "v"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = ej.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o2 = o.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    wedges = (o.join(o2, F.col("b") == F.col("a2"))
+              .select("a", "b", F.col("b2").alias("c")))
+    tri = wedges.join(
+        o.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        "left_semi")
+    return (e.agg(F.count("*").alias("n_edges"))
+            .crossJoin(F.broadcast(
+                wedges.agg(F.count("*").alias("n_wedges"))))
+            .crossJoin(F.broadcast(
+                tri.agg(F.count("*").alias("n_triangles")))))

@@ -80,3 +80,43 @@ def test_host_col_shapes(spark):
          ("http://y.example/",), ("ftp://z.example",)], "url string")
     got = [r[0] for r in df.select(host_col(F.col("url"))).collect()]
     assert got == ["www.x.example", "y.example", "z.example"]
+
+
+def _ref_triangles(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in es:
+        tri += len(adj[u] & adj[v])
+    return len(es), tri // 3
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(120)]
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    row = __import__(
+        "imagery_utils_spark.operators.webgraph",
+        fromlist=["triangle_count"]).triangle_count(sdf).collect()[0]
+    n_e, n_t = _ref_triangles(edges)
+    assert row.n_edges == n_e
+    assert row.n_triangles == n_t
+    assert row.n_wedges >= row.n_triangles
+
+
+def test_triangle_count_known_graphs(spark):
+    from imagery_utils_spark.operators.webgraph import triangle_count
+    # K4: 4 triangles; adding a pendant edge changes nothing
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    sdf = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    row = triangle_count(sdf).collect()[0]
+    assert row.n_triangles == 4
+    # star graph: zero triangles, zero wedges after orientation closing
+    star = [(0, i) for i in range(1, 8)]
+    row = triangle_count(
+        spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert row.n_triangles == 0
