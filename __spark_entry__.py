@@ -1015,6 +1015,40 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_fuzzy_match(spark, sf_dir) -> DataFrame:
+    """Blocked fuzzy entity resolution (operators/fuzzy.py): dirty site
+    names with deterministic suffix corruptions (drop / insert /
+    substitute — all edit distance 1, block-key invariant) are matched
+    against a broadcast clean dimension inside 6-char prefix blocks;
+    JVM levenshtein only on block pairs, best match = (dist, name)
+    rank. A decoy clean variant per block sits at distance > 2 and must
+    be filtered, not picked. Oracle replays blocks + levenshtein + the
+    pick in SQL (DuckDB's levenshtein is the same unit-cost metric)."""
+    from imagery_utils_spark.operators.fuzzy import blocked_fuzzy_join
+
+    d = F.col("doc_id")
+    hh = F.lpad((d % 97).cast("string"), 2, "0")
+    suffix = (F.when(d % 4 == 0, F.lit("corp"))
+              .when(d % 4 == 1, F.lit("cor"))
+              .when(d % 4 == 2, F.lit("corpx"))
+              .otherwise(F.lit("korp")))
+    dirty = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("site"), hh, suffix).alias("name"))
+    base = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("site"), hh).alias("_p")).distinct()
+    clean = (base.select(F.concat("_p", F.lit("corp")).alias("cname"))
+             .unionByName(base.select(
+                 F.concat("_p", F.lit("corpllc")).alias("cname"))))
+    pairs = blocked_fuzzy_join(dirty, clean, "name", "cname",
+                               max_dist=2, block_n=6)
+    w = Window.partitionBy("doc_id").orderBy("dist", "cname")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "name", F.col("cname").alias("match"),
+                    "dist")
+            .orderBy("doc_id"))
+
+
 def q_triangle_count(spark, sf_dir) -> DataFrame:
     """Triangle counting with degree-ordered orientation (operators/
     webgraph.triangle_count, Suri-Vassilvitskii WWW'11): the wedge join
@@ -2421,6 +2455,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "tok_encode": q_tok_encode,
         "triangle_count": q_triangle_count,
+        "fuzzy_match": q_fuzzy_match,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
         "snapshot_diff": q_snapshot_diff,
@@ -2940,6 +2975,27 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Fuzzy match: blocks + levenshtein + best pick replayed.
+        "fuzzy_match": (
+            "WITH dd AS (SELECT doc_id, 'site' || "
+            "lpad(cast(doc_id % 97 as varchar), 2, '0') || "
+            "CASE doc_id % 4 WHEN 0 THEN 'corp' WHEN 1 THEN 'cor' "
+            "WHEN 2 THEN 'corpx' ELSE 'korp' END AS name "
+            "FROM documents), "
+            "bb AS (SELECT DISTINCT 'site' || "
+            "lpad(cast(doc_id % 97 as varchar), 2, '0') AS p "
+            "FROM documents), "
+            "cc AS (SELECT p || 'corp' AS cname FROM bb "
+            "UNION ALL SELECT p || 'corpllc' FROM bb), "
+            "pr AS (SELECT doc_id, name, cname, "
+            "levenshtein(name, cname) AS dist FROM dd JOIN cc "
+            "ON substr(lower(name), 1, 6) = substr(lower(cname), 1, 6) "
+            "WHERE levenshtein(name, cname) <= 2), "
+            "b AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY dist, cname) AS rn FROM pr) "
+            "SELECT doc_id, name, cname AS match, dist FROM b "
+            "WHERE rn = 1 ORDER BY doc_id"
+        ),
         # Triangles: orientation + wedge join + EXISTS replayed.
         "triangle_count": (
             "WITH e AS (SELECT DISTINCT "

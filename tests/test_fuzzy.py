@@ -1,0 +1,42 @@
+"""Blocked fuzzy join (operators/fuzzy.py): distance filter, blocking
+recall/miss contract, skew diagnostic."""
+
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.operators.fuzzy import (
+    block_stats,
+    blocked_fuzzy_join,
+)
+
+
+def test_blocked_fuzzy_join_basics(spark):
+    dirty = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme korp"), (3, "acme c0rpx"),
+         (4, "zzzz other"), (5, "bcme corp")],
+        "id long, name string")
+    clean = spark.createDataFrame([("acme corp",), ("zeta inc",)],
+                                  "cname string")
+    got = {(r.id, r.cname): r.dist
+           for r in blocked_fuzzy_join(dirty, clean, "name", "cname",
+                                       max_dist=2, block_n=4).collect()}
+    assert got == {(1, "acme corp"): 0, (2, "acme corp"): 1,
+                   (3, "acme corp"): 2}
+    # id 5 is distance 1 but breaks the block key -> declared miss
+    assert not any(i == 5 for i, _ in got)
+
+
+def test_block_stats_reports_skew(spark):
+    df = spark.createDataFrame(
+        [("aaaa%d" % i,) for i in range(9)] + [("bbbb1",)],
+        "name string")
+    rows = block_stats(df, "name", block_n=4).collect()
+    assert (rows[0].block, rows[0].n) == ("aaaa", 9)
+    assert (rows[1].block, rows[1].n) == ("bbbb", 1)
+
+
+def test_case_insensitive_blocking(spark):
+    dirty = spark.createDataFrame([(1, "ACME corp")], "id long, name string")
+    clean = spark.createDataFrame([("acme corp",)], "cname string")
+    rows = blocked_fuzzy_join(dirty, clean, "name", "cname",
+                              max_dist=4, block_n=4).collect()
+    assert len(rows) == 1 and rows[0].dist == 4  # blocks match on lower
