@@ -1015,6 +1015,45 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_leakage_split(spark, sf_dir) -> DataFrame:
+    """Deterministic domain-coherent train/val/test split — the LLM
+    data-hygiene contract: the split key is the DOMAIN hash (first 15
+    hex of sha256, as in operators/sketch.py), so every page of a
+    domain lands in one split and near-duplicate pages cannot leak
+    across train/eval. Buckets: hash % 100 -> <80 train, <90 val, else
+    test. Output per split: domain count, doc count, and a sha over the
+    sorted domain list — the oracle replays hash, bucketing, and the
+    no-domain-spans-two-splits invariant."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    hx = F.substring(F.sha2(F.col("source"), 256), 1, 15)
+    bucket = F.conv(hx, 16, 10).cast("long") % 100
+    split = (F.when(bucket < 80, F.lit("train"))
+             .when(bucket < 90, F.lit("val"))
+             .otherwise(F.lit("test")))
+    tagged = docs.select("doc_id", "source", split.alias("split"))
+    return (tagged.groupBy("split")
+            .agg(F.countDistinct("source").alias("n_domains"),
+                 F.count("*").alias("n_docs"),
+                 F.sha2(F.concat_ws(",", F.sort_array(
+                     F.collect_set("source"))), 256).alias("domains_sha"))
+            .orderBy("split"))
+
+
+def q_crawl_schedule(spark, sf_dir) -> DataFrame:
+    """Crawl politeness scheduling: fetches ordered per host (window
+    rank over ts, id tie-break) and packed into rate-limited slots
+    (rate 3/slot — integer div of the 0-based rank). One host-key
+    shuffle; per-host ordering is the frontier-scheduler shape every
+    polite crawler needs. Oracle replays the window + division."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", (F.col("user_id") % 7).alias("host"))
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    return (ev.select("event_id", "host", rn.alias("seq"))
+            .withColumn("slot", F.expr("seq div 3"))
+            .orderBy("host", "seq"))
+
+
 def q_fuzzy_match(spark, sf_dir) -> DataFrame:
     """Blocked fuzzy entity resolution (operators/fuzzy.py): dirty site
     names with deterministic suffix corruptions (drop / insert /
@@ -2456,6 +2495,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_encode": q_tok_encode,
         "triangle_count": q_triangle_count,
         "fuzzy_match": q_fuzzy_match,
+        "leakage_split": q_leakage_split,
+        "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
         "snapshot_diff": q_snapshot_diff,
@@ -2975,6 +3016,29 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Leakage split: hash bucketing + domain rollup replayed.
+        "leakage_split": (
+            "WITH t AS (SELECT doc_id, source, CASE "
+            "WHEN cast('0x' || substr(sha256(source), 1, 15) as bigint) "
+            "% 100 < 80 THEN 'train' "
+            "WHEN cast('0x' || substr(sha256(source), 1, 15) as bigint) "
+            "% 100 < 90 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents) "
+            "SELECT split, count(DISTINCT source) AS n_domains, "
+            "count(*) AS n_docs, "
+            "sha256(array_to_string(list_sort(list(DISTINCT source)), "
+            "',')) AS domains_sha "
+            "FROM t GROUP BY split ORDER BY split"
+        ),
+        # Crawl schedule: per-host window + slot division replayed.
+        "crawl_schedule": (
+            "SELECT event_id, user_id % 7 AS host, "
+            "row_number() OVER (PARTITION BY user_id % 7 "
+            "ORDER BY ts, event_id) - 1 AS seq, "
+            "(row_number() OVER (PARTITION BY user_id % 7 "
+            "ORDER BY ts, event_id) - 1) // 3 AS slot "
+            "FROM events ORDER BY host, seq"
+        ),
         # Fuzzy match: blocks + levenshtein + best pick replayed.
         "fuzzy_match": (
             "WITH dd AS (SELECT doc_id, 'site' || "
