@@ -1020,15 +1020,16 @@ def q_leakage_split(spark, sf_dir) -> DataFrame:
     data-hygiene contract: the split key is the DOMAIN hash (first 15
     hex of sha256, as in operators/sketch.py), so every page of a
     domain lands in one split and near-duplicate pages cannot leak
-    across train/eval. Buckets: hash % 100 -> <80 train, <90 val, else
-    test. Output per split: domain count, doc count, and a sha over the
+    across train/eval. Buckets: hash % 100 -> <60 train, <80 val, else
+    test (fractions chosen so all three splits are non-empty on the
+    fixture's 20-domain universe). Output per split: domain count, doc count, and a sha over the
     sorted domain list — the oracle replays hash, bucketing, and the
     no-domain-spans-two-splits invariant."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     hx = F.substring(F.sha2(F.col("source"), 256), 1, 15)
     bucket = F.conv(hx, 16, 10).cast("long") % 100
-    split = (F.when(bucket < 80, F.lit("train"))
-             .when(bucket < 90, F.lit("val"))
+    split = (F.when(bucket < 60, F.lit("train"))
+             .when(bucket < 80, F.lit("val"))
              .otherwise(F.lit("test")))
     tagged = docs.select("doc_id", "source", split.alias("split"))
     return (tagged.groupBy("split")
@@ -3020,9 +3021,9 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split": (
             "WITH t AS (SELECT doc_id, source, CASE "
             "WHEN cast('0x' || substr(sha256(source), 1, 15) as bigint) "
-            "% 100 < 80 THEN 'train' "
+            "% 100 < 60 THEN 'train' "
             "WHEN cast('0x' || substr(sha256(source), 1, 15) as bigint) "
-            "% 100 < 90 THEN 'val' ELSE 'test' END AS split "
+            "% 100 < 80 THEN 'val' ELSE 'test' END AS split "
             "FROM documents) "
             "SELECT split, count(DISTINCT source) AS n_domains, "
             "count(*) AS n_docs, "
