@@ -1015,6 +1015,33 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_cms_counts(spark, sf_dir) -> DataFrame:
+    """Count-Min sketch (operators/sketch.cms_build/cms_query,
+    Cormode-Muthukrishnan 2005): token frequencies sketched into 4x128
+    integer cells (mergeable by elementwise addition, identical at any
+    parallelism), then point-queried for the top-10 true words plus
+    two absent probes — estimates must upper-bound truth ('sound'
+    column). Oracle replays salted hashes, cells, and min-query."""
+    from imagery_utils_spark.functions.text import tokens_col
+    from imagery_utils_spark.operators.sketch import cms_build, cms_query
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
+    cms = cms_build(words, F.col("word"), depth=4, width=128)
+    cnt = words.groupBy("word").agg(F.count("*").alias("n"))
+    top = cnt.orderBy(F.desc("n"), "word").limit(10).select("word")
+    probes = top.unionByName(words.sparkSession.createDataFrame(
+        [("zzznope1",), ("zzznope2",)], "word string"))
+    est = cms_query(cms, probes, F.col("word"), depth=4, width=128)
+    return (est.join(cnt, est["q"] == cnt["word"], "left")
+            .select("q", F.coalesce("n", F.lit(0)).alias("true_n"),
+                    "est",
+                    (F.col("est") >= F.coalesce("n", F.lit(0)))
+                    .alias("sound"))
+            .orderBy("q"))
+
+
 def q_leakage_split(spark, sf_dir) -> DataFrame:
     """Deterministic domain-coherent train/val/test split — the LLM
     data-hygiene contract: the split key is the DOMAIN hash (first 15
@@ -2497,6 +2524,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "fuzzy_match": q_fuzzy_match,
         "leakage_split": q_leakage_split,
+        "cms_counts": q_cms_counts,
         "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
@@ -3017,6 +3045,29 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # CMS: salted hashes + cells + min-query replayed.
+        "cms_counts": (
+            r"WITH toks AS (SELECT list_filter(string_split_regex("
+            r"lower(text), '\s+'), x -> x <> '') AS t FROM documents), "
+            "w AS (SELECT unnest(t) AS word FROM toks), "
+            "cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word), "
+            "cells AS (SELECT r, cast('0x' || substr(sha256("
+            "r || ':' || word), 1, 15) as bigint) % 128 AS c, "
+            "count(*) AS cnt FROM w, unnest([0, 1, 2, 3]) AS u(r) "
+            "GROUP BY r, c), "
+            "qq AS (SELECT word FROM (SELECT word FROM cnt "
+            "ORDER BY n DESC, word LIMIT 10) UNION ALL "
+            "SELECT * FROM (VALUES ('zzznope1'), ('zzznope2'))), "
+            "probes AS (SELECT word AS q, r, "
+            "cast('0x' || substr(sha256(r || ':' || word), 1, 15) "
+            "as bigint) % 128 AS c "
+            "FROM qq, unnest([0, 1, 2, 3]) AS u(r)), "
+            "est AS (SELECT q, min(coalesce(cells.cnt, 0)) AS est "
+            "FROM probes LEFT JOIN cells USING (r, c) GROUP BY q) "
+            "SELECT q, coalesce(n, 0) AS true_n, est, "
+            "est >= coalesce(n, 0) AS sound "
+            "FROM est LEFT JOIN cnt ON q = word ORDER BY q"
+        ),
         # Leakage split: hash bucketing + domain rollup replayed.
         "leakage_split": (
             "WITH t AS (SELECT doc_id, source, CASE "

@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sha_hash63_col", "kmv_sketch", "kmv_estimate"]
+__all__ = ["sha_hash63_col", "kmv_sketch", "kmv_estimate",
+           "cms_hash_col", "cms_build", "cms_query"]
 
 HASH_SPACE = 1 << 60
 
@@ -67,3 +68,53 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
     est = F.when(n < k, n.cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / kth)
     return sketches.withColumn("est_distinct", est)
+
+
+# ---------------------------------------------------- Count-Min sketch
+
+def cms_hash_col(value, row: int, width: int) -> F.Column:
+    """Row-salted deterministic CMS column index: sha256 of
+    'r:value' -> 60-bit int -> % width. Same algebra in SQL."""
+    salted = F.concat(F.lit(f"{row}:"), value.cast("string"))
+    return sha_hash63_col(salted) % width
+
+
+def cms_build(df: DataFrame, value, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) as a DataFrame:
+    (r, c, cnt) cells, r < depth, c < width.
+
+    Determinism/merge contract mirrors the KMV sketch: cells are plain
+    integer sums — associative, commutative, partition-independent —
+    so sketches from different partitions/days/clusters merge by
+    elementwise addition (a groupBy), and the same stream at N and 4N
+    executors yields the identical sketch. Build cost: one projection
+    emitting ``depth`` (r, c) pairs per row (array + explode, JVM),
+    one (r, c) groupBy whose key space is depth x width — map-side
+    combine collapses everything long before the shuffle."""
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 cms_hash_col(value, r, width).alias("c"))
+        for r in range(depth)
+    ])
+    return (df.select(F.explode(pairs).alias("_p"))
+            .select("_p.r", "_p.c")
+            .groupBy("r", "c").agg(F.count("*").alias("cnt")))
+
+
+def cms_query(cms: DataFrame, queries: DataFrame, value,
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """Point estimates for ``queries`` rows: min over the sketch rows
+    — the classic CMS upper bound (never under-counts; over-counts
+    only via collisions, P[err] bounded by (e/width)^depth-ish).
+    Missing cells read as 0 via the left join + coalesce."""
+    probes = queries.select(
+        value.alias("q"),
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     cms_hash_col(value, r, width).alias("c"))
+            for r in range(depth)
+        ])).alias("_p")).select("q", "_p.r", "_p.c")
+    return (probes.join(cms, ["r", "c"], "left")
+            .groupBy("q")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
