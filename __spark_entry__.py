@@ -1015,6 +1015,51 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_cohort_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention — the canonical behavioral OLAP rollup: users
+    cohorted by FIRST-event week, counted per (cohort_week, week
+    offset). All time math is integer epoch-seconds div 604800 (no
+    calendar functions — cross-engine exact); two shuffles (first-event
+    agg, cohort rollup), both map-side combinable."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"))
+    wk = (F.col("ep") / 604800).cast("long")
+    base = ev.select("user_id", wk.alias("wk"))
+    first = base.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (base.join(first, "user_id")
+            .select("user_id", "cohort",
+                    (F.col("wk") - F.col("cohort")).alias("week_offset"))
+            .distinct()
+            .groupBy("cohort", "week_offset")
+            .agg(F.count("*").alias("n_users"))
+            .orderBy("cohort", "week_offset"))
+
+
+def q_funnel_steps(spark, sf_dir) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest 'view' -> the
+    earliest 'click' AFTER it -> the earliest 'purchase' after THAT
+    (event types derived deterministically from event_id % 3). Three
+    min-aggregations with monotone time gates — no window over the
+    whole event stream, just user-key rollups; the oracle chains the
+    same conditional mins in SQL. Reports users reaching each stage."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep"),
+        (F.col("event_id") % 3).alias("step"))
+    s0 = (ev.filter(F.col("step") == 0).groupBy("user_id")
+          .agg(F.min("ep").alias("t0")))
+    s1 = (ev.filter(F.col("step") == 1).join(s0, "user_id")
+          .filter(F.col("ep") > F.col("t0"))
+          .groupBy("user_id", "t0").agg(F.min("ep").alias("t1")))
+    s2 = (ev.filter(F.col("step") == 2).join(s1, "user_id")
+          .filter(F.col("ep") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ep").alias("t2")))
+    return (s0.agg(F.count("*").alias("n_step0"))
+            .crossJoin(F.broadcast(
+                s1.agg(F.count("*").alias("n_step1"))))
+            .crossJoin(F.broadcast(
+                s2.agg(F.count("*").alias("n_step2")))))
+
+
 def q_cms_counts(spark, sf_dir) -> DataFrame:
     """Count-Min sketch (operators/sketch.cms_build/cms_query,
     Cormode-Muthukrishnan 2005): token frequencies sketched into 4x128
@@ -2525,6 +2570,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "leakage_split": q_leakage_split,
         "cms_counts": q_cms_counts,
+        "cohort_retention": q_cohort_retention,
+        "funnel_steps": q_funnel_steps,
         "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
         "html_meta": q_html_meta,
@@ -3045,6 +3092,36 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Cohort: integer week math + distinct rollup replayed.
+        "cohort_retention": (
+            "WITH e AS (SELECT user_id, "
+            "cast(floor(epoch(ts)) as bigint) // 604800 AS wk "
+            "FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cohort FROM e "
+            "GROUP BY user_id), "
+            "d AS (SELECT DISTINCT e.user_id, cohort, "
+            "wk - cohort AS week_offset FROM e JOIN f USING (user_id)) "
+            "SELECT cohort, week_offset, count(*) AS n_users FROM d "
+            "GROUP BY cohort, week_offset "
+            "ORDER BY cohort, week_offset"
+        ),
+        # Funnel: chained conditional mins replayed.
+        "funnel_steps": (
+            "WITH e AS (SELECT user_id, "
+            "cast(floor(epoch(ts)) as bigint) AS ep, "
+            "event_id % 3 AS step FROM events), "
+            "s0 AS (SELECT user_id, min(ep) AS t0 FROM e "
+            "WHERE step = 0 GROUP BY user_id), "
+            "s1 AS (SELECT e.user_id, t0, min(ep) AS t1 FROM e "
+            "JOIN s0 USING (user_id) WHERE step = 1 AND ep > t0 "
+            "GROUP BY e.user_id, t0), "
+            "s2 AS (SELECT e.user_id, min(ep) AS t2 FROM e "
+            "JOIN s1 USING (user_id) WHERE step = 2 AND ep > t1 "
+            "GROUP BY e.user_id) "
+            "SELECT (SELECT count(*) FROM s0) AS n_step0, "
+            "(SELECT count(*) FROM s1) AS n_step1, "
+            "(SELECT count(*) FROM s2) AS n_step2"
+        ),
         # CMS: salted hashes + cells + min-query replayed.
         "cms_counts": (
             r"WITH toks AS (SELECT list_filter(string_split_regex("
