@@ -1036,23 +1036,26 @@ def q_cohort_retention(spark, sf_dir) -> DataFrame:
 
 
 def q_funnel_steps(spark, sf_dir) -> DataFrame:
-    """Ordered funnel analysis: per user, the earliest 'view' -> the
-    earliest 'click' AFTER it -> the earliest 'purchase' after THAT
-    (event types derived deterministically from event_id % 3). Three
+    """Ordered funnel analysis per (user, hour) session unit: the
+    earliest 'view' -> the earliest 'click' AFTER it -> the earliest
+    'purchase' after THAT (types from event_id % 3; the hour-narrow
+    unit makes drop-off real — most units never complete). Three
     min-aggregations with monotone time gates — no window over the
-    whole event stream, just user-key rollups; the oracle chains the
-    same conditional mins in SQL. Reports users reaching each stage."""
-    ev = load(spark, sf_dir, "events").select(
+    whole event stream, just unit-key rollups; the oracle chains the
+    same conditional mins in SQL. Reports units reaching each stage."""
+    ev0 = load(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("ep"),
         (F.col("event_id") % 3).alias("step"))
-    s0 = (ev.filter(F.col("step") == 0).groupBy("user_id")
+    ev = ev0.withColumn("unit_h", F.expr("ep div 3600"))
+    keys = ["user_id", "unit_h"]
+    s0 = (ev.filter(F.col("step") == 0).groupBy(*keys)
           .agg(F.min("ep").alias("t0")))
-    s1 = (ev.filter(F.col("step") == 1).join(s0, "user_id")
+    s1 = (ev.filter(F.col("step") == 1).join(s0, keys)
           .filter(F.col("ep") > F.col("t0"))
-          .groupBy("user_id", "t0").agg(F.min("ep").alias("t1")))
-    s2 = (ev.filter(F.col("step") == 2).join(s1, "user_id")
+          .groupBy(*keys).agg(F.min("ep").alias("t1")))
+    s2 = (ev.filter(F.col("step") == 2).join(s1, keys)
           .filter(F.col("ep") > F.col("t1"))
-          .groupBy("user_id").agg(F.min("ep").alias("t2")))
+          .groupBy(*keys).agg(F.min("ep").alias("t2")))
     return (s0.agg(F.count("*").alias("n_step0"))
             .crossJoin(F.broadcast(
                 s1.agg(F.count("*").alias("n_step1"))))
@@ -3109,15 +3112,18 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": (
             "WITH e AS (SELECT user_id, "
             "cast(floor(epoch(ts)) as bigint) AS ep, "
+            "cast(floor(epoch(ts)) as bigint) // 3600 AS unit_h, "
             "event_id % 3 AS step FROM events), "
-            "s0 AS (SELECT user_id, min(ep) AS t0 FROM e "
-            "WHERE step = 0 GROUP BY user_id), "
-            "s1 AS (SELECT e.user_id, t0, min(ep) AS t1 FROM e "
-            "JOIN s0 USING (user_id) WHERE step = 1 AND ep > t0 "
-            "GROUP BY e.user_id, t0), "
-            "s2 AS (SELECT e.user_id, min(ep) AS t2 FROM e "
-            "JOIN s1 USING (user_id) WHERE step = 2 AND ep > t1 "
-            "GROUP BY e.user_id) "
+            "s0 AS (SELECT user_id, unit_h, min(ep) AS t0 FROM e "
+            "WHERE step = 0 GROUP BY user_id, unit_h), "
+            "s1 AS (SELECT e.user_id, e.unit_h, min(ep) AS t1 FROM e "
+            "JOIN s0 USING (user_id, unit_h) "
+            "WHERE step = 1 AND ep > t0 "
+            "GROUP BY e.user_id, e.unit_h), "
+            "s2 AS (SELECT e.user_id, e.unit_h, min(ep) AS t2 FROM e "
+            "JOIN s1 USING (user_id, unit_h) "
+            "WHERE step = 2 AND ep > t1 "
+            "GROUP BY e.user_id, e.unit_h) "
             "SELECT (SELECT count(*) FROM s0) AS n_step0, "
             "(SELECT count(*) FROM s1) AS n_step1, "
             "(SELECT count(*) FROM s2) AS n_step2"
