@@ -1046,8 +1046,8 @@ def q_funnel_steps(spark, sf_dir) -> DataFrame:
     ev0 = load(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("ep"),
         (F.col("event_id") % 3).alias("step"))
-    ev = ev0.withColumn("unit_h", F.expr("ep div 3600"))
-    keys = ["user_id", "unit_h"]
+    ev = ev0.withColumn("unit_d", F.expr("ep div 86400"))
+    keys = ["user_id", "unit_d"]
     s0 = (ev.filter(F.col("step") == 0).groupBy(*keys)
           .agg(F.min("ep").alias("t0")))
     s1 = (ev.filter(F.col("step") == 1).join(s0, keys)
@@ -3112,18 +3112,18 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": (
             "WITH e AS (SELECT user_id, "
             "cast(floor(epoch(ts)) as bigint) AS ep, "
-            "cast(floor(epoch(ts)) as bigint) // 3600 AS unit_h, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS unit_d, "
             "event_id % 3 AS step FROM events), "
-            "s0 AS (SELECT user_id, unit_h, min(ep) AS t0 FROM e "
-            "WHERE step = 0 GROUP BY user_id, unit_h), "
-            "s1 AS (SELECT e.user_id, e.unit_h, min(ep) AS t1 FROM e "
-            "JOIN s0 USING (user_id, unit_h) "
+            "s0 AS (SELECT user_id, unit_d, min(ep) AS t0 FROM e "
+            "WHERE step = 0 GROUP BY user_id, unit_d), "
+            "s1 AS (SELECT e.user_id, e.unit_d, min(ep) AS t1 FROM e "
+            "JOIN s0 USING (user_id, unit_d) "
             "WHERE step = 1 AND ep > t0 "
-            "GROUP BY e.user_id, e.unit_h), "
-            "s2 AS (SELECT e.user_id, e.unit_h, min(ep) AS t2 FROM e "
-            "JOIN s1 USING (user_id, unit_h) "
+            "GROUP BY e.user_id, e.unit_d), "
+            "s2 AS (SELECT e.user_id, e.unit_d, min(ep) AS t2 FROM e "
+            "JOIN s1 USING (user_id, unit_d) "
             "WHERE step = 2 AND ep > t1 "
-            "GROUP BY e.user_id, e.unit_h) "
+            "GROUP BY e.user_id, e.unit_d) "
             "SELECT (SELECT count(*) FROM s0) AS n_step0, "
             "(SELECT count(*) FROM s1) AS n_step1, "
             "(SELECT count(*) FROM s2) AS n_step2"
