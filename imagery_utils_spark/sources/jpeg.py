@@ -15,8 +15,11 @@ can decode inside ``mapInPandas`` tasks. Supported:
   from the stream, component sampling factors up to 2x2 (covers 4:4:4,
   4:2:2, 4:2:0), restart markers (DRI/RSTn); 12-bit extended
   sequential (SOF1, grayscale, 16-bit DQT, extended-range DHT) decodes
-  too; hierarchical and arithmetic coding raise ``NotImplementedError``
-  (declared, not silently wrong).
+  too; differential progressive/lossless frames and arithmetic coding
+  raise ``NotImplementedError`` (declared, not silently wrong).
+* hierarchical (Annex J): ``encode_jpeg_hierarchical`` + decode — DHP,
+  half-resolution SOF0 base frame, EXP(1,1) midpoint expansion,
+  full-resolution differential SOF5 frame (no level shift), grayscale.
 * ``encode_jpeg_ext12``: 12-bit grayscale extended-sequential writer
   (level shift 2048, Pq=1 quantization, DC categories to 15 / AC sizes
   to 14 via in-stream extended Huffman tables).
@@ -603,6 +606,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     frame = None
     store = None          # progressive: per-comp zigzag coefficient arrays
+    hier = None           # hierarchical (Annex J): {'ref': plane, 'exp': nib}
     restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -640,7 +644,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 (dc_tabs if klass == 0 else ac_tabs)[ident] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1, SOF2, SOF3
+        elif marker == 0xDE:                   # DHP — hierarchical
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if nc != 1 or prec != 8:
+                raise NotImplementedError(
+                    "hierarchical: 8-bit grayscale only")
+            hier = {"ref": None, "exp": None}
+        elif marker == 0xDF:                   # EXP — expand reference
+            if hier is None:
+                raise ValueError("EXP outside hierarchical stream")
+            hier["exp"] = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5):
+            if marker == 0xC5 and hier is None:
+                raise NotImplementedError(
+                    "differential frame outside a hierarchical stream")
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if marker in (0xC0, 0xC2) and prec != 8:
                 raise NotImplementedError("only 8-bit baseline/progressive")
@@ -654,11 +671,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps, "prec": prec,
                      "prog": marker == 0xC2,
-                     "lossless": marker == 0xC3}
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     "lossless": marker == 0xC3,
+                     "diff": marker == 0xC5}
+        elif marker in (0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("hierarchical/arithmetic JPEG "
-                                      "not supported")
+            raise NotImplementedError(
+                "differential progressive/lossless and arithmetic "
+                "JPEG not supported")
         elif marker == 0xDD:                   # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                   # SOS
@@ -679,6 +698,28 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("invalid lossless predictor in SOS")
                 return _decode_lossless_scan(
                     frame, sel, dc_tabs, blob[pos + seglen:])
+            if hier is not None and not frame.get("prog") \
+                    and not frame.get("lossless"):
+                start = pos + seglen
+                end = _find_scan_end(blob, start)
+                if frame.get("diff"):
+                    if hier["ref"] is None:
+                        raise ValueError("differential frame before ref")
+                    diff = _decode_scan(frame, sel, qts, dc_tabs, ac_tabs,
+                                        blob[start:end], restart_interval,
+                                        differential=True)
+                    ref = hier["ref"]
+                    if hier.get("exp"):
+                        ref = _expand_ref(ref, *hier["exp"])
+                        hier["exp"] = None
+                    ref = ref[:frame["h"], :frame["w"]]
+                    hier["ref"] = np.clip(ref + diff, 0, 255)
+                else:
+                    img = _decode_scan(frame, sel, qts, dc_tabs, ac_tabs,
+                                       blob[start:end], restart_interval)
+                    hier["ref"] = img.astype(np.int64)
+                pos = end
+                continue
             if not frame.get("prog"):
                 data = blob[pos + seglen:]
                 return _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data,
@@ -700,6 +741,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             pos = end
             continue
         pos += seglen
+    if hier is not None and hier.get("ref") is not None:
+        return hier["ref"].astype(np.uint8)
     if store is not None:
         return _reconstruct_progressive(frame, store, qts)
     raise ValueError("no scan found")
@@ -864,7 +907,8 @@ def _reconstruct_progressive(frame, store, qts) -> np.ndarray:
                             frame["h"], frame["w"])
 
 
-def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
+def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval,
+                 differential: bool = False):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -906,11 +950,16 @@ def _decode_scan(frame, sel, qts, dc_tabs, ac_tabs, data, restart_interval):
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
                         coef = (zz[UNZIGZAG].reshape(8, 8) * qt).astype(np.float64)
-                        block = (_DCT.T @ coef @ _DCT
-                                 + float(1 << (frame.get("prec", 8) - 1)))
+                        shift = (0.0 if differential
+                                 else float(1 << (frame.get("prec", 8) - 1)))
+                        block = _DCT.T @ coef @ _DCT + shift
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    if differential:
+        if len(planes) != 1:
+            raise NotImplementedError("differential: grayscale only")
+        return np.round(planes[0][:h, :w]).astype(np.int64)
     return _planes_to_image(planes, comps, hmax, vmax, h, w,
                             frame.get("prec", 8))
 
@@ -1130,3 +1179,105 @@ def encode_jpeg_ext12(arr: np.ndarray, quality: int = 85) -> bytes:
                     + bytes(_AC12_VALUES))
     head += _marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return bytes(head) + entropy + b"\xff\xd9"
+
+
+# ------------------------------------ hierarchical (Annex J, DHP/EXP)
+
+def _expand_ref(ref: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """Annex J.1.1.2 reference expansion: doubling with midpoint
+    interpolation (x[2i] = in[i], x[2i+1] = (in[i] + in[i+1] + 1) >> 1,
+    last odd sample replicated). Integer-exact."""
+    out = ref.astype(np.int64)
+    if eh:
+        h, w = out.shape
+        e = np.empty((h, 2 * w), dtype=np.int64)
+        e[:, 0::2] = out
+        e[:, 1:-1:2] = (out[:, :-1] + out[:, 1:] + 1) >> 1
+        e[:, -1] = out[:, -1]
+        out = e
+    if ev:
+        h, w = out.shape
+        e = np.empty((2 * h, w), dtype=np.int64)
+        e[0::2, :] = out
+        e[1:-1:2, :] = (out[:-1, :] + out[1:, :] + 1) >> 1
+        e[-1, :] = out[-1, :]
+        out = e
+    return out
+
+
+def _seq_frame_bits(plane: np.ndarray, qt: np.ndarray, out: _BitWriter,
+                    level_shift: float) -> np.ndarray:
+    """Encode one grayscale sequential scan; returns the reconstruction
+    (the decoder's exact float path) for differential prediction."""
+    h, w = plane.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane.astype(np.float64)
+    padded[h:, :w] = padded[h - 1:h, :w]
+    padded[:, w:] = padded[:, w - 1:w]
+    padded -= level_shift
+    dc_codes = _build_codes(*HT_DC_LUMA)
+    ac_codes = _build_codes(*HT_AC_LUMA)
+    recon = np.empty_like(padded)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            pred = _encode_block(block, qt, dc_codes, ac_codes, pred, out)
+            q = np.round((_DCT @ block @ _DCT.T) / qt)
+            recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                _DCT.T @ (q * qt) @ _DCT)
+    return recon[:h, :w] + level_shift
+
+
+def encode_jpeg_hierarchical(arr: np.ndarray, quality: int = 85) -> bytes:
+    """Two-level hierarchical JPEG (T.81 Annex J): DHP, a half-resolution
+    SOF0 base frame, EXP(1,1), and a full-resolution DIFFERENTIAL SOF5
+    frame coding (image - expanded base reconstruction) with no level
+    shift. Grayscale 8-bit; the differential quant table is floored at 2
+    so coefficient categories stay inside the Annex K table ranges.
+    """
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise NotImplementedError("hierarchical: 8-bit grayscale only")
+    h, w = arr.shape
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    # encoder-side downsample (filter choice is the encoder's, spec J.1):
+    # 2x2 mean over an edge-replicated even grid
+    pad = np.empty((h2 * 2, w2 * 2), dtype=np.int64)
+    pad[:h, :w] = arr
+    pad[h:, :w] = pad[h - 1:h, :w]
+    pad[:, w:] = pad[:, w - 1:w]
+    half = ((pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2]
+             + pad[1::2, 1::2] + 2) // 4).astype(np.uint8)
+    qt1 = _quality_scale(QT_LUMA, quality)
+    qt2 = np.clip(qt1, 2, 255)
+    head = bytearray(b"\xff\xd8")
+    head += _marker(0xFFDE, bytes([8]) + struct.pack(">HHB", h, w, 1)
+                    + bytes([1, 0x11, 0]))
+    head += _marker(0xFFDB, bytes([0x00]) + bytes(
+        int(v) for v in qt1.flatten()[ZIGZAG]))
+    head += _marker(0xFFDB, bytes([0x01]) + bytes(
+        int(v) for v in qt2.flatten()[ZIGZAG]))
+    head += _marker(0xFFC4, bytes([0x00]) + bytes(HT_DC_LUMA[0])
+                    + bytes(HT_DC_LUMA[1]))
+    head += _marker(0xFFC4, bytes([0x10]) + bytes(HT_AC_LUMA[0])
+                    + bytes(HT_AC_LUMA[1]))
+    # base frame (half resolution, ordinary baseline)
+    head += _marker(0xFFC0, bytes([8]) + struct.pack(">HHB", h2, w2, 1)
+                    + bytes([1, 0x11, 0]))
+    head += _marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out = _BitWriter()
+    recon_half = _seq_frame_bits(half, qt1, out, 128.0)
+    stream = bytearray(out.flush())
+    # expanded prediction exactly as the decoder computes it
+    ref = np.clip(np.round(recon_half), 0, 255).astype(np.int64)
+    pred_full = _expand_ref(ref, 1, 1)[:h, :w]
+    diff = arr.astype(np.int64) - pred_full
+    body = bytes(head) + bytes(stream)
+    body += _marker(0xFFDF, bytes([0x11]))          # EXP Eh=1, Ev=1
+    body += _marker(0xFFC5, bytes([8]) + struct.pack(">HHB", h, w, 1)
+                    + bytes([1, 0x11, 1]))
+    body += _marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out2 = _BitWriter()
+    _seq_frame_bits(diff, qt2, out2, 0.0)
+    return body + out2.flush() + b"\xff\xd9"
