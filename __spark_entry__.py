@@ -1015,6 +1015,48 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_delta_agg(spark, sf_dir) -> DataFrame:
+    """Incremental view maintenance: per-source token totals are
+    MAINTAINED from the previous snapshot's aggregate plus deltas for
+    exactly the keys snapshot_diff emits (added: +new, removed: -old,
+    changed: -old +new) — the downstream half of checkpoint-resumable
+    processing, where the 10^12-row fact is never rescanned, only the
+    diff keys are. The oracle recomputes the aggregate from the new
+    snapshot directly: equality proves the delta algebra. All counts
+    integer, order-independent."""
+    from imagery_utils_spark.functions.text import token_count_col
+    from imagery_utils_spark.operators.lineage import snapshot_diff
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    old_core = (docs.filter(d % 17 != 3)
+                .select("doc_id", "source",
+                        F.when(d % 11 == 5, F.upper("text"))
+                        .otherwise(F.col("text")).alias("text")))
+    old_extra = (docs.filter(d % 23 == 7)
+                 .select((d + 1000000).alias("doc_id"), "source",
+                         F.concat(F.lit("gone here"),
+                                  d.cast("string")).alias("text")))
+    old = old_core.unionByName(old_extra)
+    tokens = token_count_col(F.col("text"))
+    old_agg = old.groupBy("source").agg(
+        F.sum(tokens).alias("total"))
+    diff = snapshot_diff(old, docs, "doc_id", ["text"]).select("key",
+                                                               "status")
+    minus = (diff.filter(F.col("status").isin("removed", "changed"))
+             .join(old, diff["key"] == old["doc_id"])
+             .select("source", (-tokens).alias("delta")))
+    plus = (diff.filter(F.col("status").isin("added", "changed"))
+            .join(docs, diff["key"] == docs["doc_id"])
+            .select("source", tokens.alias("delta")))
+    maintained = (old_agg.select("source", F.col("total").alias("delta"))
+                  .unionByName(minus).unionByName(plus)
+                  .groupBy("source")
+                  .agg(F.sum("delta").cast("long").alias("total")))
+    return maintained.orderBy("source")
+
+
 def q_cohort_retention(spark, sf_dir) -> DataFrame:
     """Cohort retention — the canonical behavioral OLAP rollup: users
     cohorted by FIRST-event week, counted per (cohort_week, week
@@ -2574,6 +2616,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "cms_counts": q_cms_counts,
         "cohort_retention": q_cohort_retention,
+        "delta_agg": q_delta_agg,
         "funnel_steps": q_funnel_steps,
         "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
@@ -3095,6 +3138,14 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Delta agg: the oracle is the DIRECT recompute over the new
+        # snapshot — equality proves the incremental delta algebra.
+        "delta_agg": (
+            r"SELECT source, cast(sum(len(list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> ''))) "
+            "as bigint) AS total "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
         # Cohort: integer week math + distinct rollup replayed.
         "cohort_retention": (
             "WITH e AS (SELECT user_id, "
