@@ -1015,6 +1015,35 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_trending_terms(spark, sf_dir) -> DataFrame:
+    """Trending terms across crawl snapshots: token counts per crawl
+    (doc_id parity = two crawl generations), joined full-outer on the
+    word, growth = n1 - n0 and smoothed rate (n1+1)/(n0+1) as one
+    int/int double division; top-20 by (growth desc, word). Two
+    map-side-combinable count aggs + one vocab-sized join —
+    TakeOrdered, no full sort."""
+    from imagery_utils_spark.functions.text import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        (F.col("doc_id") % 2).alias("crawl"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
+
+    def cnt(c):
+        return (words.filter(F.col("crawl") == c).groupBy("word")
+                .agg(F.count("*").alias(f"n{c}")))
+
+    j = cnt(0).join(cnt(1), "word", "full_outer")
+    n0 = F.coalesce("n0", F.lit(0))
+    n1 = F.coalesce("n1", F.lit(0))
+    return (j.select(
+        "word", n0.alias("n0"), n1.alias("n1"),
+        (n1 - n0).alias("growth"),
+        ((n1 + F.lit(1)).cast("double") / (n0 + F.lit(1)))
+        .alias("rate"))
+        .orderBy(F.desc("growth"), "word").limit(20))
+
+
 def q_delta_agg(spark, sf_dir) -> DataFrame:
     """Incremental view maintenance: per-source token totals are
     MAINTAINED from the previous snapshot's aggregate plus deltas for
@@ -2617,6 +2646,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "cohort_retention": q_cohort_retention,
         "delta_agg": q_delta_agg,
+        "trending_terms": q_trending_terms,
         "funnel_steps": q_funnel_steps,
         "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
@@ -3138,6 +3168,22 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # Trending: per-crawl counts + growth replayed.
+        "trending_terms": (
+            r"WITH w AS (SELECT doc_id % 2 AS crawl, unnest(list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '')) "
+            "AS word FROM documents), "
+            "c0 AS (SELECT word, count(*) AS n0 FROM w WHERE crawl = 0 "
+            "GROUP BY word), "
+            "c1 AS (SELECT word, count(*) AS n1 FROM w WHERE crawl = 1 "
+            "GROUP BY word), "
+            "j AS (SELECT coalesce(c0.word, c1.word) AS word, "
+            "coalesce(n0, 0) AS n0, coalesce(n1, 0) AS n1 "
+            "FROM c0 FULL OUTER JOIN c1 ON c0.word = c1.word) "
+            "SELECT word, n0, n1, n1 - n0 AS growth, "
+            "cast(n1 + 1 as double) / (n0 + 1) AS rate "
+            "FROM j ORDER BY growth DESC, word LIMIT 20"
+        ),
         # Delta agg: the oracle is the DIRECT recompute over the new
         # snapshot — equality proves the incremental delta algebra.
         "delta_agg": (
