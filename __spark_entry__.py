@@ -1015,6 +1015,32 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_ip_geo(spark, sf_dir) -> DataFrame:
+    """IP-geolocation enrichment — the canonical range join
+    (operators/rangejoin.range_lookup): event IPs probed against 64
+    disjoint jittered ranges with the PREFIX-BUCKETED strategy (both
+    sides tagged with ip >> 26, hash equi-join on the bucket + band
+    predicate — the cell-cover trick, no nested loop over the fact);
+    gap IPs stay NULL via the left join. Oracle is the plain BETWEEN
+    join."""
+    from imagery_utils_spark.operators.rangejoin import range_lookup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") * 2654435761 + F.col("event_id") * 97)
+         % 4294967296).alias("ip"))
+    i = F.col("i")
+    ranges = (load(spark, sf_dir, "documents")
+              .select((F.col("doc_id") % 64).alias("i")).distinct()
+              .select(
+                  (i * 67108864 + (i * 977) % 1048576).alias("lo"),
+                  ((i + 1) * 67108864 - 1).alias("hi"),
+                  F.concat(F.lit("c"), (i % 10).cast("string"))
+                  .alias("country")))
+    out = range_lookup(ev, ranges, "ip", bucket_bits=26)
+    return out.select("event_id", "ip", "country").orderBy("event_id")
+
+
 def q_trending_terms(spark, sf_dir) -> DataFrame:
     """Trending terms across crawl snapshots: token counts per crawl
     (doc_id parity = two crawl generations), joined full-outer on the
@@ -2647,6 +2673,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "delta_agg": q_delta_agg,
         "trending_terms": q_trending_terms,
+        "ip_geo": q_ip_geo,
         "funnel_steps": q_funnel_steps,
         "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
@@ -3168,6 +3195,17 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # IP geo: plain BETWEEN join is the oracle.
+        "ip_geo": (
+            "WITH p AS (SELECT event_id, "
+            "(user_id * 2654435761 + event_id * 97) % 4294967296 AS ip "
+            "FROM events), "
+            "r AS (SELECT i * 67108864 + (i * 977) % 1048576 AS lo, "
+            "(i + 1) * 67108864 - 1 AS hi, 'c' || (i % 10) AS country "
+            "FROM (SELECT DISTINCT doc_id % 64 AS i FROM documents)) "
+            "SELECT event_id, ip, country FROM p "
+            "LEFT JOIN r ON ip >= lo AND ip <= hi ORDER BY event_id"
+        ),
         # Trending: per-crawl counts + growth replayed.
         "trending_terms": (
             r"WITH w AS (SELECT doc_id % 2 AS crawl, unnest(list_filter("

@@ -40,3 +40,22 @@ def test_case_insensitive_blocking(spark):
     rows = blocked_fuzzy_join(dirty, clean, "name", "cname",
                               max_dist=4, block_n=4).collect()
     assert len(rows) == 1 and rows[0].dist == 4  # blocks match on lower
+
+
+def test_range_lookup_bucketed_equals_broadcast(spark):
+    from imagery_utils_spark.operators.rangejoin import range_lookup
+    probes = spark.createDataFrame(
+        [(i, i * 1000 + 7) for i in range(50)], "id long, v long")
+    # disjoint ranges with gaps; one range spans a bucket boundary
+    ranges = spark.createDataFrame(
+        [(0, 1500, "a"), (2000, 9000, "b"), (15000, 17000, "c"),
+         (30000, 49999, "d")],
+        "lo long, hi long, tag string")
+    a = sorted(tuple(r) for r in range_lookup(
+        probes, ranges, "v").select("id", "tag").collect())
+    b = sorted(tuple(r) for r in range_lookup(
+        probes, ranges, "v", bucket_bits=12).select("id", "tag").collect())
+    assert a == b
+    tags = dict(a)
+    assert tags[0] == "a" and tags[2] == "b" and tags[20] is None
+    assert tags[35] == "d"  # range spanning several 4096-buckets
