@@ -1015,6 +1015,42 @@ def q_lm_bits(spark, sf_dir) -> DataFrame:
     return lm_bits_score(docs, ref, threshold=4.5).orderBy("doc_id")
 
 
+def q_rollup_counts(spark, sf_dir) -> DataFrame:
+    """OLAP ROLLUP over (lang, source): doc counts + exact-decimal char
+    sums at every grouping level incl. the grand total — Spark
+    .rollup == SQL GROUP BY ROLLUP, partial-agg friendly."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("lang", "source"))
+
+
+def q_pivot_counts(spark, sf_dir) -> DataFrame:
+    """Pivot: per-source doc counts with one column per language
+    (fixed column set, so the plan is a single conditional aggregation
+    — no second pass to discover values). Oracle = conditional sums."""
+    docs = load(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (docs.groupBy("source").pivot("lang", langs).count()
+            .na.fill(0, langs)
+            .orderBy("source"))
+
+
+def q_moving_window(spark, sf_dir) -> DataFrame:
+    """Moving time-range window over the event stream: per event, the
+    count of same-user events in the trailing 24 h (RANGE frame on
+    integer epoch seconds — exact on both engines, no calendar
+    types in the frame spec). One user-key shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ep"))
+    w = (Window.partitionBy("user_id").orderBy("ep")
+         .rangeBetween(-86400, 0))
+    return (ev.select("event_id", "user_id",
+                      F.count("*").over(w).alias("n_24h"))
+            .orderBy("event_id"))
+
+
 def q_ip_geo(spark, sf_dir) -> DataFrame:
     """IP-geolocation enrichment — the canonical range join
     (operators/rangejoin.range_lookup): event IPs probed against 64
@@ -2674,6 +2710,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_agg": q_delta_agg,
         "trending_terms": q_trending_terms,
         "ip_geo": q_ip_geo,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
+        "moving_window": q_moving_window,
         "funnel_steps": q_funnel_steps,
         "crawl_schedule": q_crawl_schedule,
         "stream_join": q_stream_join,
@@ -3195,6 +3234,27 @@ def oracle_sql() -> dict[str, str]:
         # BM25: SQL twin generated from the same constants/expression
         # tree (operators/search.bm25_sql).
         "bm25_topk": _bm25_oracle_sql(),
+        # ROLLUP / pivot / moving window: classic OLAP SQL surfaces.
+        "rollup_counts": (
+            "SELECT lang, source, count(*) AS n_docs, "
+            "cast(sum(n_chars) as bigint) AS chars FROM documents "
+            "GROUP BY ROLLUP (lang, source) ORDER BY lang, source"
+        ),
+        "pivot_counts": (
+            "SELECT source, "
+            + ", ".join(
+                f"cast(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) "
+                f"as bigint) AS {lg}"
+                for lg in ["de", "en", "es", "fr", "zh"])
+            + " FROM documents GROUP BY source ORDER BY source"
+        ),
+        "moving_window": (
+            "SELECT event_id, user_id, count(*) OVER ("
+            "PARTITION BY user_id "
+            "ORDER BY cast(floor(epoch(ts)) as bigint) "
+            "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_24h "
+            "FROM events ORDER BY event_id"
+        ),
         # IP geo: plain BETWEEN join is the oracle.
         "ip_geo": (
             "WITH p AS (SELECT event_id, "
