@@ -228,3 +228,21 @@ def test_lm_bits_vocab_is_broadcast_singleton(spark, sf_dir):
     plan = plan_of(lm_bits_score(docs))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_lookup_bucketed_is_hash_join(spark):
+    # bucket_bits turns the band join into a hash equi-join on the
+    # bucket — the nested loop must disappear from the plan
+    from imagery_utils_spark.operators.rangejoin import range_lookup
+    probes = spark.range(0, 1000).select(
+        F.col("id").alias("pid"), (F.col("id") * 37 % 4096).alias("v"))
+    ranges = spark.createDataFrame(
+        [(i * 256, i * 256 + 255, f"t{i}") for i in range(16)],
+        "lo long, hi long, tag string")
+    plan_b = plan_of(range_lookup(probes, ranges, "v", bucket_bits=8))
+    assert "BroadcastNestedLoopJoin" not in plan_b
+    # an EQUI-join on the bucket (hash or sort-merge per stats), never
+    # a nested loop over the fact side
+    assert "HashJoin" in plan_b or "SortMergeJoin" in plan_b
+    plan_n = plan_of(range_lookup(probes, ranges, "v"))
+    assert "BroadcastNestedLoopJoin" in plan_n
