@@ -1578,6 +1578,45 @@ def q_sessionize(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_session_window(spark, sf_dir) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (vs the engine's
+    custom sessionize, which is window-rank based): per user, merged
+    30-minute-gap sessions with exact integer bounds and counts. The
+    oracle is the classic gaps-and-islands rewrite — parity proves the
+    built-in's merge semantics equal the self-join formulation. All
+    outputs integer epoch seconds."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"))
+    s = (ev.groupBy("user_id",
+                    F.session_window("ts", "30 minutes").alias("w"))
+         .agg(F.count("*").alias("n_events")))
+    return (s.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("s_start"),
+        (F.unix_timestamp("w.end") - 1800).alias("s_last"),
+        "n_events")
+        .orderBy("user_id", "s_start"))
+
+
+def q_jsonl_roundtrip(spark, sf_dir) -> DataFrame:
+    """JSONL source/sink roundtrip: documents serialized to JSON lines
+    executor-side (to_json over a struct), parsed back with an explicit
+    schema (from_json — the crawl-sidecar ingestion path; no schema
+    inference job), and value-checked by sha256 of the recovered text.
+    Oracle hashes the source column directly — any serialization
+    asymmetry (escaping, field order, null handling) breaks parity."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    line = F.to_json(F.struct("doc_id", "text", "lang"))
+    schema = "doc_id long, text string, lang string"
+    back = docs.select(line.alias("j")).select(
+        F.from_json("j", schema).alias("r")).select("r.*")
+    return back.select(
+        "doc_id", "lang", F.sha2("text", 256).alias("text_sha")
+    ).orderBy("doc_id")
+
+
 def q_stream_dedup(spark, sf_dir) -> DataFrame:
     """Streaming exact dedup on ingest (dropDuplicatesWithinWatermark):
     micro-batch 1 is the events table, micro-batch 2 REPLAYS every row (an
@@ -2748,6 +2787,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_champion": q_stream_champion,
         "stream_dedup": q_stream_dedup,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "epsg_pick": q_epsg_pick,
         "strip_tile_candidates": q_strip_tile_candidates,
         "cutline_strips": q_cutline_strips,
@@ -3254,6 +3295,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cast(floor(epoch(ts)) as bigint) "
             "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_24h "
             "FROM events ORDER BY event_id"
+        ),
+        # Native session_window == gaps-and-islands rewrite.
+        "session_window": (
+            "WITH e AS (SELECT user_id, "
+            "cast(floor(epoch(ts)) as bigint) AS ep FROM events), "
+            "x AS (SELECT user_id, ep, CASE WHEN "
+            "lag(ep) OVER (PARTITION BY user_id ORDER BY ep) IS NULL "
+            "OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep) "
+            ">= 1800 THEN 1 ELSE 0 END AS brk FROM e), "
+            "g AS (SELECT user_id, ep, sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ep "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+            "SELECT user_id, min(ep) AS s_start, max(ep) AS s_last, "
+            "count(*) AS n_events FROM g GROUP BY user_id, sid "
+            "ORDER BY user_id, s_start"
+        ),
+        # JSONL roundtrip: oracle hashes the source text directly.
+        "jsonl_roundtrip": (
+            "SELECT doc_id, lang, sha256(text) AS text_sha "
+            "FROM documents ORDER BY doc_id"
         ),
         # IP geo: plain BETWEEN join is the oracle.
         "ip_geo": (
