@@ -1578,6 +1578,33 @@ def q_sessionize(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark, sf_dir) -> DataFrame:
+    """Schema-evolution read: generation 1 parquet lacks the lang
+    column (even doc_ids), generation 2 carries it (odd doc_ids); a
+    single mergeSchema read unifies them with NULL back-fill — the
+    Iceberg add-column pattern on the parquet stand-in (docs/
+    ICEBERG_MAPPING.md). Rollup over coalesced lang; oracle
+    reconstructs the generation split from the base table."""
+    import shutil
+
+    base = _lineage_base(sf_dir, "schevo")
+    shutil.rmtree(base, ignore_errors=True)
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(d % 2 == 0).select("doc_id", "text").write.parquet(
+        os.path.join(base, "v1"))
+    docs.filter(d % 2 == 1).select("doc_id", "text", "lang") \
+        .write.parquet(os.path.join(base, "v2"))
+    un = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2"))
+    return (un.groupBy(F.coalesce("lang", F.lit("missing"))
+                       .alias("lang"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("lang"))
+
+
 def q_session_window(spark, sf_dir) -> DataFrame:
     """Spark's NATIVE session_window aggregation (vs the engine's
     custom sessionize, which is window-rank based): per user, merged
@@ -2788,6 +2815,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "sessionize": q_sessionize,
         "session_window": q_session_window,
+        "schema_evolution": q_schema_evolution,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "epsg_pick": q_epsg_pick,
         "strip_tile_candidates": q_strip_tile_candidates,
@@ -3295,6 +3323,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cast(floor(epoch(ts)) as bigint) "
             "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_24h "
             "FROM events ORDER BY event_id"
+        ),
+        # Schema evolution: generation split reconstructed directly.
+        "schema_evolution": (
+            "SELECT CASE WHEN doc_id % 2 = 1 THEN lang "
+            "ELSE 'missing' END AS lang, count(*) AS n_docs, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents GROUP BY 1 ORDER BY lang"
         ),
         # Native session_window == gaps-and-islands rewrite.
         "session_window": (
