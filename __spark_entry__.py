@@ -32,6 +32,7 @@ from imagery_utils_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
 from imagery_utils_spark.operators import compose as CPO
 from imagery_utils_spark.operators import spatial_join as SJ
 from imagery_utils_spark.operators.asof import asof_backward
+from imagery_utils_spark.operators.sketch import HLL_EST_NUM
 from imagery_utils_spark.operators.tile_grid import tile_assign_cols
 from imagery_utils_spark.plans import mosaic_query as MQ
 from imagery_utils_spark.sources import pages as P
@@ -915,6 +916,68 @@ def q_kmv_distinct(spark, sf_dir) -> DataFrame:
                     F.col("sketch"), lambda x: x.cast("string"))), 256)
                 .alias("sketch_sha"))
             .orderBy("source"))
+
+
+def q_hll_distinct(spark, sf_dir) -> DataFrame:
+    """HyperLogLog distinct sketch (operators/sketch.py, Flajolet et
+    al. 2007): per-source distinct-token cardinality via 64 max-rho
+    registers. The contrast with kmv_distinct is the scale story: the
+    register update is an idempotent max, so the build needs NO
+    pre-distinct shuffle — duplicates collapse map-side and the
+    shuffle carries at most sources x 64 rows whatever the input
+    size. rho is the exact integer bit-length (length(bin(w)) <->
+    printf('%b')); the estimate is one int->double division with a
+    repr-roundtripped alpha*m^2*2^K numerator, so registers, s_sum
+    and est_raw are bit-identical at any partitioning and in SQL."""
+    from imagery_utils_spark.functions.text import tokens_col
+    from imagery_utils_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = (docs.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("t")))
+    regs = hll_registers(toks, ["source"], F.col("t"))
+    est = hll_estimate(regs, ["source"])
+    exact = (toks.distinct()
+             .groupBy("source").agg(F.count("*").alias("n_exact")))
+    return (est.join(exact, "source")
+            .select("source", "n_exact", "n_regs", "s_sum", "est_raw",
+                    "reg_sha")
+            .orderBy("source"))
+
+
+def q_bloom_join(spark, sf_dir) -> DataFrame:
+    """Bloom-filter pre-join (operators/bloom.py — the runtime-filter /
+    Iceberg-bloom-index pattern as an explicit operator): customers of
+    one nation build a 4096-bit deterministic bloom (broadcast-sized
+    word table); the orders fact probes it with ZERO shuffle, and only
+    the candidate sliver reaches the exact semi-join. Output pins the
+    funnel — fact rows, bloom candidates, true matches, and the false
+    positives the exact join removed — plus a sha over the matched
+    order keys (numeric order; test-scale pinning only). The oracle
+    replays the identical sha/shift/bit_or algebra in SQL; a non-zero
+    n_fp proves the bloom itself (not just the final join) matches."""
+    from imagery_utils_spark.operators.bloom import bloom_build, bloom_probe
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_nationkey") == 7).select("c_custkey")
+    bloom = bloom_build(dim, F.col("c_custkey"), k=2, m_bits=4096)
+    fact = orders.select("o_orderkey", "o_custkey")
+    cand = bloom_probe(fact, F.col("o_custkey"), bloom, k=2, m_bits=4096)
+    matched = cand.join(
+        F.broadcast(dim), cand.o_custkey == dim.c_custkey, "left_semi")
+    n_fact = fact.agg(F.count("*").alias("n_fact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    m_agg = matched.agg(
+        F.count("*").alias("n_matched"),
+        F.sha2(F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list("o_orderkey")),
+            lambda x: x.cast("string"))), 256).alias("matched_sha"))
+    return (n_fact.crossJoin(n_cand).crossJoin(m_agg)
+            .select("n_fact", "n_candidates", "n_matched",
+                    (F.col("n_candidates") - F.col("n_matched"))
+                    .alias("n_fp"), "matched_sha"))
 
 
 def q_snapshot_diff(spark, sf_dir) -> DataFrame:
@@ -2785,6 +2848,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "snapshot_diff": q_snapshot_diff,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
+        "bloom_join": q_bloom_join,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -3556,6 +3621,74 @@ def oracle_sql() -> dict[str, str]:
             "sha256(array_to_string(list_transform(sk, "
             "x -> cast(x as varchar)), ',')) AS sketch_sha "
             "FROM s JOIN ex USING (source) ORDER BY source"
+        ),
+        # HyperLogLog: register algebra (top-6-bit bucket, bit-length
+        # rho, max) + integer-rescaled estimate replayed exactly; the
+        # alpha*m^2*2^K numerator literal is repr()-roundtripped from
+        # the same Python float the Spark side uses.
+        "hll_distinct": (
+            r"WITH toks AS (SELECT source, unnest(list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '')) "
+            "AS t FROM documents), "
+            "h AS (SELECT source, "
+            "cast('0x' || substr(sha256(t), 1, 15) as bigint) AS hv "
+            "FROM toks), "
+            "r AS (SELECT source, hv >> 54 AS j, "
+            "CASE WHEN (hv & 18014398509481983) = 0 THEN 55 "
+            "ELSE 55 - length(printf('%b', hv & 18014398509481983)) "
+            "END AS rho FROM h), "
+            "regs AS (SELECT source, j, max(rho) AS m FROM r "
+            "GROUP BY source, j), "
+            "agg AS (SELECT source, count(*) AS n_regs, "
+            "sum(cast(1 as bigint) << (55 - m)) AS sp, "
+            "list(cast(j as varchar) || ':' || cast(m as varchar) "
+            "ORDER BY cast(j as varchar) || ':' || cast(m as varchar)) "
+            "AS rl FROM regs GROUP BY source), "
+            "ex AS (SELECT source, count(*) AS n_exact FROM "
+            "(SELECT DISTINCT source, t FROM toks) GROUP BY source) "
+            "SELECT a.source, ex.n_exact, a.n_regs, "
+            "(a.sp + (64 - a.n_regs) * (cast(1 as bigint) << 55)) "
+            "AS s_sum, "
+            f"{HLL_EST_NUM!r} / (a.sp + (64 - a.n_regs) * "
+            "(cast(1 as bigint) << 55)) AS est_raw, "
+            "sha256(array_to_string(rl, ',')) AS reg_sha "
+            "FROM agg a JOIN ex USING (source) ORDER BY a.source"
+        ),
+        # Bloom pre-join: identical salted-sha positions, 32-bit word
+        # packing, bit_or build and all-bits-set probe replayed in SQL;
+        # the exact semi-join then removes the same false positives.
+        "bloom_join": (
+            "WITH dim AS (SELECT c_custkey FROM customer "
+            "WHERE c_nationkey = 7), "
+            "pos AS (SELECT cast('0x' || substr(sha256(cast(i as varchar)"
+            " || ':' || cast(c_custkey as varchar)), 1, 15) as bigint) "
+            "% 4096 AS p FROM dim, unnest([0, 1]) AS u(i)), "
+            "words AS (SELECT p >> 5 AS w, "
+            "bit_or(cast(1 as bigint) << cast(p % 32 as int)) AS bits "
+            "FROM pos GROUP BY p >> 5), "
+            "fact AS (SELECT o_orderkey, o_custkey, "
+            "cast('0x' || substr(sha256('0:' || "
+            "cast(o_custkey as varchar)), 1, 15) as bigint) % 4096 AS p0, "
+            "cast('0x' || substr(sha256('1:' || "
+            "cast(o_custkey as varchar)), 1, 15) as bigint) % 4096 AS p1 "
+            "FROM orders), "
+            "cand AS (SELECT f.o_orderkey, f.o_custkey FROM fact f "
+            "JOIN words w0 ON f.p0 >> 5 = w0.w "
+            "JOIN words w1 ON f.p1 >> 5 = w1.w "
+            "WHERE (w0.bits & (cast(1 as bigint) << "
+            "cast(f.p0 % 32 as int))) <> 0 "
+            "AND (w1.bits & (cast(1 as bigint) << "
+            "cast(f.p1 % 32 as int))) <> 0), "
+            "m AS (SELECT o_orderkey FROM cand "
+            "WHERE o_custkey IN (SELECT c_custkey FROM dim)) "
+            "SELECT (SELECT count(*) FROM orders) AS n_fact, "
+            "(SELECT count(*) FROM cand) AS n_candidates, "
+            "(SELECT count(*) FROM m) AS n_matched, "
+            "(SELECT count(*) FROM cand) - (SELECT count(*) FROM m) "
+            "AS n_fp, "
+            "(SELECT sha256(array_to_string(list_transform("
+            "list(o_orderkey ORDER BY o_orderkey), "
+            "x -> cast(x as varchar)), ',')) FROM m) AS matched_sha"
         ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (

@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["sha_hash63_col", "kmv_sketch", "kmv_estimate",
-           "cms_hash_col", "cms_build", "cms_query"]
+           "cms_hash_col", "cms_build", "cms_query",
+           "hll_registers", "hll_estimate"]
 
 HASH_SPACE = 1 << 60
 
@@ -118,3 +119,66 @@ def cms_query(cms: DataFrame, queries: DataFrame, value,
     return (probes.join(cms, ["r", "c"], "left")
             .groupBy("q")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
+
+
+# ---------------------------------------------------- HyperLogLog
+
+HLL_P = 6                 # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_SUB_BITS = 60 - HLL_P  # 54-bit sub-word below the register index
+HLL_K = HLL_SUB_BITS + 1   # max rho (all-zero sub-word)
+# alpha_m * m^2 * 2^K as one double literal — replayed verbatim in SQL
+# (repr() round-trips, so both engines parse the identical IEEE double
+# and the estimate is ONE int->double division on each side).
+HLL_EST_NUM = 0.709 * HLL_M * HLL_M * float(1 << HLL_K)
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) per group:
+    ``j = top-6-bits(hash)``, ``rho = leading-zeros-of-54-bit-rest + 1``,
+    register = ``max(rho)``.
+
+    Scale contract — and the contrast with :func:`kmv_sketch`: the
+    register update is a plain ``max``, which is *idempotent* as well
+    as associative/commutative, so the build needs NO pre-distinct
+    (duplicates collapse for free), the shuffle key space is
+    ``groups x 64`` regardless of input size, and map-side combine
+    does almost all the work. The same stream at any partitioning /
+    cluster size yields bit-identical registers. rho uses the exact
+    integer bit-length (``length(bin(w))`` <-> ``length(printf('%b',w))``)
+    — no floating log2 anywhere."""
+    h = sha_hash63_col(value)
+    j = F.shiftright(h, HLL_SUB_BITS)          # 60-bit value: top 6 bits
+    w = h.bitwiseAND(F.lit((1 << HLL_SUB_BITS) - 1))
+    rho = F.when(w == 0, F.lit(HLL_K)).otherwise(
+        F.lit(HLL_K) - F.length(F.bin(w)))
+    return (df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+            .groupBy(*group_cols, "j")
+            .agg(F.max("rho").alias("m")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate from registers, cross-engine exact.
+
+    ``sum(2^-M[j])`` over all m registers is rescaled to the integer
+    ``S = sum(2^(K - M[j]))`` (absent registers contribute ``2^K``;
+    S <= 64 * 2^55 < 2^63), so the only float op is the final
+    ``HLL_EST_NUM / S`` division. Emits n_regs, s_sum, est_raw and a
+    sha over the sorted ``j:M`` pairs that pins the whole register
+    file (any partitioning-dependence would flip it)."""
+    g = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_K} - m)"))
+        .alias("_sp"),
+        F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("j").cast("string"),
+                        F.col("m").cast("string")))).alias("_rl"))
+    s_sum = (F.col("_sp")
+             + (F.lit(HLL_M) - F.col("n_regs")).cast("long")
+             * F.lit(1 << HLL_K).cast("long")).alias("s_sum")
+    return g.select(
+        *group_cols, "n_regs", s_sum,
+        (F.lit(HLL_EST_NUM) / (F.col("_sp")
+         + (F.lit(HLL_M) - F.col("n_regs")).cast("long")
+         * F.lit(1 << HLL_K).cast("long"))).alias("est_raw"),
+        F.sha2(F.concat_ws(",", "_rl"), 256).alias("reg_sha"))
