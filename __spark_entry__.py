@@ -980,6 +980,57 @@ def q_bloom_join(spark, sf_dir) -> DataFrame:
                     .alias("n_fp"), "matched_sha"))
 
 
+def q_skyline_pareto(spark, sf_dir) -> DataFrame:
+    """Distributed 2-D skyline (operators/skyline.py): the pareto
+    frontier of returned lineitems under (min l_extendedprice, max
+    l_quantity), computed by the local-frontier/global-merge identity
+    skyline(P1 ∪ P2) = skyline(skyline(P1) ∪ skyline(P2)) — per-bucket
+    windows, never a full-data single-partition sort. Joined back for
+    point multiplicity. The oracle is algorithmically independent:
+    per-quantity minimum prices (a provable skyline superset) filtered
+    by quadratic NOT-EXISTS dominance."""
+    from imagery_utils_spark.operators.skyline import skyline2d
+
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    sky = skyline2d(li, F.col("l_extendedprice"), F.col("l_quantity"))
+    mult = (li.groupBy(
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("ymax"))
+        .agg(F.count("*").alias("n_rows")))
+    return (sky.join(mult, ["x", "ymax"])
+            .select(F.col("x").alias("l_extendedprice"),
+                    F.col("ymax").alias("l_quantity"), "n_rows")
+            .orderBy("l_extendedprice"))
+
+
+def q_hillshade_stencil(spark, sf_dir) -> DataFrame:
+    """3x3 raster stencil via emit-to-neighbor gather (operators/
+    stencil.py — gdaldem-style slope/aspect, imagery_utils' raster
+    smoothing window): a synthetic 20x25 integer DEM derived from
+    doc_id; each cell emits to its 9 window positions and ONE groupBy
+    gathers the neighborhood (vs eight self-join shuffles). Horn
+    gradient, slope^2 and the 8-way aspect octant stay in exact
+    integer algebra. The oracle takes the opposite plan — the naive
+    eight self-joins — so any emit/gather mis-routing breaks value
+    parity on the interior cells."""
+    from imagery_utils_spark.operators.stencil import (
+        horn_gradient_cols, stencil_gather)
+
+    d = F.col("doc_id")
+    cells = load(spark, sf_dir, "documents").select(
+        (d % 20).alias("x"), F.floor(d / 20).cast("long").alias("y"))
+    x, y = F.col("x"), F.col("y")
+    elev = ((3 * x * x + 2 * y * y + x * y
+             + (7 * x + 13 * y) % 31) % 1021).alias("v")
+    cells = cells.select("x", "y", elev)
+    g = stencil_gather(cells, F.col("x"), F.col("y"), F.col("v"))
+    out = horn_gradient_cols(g)
+    return (out.select("x", "y", F.col("v_c").alias("elev"),
+                       "dzdx", "dzdy", "slope_q", "octant")
+            .orderBy("x", "y"))
+
+
 def q_snapshot_diff(spark, sf_dir) -> DataFrame:
     """Incremental snapshot diff (operators/lineage.snapshot_diff —
     the scan side of checkpoint-resumable processing): the previous
@@ -2850,6 +2901,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
         "bloom_join": q_bloom_join,
+        "skyline_pareto": q_skyline_pareto,
+        "hillshade_stencil": q_hillshade_stencil,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -3689,6 +3742,51 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sha256(array_to_string(list_transform("
             "list(o_orderkey ORDER BY o_orderkey), "
             "x -> cast(x as varchar)), ',')) FROM m) AS matched_sha"
+        ),
+        # Skyline oracle: per-y minimum prices are a provable superset
+        # of the skyline (a same-y cheaper row dominates); quadratic
+        # NOT-EXISTS dominance on that ~|distinct y| set — independent
+        # of the engine's sort/running-max frontier algorithm.
+        "skyline_pareto": (
+            "WITH p AS (SELECT l_extendedprice AS x, l_quantity AS y "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "c AS (SELECT min(x) AS x, y FROM p GROUP BY y), "
+            "sky AS (SELECT x, y FROM c r WHERE NOT EXISTS ("
+            "SELECT 1 FROM c s WHERE s.x <= r.x AND s.y >= r.y "
+            "AND (s.x < r.x OR s.y > r.y))) "
+            "SELECT x AS l_extendedprice, y AS l_quantity, "
+            "count(*) AS n_rows FROM p JOIN sky USING (x, y) "
+            "GROUP BY x, y ORDER BY x"
+        ),
+        # Hillshade stencil oracle: the NAIVE plan — eight self-joins
+        # on the closed-form elevation grid — against the engine's
+        # emit-to-neighbor single-shuffle gather.
+        "hillshade_stencil": (
+            "WITH g AS (SELECT cast(doc_id % 20 as bigint) AS x, "
+            "cast(doc_id // 20 as bigint) AS y FROM documents), "
+            "cells AS (SELECT x, y, (3*x*x + 2*y*y + x*y + "
+            "((7*x + 13*y) % 31)) % 1021 AS v FROM g), "
+            "j AS (SELECT c.x, c.y, c.v AS elev, "
+            "nw.v AS vnw, n.v AS vn, ne.v AS vne, w.v AS vw, "
+            "e.v AS ve, sw.v AS vsw, s.v AS vs, se.v AS vse "
+            "FROM cells c "
+            "JOIN cells nw ON nw.x = c.x - 1 AND nw.y = c.y - 1 "
+            "JOIN cells n ON n.x = c.x AND n.y = c.y - 1 "
+            "JOIN cells ne ON ne.x = c.x + 1 AND ne.y = c.y - 1 "
+            "JOIN cells w ON w.x = c.x - 1 AND w.y = c.y "
+            "JOIN cells e ON e.x = c.x + 1 AND e.y = c.y "
+            "JOIN cells sw ON sw.x = c.x - 1 AND sw.y = c.y + 1 "
+            "JOIN cells s ON s.x = c.x AND s.y = c.y + 1 "
+            "JOIN cells se ON se.x = c.x + 1 AND se.y = c.y + 1), "
+            "h AS (SELECT x, y, elev, "
+            "(vne + 2*ve + vse) - (vnw + 2*vw + vsw) AS dzdx, "
+            "(vsw + 2*vs + vse) - (vnw + 2*vn + vne) AS dzdy FROM j) "
+            "SELECT x, y, elev, dzdx, dzdy, "
+            "dzdx*dzdx + dzdy*dzdy AS slope_q, "
+            "(CASE WHEN dzdx < 0 THEN 4 ELSE 0 END + "
+            "CASE WHEN dzdy < 0 THEN 2 ELSE 0 END + "
+            "CASE WHEN abs(dzdx) < abs(dzdy) THEN 1 ELSE 0 END) "
+            "AS octant FROM h ORDER BY x, y"
         ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (

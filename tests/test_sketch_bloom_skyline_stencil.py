@@ -1,0 +1,161 @@
+"""Unit + property tests for the round-5 batch: HyperLogLog registers,
+bloom pre-join, distributed skyline, and the 3x3 stencil gather."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from imagery_utils_spark.operators.bloom import bloom_build, bloom_probe
+from imagery_utils_spark.operators.sketch import (
+    HLL_K, HLL_M, hll_estimate, hll_registers)
+from imagery_utils_spark.operators.skyline import skyline2d
+from imagery_utils_spark.operators.stencil import (
+    horn_gradient_cols, stencil_gather)
+
+
+# ------------------------------------------------------------- HLL
+
+def test_hll_registers_idempotent_under_duplication(spark):
+    """Feeding every value 3x yields bit-identical registers — the
+    no-pre-distinct contract."""
+    vals = [Row(g="a", v=f"tok{i}") for i in range(200)]
+    df1 = spark.createDataFrame(vals)
+    df3 = spark.createDataFrame(vals * 3).repartition(7)
+    r1 = {(r.j, r.m) for r in
+          hll_registers(df1, ["g"], F.col("v")).collect()}
+    r3 = {(r.j, r.m) for r in
+          hll_registers(df3, ["g"], F.col("v")).collect()}
+    assert r1 == r3 and 0 < len(r1) <= HLL_M
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    """m=64 raw estimate lands within ~40% for n >> m (sanity, not a
+    precision claim; the battery pins bit-exactness separately)."""
+    df = spark.createDataFrame(
+        [Row(g="a", v=f"value-{i}") for i in range(5000)])
+    est = hll_estimate(
+        hll_registers(df, ["g"], F.col("v")), ["g"]).collect()[0]
+    assert 3000 < est.est_raw < 7000
+    assert est.s_sum > 0 and est.n_regs == HLL_M
+
+
+def test_hll_rho_max_bucket(spark):
+    """rho never exceeds HLL_K and registers stay within [1, K]."""
+    df = spark.createDataFrame([Row(g="x", v=str(i)) for i in range(3000)])
+    regs = hll_registers(df, ["g"], F.col("v")).collect()
+    assert all(1 <= r.m <= HLL_K for r in regs)
+
+
+# ------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_fp_pruned(spark):
+    dim = spark.createDataFrame([Row(k=i) for i in range(0, 100, 3)])
+    fact = spark.createDataFrame([Row(k=i, p=i * i) for i in range(100)])
+    bloom = bloom_build(dim, F.col("k"), k=2, m_bits=512)
+    cand = bloom_probe(fact, F.col("k"), bloom, k=2, m_bits=512)
+    got = {r.k for r in cand.collect()}
+    members = set(range(0, 100, 3))
+    assert members <= got                      # no false negatives
+    assert got <= set(range(100))
+    # candidates carry original columns intact
+    assert set(cand.columns) == {"k", "p"}
+
+
+def test_bloom_word_table_is_broadcast_and_fact_unshuffled(spark):
+    dim = spark.createDataFrame([Row(k=i) for i in range(50)])
+    fact = spark.createDataFrame([Row(k=i) for i in range(500)])
+    cand = bloom_probe(fact, F.col("k"),
+                       bloom_build(dim, F.col("k")), k=2)
+    txt = cand._jdf.queryExecution().executedPlan().toString()
+    # both probes are broadcast hash joins; the only hash exchanges in
+    # the whole plan are the two word-table builds (m_bits/32 rows each)
+    # INSIDE the BroadcastExchange subtrees — the fact spine never
+    # shuffles.
+    assert txt.count("BroadcastHashJoin") == 2
+    assert txt.count("BroadcastExchange") == 2
+    assert txt.count("Exchange hashpartitioning") == 2
+    for line in txt.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert line.lstrip(" :+-").startswith("Exchange") and \
+                line.index("Exchange") > 6  # indented under a build side
+
+
+# ------------------------------------------------------------- skyline
+
+def _brute_skyline(pts):
+    out = set()
+    for (x, y) in set(pts):
+        dominated = any(
+            sx <= x and sy >= y and (sx < x or sy > y)
+            for (sx, sy) in set(pts))
+        if not dominated:
+            out.add((x, y))
+    return out
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_skyline_matches_brute_force(spark, n_buckets):
+    import random
+    rng = random.Random(42)
+    pts = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(300)]
+    pts += [(5, 45), (5, 45)]  # duplicate skyline candidate
+    df = spark.createDataFrame([Row(a=x, b=y) for x, y in pts])
+    got = {(r.x, r.ymax) for r in
+           skyline2d(df, F.col("a"), F.col("b"),
+                     n_buckets=n_buckets).collect()}
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_extremes(spark):
+    """Under (min x, max y): y = x (anti-correlated trade-off) keeps
+    every point; y = 100 - x (correlated) collapses to the single
+    point (0, 100)."""
+    anti = spark.createDataFrame([Row(a=i, b=i) for i in range(40)])
+    assert skyline2d(anti, F.col("a"), F.col("b")).count() == 40
+    corr = spark.createDataFrame([Row(a=i, b=100 - i) for i in range(40)])
+    got = [(r.x, r.ymax) for r in
+           skyline2d(corr, F.col("a"), F.col("b")).collect()]
+    assert got == [(0, 100)]
+
+
+# ------------------------------------------------------------- stencil
+
+def test_stencil_routes_each_neighbor_correctly(spark):
+    """5x5 grid with v = 10*y + x: the gathered window of (2,2) must be
+    exactly the 3x3 block around it, each tag at its own offset."""
+    rows = [Row(x=x, y=y, v=10 * y + x)
+            for x in range(5) for y in range(5)]
+    g = stencil_gather(spark.createDataFrame(rows),
+                       F.col("x"), F.col("y"), F.col("v"))
+    center = g.filter((F.col("x") == 2) & (F.col("y") == 2)).collect()[0]
+    assert center.v_c == 22
+    assert (center.v_nw, center.v_n, center.v_ne) == (11, 12, 13)
+    assert (center.v_w, center.v_e) == (21, 23)
+    assert (center.v_sw, center.v_s, center.v_se) == (31, 32, 33)
+    # interior-only: 3x3 of a 5x5
+    assert g.count() == 9
+
+
+def test_stencil_single_shuffle(spark):
+    rows = [Row(x=x, y=y, v=x + y) for x in range(6) for y in range(6)]
+    g = stencil_gather(spark.createDataFrame(rows),
+                       F.col("x"), F.col("y"), F.col("v"))
+    txt = g._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = txt.count("Exchange hashpartitioning")
+    assert n_shuffles == 1
+    assert "PythonUDF" not in txt
+
+
+def test_horn_gradient_flat_and_ramp(spark):
+    # flat surface -> zero gradient; x-ramp -> dzdx = 8*slope, dzdy = 0
+    for mk, want in [(lambda x, y: 7, (0, 0)),
+                     (lambda x, y: 3 * x, (24, 0)),
+                     (lambda x, y: 2 * y, (0, 16))]:
+        rows = [Row(x=x, y=y, v=mk(x, y))
+                for x in range(4) for y in range(4)]
+        g = horn_gradient_cols(stencil_gather(
+            spark.createDataFrame(rows),
+            F.col("x"), F.col("y"), F.col("v")))
+        r = g.collect()[0]
+        assert (r.dzdx, r.dzdy) == want
+        assert r.slope_q == want[0] ** 2 + want[1] ** 2
