@@ -1031,6 +1031,88 @@ def q_hillshade_stencil(spark, sf_dir) -> DataFrame:
             .orderBy("x", "y"))
 
 
+def q_kmeans_fixed(spark, sf_dir) -> DataFrame:
+    """Fixed-point k-means (operators/clustering.py): 3 exact integer
+    iterations over the quantized 64-dim embeddings, k=8 seeded by the
+    smallest vec_ids. Centroids live on the driver (k x dim ints, the
+    MLlib topology) and enter each pass as literal arrays — one fact
+    scan per iteration, no shuffle, no lineage growth; sums and the
+    remainder-adjusted floor division are order/partitioning
+    independent, so cluster sizes, integer inertia and the final
+    centroid sha are bit-identical at any cluster size. Oracle: the
+    same three iterations unrolled as SQL CTEs (generated from the
+    shared constants, like bm25's)."""
+    from imagery_utils_spark.operators.clustering import (
+        floor_div_cols, kmeans_fixed)
+
+    emb = load(spark, sf_dir, "embeddings")
+    asg = kmeans_fixed(emb, F.col("embedding"), k=8, dim=64, iters=3)
+    agg = asg.groupBy("cid").agg(
+        F.count("*").alias("n"), F.sum("d").alias("inertia"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+          for i in range(64)])
+    cent_csv = F.concat_ws(",", *[
+        floor_div_cols(F.col(f"s{i}"), F.col("n")).cast("string")
+        for i in range(64)])
+    return (agg.select("cid", "n", "inertia",
+                       F.sha2(cent_csv, 256).alias("c3_sha"))
+            .orderBy("cid"))
+
+
+def q_cube_counts(spark, sf_dir) -> DataFrame:
+    """GROUP BY CUBE over (lang, source) with the grouping-id bitmask —
+    completes the rollup/pivot/moving_window OLAP family. All four
+    grouping sets come out of ONE pass (Spark expands the cube before
+    the exchange, partial aggregation applies per set); the oracle is
+    DuckDB's native CUBE with the same GROUPING() bit order."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.cube("lang", "source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("chars"),
+                 F.grouping_id().alias("gid"))
+            .select("lang", "source", "n", "chars", "gid")
+            .orderBy("gid", "lang", "source"))
+
+
+def _kmeans_oracle_sql() -> str:
+    """3 unrolled k-means iterations as DuckDB CTEs — generated, not
+    hand-copied, from the same k/dim/scale constants the Spark side
+    uses (the cross-engine-constant discipline from bm25_topk)."""
+    dist = ("list_sum(list_transform(list_zip(q.qv, c.cv), "
+            "x -> (x[1]-x[2])*(x[1]-x[2])))")
+
+    def assign(name, csrc):
+        return (f"{name} AS (SELECT vec_id, qv, cid, d FROM ("
+                f"SELECT vec_id, qv, cid, d, row_number() OVER ("
+                f"PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ("
+                f"SELECT q.vec_id, q.qv, c.cid, {dist} AS d "
+                f"FROM q, {csrc} c)) WHERE rn = 1)")
+
+    def update(name, asrc):
+        return (f"{name} AS (SELECT cid, list(cv ORDER BY i) AS cv "
+                f"FROM (SELECT cid, i, "
+                f"(s - ((s % n) + n) % n) // n AS cv FROM ("
+                f"SELECT cid, t.i, sum(qv[i]) AS s, count(*) AS n "
+                f"FROM {asrc}, range(1, 65) t(i) GROUP BY cid, t.i)) "
+                f"GROUP BY cid)")
+
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "e -> cast(floor(e * 1048576.0) as bigint)) AS qv "
+        "FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8)",
+        assign("a1", "c0"), update("c1", "a1"),
+        assign("a2", "c1"), update("c2", "a2"),
+        assign("a3", "c2"), update("c3", "a3"),
+    ]
+    final = (" SELECT g.cid, g.n, g.inertia, sha256(array_to_string("
+             "list_transform(c3.cv, v -> cast(v as varchar)), ',')) "
+             "AS c3_sha FROM (SELECT cid, count(*) AS n, sum(d) AS "
+             "inertia FROM a3 GROUP BY cid) g JOIN c3 USING (cid) "
+             "ORDER BY g.cid")
+    return ", ".join(parts) + final
+
+
 def q_snapshot_diff(spark, sf_dir) -> DataFrame:
     """Incremental snapshot diff (operators/lineage.snapshot_diff —
     the scan side of checkpoint-resumable processing): the previous
@@ -2903,6 +2985,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "skyline_pareto": q_skyline_pareto,
         "hillshade_stencil": q_hillshade_stencil,
+        "kmeans_fixed": q_kmeans_fixed,
+        "cube_counts": q_cube_counts,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -3787,6 +3871,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN dzdy < 0 THEN 2 ELSE 0 END + "
             "CASE WHEN abs(dzdx) < abs(dzdy) THEN 1 ELSE 0 END) "
             "AS octant FROM h ORDER BY x, y"
+        ),
+        # k-means: 3 unrolled exact-integer iterations (see
+        # _kmeans_oracle_sql — generated from shared constants).
+        "kmeans_fixed": _kmeans_oracle_sql(),
+        "cube_counts": (
+            "SELECT lang, source, count(*) AS n, sum(n_chars) AS chars, "
+            "GROUPING(lang, source) AS gid FROM documents "
+            "GROUP BY CUBE (lang, source) ORDER BY gid, lang, source"
         ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (

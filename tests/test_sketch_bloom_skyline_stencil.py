@@ -159,3 +159,40 @@ def test_horn_gradient_flat_and_ramp(spark):
         r = g.collect()[0]
         assert (r.dzdx, r.dzdy) == want
         assert r.slope_q == want[0] ** 2 + want[1] ** 2
+
+
+# ------------------------------------------------------------- k-means
+
+def test_kmeans_partition_invariant(spark):
+    """Identical assignments/centroid state at 1 vs 13 partitions —
+    the fixed-point contract."""
+    import random
+    from imagery_utils_spark.operators.clustering import kmeans_fixed
+    rng = random.Random(7)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-0.5, 0.5)
+                                     for _ in range(8)])
+            for i in range(120)]
+    outs = []
+    for nparts in (1, 13):
+        df = spark.createDataFrame(rows).repartition(nparts)
+        asg = kmeans_fixed(df, F.col("embedding"), k=4, dim=8, iters=3)
+        outs.append(sorted((r.vec_id, r.cid, r.d) for r in asg.collect()))
+    assert outs[0] == outs[1]
+
+
+def test_kmeans_separated_clusters_converge(spark):
+    """Two well-separated blobs, k=2: every point lands with its blob
+    and the assignment distance is small."""
+    from imagery_utils_spark.operators.clustering import kmeans_fixed
+    rows = []
+    for i in range(40):
+        base = 0.4 if i % 2 == 0 else -0.4
+        rows.append(Row(vec_id=i,
+                        embedding=[base + (i % 5) * 1e-3] * 4))
+    df = spark.createDataFrame(rows)
+    asg = kmeans_fixed(df, F.col("embedding"), k=2, dim=4, iters=3)
+    got = {}
+    for r in asg.collect():
+        got.setdefault(r.vec_id % 2, set()).add(r.cid)
+    assert len(got[0]) == 1 and len(got[1]) == 1
+    assert got[0] != got[1]
