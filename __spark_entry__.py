@@ -1074,6 +1074,99 @@ def q_cube_counts(spark, sf_dir) -> DataFrame:
             .orderBy("gid", "lang", "source"))
 
 
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Exact-count stratified sampling (operators/selection.py): keep
+    exactly ceil(n/5) docs per lang — the k smallest by (sha60(doc_id),
+    doc_id) — via two-pass histogram selection: a 1024-bucket
+    histogram groupBy, driver boundary resolution, a pure filter for
+    sub-boundary buckets and a window over ONLY the boundary sliver.
+    No full-stratum sort anywhere. k uses integer rational algebra
+    ((n+4)//5), never a float multiply (0.2*500 rounds UP in IEEE).
+    The oracle is the naive full-sort plan — independent algorithm,
+    identical kept set, pinned by the doc_id sha."""
+    from imagery_utils_spark.operators.selection import (
+        stratified_sample_exact)
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    kept = stratified_sample_exact(docs, "lang", F.col("doc_id"),
+                                   p=1, q=5)
+    return (kept.groupBy("lang", "_n_total", "_k")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sha2(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list("doc_id")),
+                     lambda x: x.cast("string"))), 256)
+                 .alias("kept_sha"))
+            .select("lang", F.col("_n_total").alias("n_total"),
+                    F.col("_k").alias("k"), "n_kept", "kept_sha")
+            .orderBy("lang"))
+
+
+def q_kmv_intersect(spark, sf_dir) -> DataFrame:
+    """KMV sketch SET ALGEBRA (operators/sketch.py; Beyer et al.
+    SIGMOD'07 multi-set KMV): pairwise Jaccard / intersection
+    estimates between the three smallest sources' bigram sets, from
+    their k=64 sketches ALONE — the union sketch is the k smallest of
+    the merged sketches, theta its max, and the estimator counts
+    sketch-intersection hashes <= theta. This is what makes KMV a
+    mergeable *algebra* at scale: cross-source overlap comes from
+    64-long arrays, never from re-scanning the corpus. Exact
+    |A∩B|/|A∪B| computed alongside pins the estimator; every value is
+    integer or a single int/int division, replayed verbatim in SQL."""
+    from imagery_utils_spark.functions.text import tokens_col
+    from imagery_utils_spark.operators.sketch import kmv_sketch
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = tokens_col(F.lower(F.col("text")))
+    zp = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"))
+    bg = (docs.filter(F.size(toks) >= 2)
+          .select("source", F.explode(zp).alias("_b"))
+          .select("source", F.concat(F.col("_b.w1"), F.lit(" "),
+                                     F.col("_b.w2")).alias("b")))
+    srcs = bg.select("source").distinct().orderBy("source").limit(3)
+    bg3 = bg.join(F.broadcast(srcs), "source")
+    sk = kmv_sketch(bg3, ["source"], F.col("b"), k=64)
+    a = sk.select(F.col("source").alias("src_a"),
+                  F.col("sketch").alias("ska"))
+    b2 = sk.select(F.col("source").alias("src_b"),
+                   F.col("sketch").alias("skb"))
+    pr = (a.crossJoin(b2).filter(F.col("src_a") < F.col("src_b"))
+          .withColumn("_u", F.slice(
+              F.array_sort(F.array_union("ska", "skb")), 1, 64)))
+    theta = F.element_at("_u", F.size("_u"))
+    pr = (pr.withColumn("theta", theta)
+          .withColumn("r", F.size("_u"))
+          .withColumn("c_inter", F.size(F.filter(
+              F.array_intersect("ska", "skb"),
+              lambda x: x <= F.col("theta")))))
+    ex = bg3.distinct()
+    na = ex.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (ex.alias("x").join(
+        ex.alias("y"),
+        (F.col("x.b") == F.col("y.b"))
+        & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("src_a"),
+                 F.col("y.source").alias("src_b"))
+        .agg(F.count("*").alias("n_inter")))
+    out = (pr.join(inter, ["src_a", "src_b"], "left")
+           .na.fill({"n_inter": 0})
+           .join(na.select(F.col("source").alias("src_a"),
+                           F.col("n").alias("n_a")), "src_a")
+           .join(na.select(F.col("source").alias("src_b"),
+                           F.col("n").alias("n_b")), "src_b"))
+    return (out.select(
+        "src_a", "src_b", "c_inter", "theta", "r",
+        (F.col("c_inter") / F.col("r")).alias("jac_est"),
+        "n_inter",
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .alias("n_union"),
+        (F.col("n_inter")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .alias("jac_exact"))
+        .orderBy("src_a", "src_b"))
+
+
 def _kmeans_oracle_sql() -> str:
     """3 unrolled k-means iterations as DuckDB CTEs — generated, not
     hand-copied, from the same k/dim/scale constants the Spark side
@@ -2987,6 +3080,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade_stencil": q_hillshade_stencil,
         "kmeans_fixed": q_kmeans_fixed,
         "cube_counts": q_cube_counts,
+        "stratified_sample": q_stratified_sample,
+        "kmv_intersect": q_kmv_intersect,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -3879,6 +3974,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, count(*) AS n, sum(n_chars) AS chars, "
             "GROUPING(lang, source) AS gid FROM documents "
             "GROUP BY CUBE (lang, source) ORDER BY gid, lang, source"
+        ),
+        # Stratified sample oracle: the NAIVE full-sort plan
+        # (row_number over the whole stratum) — independent of the
+        # engine's histogram selection; same kept set required.
+        "stratified_sample": (
+            "WITH h AS (SELECT lang, doc_id, cast('0x' || "
+            "substr(sha256(cast(doc_id as varchar)), 1, 15) as bigint) "
+            "AS hv FROM documents), "
+            "n AS (SELECT lang, count(*) AS n_total, "
+            "(count(*) + 4) // 5 AS k FROM h GROUP BY lang), "
+            "r AS (SELECT lang, doc_id, row_number() OVER ("
+            "PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h), "
+            "kept AS (SELECT r.lang, r.doc_id FROM r JOIN n USING "
+            "(lang) WHERE rn <= k) "
+            "SELECT n.lang, n.n_total, n.k, count(*) AS n_kept, "
+            "sha256(array_to_string(list_transform("
+            "list(doc_id ORDER BY doc_id), x -> cast(x as varchar)), "
+            "',')) AS kept_sha FROM kept JOIN n USING (lang) "
+            "GROUP BY n.lang, n.n_total, n.k ORDER BY n.lang"
+        ),
+        # KMV set algebra: same sketches, union/theta/intersect-count
+        # replayed with DuckDB list functions; exact Jaccard alongside.
+        "kmv_intersect": (
+            r"WITH toksrc AS (SELECT source, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "bgall AS (SELECT source, t[i] || ' ' || t[i + 1] AS b "
+            "FROM toksrc, unnest(range(1, len(t))) AS u(i) "
+            "WHERE len(t) >= 2), "
+            "s3 AS (SELECT DISTINCT source FROM bgall "
+            "ORDER BY source LIMIT 3), "
+            "bg AS (SELECT DISTINCT source, b FROM bgall "
+            "WHERE source IN (SELECT source FROM s3)), "
+            "h AS (SELECT DISTINCT source, "
+            "cast('0x' || substr(sha256(b), 1, 15) as bigint) AS hv "
+            "FROM bg), "
+            "rk AS (SELECT source, hv, row_number() OVER ("
+            "PARTITION BY source ORDER BY hv) AS rn FROM h), "
+            "sk AS (SELECT source, list(hv ORDER BY hv) AS s "
+            "FROM rk WHERE rn <= 64 GROUP BY source), "
+            "na AS (SELECT source, count(*) AS n FROM bg "
+            "GROUP BY source), "
+            "pr AS (SELECT a.source AS src_a, b.source AS src_b, "
+            "a.s AS ska, b.s AS skb, "
+            "list_sort(list_distinct(list_concat(a.s, b.s)))[1:64] AS u "
+            "FROM sk a, sk b WHERE a.source < b.source), "
+            "pe AS (SELECT src_a, src_b, u[len(u)] AS theta, "
+            "len(u) AS r, len(list_filter(list_intersect(ska, skb), "
+            "x -> x <= u[len(u)])) AS c_inter FROM pr), "
+            "ix AS (SELECT x.source AS src_a, y.source AS src_b, "
+            "count(*) AS n_inter FROM bg x JOIN bg y ON x.b = y.b "
+            "AND x.source < y.source GROUP BY 1, 2) "
+            "SELECT pe.src_a, pe.src_b, pe.c_inter, pe.theta, pe.r, "
+            "pe.c_inter / pe.r AS jac_est, "
+            "coalesce(ix.n_inter, 0) AS n_inter, "
+            "naa.n + nab.n - coalesce(ix.n_inter, 0) AS n_union, "
+            "coalesce(ix.n_inter, 0) / "
+            "(naa.n + nab.n - coalesce(ix.n_inter, 0)) AS jac_exact "
+            "FROM pe LEFT JOIN ix ON pe.src_a = ix.src_a "
+            "AND pe.src_b = ix.src_b "
+            "JOIN na naa ON naa.source = pe.src_a "
+            "JOIN na nab ON nab.source = pe.src_b "
+            "ORDER BY pe.src_a, pe.src_b"
         ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (

@@ -196,3 +196,43 @@ def test_kmeans_separated_clusters_converge(spark):
         got.setdefault(r.vec_id % 2, set()).add(r.cid)
     assert len(got[0]) == 1 and len(got[1]) == 1
     assert got[0] != got[1]
+
+
+# ---------------------------------------------------------- selection
+
+@pytest.mark.parametrize("bucket_bits", [1, 6, 10])
+def test_stratified_selection_matches_full_sort(spark, bucket_bits):
+    """Histogram selection == brute-force k-smallest-by-(hash,key) per
+    stratum, at bucket granularities from 'boundary is everything'
+    (B=1) to fine (B=10)."""
+    import hashlib
+    from imagery_utils_spark.operators.selection import (
+        stratified_sample_exact)
+    rows = [Row(s=f"s{i % 3}", k=i) for i in range(200)]
+    df = spark.createDataFrame(rows).repartition(7)
+    kept = stratified_sample_exact(df, "s", F.col("k"), p=1, q=4,
+                                   bucket_bits=bucket_bits)
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r.s, set()).add(r.k)
+
+    def h60(v):
+        return int(hashlib.sha256(str(v).encode()).hexdigest()[:15], 16)
+
+    for s in ("s0", "s1", "s2"):
+        members = [i for i in range(200) if f"s{i % 3}" == s]
+        k = (len(members) * 1 + 3) // 4
+        want = set(sorted(members, key=lambda v: (h60(v), v))[:k])
+        assert got[s] == want, (s, bucket_bits)
+
+
+def test_stratified_selection_exact_k_and_reproducible(spark):
+    from imagery_utils_spark.operators.selection import (
+        stratified_sample_exact)
+    rows = [Row(s="a", k=i) for i in range(97)]
+    df = spark.createDataFrame(rows)
+    k1 = {r.k for r in stratified_sample_exact(
+        df, "s", F.col("k"), p=1, q=5).collect()}
+    k2 = {r.k for r in stratified_sample_exact(
+        df.repartition(11), "s", F.col("k"), p=1, q=5).collect()}
+    assert k1 == k2 and len(k1) == (97 + 4) // 5
