@@ -1167,6 +1167,52 @@ def q_kmv_intersect(spark, sf_dir) -> DataFrame:
         .orderBy("src_a", "src_b"))
 
 
+def q_png_roundtrip(spark, sf_dir) -> DataFrame:
+    """PNG container (sources/png.py, W3C spec): per doc a synthetic
+    image — 8x8 grayscale for even doc_ids, 4x4 RGB for odd — with
+    pixels p(i) = (doc_id*31 + i*7) % 256, encoded with the filter
+    type doc_id % 5 (all five spec filters exercised across the
+    corpus), decoded back inside the same Arrow batch (mapInPandas —
+    the multimodal binary-column path). The oracle recomputes the
+    decoded pixel stream closed-form in SQL, so any filter/CRC/
+    framing asymmetry flips the sha."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        import numpy as np
+
+        from imagery_utils_spark.sources.png import (
+            decode_png, encode_png)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                if d % 2 == 0:
+                    shape, n = (8, 8), 64
+                else:
+                    shape, n = (4, 4, 3), 48
+                px = np.array([(d * 31 + i * 7) % 256
+                               for i in range(n)],
+                              dtype=np.uint8).reshape(shape)
+                dec = decode_png(encode_png(px, d % 5))
+                assert dec.shape == px.shape
+                rows.append((d, shape[1], shape[0],
+                             1 if d % 2 == 0 else 3, n,
+                             ",".join(str(v) for v in
+                                      dec.reshape(-1).tolist())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "w", "h", "channels", "n_px", "pix_csv"])
+
+    out = docs.mapInPandas(
+        work, "doc_id long, w int, h int, channels int, n_px int, "
+              "pix_csv string")
+    return (out.select("doc_id", "w", "h", "channels", "n_px",
+                       F.sha2("pix_csv", 256).alias("pix_sha"))
+            .orderBy("doc_id"))
+
+
 def _kmeans_oracle_sql() -> str:
     """3 unrolled k-means iterations as DuckDB CTEs — generated, not
     hand-copied, from the same k/dim/scale constants the Spark side
@@ -3082,6 +3128,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "stratified_sample": q_stratified_sample,
         "kmv_intersect": q_kmv_intersect,
+        "png_roundtrip": q_png_roundtrip,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4037,6 +4084,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN na naa ON naa.source = pe.src_a "
             "JOIN na nab ON nab.source = pe.src_b "
             "ORDER BY pe.src_a, pe.src_b"
+        ),
+        # PNG roundtrip: decoded pixel stream recomputed closed-form.
+        "png_roundtrip": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END AS w, "
+            "CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END AS h, "
+            "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels, "
+            "CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 48 END AS n_px, "
+            "sha256(array_to_string(list_transform(range(0, "
+            "CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 48 END), "
+            "i -> cast((doc_id * 31 + i * 7) % 256 as varchar)), ',')) "
+            "AS pix_sha FROM documents ORDER BY doc_id"
         ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (

@@ -1,0 +1,203 @@
+"""PNG codec — from the W3C PNG spec (RFC 2083 / ISO 15948), no
+external imaging library.
+
+The crawl payload story: PNG is the dominant lossless image format on
+the web, so a Common-Crawl-scale multimodal pipeline must at least
+parse/emit it for thumbnails, favicons and chart images riding in WARC
+payloads. This implements the core profile end-to-end:
+
+* chunk framing — length / type / data / CRC-32 (zlib.crc32, the same
+  polynomial the spec mandates), IHDR -> IDAT* -> IEND ordering, CRC
+  verified on every chunk at decode;
+* color types 0 (grayscale) and 2 (truecolor RGB), bit depth 8;
+* ALL five scanline filters (None/Sub/Up/Average/Paeth) on both sides —
+  the Paeth predictor implemented exactly as the spec's pseudo-code,
+  including the tie-break order (left, then above, then upper-left);
+* zlib-wrapped DEFLATE via the stdlib (stored and huffman blocks from
+  any compliant producer decode identically — the inflater is the
+  stdlib's, only the filter/framing layers are ours);
+* multi-IDAT streams (the spec allows IDAT to be split arbitrarily).
+
+Like the repo's JPEG family (sources/jpeg.py), encode and decode are
+independent walks of the spec — a roundtrip equality is evidence both
+sides are right, and the battery pins decode parity against a
+closed-form pixel oracle.
+
+Reference parity: imagery_utils emits browse/thumbnail products next
+to its GeoTIFF outputs (pgc_ortho output formats); PNG is that product
+class for web payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["encode_png", "decode_png"]
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PAETH_V = np.vectorize(_paeth, otypes=[np.int64])
+
+
+def _filter_row(ft: int, row: np.ndarray, prev: np.ndarray,
+                bpp: int) -> np.ndarray:
+    """Apply filter ``ft`` to one raw scanline (uint8 1-D, already
+    interleaved); returns the filtered bytes."""
+    r = row.astype(np.int64)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int64)
+    ul = np.zeros_like(r)
+    ul[bpp:] = up[:-bpp]
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - left
+    elif ft == 2:
+        out = r - up
+    elif ft == 3:
+        out = r - (left + up) // 2
+    elif ft == 4:
+        out = r - _PAETH_V(left, up, ul)
+    else:
+        raise ValueError(f"bad filter {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def _unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Invert filter ``ft`` in place order (left deps are sequential)."""
+    n = len(cur)
+    out = cur.astype(np.int64)
+    up = prev.astype(np.int64)
+    if ft == 0:
+        pass
+    elif ft == 2:
+        out = (out + up) % 256
+    else:
+        # Sub/Average/Paeth need the reconstructed left neighbor —
+        # sequential per pixel group, vector across nothing; rows are
+        # short (w*bpp) so the Python loop is bounded per row.
+        rec = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            a = rec[i - bpp] if i >= bpp else 0
+            b = up[i]
+            c = int(up[i - bpp]) if i >= bpp else 0
+            if ft == 1:
+                rec[i] = (out[i] + a) % 256
+            elif ft == 3:
+                rec[i] = (out[i] + (a + b) // 2) % 256
+            elif ft == 4:
+                rec[i] = (out[i] + _paeth(int(a), int(b), c)) % 256
+            else:
+                raise ValueError(f"bad filter {ft}")
+        out = rec
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int | str = "adaptive",
+               level: int = 6) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8. filter_type:
+    0..4 fixed, or 'adaptive' (per-row minimum-sum-of-abs heuristic,
+    the spec's recommended strategy)."""
+    if img.dtype != np.uint8:
+        raise ValueError("uint8 only")
+    if img.ndim == 2:
+        color, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, channels = 2, 3
+    else:
+        raise ValueError("shape must be (h,w) or (h,w,3)")
+    h, w = img.shape[0], img.shape[1]
+    bpp = channels
+    flat = img.reshape(h, w * channels)
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    raw = bytearray()
+    for yy in range(h):
+        row = flat[yy]
+        if filter_type == "adaptive":
+            best, best_ft = None, 0
+            for ft in range(5):
+                f = _filter_row(ft, row, prev, bpp)
+                score = int(np.abs(f.astype(np.int8).astype(np.int64))
+                            .sum())
+                if best is None or score < best:
+                    best, best_ft = score, ft
+            ft = best_ft
+        else:
+            ft = int(filter_type)
+        raw.append(ft)
+        raw.extend(_filter_row(ft, row, prev, bpp).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode to (h, w) or (h, w, 3) uint8. Verifies magic, chunk
+    CRCs, IHDR profile, and the filtered-stream length."""
+    if data[:8] != _MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r}")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.extend(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise NotImplementedError(
+            "supported profile: 8-bit gray/RGB, deflate, no interlace")
+    channels = 1 if color == 0 else 3
+    bpp = channels
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("filtered stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for yy in range(h):
+        ft = raw[yy * (stride + 1)]
+        cur = np.frombuffer(
+            raw[yy * (stride + 1) + 1:(yy + 1) * (stride + 1)],
+            dtype=np.uint8)
+        row = _unfilter_row(ft, cur, prev, bpp)
+        out[yy] = row
+        prev = row
+    return out if channels == 1 else out.reshape(h, w, 3)
