@@ -1213,6 +1213,50 @@ def q_png_roundtrip(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_gif_roundtrip(spark, sf_dir) -> DataFrame:
+    """GIF87a container (sources/gif.py — from-spec GIF-LZW): per doc
+    a 6x6 indexed image over a 16-color palette, indices
+    (doc_id*13 + i*5) % 16 and palette channel values
+    (doc_id*7 + j*11) % 256, encoded -> decoded inside the Arrow
+    batch; the oracle recomputes both streams closed-form. Completes
+    the big-three web image formats (JPEG/PNG/GIF)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        import numpy as np
+
+        from imagery_utils_spark.sources.gif import (
+            decode_gif, encode_gif)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                idx = np.array([(d * 13 + i * 5) % 16
+                                for i in range(36)],
+                               dtype=np.uint8).reshape(6, 6)
+                pal = np.array([(d * 7 + j * 11) % 256
+                                for j in range(48)],
+                               dtype=np.uint8).reshape(16, 3)
+                i2, p2 = decode_gif(encode_gif(idx, pal))
+                assert i2.shape == (6, 6) and p2.shape[0] == 16
+                rows.append((
+                    d,
+                    ",".join(str(v) for v in i2.reshape(-1).tolist()),
+                    ",".join(str(v) for v in
+                             p2[:16].reshape(-1).tolist())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "idx_csv", "pal_csv"])
+
+    out = docs.mapInPandas(
+        work, "doc_id long, idx_csv string, pal_csv string")
+    return (out.select("doc_id",
+                       F.sha2("idx_csv", 256).alias("idx_sha"),
+                       F.sha2("pal_csv", 256).alias("pal_sha"))
+            .orderBy("doc_id"))
+
+
 def _kmeans_oracle_sql() -> str:
     """3 unrolled k-means iterations as DuckDB CTEs — generated, not
     hand-copied, from the same k/dim/scale constants the Spark side
@@ -3129,6 +3173,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "kmv_intersect": q_kmv_intersect,
         "png_roundtrip": q_png_roundtrip,
+        "gif_roundtrip": q_gif_roundtrip,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4096,6 +4141,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 48 END), "
             "i -> cast((doc_id * 31 + i * 7) % 256 as varchar)), ',')) "
             "AS pix_sha FROM documents ORDER BY doc_id"
+        ),
+        # GIF roundtrip: index + palette streams closed-form.
+        "gif_roundtrip": (
+            "SELECT doc_id, "
+            "sha256(array_to_string(list_transform(range(0, 36), "
+            "i -> cast((doc_id * 13 + i * 5) % 16 as varchar)), ',')) "
+            "AS idx_sha, "
+            "sha256(array_to_string(list_transform(range(0, 48), "
+            "j -> cast((doc_id * 7 + j * 11) % 256 as varchar)), ',')) "
+            "AS pal_sha FROM documents ORDER BY doc_id"
         ),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (

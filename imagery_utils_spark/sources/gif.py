@@ -1,0 +1,209 @@
+"""GIF87a codec — from the CompuServe GIF87a spec, including a
+from-scratch GIF-variant LZW coder (no external imaging/compression
+library; the stdlib has no GIF LZW).
+
+Web-payload rationale: GIF is the third of the big three legacy web
+image formats (JPEG/PNG/GIF) riding in Common-Crawl WARC payloads;
+with sources/jpeg.py and sources/png.py this closes the set.
+
+Implemented profile:
+* header + logical screen descriptor + global color table;
+* one image descriptor (non-interlaced), indexed 8-bit pixels;
+* GIF-LZW: variable code width starting at ``min_code_size + 1``,
+  LSB-first bit packing, CLEAR (= 2^mcs) and EOI (= CLEAR+1) codes,
+  dictionary growth to the 12-bit ceiling with an explicit CLEAR and
+  restart when full (the spec's deferred-clear is honored on decode:
+  a full dictionary simply stops growing until a CLEAR arrives);
+* 255-byte data sub-block framing, zero-length terminator, trailer.
+
+Encode and decode are independent spec walks (the repo's codec
+discipline): the decoder handles the classic KwKwK case (a code one
+past the current dictionary end) per the spec's "first char of prior
+string" rule, which an encoder-coupled implementation would never
+exercise explicitly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_gif", "decode_gif"]
+
+_MAGIC = b"GIF87a"
+_MAX_CODE = 1 << 12
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    width = mcs + 1
+    w = _BitWriter()
+    w.write(clear, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        w.write(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= _MAX_CODE:
+            w.write(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        cur = bytes([byte])
+    if cur:
+        w.write(table[cur], width)
+    w.write(eoi, width)
+    return w.done()
+
+
+def _lzw_decode(data: bytes, mcs: int, expect: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        width = mcs + 1
+        prev = None
+
+    width, prev = mcs + 1, None
+    reset()
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):           # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        if len(out) > expect:
+            raise ValueError("LZW output exceeds declared size")
+    if len(out) != expect:
+        raise ValueError("LZW output size mismatch")
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """indices: (h, w) uint8 into palette (n<=256, 3) uint8."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("indices must be (h, w) uint8")
+    if palette.ndim != 2 or palette.shape[1] != 3 or \
+            palette.shape[0] > 256:
+        raise ValueError("palette must be (n<=256, 3)")
+    h, w = indices.shape
+    # color-table size: smallest power of two >= palette entries (min 2)
+    bits = 1
+    while (1 << bits) < palette.shape[0]:
+        bits += 1
+    n_table = 1 << bits
+    if int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index out of palette range")
+    pal = np.zeros((n_table, 3), dtype=np.uint8)
+    pal[:palette.shape[0]] = palette
+    mcs = max(2, bits)
+    out = bytearray(_MAGIC)
+    # logical screen descriptor: global table flag, color res, size
+    out += struct.pack("<HHBBB", w, h,
+                       0x80 | ((bits - 1) & 0x07) << 4 | (bits - 1),
+                       0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _lzw_encode(indices.tobytes(), mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)       # block terminator
+    out.append(0x3B)    # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """-> (indices (h, w) uint8, palette (n, 3) uint8)."""
+    if data[:6] != _MAGIC:
+        raise ValueError("not GIF87a")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("global color table required")
+    n_table = 2 << (flags & 0x07)
+    pal = np.frombuffer(
+        data[pos:pos + 3 * n_table], dtype=np.uint8).reshape(-1, 3)
+    pos += 3 * n_table
+    if data[pos] != 0x2C:
+        raise NotImplementedError("extensions not supported (GIF87a)")
+    _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+    pos += 10
+    if iflags & 0xC0:
+        raise NotImplementedError("local table / interlace unsupported")
+    mcs = data[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += data[pos:pos + n]
+        pos += n
+    if pos >= len(data) or data[pos] != 0x3B:
+        raise ValueError("missing trailer")
+    raw = _lzw_decode(bytes(lzw), mcs, iw * ih)
+    return (np.frombuffer(raw, dtype=np.uint8).reshape(ih, iw).copy(),
+            pal.copy())

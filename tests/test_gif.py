@@ -1,0 +1,67 @@
+"""GIF87a codec tests — LZW width/clear boundaries, KwKwK, container
+structure, and hypothesis roundtrips."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imagery_utils_spark.sources.gif import (
+    _lzw_decode, _lzw_encode, decode_gif, encode_gif)
+
+
+def test_lzw_width_growth_and_dict_full_clear():
+    """Repetitive data marches the dictionary through every width
+    transition (512/1024/2048) and the 4096 ceiling's CLEAR+restart."""
+    data = bytes((np.arange(60000) % 7).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+    data = bytes(np.random.RandomState(0).randint(
+        0, 256, 60000).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+def test_lzw_kwkwk():
+    data = b"\x01\x02" * 300 + b"\x01\x01\x01\x01"
+    assert _lzw_decode(_lzw_encode(data, 2), 2, len(data)) == data
+
+
+def test_lzw_truncation_rejected():
+    enc = _lzw_encode(b"\x00\x01\x02\x03" * 10, 2)
+    with pytest.raises(ValueError):
+        _lzw_decode(enc[:3], 2, 40)
+
+
+def test_container_roundtrip_and_small_palette():
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, 5, (9, 9)).astype(np.uint8)
+    pal = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+    i2, p2 = decode_gif(encode_gif(idx, pal))
+    assert (i2 == idx).all()
+    assert (p2[:5] == pal).all()
+    assert p2.shape[0] == 8  # padded to the power-of-two table size
+
+
+def test_container_structure_checks():
+    rng = np.random.RandomState(2)
+    idx = rng.randint(0, 256, (4, 4)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    b = encode_gif(idx, pal)
+    assert b[:6] == b"GIF87a" and b[-1] == 0x3B
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b[6:])   # 87a-only profile
+    with pytest.raises(ValueError):
+        decode_gif(b[:-1])              # missing trailer
+    with pytest.raises(ValueError):
+        encode_gif(np.full((2, 2), 7, np.uint8),
+                   pal[:4])             # index out of palette
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 20), h=st.integers(1, 20),
+       ncol=st.integers(2, 256), seed=st.integers(0, 2**31 - 1))
+def test_property_roundtrip(w, h, ncol, seed):
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, ncol, (h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    i2, p2 = decode_gif(encode_gif(idx, pal))
+    assert (i2 == idx).all() and (p2[:ncol] == pal).all()
