@@ -246,3 +246,45 @@ def test_range_lookup_bucketed_is_hash_join(spark):
     assert "HashJoin" in plan_b or "SortMergeJoin" in plan_b
     plan_n = plan_of(range_lookup(probes, ranges, "v"))
     assert "BroadcastNestedLoopJoin" in plan_n
+
+
+def test_skyline_windows_are_bucket_partitioned_on_full_data(spark, sf_dir):
+    """The full-data pass of skyline2d must window per hash bucket;
+    only the candidate-sized global pass may be single-partition."""
+    from imagery_utils_spark.operators.skyline import skyline2d
+    li = load(spark, sf_dir, "lineitem")
+    sky = skyline2d(li, F.col("l_extendedprice"), F.col("l_quantity"))
+    plan = plan_of(sky)
+    # two Window nodes: the local one partitioned by _b, the global one
+    # by the constant (fed only by the local frontiers)
+    assert plan.count("Window") >= 2
+    assert "_b" in plan
+    # the x-collapse before the local window is a partial aggregation
+    assert "partial_max" in plan or "partial_" in plan
+
+
+def test_stratified_boundary_window_sees_only_boundary_bucket(spark, sf_dir):
+    """The row_number window input must be filtered to _bkt == _bstar
+    (the n/2^B sliver), never the whole stratum."""
+    from imagery_utils_spark.operators.selection import (
+        stratified_sample_exact)
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    kept = stratified_sample_exact(docs, "lang", F.col("doc_id"))
+    plan = optimized_of(kept)
+    # optimized plan: the Window branch carries the boundary equality
+    # filter below it
+    win_at = plan.index("Window")
+    below = plan[win_at:]
+    assert "(_bkt" in below and "_bstar" in below
+    # and the histogram feeding the driver was a partial count agg
+    assert "BroadcastHashJoin" in plan_of(kept)
+
+
+def test_hillshade_gather_is_single_shuffle_no_python(spark, sf_dir):
+    import __spark_entry__ as entry
+    df = entry.queries()["hillshade_stencil"](spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    # one gather exchange (plus the final orderBy's range exchange)
+    assert body.count("Exchange hashpartitioning") == 1
+    assert body.count("Exchange rangepartitioning") == 1
+    assert "PythonUDF" not in body
