@@ -1257,6 +1257,73 @@ def q_gif_roundtrip(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_bpe_train(spark, sf_dir) -> DataFrame:
+    """BPE merge training (operators/bpe.py, Sennrich 2016): 4 merge
+    rounds over the [a-z]+ word-frequency table. Corpus collapses once
+    to the vocab; each round is one pair-count agg + a deterministic
+    TakeOrdered best pair (count desc, then lexicographic — ties can
+    never flip across partitionings) + one merge projection with the
+    pair as driver literals. Output pins the learned merges AND the
+    fully merged corpus state (sha over word|symbols lines). Oracle:
+    the same 4 rounds unrolled as CTEs, the merge fold replayed via
+    DuckDB list_reduce."""
+    from imagery_utils_spark.operators.bpe import learn_bpe
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = (docs.select(F.explode(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("wc")))
+    merges, vocab = learn_bpe(words, n_merges=4)
+    # sort by WORD (struct sort), not by the joined string — '|' (0x7C)
+    # sorts after [a-z], so prefix words would flip the joined order
+    sha = vocab.agg(F.sha2(F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list(F.struct("word", "s"))),
+        lambda r: F.concat(r["word"], F.lit("|"), r["s"]))), 256)
+        .alias("corpus_sha"))
+    rows = spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "it int, merge_a string, merge_b string, cnt bigint")
+    return rows.crossJoin(sha).orderBy("it")
+
+
+def _bpe_oracle_sql() -> str:
+    """4 unrolled BPE rounds — generated from the same SEP constant
+    and fold rule the Spark side uses."""
+    from imagery_utils_spark.operators.bpe import SEP
+    parts = [
+        "WITH w AS (SELECT t AS word, count(*) AS wc FROM (SELECT "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t "
+        "FROM documents) GROUP BY t)",
+        f"v0 AS (SELECT word, wc, regexp_replace(word, '(.)', "
+        f"chr(31) || '\\1', 'g') AS s FROM w)",
+    ]
+    for t in range(1, 5):
+        src = f"v{t - 1}"
+        parts.append(
+            f"p{t} AS (SELECT l[i] AS a, l[i + 1] AS b, sum(wc) AS cnt "
+            f"FROM (SELECT wc, list_filter(string_split(s, chr(31)), "
+            f"z -> z <> '') AS l FROM {src}), "
+            f"unnest(range(1, len(l))) AS u(i) GROUP BY 1, 2)")
+        parts.append(
+            f"b{t} AS (SELECT a, b, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)")
+        parts.append(
+            f"v{t} AS (SELECT word, wc, list_reduce(list_prepend('', "
+            f"list_filter(string_split(v.s, chr(31)), z -> z <> '')), "
+            f"(acc, x) -> CASE WHEN ends_with(acc, chr(31) || b.a) "
+            f"AND x = b.b THEN acc || x "
+            f"ELSE acc || chr(31) || x END) AS s FROM {src} v, b{t} b)")
+    final = (
+        " SELECT u.it, u.merge_a, u.merge_b, u.cnt, cs.corpus_sha "
+        "FROM (SELECT 1 AS it, a AS merge_a, b AS merge_b, cnt FROM b1 "
+        "UNION ALL SELECT 2, a, b, cnt FROM b2 "
+        "UNION ALL SELECT 3, a, b, cnt FROM b3 "
+        "UNION ALL SELECT 4, a, b, cnt FROM b4) u CROSS JOIN "
+        "(SELECT sha256(string_agg(word || '|' || s, ',' "
+        "ORDER BY word)) AS corpus_sha FROM v4) cs ORDER BY u.it")
+    return ", ".join(parts) + final
+
+
 def _kmeans_oracle_sql() -> str:
     """3 unrolled k-means iterations as DuckDB CTEs — generated, not
     hand-copied, from the same k/dim/scale constants the Spark side
@@ -3174,6 +3241,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_intersect": q_kmv_intersect,
         "png_roundtrip": q_png_roundtrip,
         "gif_roundtrip": q_gif_roundtrip,
+        "bpe_train": q_bpe_train,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4152,6 +4220,8 @@ def oracle_sql() -> dict[str, str]:
             "j -> cast((doc_id * 7 + j * 11) % 256 as varchar)), ',')) "
             "AS pal_sha FROM documents ORDER BY doc_id"
         ),
+        # BPE training: 4 unrolled rounds (see _bpe_oracle_sql).
+        "bpe_train": _bpe_oracle_sql(),
         # Snapshot diff: construction + full outer sha join replayed.
         "snapshot_diff": (
             "WITH newd AS (SELECT doc_id, text FROM documents), "
