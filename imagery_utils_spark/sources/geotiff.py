@@ -61,8 +61,10 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
     """HxW (gray, uint8/uint16) or HxWx3 (RGB uint8) -> GeoTIFF bytes.
     North-up geotransform derived from the extent (row 0 = ymax edge).
     ``compress='deflate'`` writes Deflate strips (TIFF compression 8,
-    stdlib zlib) — the engine's analog of the reference's lzw/zstd output
-    options (pgc_mosaic_build_tile.py gdal_translate -co COMPRESS)."""
+    stdlib zlib); ``compress='lzw'`` writes TIFF-LZW strips (tag 5,
+    sources/tiff_lzw.py — gdal's default imagery compression, the
+    reference's pgc_mosaic_build_tile.py gdal_translate -co
+    COMPRESS=LZW)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         samples, photo = 1, 1
@@ -84,11 +86,16 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
 
         strip = zlib.compress(strip, 6)
         comp_tag = 8
+    elif compress == "lzw":
+        from imagery_utils_spark.sources.tiff_lzw import tiff_lzw_encode
+
+        strip = tiff_lzw_encode(strip)
+        comp_tag = 5
     elif compress is None:
         comp_tag = 1
     else:
         raise NotImplementedError(f"compression {compress!r} not supported "
-                                  "(deflate or None)")
+                                  "(lzw, deflate or None)")
 
     px = (xmax - xmin) / w
     py = (ymax - ymin) / h
@@ -418,8 +425,8 @@ def decode_cog(blob: bytes):
 
 def decode_geotiff(blob: bytes):
     """-> (array, (xmin, px, 0, ymax, 0, -py) GDAL-style geotransform,
-    epsg). Single-strip, uncompressed or Deflate (what encode_geotiff
-    writes)."""
+    epsg). Uncompressed, LZW or Deflate strips; single- or multi-strip
+    layouts (what encode_geotiff and common external writers emit)."""
     if blob[:4] != _II:
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", blob, 4)
@@ -456,8 +463,8 @@ def decode_geotiff(blob: bytes):
     samples = tags[_SAMPLES][2] if _SAMPLES in tags else 1
     bits = shorts(_BITS)[0]
     comp = tags[_COMP][2]
-    if comp not in (1, 8):
-        raise NotImplementedError("only uncompressed / Deflate TIFF")
+    if comp not in (1, 5, 8):
+        raise NotImplementedError("only uncompressed / LZW / Deflate TIFF")
     # multi-strip (r5): concatenate RowsPerStrip-sized strips in order —
     # the layout most external writers emit (GDAL defaults to ~8 KB strips)
     offs = _tag_longs(blob, tags, _STRIP_OFF)
@@ -469,6 +476,12 @@ def decode_geotiff(blob: bytes):
             import zlib
 
             raw = zlib.decompress(blob[off:off + cnt])
+            parts.append(np.frombuffer(raw, dtype=dt))
+        elif comp == 5:
+            from imagery_utils_spark.sources.tiff_lzw import (
+                tiff_lzw_decode)
+
+            raw = tiff_lzw_decode(blob[off:off + cnt])
             parts.append(np.frombuffer(raw, dtype=dt))
         else:
             parts.append(np.frombuffer(blob, dtype=dt,
