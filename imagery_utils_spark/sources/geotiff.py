@@ -33,6 +33,7 @@ _II = b"II*\x00"  # little-endian TIFF magic
 
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_PREDICTOR = 317
 _STRIP_OFF, _SAMPLES, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR, _SAMPLE_FMT = 284, 339
 _MODEL_SCALE, _MODEL_TIEPOINT, _GEO_KEYS = 33550, 33922, 34735
@@ -57,7 +58,8 @@ def _geo_keys(epsg: int) -> list[int]:
 
 def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
                    ymax: float, epsg: int = 4326,
-                   compress: str | None = None) -> bytes:
+                   compress: str | None = None,
+                   predictor: int = 1) -> bytes:
     """HxW (gray, uint8/uint16) or HxWx3 (RGB uint8) -> GeoTIFF bytes.
     North-up geotransform derived from the extent (row 0 = ymax edge).
     ``compress='deflate'`` writes Deflate strips (TIFF compression 8,
@@ -80,6 +82,19 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
     bits = arr.dtype.itemsize * 8
     if arr.dtype == np.uint16:
         arr = arr.astype("<u2")
+    if predictor == 2:
+        # horizontal differencing (TIFF tag 317=2, gdal PREDICTOR=2):
+        # per row, per channel, value - left-neighbor mod 2^bits —
+        # turns smooth imagery into near-zero runs the LZW/Deflate
+        # dictionary loves
+        wide = arr.astype(np.int64)
+        if wide.ndim == 2:
+            wide[:, 1:] -= arr.astype(np.int64)[:, :-1]
+        else:
+            wide[:, 1:, :] -= arr.astype(np.int64)[:, :-1, :]
+        arr = (wide % (1 << bits)).astype(arr.dtype)
+    elif predictor != 1:
+        raise NotImplementedError("predictor 1 (none) or 2 (horizontal)")
     strip = arr.tobytes()
     if compress == "deflate":
         import zlib
@@ -145,6 +160,8 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
     tag(_ROWS_PER_STRIP, _LONG, 1, h)
     tag(_STRIP_CNT, _LONG, 1, len(strip))
     tag(_PLANAR, _SHORT, 1, 1)
+    if predictor == 2:
+        tag(_PREDICTOR, _SHORT, 1, 2)
     tag(_SAMPLE_FMT, _SHORT, samples, fmt_b)
     tag(_MODEL_SCALE, _DOUBLE, 3, scale)
     tag(_MODEL_TIEPOINT, _DOUBLE, 6, tiepoint)
@@ -488,6 +505,14 @@ def decode_geotiff(blob: bytes):
                                        count=cnt // (bits // 8), offset=off))
     arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
     arr = arr.reshape((h, w) if samples == 1 else (h, w, samples))
+    pred = tags[_PREDICTOR][2] if _PREDICTOR in tags else 1
+    if pred == 2:
+        # invert horizontal differencing: per-row cumulative sum mod
+        # 2^bits (row-local, so strip boundaries never matter)
+        wide = np.cumsum(arr.astype(np.int64), axis=1) % (1 << bits)
+        arr = wide.astype(arr.dtype)
+    elif pred != 1:
+        raise NotImplementedError(f"TIFF predictor {pred} unsupported")
 
     px, py, _pz = doubles(_MODEL_SCALE)
     tp = doubles(_MODEL_TIEPOINT)
