@@ -1286,6 +1286,30 @@ def q_bpe_train(spark, sf_dir) -> DataFrame:
     return rows.crossJoin(sha).orderBy("it")
 
 
+def q_neg_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: per
+    doc, 4 salted-sha negatives in [0, N) with a +1 wraparound when a
+    draw hits the anchor itself. Pure projection over the fact plus
+    ONE broadcast count scalar — zero shuffle, resumable (negatives
+    are a function of (doc_id, j, N) only, so a re-run or a different
+    partitioning regenerates identical pairs). Replays exactly in SQL."""
+    from imagery_utils_spark.operators.sketch import sha_hash63_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n_corpus"))
+    out = docs.crossJoin(F.broadcast(n))
+    d = F.col("doc_id")
+    for j in range(4):
+        cand = sha_hash63_col(
+            F.concat(F.lit(f"{j}:"), d.cast("string"))) % F.col("n_corpus")
+        out = out.withColumn(
+            f"neg{j}",
+            F.when(cand == d, (cand + 1) % F.col("n_corpus"))
+            .otherwise(cand))
+    return (out.select("doc_id", "neg0", "neg1", "neg2", "neg3")
+            .orderBy("doc_id"))
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3242,6 +3266,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_roundtrip": q_png_roundtrip,
         "gif_roundtrip": q_gif_roundtrip,
         "bpe_train": q_bpe_train,
+        "neg_sample": q_neg_sample,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4219,6 +4244,21 @@ def oracle_sql() -> dict[str, str]:
             "sha256(array_to_string(list_transform(range(0, 48), "
             "j -> cast((doc_id * 7 + j * 11) % 256 as varchar)), ',')) "
             "AS pal_sha FROM documents ORDER BY doc_id"
+        ),
+        # Negative sampling: salted-sha draws + wraparound replay.
+        "neg_sample": (
+            "WITH n AS (SELECT count(*) AS nc FROM documents), "
+            "d AS (SELECT doc_id, nc, "
+            + ", ".join(
+                f"cast('0x' || substr(sha256('{j}:' || "
+                f"cast(doc_id as varchar)), 1, 15) as bigint) % nc "
+                f"AS c{j}" for j in range(4)) +
+            " FROM documents, n) "
+            "SELECT doc_id, "
+            + ", ".join(
+                f"CASE WHEN c{j} = doc_id THEN (c{j} + 1) % nc "
+                f"ELSE c{j} END AS neg{j}" for j in range(4)) +
+            " FROM d ORDER BY doc_id"
         ),
         # BPE training: 4 unrolled rounds (see _bpe_oracle_sql).
         "bpe_train": _bpe_oracle_sql(),
