@@ -161,7 +161,10 @@ def main() -> None:
     # wall bounded as the query count grows.
     SINGLE_REP = {"stream_quota", "stream_champion", "stream_dedup",
                   "connected_components", "near_dup_keep", "warc_roundtrip",
-                  "stream_join", "pagerank"}
+                  "stream_join", "pagerank",
+                  # iterative driver-state loops: the wall is their own
+                  # multi-round work, not a cold-worker artifact
+                  "kmeans_fixed", "bpe_train"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
