@@ -1310,6 +1310,73 @@ def q_neg_sample(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_mp3_meta(spark, sf_dir) -> DataFrame:
+    """MP3 frame index (sources/mp3.py, ISO 11172-3 header layer): per
+    doc a synthetic VBR stream — ID3v2 prefix of doc_id%5 filler
+    bytes, then 3 frames with bitrate index 1+(doc_id+f)%14, sample
+    rate index doc_id%3, padding (doc_id+f)%2 — built and re-walked
+    inside the Arrow batch. The oracle recomputes offsets and frame
+    lengths closed-form from the same tables (144000*kbps//sr+pad),
+    so any header-packing or walk asymmetry flips the sha."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def work(batches):
+        from imagery_utils_spark.sources.mp3 import (
+            build_id3v2, build_mp3_frame, parse_mp3)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                blob = build_id3v2(d % 5)
+                for f in range(3):
+                    blob += build_mp3_frame(1 + (d + f) % 14, d % 3,
+                                            (d + f) % 2, crc=(f == 1))
+                frames = parse_mp3(blob)
+                rows.append((
+                    d, len(frames), len(blob),
+                    ",".join(f"{fr['offset']}:{fr['kbps']}:"
+                             f"{fr['samplerate']}:{fr['padding']}:"
+                             f"{fr['length']}" for fr in frames)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "stream_len", "frames_csv"])
+
+    out = docs.mapInPandas(
+        work, "doc_id long, n_frames int, stream_len int, "
+              "frames_csv string")
+    return (out.select("doc_id", "n_frames", "stream_len",
+                       F.sha2("frames_csv", 256).alias("frames_sha"))
+            .orderBy("doc_id"))
+
+
+def _mp3_oracle_sql() -> str:
+    """Closed-form frame walk from the same bitrate/samplerate tables."""
+    from imagery_utils_spark.sources.mp3 import BITRATES_KBPS, SAMPLERATES
+    kb = "[" + ", ".join(str(v) for v in BITRATES_KBPS[1:]) + "]"
+    sr = "[" + ", ".join(str(v) for v in SAMPLERATES) + "]"
+    return (
+        f"WITH f AS (SELECT doc_id, i, "
+        f"{kb}[1 + (doc_id + i) % 14] AS kbps, "
+        f"{sr}[1 + doc_id % 3] AS srate, "
+        f"(doc_id + i) % 2 AS pad FROM documents, "
+        f"unnest([0, 1, 2]) AS u(i)), "
+        "g AS (SELECT doc_id, i, kbps, srate, pad, "
+        "144000 * kbps // srate + pad AS flen FROM f), "
+        "o AS (SELECT doc_id, i, kbps, srate, pad, flen, "
+        "10 + (doc_id % 5) + coalesce(sum(flen) OVER ("
+        "PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS off FROM g) "
+        "SELECT doc_id, 3 AS n_frames, "
+        "cast(10 + (doc_id % 5) + sum(flen) as int) AS stream_len, "
+        "sha256(string_agg(cast(off as varchar) || ':' || "
+        "cast(kbps as varchar) || ':' || cast(srate as varchar) || "
+        "':' || cast(pad as varchar) || ':' || "
+        "cast(flen as varchar), ',' ORDER BY i)) AS frames_sha "
+        "FROM o GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3267,6 +3334,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_roundtrip": q_gif_roundtrip,
         "bpe_train": q_bpe_train,
         "neg_sample": q_neg_sample,
+        "mp3_meta": q_mp3_meta,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4260,6 +4328,9 @@ def oracle_sql() -> dict[str, str]:
                 f"ELSE c{j} END AS neg{j}" for j in range(4)) +
             " FROM d ORDER BY doc_id"
         ),
+        # MP3 frame walk: offsets/lengths closed-form (generated from
+        # the shared bitrate/samplerate tables).
+        "mp3_meta": _mp3_oracle_sql(),
         # BPE training: 4 unrolled rounds (see _bpe_oracle_sql).
         "bpe_train": _bpe_oracle_sql(),
         # Snapshot diff: construction + full outer sha join replayed.
