@@ -62,25 +62,45 @@ def _lzw_encode(data: bytes, mcs: int) -> bytes:
     width = mcs + 1
     w = _BitWriter()
     w.write(clear, width)
+    # Width bookkeeping MIRRORS the decoder exactly: the decoder grows
+    # its table by one entry per received data code except the first
+    # after a clear, and widens when that count reaches 2^width. The
+    # encoder's own dictionary is one add AHEAD mid-stream and skips
+    # the add after its final code, so driving the width from
+    # next_code desyncs the tail (the decoder widens before EOI, the
+    # encoder doesn't — found by hypothesis at |table| == 2^width).
+    wcount = eoi + 1
+    first = True
+
+    def emit(code: int) -> None:
+        nonlocal wcount, width, first
+        w.write(code, width)
+        if first:
+            first = False
+        else:
+            wcount += 1
+            if wcount >= (1 << width) and width < 12:
+                width += 1
+
     cur = b""
     for byte in data:
         nxt = cur + bytes([byte])
         if nxt in table:
             cur = nxt
             continue
-        w.write(table[cur], width)
+        emit(table[cur])
         table[nxt] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
         if next_code >= _MAX_CODE:
             w.write(clear, width)
             table = {bytes([i]): i for i in range(1 << mcs)}
             next_code = eoi + 1
             width = mcs + 1
+            wcount = eoi + 1
+            first = True
         cur = bytes([byte])
     if cur:
-        w.write(table[cur], width)
+        emit(table[cur])
     w.write(eoi, width)
     return w.done()
 
