@@ -51,24 +51,41 @@ def tiff_lzw_encode(data: bytes) -> bytes:
     table = {bytes([i]): i for i in range(256)}
     next_code, width = _FIRST, 9
     w.write(_CLEAR, width)
+    # Width bookkeeping mirrors the decoder EXACTLY (same lesson as
+    # sources/gif.py, found by fuzz at the stream tail): the decoder
+    # grows by one entry per data code except the first after a Clear
+    # and early-changes at len == 2^width - 2; driving the encoder's
+    # width from next_code desyncs EOI when the final entry lands on
+    # the threshold (the encoder never adds after its last code).
+    wcount = _FIRST
+    first = True
+
+    def emit(code: int) -> None:
+        nonlocal wcount, width, first
+        w.write(code, width)
+        if first:
+            first = False
+        else:
+            wcount += 1
+            if wcount == (1 << width) - 2 and width < 12:
+                width += 1              # early change, mirrored
     omega = b""
     for byte in data:
         cand = omega + bytes([byte])
         if cand in table:
             omega = cand
             continue
-        w.write(table[omega], width)
+        emit(table[omega])
         table[cand] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
-            width += 1                      # early change
         if next_code >= _RESET_AT:
             w.write(_CLEAR, width)
             table = {bytes([i]): i for i in range(256)}
             next_code, width = _FIRST, 9
+            wcount, first = _FIRST, True
         omega = bytes([byte])
     if omega:
-        w.write(table[omega], width)
+        emit(table[omega])
     w.write(_EOI, width)
     return w.done()
 

@@ -65,3 +65,16 @@ def test_property_roundtrip(w, h, ncol, seed):
     pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
     i2, p2 = decode_gif(encode_gif(idx, pal))
     assert (i2 == idx).all() and (p2[:ncol] == pal).all()
+
+
+def test_tail_boundary_fuzz():
+    """Regression for the hypothesis-found tail desync (decoder widens
+    before EOI when its last add lands on 2^width; encoder width must
+    mirror the decoder's add-per-code accounting)."""
+    import random
+    rng = random.Random(7)
+    for _ in range(3000):
+        mcs = rng.choice([2, 3, 4, 8])
+        n = rng.randint(0, 60)
+        d = bytes(rng.randint(0, (1 << mcs) - 1) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(d, mcs), mcs, len(d)) == d

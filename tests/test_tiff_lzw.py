@@ -109,3 +109,16 @@ def test_geotiff_lzw_predictor2_roundtrip_and_wins():
                           predictor=2)
     out, _gt, _e = decode_geotiff(blob)
     assert (out == ramp).all()
+
+
+def test_tail_boundary_fuzz():
+    """Regression for the tail desync class (encoder never adds after
+    its final code, so next_code-driven widths miss the decoder's
+    pre-EOI widen): 3000 seeded random streams across alphabet sizes."""
+    import random
+    rng = random.Random(11)
+    for _ in range(3000):
+        n = rng.randint(0, 600)
+        alpha = rng.choice([2, 3, 5, 256])
+        d = bytes(rng.randint(0, alpha - 1) for _ in range(n))
+        assert tiff_lzw_decode(tiff_lzw_encode(d), len(d)) == d
