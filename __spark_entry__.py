@@ -1377,6 +1377,68 @@ def _mp3_oracle_sql() -> str:
     )
 
 
+def q_partition_prune(spark, sf_dir) -> DataFrame:
+    """Hive-layout partition pruning (the Iceberg partition-spec
+    pattern on the parquet stand-in): documents written partitioned by
+    lang, then a lang-filtered read — the filter resolves at FILE
+    LISTING time (PartitionFilters in the scan, asserted in
+    test_plan_quality), so non-matching partitions are never opened;
+    at 100 TB this is the difference between scanning one partition
+    and scanning the lake. Rollup parity against the unpartitioned
+    base table proves the pruned read loses nothing."""
+    import shutil
+
+    base = _lineage_base(sf_dir, "pprune")
+    if not os.path.isfile(os.path.join(base, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        (load(spark, sf_dir, "documents")
+         .write.partitionBy("lang").mode("overwrite").parquet(base))
+    part = spark.read.parquet(base).filter(F.col("lang").isin("en", "de"))
+    return (part.groupBy("lang", "source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("lang", "source"))
+
+
+def q_bucketed_join(spark, sf_dir) -> DataFrame:
+    """Catalog-bucketed co-located join: orders and customer saved as
+    8-bucket tables on the join key (bucketBy + sortBy + saveAsTable —
+    Spark's persistent analog of Iceberg's bucket transform); the join
+    then runs with ZERO Exchange on EITHER side (asserted in
+    test_plan_quality) — at 100 TB the shuffle this avoids IS the
+    query cost. Oracle: the plain join on the base parquet."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to, tc = f"iusb_orders_{sf}", f"iusb_customer_{sf}"
+    if not spark.catalog.tableExists(tc):
+        # the in-memory catalog forgets tables across sessions but the
+        # managed LOCATION persists — clear stale dirs before recreate
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        for t in (to, tc):
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        (load(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_totalprice")
+         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable(to, format="parquet"))
+        (load(spark, sf_dir, "customer")
+         .select("c_custkey", "c_nationkey")
+         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable(tc, format="parquet"))
+    o = spark.table(to)
+    c = spark.table(tc)
+    j = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    # integer cents, not a float sum: double addition is merge-order
+    # dependent across partitions; the per-row cast is engine-identical
+    return (j.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents"))
+            .orderBy("c_nationkey"))
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3335,6 +3397,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "neg_sample": q_neg_sample,
         "mp3_meta": q_mp3_meta,
+        "partition_prune": q_partition_prune,
+        "bucketed_join": q_bucketed_join,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4327,6 +4391,19 @@ def oracle_sql() -> dict[str, str]:
                 f"CASE WHEN c{j} = doc_id THEN (c{j} + 1) % nc "
                 f"ELSE c{j} END AS neg{j}" for j in range(4)) +
             " FROM d ORDER BY doc_id"
+        ),
+        # Partition pruning: rollup parity vs the unpartitioned base.
+        "partition_prune": (
+            "SELECT lang, source, count(*) AS n, sum(n_chars) AS chars "
+            "FROM documents WHERE lang IN ('en', 'de') "
+            "GROUP BY lang, source ORDER BY lang, source"
+        ),
+        # Bucketed join: plain join on the base tables.
+        "bucketed_join": (
+            "SELECT c_nationkey, count(*) AS n_orders, "
+            "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         # MP3 frame walk: offsets/lengths closed-form (generated from
         # the shared bitrate/samplerate tables).

@@ -288,3 +288,30 @@ def test_hillshade_gather_is_single_shuffle_no_python(spark, sf_dir):
     assert body.count("Exchange hashpartitioning") == 1
     assert body.count("Exchange rangepartitioning") == 1
     assert "PythonUDF" not in body
+
+
+def test_partition_prune_resolves_at_file_listing(spark, sf_dir):
+    import __spark_entry__ as entry
+    df = entry.queries()["partition_prune"](spark, sf_dir)
+    plan = plan_of(df)
+    seg = plan.split("PartitionFilters")[1][:160]
+    assert "lang" in seg and "IN" in seg.upper()
+    # the pruned column never appears as a post-scan data filter
+    if "PushedFilters" in plan:
+        assert "lang" not in plan.split("PushedFilters")[1][:80]
+    # and never re-enters as a scan column (it lives in the dir layout)
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_bucketed_join_has_zero_exchange(spark, sf_dir):
+    import __spark_entry__ as entry
+    df = entry.queries()["bucketed_join"](spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    join_part = body.split("SortMergeJoin")
+    assert len(join_part) >= 2, body[:400]
+    # no shuffle anywhere below the join: bucket metadata co-locates
+    # both sides; the only exchanges allowed are the post-join agg's
+    # and the final orderBy's
+    below = join_part[-1]
+    assert "Exchange" not in below
+    assert "SelectedBucketsCount" in body
