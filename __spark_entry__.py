@@ -1439,6 +1439,46 @@ def q_bucketed_join(spark, sf_dir) -> DataFrame:
             .orderBy("c_nationkey"))
 
 
+def q_star_join(spark, sf_dir) -> DataFrame:
+    """Star-schema rollup: orders fact against customer and nation
+    dims. Catalyst's size estimates broadcast BOTH dims (two
+    BroadcastHashJoins, no sort-merge, the only hash exchange is the
+    final rollup's — asserted in test_plan_quality): the fact flows
+    through the star without ever shuffling on a join key. Integer
+    cents, per bucketed_join's float-sum lesson."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(n, c.c_nationkey == n.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100)
+                       .cast("long")).alias("total_cents"))
+            .orderBy("n_name"))
+
+
+def q_dist_quantile(spark, sf_dir) -> DataFrame:
+    """Exact order statistics WITHOUT a global sort: the p50/p90/p99
+    of order totals (integer cents) via the same two-pass histogram
+    selection as stratified_sample (operators/selection.py) — one
+    histogram groupBy + a window over only the boundary bucket, per
+    quantile. The kept set's max IS the ceil(p*n)-th smallest. The
+    oracle is the naive full-sort row_number plan."""
+    from imagery_utils_spark.operators.selection import select_k_smallest
+
+    o = (load(spark, sf_dir, "orders")
+         .select(F.floor(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents"), "o_orderkey")
+         .withColumn("_s", F.lit("all")))
+    pieces = []
+    for name, p, q in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        kept = select_k_smallest(o, "_s", F.col("cents"),
+                                 F.col("o_orderkey"), p=p, q=q)
+        pieces.append(kept.agg(F.max("cents").alias(name)))
+    return pieces[0].crossJoin(pieces[1]).crossJoin(pieces[2])
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3399,6 +3439,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_meta": q_mp3_meta,
         "partition_prune": q_partition_prune,
         "bucketed_join": q_bucketed_join,
+        "star_join": q_star_join,
+        "dist_quantile": q_dist_quantile,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4404,6 +4446,28 @@ def oracle_sql() -> dict[str, str]:
             "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # Star join: plain 3-way join rollup.
+        "star_join": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "sum(cast(floor(o_totalprice * 100) as bigint)) "
+            "AS total_cents FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        # Exact quantiles: the naive full-sort plan.
+        "dist_quantile": (
+            "WITH c AS (SELECT cast(floor(o_totalprice * 100) as bigint)"
+            " AS cents, o_orderkey FROM orders), "
+            "r AS (SELECT cents, row_number() OVER (ORDER BY cents, "
+            "o_orderkey) AS rn, count(*) OVER () AS n FROM c) "
+            "SELECT max(CASE WHEN rn = (n * 1 + 1) // 2 THEN cents END)"
+            " AS p50, "
+            "max(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) "
+            "AS p90, "
+            "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) "
+            "AS p99 FROM r"
         ),
         # MP3 frame walk: offsets/lengths closed-form (generated from
         # the shared bitrate/samplerate tables).

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from imagery_utils_spark.operators.sketch import sha_hash63_col
 
-__all__ = ["stratified_sample_exact"]
+__all__ = ["stratified_sample_exact", "select_k_smallest"]
 
 HASH_BITS = 60
 
@@ -54,10 +54,28 @@ def stratified_sample_exact(df: DataFrame, stratum: str, key,
     """Keep exactly ceil(p/q * n) rows per stratum — the k smallest by
     (sha60(key), key). Returns the input rows + _h, plus per-stratum
     _n_total/_k columns for downstream accounting."""
+    return select_k_smallest(df, stratum, sha_hash63_col(key), key,
+                             p=p, q=q, bucket_bits=bucket_bits)
+
+
+def select_k_smallest(df: DataFrame, stratum: str, order_col, tie_col,
+                      p: int = 1, q: int = 5,
+                      bucket_bits: int = 10) -> DataFrame:
+    """Keep exactly the k = ceil(p/q * n) smallest rows per stratum by
+    (order_col, tie_col), order_col a non-negative int64 < 2^60.
+
+    With a sha hash as order_col this is reproducible sampling
+    (buckets uniform); with a VALUE as order_col it is an exact
+    order-statistic / quantile selection — buckets then follow the
+    value distribution, so a pathological distribution concentrates
+    the boundary bucket (correctness unaffected; the window still sees
+    only that bucket). Returns input rows + _h (the order key) +
+    per-stratum _n_total/_k."""
     spark = df.sparkSession
     shift = HASH_BITS - bucket_bits
-    base = (df.withColumn("_h", sha_hash63_col(key))
+    base = (df.withColumn("_h", order_col.cast("long"))
             .withColumn("_bkt", F.shiftright(F.col("_h"), shift)))
+    key = tie_col
     hist = (base.groupBy(stratum, "_bkt").agg(F.count("*").alias("c"))
             .collect())
     per: dict = {}

@@ -315,3 +315,15 @@ def test_bucketed_join_has_zero_exchange(spark, sf_dir):
     below = join_part[-1]
     assert "Exchange" not in below
     assert "SelectedBucketsCount" in body
+
+
+def test_star_join_broadcasts_both_dims(spark, sf_dir):
+    import __spark_entry__ as entry
+    df = entry.queries()["star_join"](spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    assert body.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in body
+    # fact never shuffles on a join key: the only hash exchange is the
+    # final rollup's n_name aggregate
+    ex = [l for l in body.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("n_name" in l for l in ex), ex
