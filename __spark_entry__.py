@@ -1479,6 +1479,48 @@ def q_dist_quantile(spark, sf_dir) -> DataFrame:
     return pieces[0].crossJoin(pieces[1]).crossJoin(pieces[2])
 
 
+def q_change_detect(spark, sf_dir) -> DataFrame:
+    """Two-epoch per-tile change detection via COGROUPED grouped-map
+    (df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas — the one
+    Arrow grouped-map shape the engine hadn't exercised): both epochs
+    co-shuffle ONCE on tile, each tile's two pixel frames arrive in
+    the same Arrow batch, and the per-tile diff (added / removed /
+    changed / unchanged, total |delta|) runs vectorized in pandas —
+    the imagery change-detection pattern (reference: mosaic rebuild
+    against a prior epoch). Integer pixel algebra; the oracle is the
+    relational FULL OUTER JOIN rollup."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    e1 = (docs.filter(d % 7 != 0)
+          .select((d % 10).alias("tile"),
+                  F.floor(d / 10).cast("long").alias("px"),
+                  ((d * d) % 97).alias("v")))
+    e2 = (docs.filter(d % 5 != 0)
+          .select((d % 10).alias("tile"),
+                  F.floor(d / 10).cast("long").alias("px"),
+                  ((d * 3 + 11) % 97).alias("v")))
+
+    def diff(key, l, r):
+        m = l.merge(r, on="px", how="outer", suffixes=("_1", "_2"))
+        only1 = int(m["v_2"].isna().sum())
+        only2 = int(m["v_1"].isna().sum())
+        both = m.dropna(subset=["v_1", "v_2"])
+        changed = int((both["v_1"] != both["v_2"]).sum())
+        same = int(len(both)) - changed
+        sab = int((both["v_1"] - both["v_2"]).abs().sum())
+        return pd.DataFrame([(int(key[0]), only1, only2, changed,
+                              same, sab)],
+                            columns=["tile", "n_only1", "n_only2",
+                                     "n_changed", "n_same", "sum_abs"])
+
+    out = (e1.groupBy("tile").cogroup(e2.groupBy("tile"))
+           .applyInPandas(diff, "tile long, n_only1 long, n_only2 long,"
+                          " n_changed long, n_same long, sum_abs long"))
+    return out.orderBy("tile")
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3441,6 +3483,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "star_join": q_star_join,
         "dist_quantile": q_dist_quantile,
+        "change_detect": q_change_detect,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4446,6 +4489,27 @@ def oracle_sql() -> dict[str, str]:
             "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # Change detect: relational FULL OUTER rollup vs the cogroup.
+        "change_detect": (
+            "WITH e1 AS (SELECT doc_id % 10 AS tile, doc_id // 10 AS px,"
+            " (doc_id * doc_id) % 97 AS v FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            "e2 AS (SELECT doc_id % 10 AS tile, doc_id // 10 AS px, "
+            "(doc_id * 3 + 11) % 97 AS v FROM documents "
+            "WHERE doc_id % 5 <> 0), "
+            "j AS (SELECT coalesce(e1.tile, e2.tile) AS tile, "
+            "e1.v AS v1, e2.v AS v2 FROM e1 FULL OUTER JOIN e2 "
+            "ON e1.tile = e2.tile AND e1.px = e2.px) "
+            "SELECT tile, "
+            "sum(CASE WHEN v2 IS NULL THEN 1 ELSE 0 END) AS n_only1, "
+            "sum(CASE WHEN v1 IS NULL THEN 1 ELSE 0 END) AS n_only2, "
+            "sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL "
+            "AND v1 <> v2 THEN 1 ELSE 0 END) AS n_changed, "
+            "sum(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS n_same, "
+            "coalesce(sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL "
+            "THEN abs(v1 - v2) END), 0) AS sum_abs "
+            "FROM j GROUP BY tile ORDER BY tile"
         ),
         # Star join: plain 3-way join rollup.
         "star_join": (
