@@ -1521,6 +1521,47 @@ def q_change_detect(spark, sf_dir) -> DataFrame:
     return out.orderBy("tile")
 
 
+def q_hll_merge(spark, sf_dir) -> DataFrame:
+    """HLL MERGEABILITY pinned end-to-end: the corpus splits into two
+    halves (doc_id parity), each half builds its own per-source
+    register file, and the halves merge by register-wise max — the
+    exact operation a 1000-executor job / cross-day rollup performs.
+    Output carries the merged sha AND the direct whole-corpus sha;
+    `merge_ok` proves they are identical (the sketch is a semigroup:
+    max is associative/commutative/idempotent, so ANY merge tree gives
+    the same registers). Oracle replays both paths in SQL."""
+    from imagery_utils_spark.functions.text import tokens_col
+    from imagery_utils_spark.operators.sketch import hll_registers
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                   "text")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("t"))
+
+    def regs(df):
+        return hll_registers(df, ["source"], F.col("t"))
+
+    halves = (regs(toks.filter(F.col("doc_id") % 2 == 0))
+              .unionByName(regs(toks.filter(F.col("doc_id") % 2 == 1)))
+              .groupBy("source", "j").agg(F.max("m").alias("m")))
+    whole = regs(toks)
+
+    def sha(df, name):
+        return df.groupBy("source").agg(
+            F.sha2(F.concat_ws(",", F.sort_array(F.collect_list(
+                F.concat_ws(":", F.col("j").cast("string"),
+                            F.col("m").cast("string"))))), 256)
+            .alias(name))
+
+    return (sha(halves, "merged_sha")
+            .join(sha(whole, "whole_sha"), "source")
+            .select("source", "merged_sha", "whole_sha",
+                    (F.col("merged_sha") == F.col("whole_sha"))
+                    .alias("merge_ok"))
+            .orderBy("source"))
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3484,6 +3525,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": q_star_join,
         "dist_quantile": q_dist_quantile,
         "change_detect": q_change_detect,
+        "hll_merge": q_hll_merge,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4489,6 +4531,34 @@ def oracle_sql() -> dict[str, str]:
             "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # HLL merge: both paths (halves-merged and whole) replayed.
+        "hll_merge": (
+            r"WITH toks AS (SELECT doc_id, source, unnest(list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '')) "
+            "AS t FROM documents), "
+            "h AS (SELECT doc_id, source, "
+            "cast('0x' || substr(sha256(t), 1, 15) as bigint) AS hv "
+            "FROM toks), "
+            "r AS (SELECT doc_id, source, hv >> 54 AS j, "
+            "CASE WHEN (hv & 18014398509481983) = 0 THEN 55 "
+            "ELSE 55 - length(printf('%b', hv & 18014398509481983)) "
+            "END AS rho FROM h), "
+            "m AS (SELECT source, j, max(CASE WHEN doc_id % 2 = 0 "
+            "THEN rho END) AS m0, max(CASE WHEN doc_id % 2 = 1 "
+            "THEN rho END) AS m1, max(rho) AS mw FROM r "
+            "GROUP BY source, j), "
+            "mg AS (SELECT source, sha256(string_agg("
+            "cast(j as varchar) || ':' || cast(greatest("
+            "coalesce(m0, 0), coalesce(m1, 0)) as varchar), ',' "
+            "ORDER BY cast(j as varchar) || ':' || cast(greatest("
+            "coalesce(m0, 0), coalesce(m1, 0)) as varchar))) "
+            "AS merged_sha, sha256(string_agg(cast(j as varchar) || "
+            "':' || cast(mw as varchar), ',' ORDER BY "
+            "cast(j as varchar) || ':' || cast(mw as varchar))) "
+            "AS whole_sha FROM m GROUP BY source) "
+            "SELECT source, merged_sha, whole_sha, "
+            "merged_sha = whole_sha AS merge_ok FROM mg ORDER BY source"
         ),
         # Change detect: relational FULL OUTER rollup vs the cogroup.
         "change_detect": (
