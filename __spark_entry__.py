@@ -1474,7 +1474,8 @@ def q_dist_quantile(spark, sf_dir) -> DataFrame:
     pieces = []
     for name, p, q in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
         kept = select_k_smallest(o, "_s", F.col("cents"),
-                                 F.col("o_orderkey"), p=p, q=q)
+                                 F.col("o_orderkey"), p=p, q=q,
+                                 value_bits=27)  # cents < 2^27
         pieces.append(kept.agg(F.max("cents").alias(name)))
     return pieces[0].crossJoin(pieces[1]).crossJoin(pieces[2])
 

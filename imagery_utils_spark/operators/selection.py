@@ -60,19 +60,24 @@ def stratified_sample_exact(df: DataFrame, stratum: str, key,
 
 def select_k_smallest(df: DataFrame, stratum: str, order_col, tie_col,
                       p: int = 1, q: int = 5,
-                      bucket_bits: int = 10) -> DataFrame:
+                      bucket_bits: int = 10,
+                      value_bits: int = HASH_BITS) -> DataFrame:
     """Keep exactly the k = ceil(p/q * n) smallest rows per stratum by
-    (order_col, tie_col), order_col a non-negative int64 < 2^60.
+    (order_col, tie_col), order_col a non-negative int64 < 2^value_bits.
 
     With a sha hash as order_col this is reproducible sampling
-    (buckets uniform); with a VALUE as order_col it is an exact
-    order-statistic / quantile selection — buckets then follow the
-    value distribution, so a pathological distribution concentrates
-    the boundary bucket (correctness unaffected; the window still sees
-    only that bucket). Returns input rows + _h (the order key) +
-    per-stratum _n_total/_k."""
+    (buckets uniform; value_bits stays 60). With a VALUE as order_col
+    it is an exact order-statistic / quantile selection — the caller
+    MUST state the key's magnitude via value_bits (buckets are the top
+    ``bucket_bits`` of a ``value_bits``-wide key; leaving 60 for a
+    26-bit value puts everything in bucket 0 and the boundary window
+    silently becomes a full sort — found by the hypothesis property
+    test). Skewed value distributions concentrate the boundary bucket
+    (correctness unaffected; the window still sees only that bucket).
+    Returns input rows + _h (the order key) + per-stratum
+    _n_total/_k."""
     spark = df.sparkSession
-    shift = HASH_BITS - bucket_bits
+    shift = max(value_bits - bucket_bits, 0)
     base = (df.withColumn("_h", order_col.cast("long"))
             .withColumn("_bkt", F.shiftright(F.col("_h"), shift)))
     key = tie_col

@@ -236,3 +236,60 @@ def test_stratified_selection_exact_k_and_reproducible(spark):
     k2 = {r.k for r in stratified_sample_exact(
         df.repartition(11), "s", F.col("k"), p=1, q=5).collect()}
     assert k1 == k2 and len(k1) == (97 + 4) // 5
+
+
+# ------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=120),
+       st.integers(1, 16))
+def test_skyline_property(spark, pts, n_buckets):
+    df = spark.createDataFrame([Row(a=x, b=y) for x, y in pts])
+    got = {(r.x, r.ymax) for r in
+           skyline2d(df, F.col("a"), F.col("b"),
+                     n_buckets=n_buckets).collect()}
+    assert got == _brute_skyline(pts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 150), st.integers(1, 9), st.integers(2, 10))
+def test_selection_property(spark, n, p, q):
+    """k-smallest-by-value via histogram selection == python sorted
+    prefix, for arbitrary n and rational fractions p/q (p < q)."""
+    import random as _r
+    from imagery_utils_spark.operators.selection import select_k_smallest
+    if p >= q:
+        p = q - 1
+    rng = _r.Random(n * 31 + p * 7 + q)
+    vals = [rng.randint(0, 500) for _ in range(n)]
+    rows = [Row(s="x", v=v, i=i) for i, v in enumerate(vals)]
+    kept = select_k_smallest(spark.createDataFrame(rows), "s",
+                             F.col("v"), F.col("i"), p=p, q=q,
+                             bucket_bits=4, value_bits=9)
+    got = sorted((r.v, r.i) for r in kept.collect())
+    k = (n * p + q - 1) // q
+    want = sorted((v, i) for i, v in enumerate(vals))[:k]
+    assert got == want
+
+
+def test_selection_value_bits_actually_buckets(spark):
+    """With value_bits set to the key magnitude, the boundary bucket
+    holds a sliver, never the whole stratum (the degenerate full-sort
+    the hypothesis property exposed for small values at 60 bits)."""
+    from imagery_utils_spark.operators.selection import select_k_smallest
+    rows = [Row(s="x", v=i * 13 % 512, i=i) for i in range(512)]
+    df = spark.createDataFrame(rows)
+    kept = select_k_smallest(df, "s", F.col("v"), F.col("i"),
+                             p=1, q=4, bucket_bits=4, value_bits=9)
+    got = sorted((r.v, r.i) for r in kept.collect())
+    want = sorted((i * 13 % 512, i) for i in range(512))[:128]
+    assert got == want
+    # bucketing really splits: 16 buckets over a 9-bit value range
+    hist = (df.withColumn("_b", F.shiftright(F.col("v").cast("long"), 5))
+            .groupBy("_b").count().collect())
+    assert len(hist) > 8
