@@ -1035,8 +1035,10 @@ def q_kmeans_fixed(spark, sf_dir) -> DataFrame:
     """Fixed-point k-means (operators/clustering.py): 3 exact integer
     iterations over the quantized 64-dim embeddings, k=8 seeded by the
     smallest vec_ids. Centroids live on the driver (k x dim ints, the
-    MLlib topology) and enter each pass as literal arrays — one fact
-    scan per iteration, no shuffle, no lineage growth; sums and the
+    MLlib topology) and enter each pass as a broadcast one-row
+    array<struct> column (constant-size plan in k — literals blew up
+    Catalyst analysis) — one fact scan per iteration, no shuffle in
+    the assignment, no lineage growth; sums and the
     remainder-adjusted floor division are order/partitioning
     independent, so cluster sizes, integer inertia and the final
     centroid sha are bit-identical at any cluster size. Oracle: the

@@ -48,36 +48,53 @@ def quantize_col(vec, scale_bits: int = SCALE_BITS):
         vec, lambda e: F.floor(e.cast("double") * F.lit(s)).cast("long"))
 
 
-def _dist(qcol, centroid: list[int]):
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with(qcol, carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
 def assign_clusters(df: DataFrame, qcol,
                     centroids: dict[int, list[int]]) -> DataFrame:
     """Append (cid, d): nearest centroid by exact integer distance,
-    ties to the smallest cid (struct array_min is lexicographic)."""
-    pairs = F.array(*[
-        F.struct(_dist(qcol, cv).alias("d"),
-                 F.lit(int(cid)).alias("cid"))
-        for cid, cv in sorted(centroids.items())
-    ])
-    best = F.array_min(pairs)
-    return df.withColumn("d", best["d"]).withColumn("cid", best["cid"])
+    ties to the smallest cid (struct min is lexicographic).
+
+    Centroids travel as a BROADCAST one-row frame carrying the whole
+    centroid set as an array<struct<cid, arr>> COLUMN, not as literal
+    arrays baked into the expression tree: the plan stays
+    constant-size in k (8 x 64 literals already made Catalyst analysis
+    the dominant test-scale cost, and a k=1024 literal plan would not
+    survive), the broadcast crossJoin attaches the set to every row
+    with ZERO shuffle, and the argmin is array_min over transform —
+    still a pure projection, exactly like the literal form."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [([(int(c), [int(v) for v in arr])
+           for c, arr in sorted(centroids.items())],)],
+        "_cents array<struct<cid: long, arr: array<bigint>>>")
+    dists = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(qcol, c["arr"],
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("d"),
+            c["cid"].alias("cid")))
+    best = F.array_min(dists)
+    return (df.crossJoin(F.broadcast(cdf))
+            .withColumn("d", best["d"])
+            .withColumn("cid", best["cid"])
+            .drop("_cents"))
 
 
 def _update(asg: DataFrame, qcol, dim: int) -> dict[int, list[int]]:
     """Exact integer centroid update, collected to the driver (k x dim
-    ints). Clusters that lost every member drop out."""
-    agg = asg.groupBy("cid").agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.element_at(qcol, i + 1)).alias(f"s{i}")
-          for i in range(dim)])
-    out = {}
-    for r in agg.collect():
-        out[r["cid"]] = [r[f"s{i}"] // r["n"] for i in range(dim)]
+    ints). posexplode keeps the aggregate ONE generic expression
+    instead of ``dim`` sum columns (constant-size plan in dim);
+    integer sums stay order-independent. Clusters that lost every
+    member drop out."""
+    ex = asg.select("cid", F.posexplode(qcol).alias("_i", "_v"))
+    agg = (ex.groupBy("cid", "_i")
+           .agg(F.sum("_v").alias("s"), F.count("*").alias("n"))
+           .collect())
+    out: dict[int, list[int]] = {}
+    for r in agg:
+        out.setdefault(r["cid"], [0] * dim)[r["_i"]] = r["s"] // r["n"]
     return out
 
 
