@@ -1049,15 +1049,23 @@ def q_kmeans_fixed(spark, sf_dir) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     asg = kmeans_fixed(emb, F.col("embedding"), k=8, dim=64, iters=3)
-    agg = asg.groupBy("cid").agg(
-        F.count("*").alias("n"), F.sum("d").alias("inertia"),
-        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
-          for i in range(64)])
-    cent_csv = F.concat_ws(",", *[
-        floor_div_cols(F.col(f"s{i}"), F.col("n")).cast("string")
-        for i in range(64)])
-    return (agg.select("cid", "n", "inertia",
-                       F.sha2(cent_csv, 256).alias("c3_sha"))
+    stats = asg.groupBy("cid").agg(
+        F.count("*").alias("n"), F.sum("d").alias("inertia"))
+    # final centroid via posexplode (constant-size plan in dim, same
+    # trick as clustering._update), re-assembled in dim order
+    dims = (asg.select("cid", F.posexplode("qv").alias("_i", "_v"))
+            .groupBy("cid", "_i")
+            .agg(F.sum("_v").alias("s"), F.count("*").alias("nn")))
+    cent = (dims.select(
+        "cid", "_i",
+        floor_div_cols(F.col("s"), F.col("nn")).cast("string")
+        .alias("cv"))
+        .groupBy("cid")
+        .agg(F.sha2(F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "cv"))),
+            lambda r: r["cv"])), 256).alias("c3_sha")))
+    return (stats.join(cent, "cid")
+            .select("cid", "n", "inertia", "c3_sha")
             .orderBy("cid"))
 
 
