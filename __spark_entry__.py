@@ -1573,6 +1573,42 @@ def q_hll_merge(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_polygon_moments(spark, sf_dir) -> DataFrame:
+    """Shoelace polygon moments in EXACT integer algebra (the raster↔
+    vector math the reference does through OGR GetArea/Centroid —
+    ortho_functions footprint area, mosaic contribution thresholds):
+    per doc a 6-vertex lattice polygon v_i = ((d*7+i*13)%200,
+    (d*11+i*17)%200); signed 2*area = Σ (x_i*y_{i+1} - x_{i+1}*y_i)
+    and the un-normalized centroid numerators Σ (x_i+x_{i+1})*cross —
+    pure JVM zip of the vertex array with its rotation, no Python,
+    no floats anywhere. The oracle replays it with an index join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    xs = F.array(*[((d * 7 + i * 13) % 200).cast("long")
+                   for i in range(6)])
+    ys = F.array(*[((d * 11 + i * 17) % 200).cast("long")
+                   for i in range(6)])
+    p = docs.select("doc_id", xs.alias("xs"), ys.alias("ys"))
+    nxt = lambda a: F.concat(F.slice(a, 2, 5), F.slice(a, 1, 1))  # noqa: E731
+    cross = F.zip_with(
+        F.zip_with(F.col("xs"), nxt(F.col("ys")), lambda x, y2: x * y2),
+        F.zip_with(nxt(F.col("xs")), F.col("ys"), lambda x2, y: x2 * y),
+        lambda a, b: a - b)
+    sum_arr = (lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, v: acc + v))
+    p = p.withColumn("_cr", cross)
+    cx = F.zip_with(
+        F.zip_with(F.col("xs"), nxt(F.col("xs")), lambda a, b: a + b),
+        F.col("_cr"), lambda s, c: s * c)
+    cy = F.zip_with(
+        F.zip_with(F.col("ys"), nxt(F.col("ys")), lambda a, b: a + b),
+        F.col("_cr"), lambda s, c: s * c)
+    return (p.select(
+        "doc_id", sum_arr(F.col("_cr")).alias("area2"),
+        sum_arr(cx).alias("cx_num"), sum_arr(cy).alias("cy_num"))
+        .orderBy("doc_id"))
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3537,6 +3573,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_quantile": q_dist_quantile,
         "change_detect": q_change_detect,
         "hll_merge": q_hll_merge,
+        "polygon_moments": q_polygon_moments,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4542,6 +4579,21 @@ def oracle_sql() -> dict[str, str]:
             "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # Polygon moments: shoelace with an index join.
+        "polygon_moments": (
+            "WITH v AS (SELECT doc_id, i, "
+            "(doc_id * 7 + i * 13) % 200 AS x, "
+            "(doc_id * 11 + i * 17) % 200 AS y "
+            "FROM documents, unnest(range(0, 6)) AS u(i)), "
+            "e AS (SELECT a.doc_id, "
+            "a.x * b.y - b.x * a.y AS cr, "
+            "(a.x + b.x) AS sx, (a.y + b.y) AS sy "
+            "FROM v a JOIN v b ON a.doc_id = b.doc_id "
+            "AND b.i = (a.i + 1) % 6) "
+            "SELECT doc_id, sum(cr) AS area2, "
+            "sum(sx * cr) AS cx_num, sum(sy * cr) AS cy_num "
+            "FROM e GROUP BY doc_id ORDER BY doc_id"
         ),
         # HLL merge: both paths (halves-merged and whole) replayed.
         "hll_merge": (
