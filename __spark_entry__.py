@@ -723,7 +723,10 @@ def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     # here; instead each call releases the PREVIOUS call's frame, bounding a
     # long session to one cached copy.
     while _JACCARD_SHINGLE_CACHE:
-        _JACCARD_SHINGLE_CACHE.pop().unpersist()
+        try:
+            _JACCARD_SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass  # frame belonged to an already-stopped SparkContext
     shingled = docs.select("doc_id", sh(F.col("text")).alias("_sh")).persist()
     _JACCARD_SHINGLE_CACHE.append(shingled)
     a = shingled.select((F.col("doc_id") + 1).alias("k"),
