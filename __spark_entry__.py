@@ -1612,6 +1612,63 @@ def q_polygon_moments(spark, sf_dir) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_hygiene_funnel(spark, sf_dir) -> DataFrame:
+    """The COMPOSED training-data hygiene pipeline as one funnel —
+    proof the operators chain, not just pass in isolation: robots
+    exclusion (RFC 9309 parser + gate) -> minimum token count ->
+    exact keep-first dedup (groupBy-min, no window) -> deterministic
+    rate sampling (Lehmer hash, no rand()). One output row with the
+    count at every stage and a sha over the surviving doc_ids; the
+    oracle replays each stage's exact predicate (lifted from the
+    per-stage rows' own oracles) as nested CTEs."""
+    import pandas as pd
+
+    from imagery_utils_spark.functions.text import tokens_col
+    from imagery_utils_spark.operators.robots import (
+        parse_robots, robots_gate)
+    from imagery_utils_spark.operators.sampling import (
+        deterministic_sample, lehmer_col)
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hosts = docs.select((d % 20).alias("h")).distinct()
+
+    def build(it):
+        for pdf in it:
+            rows = []
+            for h in pdf["h"]:
+                h = int(h)
+                t = ("# synthetic robots\nUser-agent: *\n"
+                     f"Disallow: /p/*{h}\nAllow: /p/{h}\n")
+                if h % 3 == 0:
+                    t += f"\nUser-agent: trainingbot\nDisallow: /p/{h}*\n"
+                rows.append((h, t))
+            yield pd.DataFrame(rows, columns=["h", "body"])
+
+    robots = hosts.mapInPandas(build, "h long, body string")
+    rules = parse_robots(robots, host_col="h")
+    pages = docs.select(
+        "doc_id", (d % 20).alias("h"),
+        F.concat(F.lit("/p/"), d.cast("string")).alias("path"))
+    allowed = (robots_gate(pages, rules, "trainingbot", host_col="h")
+               .filter(F.col("allowed")).select("doc_id"))
+    s1 = docs.join(allowed, "doc_id", "left_semi")
+    s2 = s1.filter(F.size(tokens_col(F.col("text"))) >= 30)
+    reps = (s2.groupBy(F.substring("text", 1, 48).alias("_k"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    s3 = s2.join(reps.select("doc_id"), "doc_id", "left_semi")
+    s4 = deterministic_sample(s3, 0.2, d, hash_col=lehmer_col(d))
+    counts = [df.agg(F.count("*").alias(f"n{i}"))
+              for i, df in enumerate((docs, s1, s2, s3, s4))]
+    sha = s4.agg(F.sha2(F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list("doc_id")),
+        lambda x: x.cast("string"))), 256).alias("kept_sha"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out.crossJoin(sha)
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3577,6 +3634,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_detect": q_change_detect,
         "hll_merge": q_hll_merge,
         "polygon_moments": q_polygon_moments,
+        "hygiene_funnel": q_hygiene_funnel,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4582,6 +4640,47 @@ def oracle_sql() -> dict[str, str]:
             "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # Hygiene funnel: each stage's predicate lifted from its own
+        # row's oracle, chained as nested CTEs.
+        "hygiene_funnel": (
+            "WITH hosts AS (SELECT DISTINCT doc_id % 20 AS h "
+            "FROM documents), "
+            "rules AS (SELECT h, FALSE AS allow, '/p/*' || h AS pat "
+            "FROM hosts WHERE h % 3 <> 0 "
+            "UNION ALL SELECT h, TRUE, '/p/' || h FROM hosts "
+            "WHERE h % 3 <> 0 "
+            "UNION ALL SELECT h, FALSE, '/p/' || h || '*' FROM hosts "
+            "WHERE h % 3 = 0), "
+            "pages AS (SELECT doc_id, doc_id % 20 AS h, "
+            "'/p/' || doc_id AS path FROM documents), "
+            "m AS (SELECT p.doc_id, r.allow, length(r.pat) AS slen "
+            "FROM pages p JOIN rules r ON p.h = r.h "
+            "WHERE regexp_matches(p.path, "
+            "'^' || replace(r.pat, '*', '.*'))), "
+            "w AS (SELECT doc_id, allow, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY slen DESC, allow DESC) AS rn "
+            "FROM m), "
+            "s1 AS (SELECT d.doc_id, d.text FROM documents d "
+            "LEFT JOIN (SELECT doc_id, allow FROM w WHERE rn = 1) v "
+            "USING (doc_id) WHERE coalesce(v.allow, TRUE)), "
+            r"s2 AS (SELECT * FROM s1 WHERE len(list_filter("
+            r"string_split_regex(text, '\s+'), x -> x <> '')) >= 30), "
+            "reps AS (SELECT min(doc_id) AS doc_id FROM s2 "
+            "GROUP BY substr(text, 1, 48)), "
+            "s3 AS (SELECT * FROM s2 WHERE doc_id IN "
+            "(SELECT doc_id FROM reps)), "
+            "s4 AS (SELECT * FROM s3 WHERE "
+            "((doc_id % 2147483647) * 48271 % 2147483647) % 1000000 "
+            "< 200000) "
+            "SELECT (SELECT count(*) FROM documents) AS n0, "
+            "(SELECT count(*) FROM s1) AS n1, "
+            "(SELECT count(*) FROM s2) AS n2, "
+            "(SELECT count(*) FROM s3) AS n3, "
+            "(SELECT count(*) FROM s4) AS n4, "
+            "(SELECT sha256(array_to_string(list_transform("
+            "list(doc_id ORDER BY doc_id), x -> cast(x as varchar)), "
+            "',')) FROM s4) AS kept_sha"
         ),
         # Polygon moments: shoelace with an index join.
         "polygon_moments": (
