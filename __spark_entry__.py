@@ -1669,6 +1669,35 @@ def q_hygiene_funnel(spark, sf_dir) -> DataFrame:
     return out.crossJoin(sha)
 
 
+def q_bfs_layers(spark, sf_dir) -> DataFrame:
+    """BFS shortest-path layers (operators/webgraph.bfs_layers): 4
+    frontier expansions from host 0 over the same deterministic link
+    graph pagerank uses — the MIN-PLUS semiring (pagerank = sum, CC =
+    min-label; the graph-semiring set is now closed). Integer
+    distances + min aggregates are partitioning-independent; the
+    oracle unrolls the same 4 relaxations as CTEs."""
+    from imagery_utils_spark.operators.webgraph import bfs_layers
+
+    d = F.col("doc_id")
+    edges = load(spark, sf_dir, "documents").select(
+        (d % 61).alias("src"), ((d * 7) % 64).alias("dst"))
+    return bfs_layers(edges, source=0, iters=4).orderBy("node")
+
+
+def _bfs_oracle_sql() -> str:
+    parts = ["WITH e AS (SELECT doc_id % 61 AS src, "
+             "(doc_id * 7) % 64 AS dst FROM documents)",
+             "d0 AS (SELECT cast(0 as bigint) AS node, "
+             "cast(0 as bigint) AS dist)"]
+    for t in range(1, 5):
+        parts.append(
+            f"d{t} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{t - 1} UNION ALL "
+            f"SELECT e.dst AS node, p.dist + 1 AS dist "
+            f"FROM d{t - 1} p JOIN e ON e.src = p.node) GROUP BY node)")
+    return ", ".join(parts) + " SELECT node, dist FROM d4 ORDER BY node"
+
+
 def _bpe_oracle_sql() -> str:
     """4 unrolled BPE rounds — generated from the same SEP constant
     and fold rule the Spark side uses."""
@@ -3635,6 +3664,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge": q_hll_merge,
         "polygon_moments": q_polygon_moments,
         "hygiene_funnel": q_hygiene_funnel,
+        "bfs_layers": q_bfs_layers,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4641,6 +4671,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
+        # BFS layers: 4 unrolled min-plus relaxations.
+        "bfs_layers": _bfs_oracle_sql(),
         # Hygiene funnel: each stage's predicate lifted from its own
         # row's oracle, chained as nested CTEs.
         "hygiene_funnel": (

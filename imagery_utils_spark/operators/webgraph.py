@@ -188,3 +188,25 @@ def triangle_count(edges: DataFrame, src: str = "src",
                 wedges.agg(F.count("*").alias("n_wedges"))))
             .crossJoin(F.broadcast(
                 tri.agg(F.count("*").alias("n_triangles")))))
+
+
+def bfs_layers(edges: DataFrame, source: int, iters: int = 4) -> DataFrame:
+    """Fixed-iteration BFS frontier expansion — the MIN-PLUS semiring
+    over the link graph (pagerank_int is the sum semiring, graph.py's
+    connected components the min-label one; this closes the set).
+
+    dist_{t+1}(v) = min(dist_t(v), 1 + min over u->v of dist_t(u)):
+    each round is one join frontier->edges plus a map-side-combinable
+    min aggregate — integer distances, so results are bit-identical
+    under any partitioning / cluster size. Multi-edges need no dedup
+    (min absorbs them). Nodes unreached within ``iters`` hops are
+    absent (the caller sees the reachable set per layer count)."""
+    dist = edges.sparkSession.createDataFrame(
+        [(int(source), 0)], "node long, dist long")
+    for _ in range(iters):
+        step = (dist.join(edges, dist.node == edges.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + 1).alias("dist")))
+        dist = (dist.unionByName(step)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist
