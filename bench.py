@@ -164,7 +164,9 @@ def main() -> None:
                   "stream_join", "pagerank",
                   # iterative driver-state loops: the wall is their own
                   # multi-round work, not a cold-worker artifact
-                  "kmeans_fixed", "bpe_train"}
+                  "kmeans_fixed", "bpe_train",
+                  # long composed DAG (robots parse + 4 chained stages)
+                  "hygiene_funnel"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
