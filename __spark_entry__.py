@@ -1684,6 +1684,62 @@ def q_bfs_layers(spark, sf_dir) -> DataFrame:
     return bfs_layers(edges, source=0, iters=4).orderBy("node")
 
 
+def q_merge_upsert(spark, sf_dir) -> DataFrame:
+    """MERGE INTO / upsert resolution (the Iceberg copy-on-write merge
+    pattern on the parquet stand-in): base = all docs at version 1;
+    changes = updates for doc_id%3==0 (new content version 2), inserts
+    for keys 10000+doc_id where doc_id%11==0, tombstones for
+    doc_id%13==5. ONE full-outer join on key resolves WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE; the merged
+    state is pinned by per-action counts and a sha over (key, version,
+    content-sig) lines. The oracle replays the resolution in SQL."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.select(d.alias("key"),
+                       F.sha2(F.col("text"), 256).alias("sig"),
+                       F.lit(1).alias("version"))
+    upd = (docs.filter(d % 3 == 0)
+           .select(d.alias("key"),
+                   F.sha2(F.concat(F.col("text"), F.lit("#v2")), 256)
+                   .alias("sig"),
+                   F.lit(2).alias("version"), F.lit("u").alias("op")))
+    ins = (docs.filter(d % 11 == 0)
+           .select((d + 10000).alias("key"),
+                   F.sha2(F.concat(F.lit("new:"), d.cast("string")), 256)
+                   .alias("sig"),
+                   F.lit(2).alias("version"), F.lit("i").alias("op")))
+    dele = (docs.filter(d % 13 == 5)
+            .select(d.alias("key"), F.lit(None).cast("string")
+                    .alias("sig"),
+                    F.lit(2).alias("version"), F.lit("d").alias("op")))
+    changes = upd.unionByName(ins).unionByName(dele)
+    j = base.alias("b").join(changes.alias("c"),
+                             F.col("b.key") == F.col("c.key"), "full")
+    merged = (j.filter(F.col("c.op").isNull() | (F.col("c.op") != "d"))
+              .select(
+                  F.coalesce(F.col("c.key"), F.col("b.key")).alias("key"),
+                  F.coalesce(F.col("c.sig"), F.col("b.sig")).alias("sig"),
+                  F.coalesce(F.col("c.version"), F.col("b.version"))
+                  .alias("version")))
+    counts = j.agg(
+        F.sum(F.when(F.col("c.op") == "u", 1).otherwise(0))
+        .alias("n_updated"),
+        F.sum(F.when(F.col("c.op") == "i", 1).otherwise(0))
+        .alias("n_inserted"),
+        F.sum(F.when((F.col("c.op") == "d")
+                     & F.col("b.key").isNotNull(), 1).otherwise(0))
+        .alias("n_deleted"))
+    sha = merged.agg(
+        F.count("*").alias("n_final"),
+        F.sha2(F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list(F.struct("key", "version",
+                                                 "sig"))),
+            lambda r: F.concat_ws("|", r["key"].cast("string"),
+                                  r["version"].cast("string"),
+                                  r["sig"]))), 256).alias("state_sha"))
+    return counts.crossJoin(sha)
+
+
 def _bfs_oracle_sql() -> str:
     parts = ["WITH e AS (SELECT doc_id % 61 AS src, "
              "(doc_id * 7) % 64 AS dst FROM documents)",
@@ -3665,6 +3721,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_moments": q_polygon_moments,
         "hygiene_funnel": q_hygiene_funnel,
         "bfs_layers": q_bfs_layers,
+        "merge_upsert": q_merge_upsert,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4670,6 +4727,36 @@ def oracle_sql() -> dict[str, str]:
             "sum(cast(floor(o_totalprice * 100) as bigint)) AS total_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # MERGE INTO resolution replayed over the same synth changes.
+        "merge_upsert": (
+            "WITH base AS (SELECT doc_id AS key, sha256(text) AS sig, "
+            "1 AS version FROM documents), "
+            "chg AS (SELECT doc_id AS key, sha256(text || '#v2') AS "
+            "sig, 2 AS version, 'u' AS op FROM documents "
+            "WHERE doc_id % 3 = 0 "
+            "UNION ALL SELECT doc_id + 10000, "
+            "sha256('new:' || cast(doc_id as varchar)), 2, 'i' "
+            "FROM documents WHERE doc_id % 11 = 0 "
+            "UNION ALL SELECT doc_id, NULL, 2, 'd' FROM documents "
+            "WHERE doc_id % 13 = 5), "
+            "j AS (SELECT b.key AS bkey, b.sig AS bsig, "
+            "b.version AS bver, c.key AS ckey, c.sig AS csig, "
+            "c.version AS cver, c.op FROM base b "
+            "FULL OUTER JOIN chg c ON b.key = c.key), "
+            "m AS (SELECT coalesce(ckey, bkey) AS key, "
+            "coalesce(csig, bsig) AS sig, "
+            "coalesce(cver, bver) AS version FROM j "
+            "WHERE op IS NULL OR op <> 'd') "
+            "SELECT "
+            "(SELECT count(*) FROM j WHERE op = 'u') AS n_updated, "
+            "(SELECT count(*) FROM j WHERE op = 'i') AS n_inserted, "
+            "(SELECT count(*) FROM j WHERE op = 'd' "
+            "AND bkey IS NOT NULL) AS n_deleted, "
+            "(SELECT count(*) FROM m) AS n_final, "
+            "(SELECT sha256(string_agg(cast(key as varchar) || '|' || "
+            "cast(version as varchar) || '|' || sig, ',' "
+            "ORDER BY key, version, sig)) FROM m) AS state_sha"
         ),
         # BFS layers: 4 unrolled min-plus relaxations.
         "bfs_layers": _bfs_oracle_sql(),
