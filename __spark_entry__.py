@@ -1740,6 +1740,35 @@ def q_merge_upsert(spark, sf_dir) -> DataFrame:
     return counts.crossJoin(sha)
 
 
+# ONE ANSI string, two engines: q_sql_surface feeds this verbatim to
+# spark.sql() and the driver feeds it verbatim to DuckDB — the shared
+# SQL surface itself is the thing under test (dialect-portable subset:
+# CTEs, join, window dense_rank, floor/cast, deterministic tie-breaks).
+SQL_SURFACE_TEXT = (
+    "WITH c AS (SELECT o_custkey, "
+    "sum(cast(floor(o_totalprice * 100) as bigint)) AS cents "
+    "FROM orders GROUP BY o_custkey), "
+    "r AS (SELECT c_nationkey, c_custkey, cents, "
+    "dense_rank() OVER (PARTITION BY c_nationkey "
+    "ORDER BY cents DESC, c_custkey) AS rk "
+    "FROM c JOIN customer ON c_custkey = o_custkey) "
+    "SELECT c_nationkey, c_custkey, cents, rk FROM r "
+    "WHERE rk <= 3 ORDER BY c_nationkey, rk, c_custkey"
+)
+
+
+def q_sql_surface(spark, sf_dir) -> DataFrame:
+    """The spark.sql() TEXT surface: top-3 customers by order revenue
+    per nation, written once in the ANSI-shared subset and executed
+    VERBATIM by both engines (the oracle is the identical string) —
+    no DataFrame translation anywhere, proving a reference user's SQL
+    moves across unchanged. Integer cents; dense_rank ties broken by
+    customer key."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_SURFACE_TEXT)
+
+
 def _bfs_oracle_sql() -> str:
     parts = ["WITH e AS (SELECT doc_id % 61 AS src, "
              "(doc_id * 7) % 64 AS dst FROM documents)",
@@ -3722,6 +3751,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hygiene_funnel": q_hygiene_funnel,
         "bfs_layers": q_bfs_layers,
         "merge_upsert": q_merge_upsert,
+        "sql_surface": q_sql_surface,
         "url_canon": q_url_canon,
         "zorder_key": q_zorder_key,
         "connected_components": q_connected_components,
@@ -4728,6 +4758,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
+        # SQL surface: the IDENTICAL string Spark executes.
+        "sql_surface": SQL_SURFACE_TEXT,
         # MERGE INTO resolution replayed over the same synth changes.
         "merge_upsert": (
             "WITH base AS (SELECT doc_id AS key, sha256(text) AS sig, "
