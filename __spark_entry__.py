@@ -3667,6 +3667,91 @@ _PROJ4_IN_SQL = (
 )
 
 
+def q_scd2_dim(spark, sf_dir) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py): the events stream
+    as a change log — key = user_id % 50, tracked attribute =
+    event_type — collapsed to validity intervals. Change-point filter
+    (lag + row_number) then interval close (lead), BOTH windows over
+    one (key, ts, event_id) ordering = ONE shuffle. Integer epoch
+    seconds; ties totally ordered by event_id. The oracle replays the
+    identical two windows."""
+    from imagery_utils_spark.operators.scd import scd2_intervals
+
+    log = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("key"),
+        F.col("event_type").alias("attr"),
+        F.unix_timestamp("ts").alias("ep"), "event_id")
+    return (scd2_intervals(log, "key", "attr", "ep", "event_id")
+            .select("key", "attr", "valid_from", "valid_to",
+                    "is_current")
+            .orderBy("key", "valid_from"))
+
+
+def q_gap_fill(spark, sf_dir) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): sparse
+    per-(key, day) revenue observations densified onto the full
+    calendar span and forward-filled. The grid is GENERATED (sequence +
+    explode over a broadcast 1-row global span — never shuffled in);
+    the fill is the portable gaps-and-islands form (count(v) OVER as
+    group id, max per group), two windows on one (key, day) sort = one
+    shuffle. The oracle runs the identical windows over
+    generate_series."""
+    from imagery_utils_spark.operators.timeseries import gap_fill_daily
+
+    obs = (load(spark, sf_dir, "events")
+           .select((F.col("user_id") % 20).alias("key"),
+                   (F.unix_timestamp("ts") / 86400).cast("long")
+                   .alias("day"),
+                   F.floor(F.col("value") * 100).cast("long")
+                   .alias("cents"))
+           .groupBy("key", "day").agg(F.sum("cents").alias("v")))
+    return (gap_fill_daily(obs, "key", "day", "v")
+            .select("key", "day", "filled", "is_gap")
+            .orderBy("key", "day"))
+
+
+def q_kcore(spark, sf_dir) -> DataFrame:
+    """k-core decomposition (operators/graph.kcore): 4 fixed peeling
+    rounds at k=3 over the deterministic link graph shared with
+    pagerank/bfs_layers — drop nodes with degree < k, drop their
+    edges, recount. Each round = one degree groupBy + two semi joins
+    against the (shrinking, broadcast-able) survivor set; lineage
+    truncated per round. The oracle unrolls the same 4 relaxations as
+    CTEs."""
+    from imagery_utils_spark.operators.graph import kcore
+
+    d = F.col("doc_id")
+    edges = load(spark, sf_dir, "documents").select(
+        (d % 61).alias("src"), ((d * 7) % 64).alias("dst"))
+    return kcore(edges, k=3, iters=4).orderBy("node")
+
+
+def q_anomaly_mad(spark, sf_dir) -> DataFrame:
+    """Robust per-group anomaly gate: median + MAD outlier flags on
+    integer cents, ALL math exact — m2 = 2·median and mad2 = 2·MAD
+    stay integers (half-unit trick), and |x−med| > 3·MAD becomes the
+    pure-integer 2·dev > 3·mad2 (dev = |2y − m2|), so the row is
+    bit-exact cross-engine with interpolated medians. Scale shape: two
+    exact-percentile groupBys over the group key + two broadcast joins
+    of the tiny per-group stats back onto the stream."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("y"))
+    med = ev.groupBy("event_type").agg(
+        (F.expr("percentile(y, 0.5)") * 2).cast("long").alias("m2"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("dev", F.abs(2 * F.col("y") - F.col("m2"))))
+    mad = dev.groupBy("event_type").agg(
+        (F.expr("percentile(dev, 0.5)") * 2).cast("long").alias("mad2"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.max("m2").alias("m2"),
+                 F.max("mad2").alias("mad2"),
+                 F.sum(F.when(2 * F.col("dev") > 3 * F.col("mad2"), 1)
+                       .otherwise(0)).alias("n_out"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -3824,6 +3909,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrap_180": q_wrap_180,
         "catid_extract": q_catid_extract,
         "xml_meta": q_xml_meta,
+        "scd2_dim": q_scd2_dim,
+        "gap_fill": q_gap_fill,
+        "kcore": q_kcore,
+        "anomaly_mad": q_anomaly_mad,
     }
 
 
@@ -3990,6 +4079,25 @@ def _rpc_warp_oracle_sql() -> str:
         f"SELECT doc_id, lon, lat, height, {line_e} AS line, {samp_e} AS samp "
         "FROM d ORDER BY doc_id"
     )
+
+
+def _kcore_oracle_sql(k: int = 3, iters: int = 4) -> str:
+    parts = [
+        "WITH re AS (SELECT doc_id % 61 AS u, (doc_id * 7) % 64 AS v "
+        "FROM documents)",
+        "e0 AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM re "
+        "UNION ALL SELECT v AS u, u AS v FROM re) t WHERE u <> v)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"k{t} AS (SELECT u FROM e{t - 1} GROUP BY u "
+            f"HAVING count(*) >= {k})")
+        parts.append(
+            f"e{t} AS (SELECT e.u, e.v FROM e{t - 1} e "
+            f"JOIN k{t} a ON e.u = a.u JOIN k{t} b ON e.v = b.u)")
+    return (", ".join(parts)
+            + f" SELECT u AS node, count(*) AS degree FROM e{iters} "
+            "GROUP BY u ORDER BY node")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4760,6 +4868,58 @@ def oracle_sql() -> dict[str, str]:
         ),
         # SQL surface: the IDENTICAL string Spark executes.
         "sql_surface": SQL_SURFACE_TEXT,
+        "scd2_dim": (
+            "WITH log AS (SELECT user_id % 50 AS key, "
+            "event_type AS attr, "
+            "cast(floor(epoch(ts)) as bigint) AS ep, event_id "
+            "FROM events), "
+            "m AS (SELECT key, attr, ep, event_id, "
+            "lag(attr) OVER w AS prev, row_number() OVER w AS rn "
+            "FROM log WINDOW w AS "
+            "(PARTITION BY key ORDER BY ep, event_id)), "
+            "ch AS (SELECT key, attr, ep, event_id FROM m "
+            "WHERE rn = 1 OR prev IS DISTINCT FROM attr) "
+            "SELECT key, attr, ep AS valid_from, "
+            "lead(ep) OVER (PARTITION BY key ORDER BY ep, event_id) "
+            "AS valid_to, "
+            "lead(ep) OVER (PARTITION BY key ORDER BY ep, event_id) "
+            "IS NULL AS is_current "
+            "FROM ch ORDER BY key, valid_from"
+        ),
+        "gap_fill": (
+            "WITH obs AS (SELECT user_id % 20 AS key, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "sum(cast(floor(value * 100) as bigint)) AS v "
+            "FROM events GROUP BY 1, 2), "
+            "span AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs), "
+            "grid AS (SELECT key, unnest(generate_series(d0, d1)) "
+            "AS day FROM (SELECT DISTINCT key FROM obs) CROSS JOIN "
+            "span), "
+            "j AS (SELECT g.key, g.day, o.v FROM grid g LEFT JOIN obs "
+            "o ON g.key = o.key AND g.day = o.day), "
+            "f AS (SELECT key, day, v, count(v) OVER (PARTITION BY "
+            "key ORDER BY day) AS grp FROM j) "
+            "SELECT key, day, max(v) OVER (PARTITION BY key, grp) "
+            "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
+        ),
+        "kcore": _kcore_oracle_sql(),
+        "anomaly_mad": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(value * 100) as bigint) AS y FROM events), "
+            "m AS (SELECT event_type, "
+            "cast(quantile_cont(y, 0.5) * 2 as bigint) AS m2 "
+            "FROM e GROUP BY event_type), "
+            "d AS (SELECT e.event_type, y, m2, abs(2 * y - m2) AS dev "
+            "FROM e JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, "
+            "cast(quantile_cont(dev, 0.5) * 2 as bigint) AS mad2 "
+            "FROM d GROUP BY event_type) "
+            "SELECT d.event_type, count(*) AS n, max(m2) AS m2, "
+            "max(mad2) AS mad2, "
+            "sum(CASE WHEN 2 * dev > 3 * mad2 THEN 1 ELSE 0 END) "
+            "AS n_out FROM d JOIN md USING (event_type) "
+            "GROUP BY d.event_type ORDER BY d.event_type"
+        ),
         # MERGE INTO resolution replayed over the same synth changes.
         "merge_upsert": (
             "WITH base AS (SELECT doc_id AS key, sha256(text) AS sig, "

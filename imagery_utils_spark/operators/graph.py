@@ -120,3 +120,43 @@ def dedup_by_components(pairs: DataFrame, id_a: str = "id_a",
     cc = connected_components(pairs, src=id_a, dst=id_b)
     return cc.select("node", "component",
                      (F.col("node") == F.col("component")).alias("keep"))
+
+
+def kcore(edges: DataFrame, k: int, iters: int, src: str = "src",
+          dst: str = "dst") -> DataFrame:
+    """k-core peeling: ``iters`` fixed rounds of "drop every node whose
+    degree < k, then drop edges touching a dropped node".
+
+    Returns (node, degree) for the nodes surviving all rounds, with the
+    degree AFTER the last peel. With enough rounds this is exactly the
+    k-core (Seidman 1983); a fixed unrolled count keeps the computation
+    deterministic and lets the DuckDB oracle replay the identical
+    relaxations as CTEs (same pattern as ``bfs_layers``/``pagerank``).
+
+    Scale shape: each round is one groupBy(node) degree count plus two
+    broadcast-able semi joins of the edge set against the survivor set
+    (survivors are ≤ #nodes rows — tiny next to the edge set, and they
+    only shrink). Edges stay (long, long); lineage is truncated per
+    round like :func:`connected_components`. Peeling converges in
+    O(#distinct degrees) rounds, far below diameter.
+
+    Reference kinship: the reference's quality gates drop scenes below a
+    score floor and re-evaluate overlap after removal
+    (/root/reference/pgc_mosaic.py filter passes); k-core is the same
+    "remove below-threshold, recompute, repeat" fixpoint on a graph.
+    """
+    # undirected: both orientations, exact dedupe, loops dropped
+    a = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    e = (a.unionByName(a.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    deg = e.groupBy("u").agg(F.count("*").alias("degree"))
+    for _ in range(iters):
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        e = (e.join(keep, "u", "semi")
+             .join(keep.select(F.col("u").alias("v")), "v", "semi")
+             .localCheckpoint(eager=True))
+        deg = e.groupBy("u").agg(F.count("*").alias("degree"))
+    return deg.select(F.col("u").alias("node"), "degree")
