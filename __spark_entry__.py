@@ -3752,6 +3752,54 @@ def q_anomaly_mad(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _g711_inner_sql(gen: str) -> str:
+    """Shared G.711 battery pipeline: synthetic 16-bit PCM (64 samples
+    per doc from integer hash math), encode+decode both companders,
+    re-encode the decoded samples (idempotence audit). ``gen`` is the
+    dialect-specific sample generator; everything after it is the SAME
+    expression text on both engines."""
+    from imagery_utils_spark.functions import audio as A
+
+    steps = (A.ULAW_ENCODE_STEPS + A.ULAW_DECODE_STEPS
+             + A.ALAW_ENCODE_STEPS + A.ALAW_DECODE_STEPS
+             + A.rebind(A.ULAW_ENCODE_STEPS, "r", {"x": "upcm"})
+             + A.rebind(A.ALAW_ENCODE_STEPS, "r", {"x": "apcm"}))
+    return A.steps_sql(gen, steps)
+
+
+_G711_AGG_SQL = (
+    "SELECT doc_id % 16 AS bucket, count(*) AS n, "
+    "sum(ucode) AS sum_ucode, sum(acode) AS sum_acode, "
+    "sum(upcm) AS sum_upcm, sum(apcm) AS sum_apcm, "
+    "max(abs(x - upcm)) AS max_uerr, max(abs(x - apcm)) AS max_aerr, "
+    "sum(CASE WHEN rucode <> ucode THEN 1 ELSE 0 END) AS n_u_nonidem, "
+    "sum(CASE WHEN racode <> acode THEN 1 ELSE 0 END) AS n_a_nonidem "
+    "FROM ({inner}) s GROUP BY doc_id % 16 ORDER BY bucket"
+)
+
+
+def q_g711_codec(spark, sf_dir) -> DataFrame:
+    """G.711 mu-law + A-law companding (functions/audio.py) as PURE
+    column algebra — the telephony codec's sign/segment/mantissa
+    packing runs entirely inside whole-stage codegen (no Python, no
+    shuffle before the final rollup), and the identical expression
+    TEXT is the oracle. Spec parity pinned exhaustively (all 65536
+    inputs vs the public g711.c bit-twiddling form) in
+    tests/test_audio.py; here the corpus-driven samples pin sums,
+    quantization-error maxima, and the roundtrip idempotence audit
+    (A-law exact; mu-law's 3 'negative zero' cells counted, not
+    hidden)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gen = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i")
+    ).withColumn(
+        "x", F.expr("(doc_id * 2654435761 + i * 40503) % 65536 - 32768"))
+    gen.createOrReplaceTempView("g711_samples")
+    inner = _g711_inner_sql("SELECT * FROM g711_samples")
+    return spark.sql(_G711_AGG_SQL.format(inner=inner))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -3913,6 +3961,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "kcore": q_kcore,
         "anomaly_mad": q_anomaly_mad,
+        "g711_codec": q_g711_codec,
     }
 
 
@@ -4903,6 +4952,10 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "g711_codec": _G711_AGG_SQL.format(inner=_g711_inner_sql(
+            "SELECT doc_id, i, (doc_id * 2654435761 + i * 40503) "
+            "% 65536 - 32768 AS x FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 63)) AS i) g")),
         "anomaly_mad": (
             "WITH e AS (SELECT event_type, "
             "cast(floor(value * 100) as bigint) AS y FROM events), "
