@@ -3800,6 +3800,38 @@ def q_g711_codec(spark, sf_dir) -> DataFrame:
     return spark.sql(_G711_AGG_SQL.format(inner=inner))
 
 
+def q_zip_roundtrip(spark, sf_dir) -> DataFrame:
+    """ZIP container (sources/ziparc.py, PKWARE APPNOTE from spec): 10
+    docs per archive (stored/deflate alternating by doc), built
+    executor-side, exploded back by the central-directory parser with
+    crc32 + size verification enforced in-line; the oracle recomputes
+    name/method/size/sha direct from the corpus — any writer/parser
+    asymmetry or crc slip breaks parity. Interop with stdlib zipfile
+    pinned both directions in tests/test_ziparc.py."""
+    import pandas as pd
+
+    from imagery_utils_spark.sources import ziparc as Z
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        entries = []
+        for _, r in pdf.iterrows():
+            d = int(r.doc_id)
+            entries.append((f"p/{d}.txt", str(r.text).encode("utf-8"),
+                            Z.DEFLATED if d % 2 else Z.STORED))
+        return pd.DataFrame({"zip_id": [int(key[0])],
+                             "zip": [Z.write_zip(entries)]})
+
+    blobs = (docs.groupBy(F.floor(F.col("doc_id") / 10).alias("g"))
+             .applyInPandas(build, "zip_id long, zip binary"))
+    return (Z.zip_entries(blobs)
+            .select("name", "method", "usize",
+                    F.sha2(F.col("body"), 256).alias("body_sha"))
+            .orderBy("name"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -3962,6 +3994,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "anomaly_mad": q_anomaly_mad,
         "g711_codec": q_g711_codec,
+        "zip_roundtrip": q_zip_roundtrip,
     }
 
 
@@ -4952,6 +4985,14 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "zip_roundtrip": (
+            "SELECT 'p/' || doc_id || '.txt' AS name, "
+            "cast(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END as int) "
+            "AS method, "
+            "cast(octet_length(encode(text)) as bigint) AS usize, "
+            "sha256(text) AS body_sha "
+            "FROM documents ORDER BY name"
+        ),
         "g711_codec": _G711_AGG_SQL.format(inner=_g711_inner_sql(
             "SELECT doc_id, i, (doc_id * 2654435761 + i * 40503) "
             "% 65536 - 32768 AS x FROM documents CROSS JOIN "

@@ -1,0 +1,78 @@
+"""ZIP container: roundtrip, crc enforcement, and BOTH-direction
+interop with stdlib zipfile (ours->stdlib and stdlib->ours)."""
+
+import io
+import zipfile
+
+import pytest
+
+from imagery_utils_spark.sources.ziparc import (
+    DEFLATED, STORED, iter_zip, write_zip)
+
+
+def test_roundtrip_mixed_methods():
+    entries = [("a.txt", b"hello world", STORED),
+               ("dir/b.bin", bytes(range(256)) * 40, DEFLATED),
+               ("empty", b"", STORED),
+               ("empty.z", b"", DEFLATED)]
+    blob = write_zip(entries)
+    out = list(iter_zip(blob))
+    assert [(e["name"], e["data"], e["method"]) for e in out] == entries
+    assert out[1]["csize"] < out[1]["usize"]  # deflate actually shrank
+
+
+def test_utf8_names_flagged():
+    blob = write_zip([("påge/ü.txt", b"x", STORED)])
+    (e,) = iter_zip(blob)
+    assert e["name"] == "påge/ü.txt"
+
+
+def test_crc_corruption_detected():
+    blob = bytearray(write_zip([("a", b"AAAA_BBBB_CCCC", STORED)]))
+    i = blob.find(b"AAAA_BBBB_CCCC")
+    blob[i] ^= 0xFF
+    with pytest.raises(ValueError, match="crc mismatch"):
+        list(iter_zip(bytes(blob)))
+
+
+def test_stdlib_reads_ours():
+    entries = [("x/y.txt", b"payload one", DEFLATED),
+               ("z.dat", b"\x00\x01\x02" * 100, STORED)]
+    zf = zipfile.ZipFile(io.BytesIO(write_zip(entries)))
+    assert zf.testzip() is None
+    assert zf.namelist() == ["x/y.txt", "z.dat"]
+    for name, data, _ in entries:
+        assert zf.read(name) == data
+    infos = zf.infolist()
+    assert infos[0].compress_type == zipfile.ZIP_DEFLATED
+    assert infos[1].compress_type == zipfile.ZIP_STORED
+
+
+def test_ours_reads_stdlib():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("s.txt", b"stored body",
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr("d.txt", b"deflate body " * 50,
+                    compress_type=zipfile.ZIP_DEFLATED)
+    out = {e["name"]: e for e in iter_zip(buf.getvalue())}
+    assert out["s.txt"]["data"] == b"stored body"
+    assert out["d.txt"]["data"] == b"deflate body " * 50
+
+
+def test_comment_tail_still_finds_eocd():
+    blob = write_zip([("a", b"x", STORED)])
+    # a trailing comment shifts EOCD away from the tail; the scan-back
+    # must still find the true record (stdlib writers do this)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a", "x")
+        zf.comment = b"trailing comment bytes"
+    out = list(iter_zip(buf.getvalue()))
+    assert out[0]["data"] == b"x"
+    assert list(iter_zip(blob))[0]["data"] == b"x"
+
+
+def test_determinism():
+    entries = [("n", b"same bytes", DEFLATED)]
+    assert write_zip(entries) == write_zip(entries)
