@@ -3832,6 +3832,76 @@ def q_zip_roundtrip(spark, sf_dir) -> DataFrame:
             .orderBy("name"))
 
 
+def q_feature_hash(spark, sf_dir) -> DataFrame:
+    """Hashing-trick featurizer (operators/features.py, Weinberger
+    2009): fixed-dim signed-hash vectors with NO vocabulary build —
+    the only featurizer that needs no dictionary shuffle at 10^12
+    docs. One (doc, bucket) groupBy with map-side combine; vectors
+    pinned whole by nnz/l1/sorted-render sha. Oracle replays the
+    sha-derived bucket+sign exactly."""
+    from imagery_utils_spark.operators.features import (
+        feature_hash, feature_vector_digest)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (feature_vector_digest(feature_hash(docs, dim=64))
+            .orderBy("doc_id"))
+
+
+def q_interval_overlap(spark, sf_dir) -> DataFrame:
+    """Interval × interval overlap join (operators/rangejoin.
+    interval_overlap_join): sessions (events, 1800 s) × campaign
+    windows (doc-derived, 3600 s) banded onto 3600 s bands — the
+    equi-join key a theta join lacks; pairs dedupe-freely kept only in
+    the max(start)-band. The oracle is the direct theta join, so any
+    band-cover or first-band slip breaks parity."""
+    from imagery_utils_spark.operators.rangejoin import (
+        interval_overlap_join)
+
+    ev = load(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_id") % 5 == 0)
+         .select(F.col("event_id").alias("a_id"),
+                 F.unix_timestamp("ts").alias("a_start"))
+         .withColumn("a_end", F.col("a_start") + 1800))
+    m = ev.agg(F.min(F.unix_timestamp("ts")).alias("m0"))
+    b = (load(spark, sf_dir, "documents").select("doc_id")
+         .crossJoin(F.broadcast(m))
+         .select(F.col("doc_id").alias("b_id"),
+                 (F.col("m0") + (F.col("doc_id") * 977) % 2592000)
+                 .alias("b_start"))
+         .withColumn("b_end", F.col("b_start") + 3600))
+    pairs = interval_overlap_join(a, b, band=3600)
+    return (pairs.groupBy("b_id")
+            .agg(F.count("*").alias("n_overlaps"),
+                 F.sum("a_id").alias("sum_a_id"))
+            .orderBy("b_id"))
+
+
+def q_hist_eq(spark, sf_dir) -> DataFrame:
+    """Per-tile histogram equalization — the classic raster contrast
+    stretch (the reference's LUT stretches are fixed curves; hist-eq
+    is the data-driven one): new_v = floor((cdf(v) − cdf_min)·255 /
+    (n − cdf_min)), all integer/IEEE-exact. Pixel histograms collapse
+    per (tile, v) BEFORE any window (map-side combine), then one
+    per-tile cumulative window. Oracle replays the same windows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    px = (docs.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(63)))
+                      .alias("i"))
+          .select((F.col("doc_id") % 8).alias("tile"),
+                  F.expr("(doc_id * 31 + i * 17) % 256").alias("v")))
+    hist = px.groupBy("tile", "v").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("tile").orderBy("v")
+    wp = Window.partitionBy("tile")
+    g = (hist.withColumn("cdf", F.sum("cnt").over(w))
+         .withColumn("cdf_min", F.min("cdf").over(wp))
+         .withColumn("n", F.sum("cnt").over(wp)))
+    new_v = F.when(F.col("n") == F.col("cdf_min"), F.lit(0)).otherwise(
+        F.floor((F.col("cdf") - F.col("cdf_min")) * 255
+                / (F.col("n") - F.col("cdf_min")))).cast("long")
+    return (g.select("tile", "v", "cnt", new_v.alias("new_v"))
+            .orderBy("tile", "v"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -3995,6 +4065,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_mad": q_anomaly_mad,
         "g711_codec": q_g711_codec,
         "zip_roundtrip": q_zip_roundtrip,
+        "feature_hash": q_feature_hash,
+        "interval_overlap": q_interval_overlap,
+        "hist_eq": q_hist_eq,
     }
 
 
@@ -4985,6 +5058,53 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "feature_hash": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '')) "
+            "AS tok FROM documents), "
+            "h AS (SELECT doc_id, "
+            "cast(('0x' || substr(sha256(tok), 1, 15)) as bigint) % 64 "
+            "AS bucket, "
+            "1 - 2 * (cast(('0x' || substr(sha256(tok), 16, 1)) "
+            "as bigint) % 2) AS s FROM toks), "
+            "v AS (SELECT doc_id, bucket, sum(s) AS w FROM h "
+            "GROUP BY doc_id, bucket HAVING sum(s) <> 0) "
+            "SELECT doc_id, count(*) AS nnz, sum(abs(w)) AS l1, "
+            "sha256(string_agg(bucket || ':' || w, ',' "
+            "ORDER BY bucket)) AS vec_sha "
+            "FROM v GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "interval_overlap": (
+            "WITH m AS (SELECT cast(min(floor(epoch(ts))) as bigint) "
+            "AS m0 FROM events), "
+            "a AS (SELECT event_id AS a_id, "
+            "cast(floor(epoch(ts)) as bigint) AS a_start "
+            "FROM events WHERE event_id % 5 = 0), "
+            "b AS (SELECT doc_id AS b_id, "
+            "m0 + (doc_id * 977) % 2592000 AS b_start "
+            "FROM documents CROSS JOIN m) "
+            "SELECT b_id, count(*) AS n_overlaps, sum(a_id) AS sum_a_id "
+            "FROM a JOIN b ON a_start <= b_start + 3600 "
+            "AND b_start <= a_start + 1800 "
+            "GROUP BY b_id ORDER BY b_id"
+        ),
+        "hist_eq": (
+            "WITH px AS (SELECT doc_id % 8 AS tile, "
+            "(doc_id * 31 + i * 17) % 256 AS v FROM documents "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g), "
+            "hist AS (SELECT tile, v, count(*) AS cnt FROM px "
+            "GROUP BY tile, v), "
+            "c AS (SELECT tile, v, cnt, "
+            "sum(cnt) OVER (PARTITION BY tile ORDER BY v) AS cdf, "
+            "sum(cnt) OVER (PARTITION BY tile) AS n FROM hist), "
+            "c2 AS (SELECT tile, v, cnt, cdf, n, "
+            "min(cdf) OVER (PARTITION BY tile) AS cdf_min FROM c) "
+            "SELECT tile, v, cnt, "
+            "cast(CASE WHEN n = cdf_min THEN 0 ELSE "
+            "floor((cdf - cdf_min) * 255 / (n - cdf_min)) END "
+            "as bigint) AS new_v "
+            "FROM c2 ORDER BY tile, v"
+        ),
         "zip_roundtrip": (
             "SELECT 'p/' || doc_id || '.txt' AS name, "
             "cast(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END as int) "

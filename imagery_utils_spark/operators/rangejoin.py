@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_lookup"]
+__all__ = ["range_lookup", "interval_overlap_join"]
 
 
 def range_lookup(probes: DataFrame, ranges: DataFrame, value_col: str,
@@ -53,3 +53,39 @@ def range_lookup(probes: DataFrame, ranges: DataFrame, value_col: str,
                          (probe_b["_rb"] == range_b["_rb"]) & band,
                          "left")
             .drop("_rb"))
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame, band: int,
+                          a_start: str = "a_start", a_end: str = "a_end",
+                          b_start: str = "b_start", b_end: str = "b_end",
+                          ) -> DataFrame:
+    """Interval × interval overlap join (closed intervals), banded.
+
+    Both sides explode onto fixed-width bands (floor(start/band) ..
+    floor(end/band)) and equi-join on the band id — the shuffle key a
+    plain theta join doesn't have, which is what makes this run as a
+    hash join instead of a cross product at 10^12 rows. A pair sharing
+    several bands is emitted ONCE without any distinct pass: it is kept
+    only in the band containing max(a_start, b_start), which for
+    overlapping intervals is always a band both sides cover — the
+    dedupe-free trick from interval-join literature (e.g. the
+    "start-band" rule in Spark range-join implementations).
+
+    ``band`` trades replication (interval_len/band copies per row)
+    against per-band join density; pick it near the median interval
+    length. Output: all columns of both inputs, one row per
+    overlapping pair.
+    """
+    def banded(df, lo, hi):
+        return df.withColumn("_band", F.explode(F.sequence(
+            F.floor(F.col(lo) / band), F.floor(F.col(hi) / band))))
+
+    ab = banded(a, a_start, a_end)
+    bb = banded(b, b_start, b_end)
+    overlap = ((F.col(a_start) <= F.col(b_end))
+               & (F.col(b_start) <= F.col(a_end)))
+    first_band = (F.col("_band")
+                  == F.floor(F.greatest(F.col(a_start),
+                                        F.col(b_start)) / band))
+    return (ab.join(bb, "_band").filter(overlap & first_band)
+            .drop("_band"))
