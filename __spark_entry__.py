@@ -3902,6 +3902,120 @@ def q_hist_eq(spark, sf_dir) -> DataFrame:
             .orderBy("tile", "v"))
 
 
+def q_csv_roundtrip(spark, sf_dir) -> DataFrame:
+    """RFC 4180 CSV container (sources/csvio.py): 10 docs per blob with
+    a deliberately hostile text field (appended quote/comma/newline
+    riff exercises doubled quotes, embedded commas AND multi-line
+    records — the case naive line splitting corrupts); built
+    executor-side with the minimal-quoting writer, exploded back by
+    the state-machine parser. Oracle recomputes id/lang/sha from the
+    corpus with the same riff."""
+    import pandas as pd
+
+    from imagery_utils_spark.sources import csvio as C
+
+    riff = '",\n tricky "'
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    F.concat(F.col("text"), F.lit(riff)).alias("body")))
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        rows = [(str(int(r.doc_id)), str(r.lang), str(r.body))
+                for _, r in pdf.iterrows()]
+        return pd.DataFrame({"csv_id": [int(key[0])],
+                             "csv": [C.write_csv(rows)]})
+
+    blobs = (docs.groupBy(F.floor(F.col("doc_id") / 10).alias("g"))
+             .applyInPandas(build, "csv_id long, csv string"))
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("lang", T.StringType()),
+                           T.StructField("body", T.StringType())])
+    return (C.csv_records(blobs, schema)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "lang", F.sha2(F.col("body"), 256).alias("body_sha"))
+            .orderBy("doc_id"))
+
+
+def q_temporal_join(spark, sf_dir) -> DataFrame:
+    """Point-in-time-correct dimension lookup — the feature-store /
+    AS OF join: facts joined to the SCD2 intervals of q_scd2_dim on
+    key AND ts ∈ [valid_from, valid_to) so each fact sees the
+    attribute that was current WHEN IT HAPPENED (no leakage from the
+    future). The interval dimension is broadcast (dimension-sized by
+    construction — change points only), facts never shuffle. Oracle
+    replays the interval build + BETWEEN join."""
+    from imagery_utils_spark.operators.scd import scd2_intervals
+
+    ev = load(spark, sf_dir, "events")
+    log = ev.select((F.col("user_id") % 50).alias("key"),
+                    F.col("event_type").alias("attr"),
+                    F.unix_timestamp("ts").alias("ep"), "event_id")
+    dim = scd2_intervals(log, "key", "attr", "ep", "event_id")
+    facts = (ev.filter(F.col("event_id") % 7 == 0)
+             .select("event_id", (F.col("user_id") % 50).alias("key"),
+                     F.unix_timestamp("ts").alias("ep")))
+    j = facts.join(
+        F.broadcast(dim),
+        (facts["key"] == dim["key"]) & (facts["ep"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ep"] < dim["valid_to"])))
+    return (j.select("event_id", facts["key"].alias("key"),
+                     "attr", "valid_from")
+            .orderBy("event_id"))
+
+
+def q_ntile_bins(spark, sf_dir) -> DataFrame:
+    """Equi-depth binning: ntile(8) per event_type over integer cents
+    with a TOTAL order (cents, event_id) so tie placement is engine-
+    independent — the histogram/binning primitive behind equi-depth
+    stats and stratified training splits. One window shuffle; bin
+    stats re-aggregate on the same key."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (ev.withColumn("bin", F.ntile(8).over(w))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("n"), F.min("cents").alias("min_c"),
+                 F.max("cents").alias("max_c"))
+            .orderBy("event_type", "bin"))
+
+
+def q_pmi_pairs(spark, sf_dir) -> DataFrame:
+    """Collocation mining: bigram lift = c_xy·N / (c_x·c_y) (the PMI
+    argument before the log — rank-equivalent, and integer-products /
+    ONE double division keeps it bit-exact cross-engine; ln/log2 from
+    libm never crosses engines bit-identically). Bigrams via
+    partition-local index zip (size≥2 guarded: sequence(0,-1)
+    DESCENDS); counts collapse map-side; top-40 by lift with full
+    word tie-break."""
+    from imagery_utils_spark.functions.text import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        tokens_col(F.lower(F.col("text"))).alias("toks"))
+    uni = (docs.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    big = (docs.filter(F.size("toks") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(toks) - 2), "
+               "i -> struct(toks[i] as w1, toks[i + 1] as w2))"))
+               .alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+           .filter(F.col("c_xy") >= 3))
+    ntok = (docs.select(F.explode("toks").alias("w"))
+            .agg(F.count("*").alias("n_tok")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    out = (big.join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+           .crossJoin(F.broadcast(ntok))
+           .select("w1", "w2", "c_xy",
+                   ((F.col("c_xy") * F.col("n_tok"))
+                    / (F.col("c_x") * F.col("c_y"))).alias("lift")))
+    return out.orderBy(F.desc("lift"), "w1", "w2").limit(40)
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4068,6 +4182,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "interval_overlap": q_interval_overlap,
         "hist_eq": q_hist_eq,
+        "csv_roundtrip": q_csv_roundtrip,
+        "temporal_join": q_temporal_join,
+        "ntile_bins": q_ntile_bins,
+        "pmi_pairs": q_pmi_pairs,
     }
 
 
@@ -5058,6 +5176,62 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "csv_roundtrip": (
+            "SELECT doc_id, lang, "
+            "sha256(text || '\",' || chr(10) || ' tricky \"') "
+            "AS body_sha FROM documents ORDER BY doc_id"
+        ),
+        "temporal_join": (
+            "WITH log AS (SELECT user_id % 50 AS key, "
+            "event_type AS attr, "
+            "cast(floor(epoch(ts)) as bigint) AS ep, event_id "
+            "FROM events), "
+            "m AS (SELECT key, attr, ep, event_id, "
+            "lag(attr) OVER w AS prev, row_number() OVER w AS rn "
+            "FROM log WINDOW w AS "
+            "(PARTITION BY key ORDER BY ep, event_id)), "
+            "ch AS (SELECT key, attr, ep, event_id FROM m "
+            "WHERE rn = 1 OR prev IS DISTINCT FROM attr), "
+            "dim AS (SELECT key, attr, ep AS valid_from, "
+            "lead(ep) OVER (PARTITION BY key ORDER BY ep, event_id) "
+            "AS valid_to FROM ch), "
+            "f AS (SELECT event_id, user_id % 50 AS key, "
+            "cast(floor(epoch(ts)) as bigint) AS ep FROM events "
+            "WHERE event_id % 7 = 0) "
+            "SELECT f.event_id, f.key, d.attr, d.valid_from "
+            "FROM f JOIN dim d ON f.key = d.key "
+            "AND f.ep >= d.valid_from "
+            "AND (d.valid_to IS NULL OR f.ep < d.valid_to) "
+            "ORDER BY f.event_id"
+        ),
+        "ntile_bins": (
+            "WITH e AS (SELECT event_type, event_id, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "b AS (SELECT event_type, cents, ntile(8) OVER "
+            "(PARTITION BY event_type ORDER BY cents, event_id) AS bin "
+            "FROM e) "
+            "SELECT event_type, bin, count(*) AS n, "
+            "min(cents) AS min_c, max(cents) AS max_c "
+            "FROM b GROUP BY event_type, bin ORDER BY event_type, bin"
+        ),
+        "pmi_pairs": (
+            r"WITH t AS (SELECT list_filter(string_split_regex("
+            r"lower(text), '\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "uni AS (SELECT unnest(toks) AS w FROM t), "
+            "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+            "n AS (SELECT count(*) AS n_tok FROM uni), "
+            "z AS (SELECT toks, unnest(generate_series(1, "
+            "len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2), "
+            "big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM z), "
+            "bc AS (SELECT w1, w2, count(*) AS c_xy FROM big "
+            "GROUP BY w1, w2 HAVING count(*) >= 3) "
+            "SELECT w1, w2, c_xy, "
+            "(c_xy * n_tok) / (a.c * b.c) AS lift "
+            "FROM bc CROSS JOIN n "
+            "JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w "
+            "ORDER BY lift DESC, w1, w2 LIMIT 40"
+        ),
         "feature_hash": (
             r"WITH toks AS (SELECT doc_id, unnest(list_filter("
             r"string_split_regex(lower(text), '\s+'), x -> x <> '')) "
