@@ -4016,6 +4016,50 @@ def q_pmi_pairs(spark, sf_dir) -> DataFrame:
     return out.orderBy(F.desc("lift"), "w1", "w2").limit(40)
 
 
+def q_simpson_diversity(spark, sf_dir) -> DataFrame:
+    """Per-domain language diversity — Simpson's index D = 1 −
+    Σnᵢ(nᵢ−1)/(N(N−1)): the diversity statistic that, unlike Shannon
+    entropy, needs NO logarithm, so it is bit-exact cross-engine
+    (integer numerator/denominator, one double division + one
+    subtraction). Two cheap groupBys, partial-agg friendly; the
+    corpus-mixture health check a crawl QA dashboard runs per domain."""
+    d = (load(spark, sf_dir, "documents")
+         .groupBy("source", "lang").agg(F.count("*").alias("ni")))
+    g = (d.groupBy("source")
+         .agg(F.sum("ni").alias("n_docs"),
+              F.count("*").alias("n_langs"),
+              F.sum(F.col("ni") * (F.col("ni") - 1)).alias("num")))
+    simpson = F.when(
+        F.col("n_docs") >= 2,
+        1 - F.col("num") / (F.col("n_docs") * (F.col("n_docs") - 1)))
+    return (g.select("source", "n_docs", "n_langs",
+                     simpson.alias("simpson"))
+            .orderBy("source"))
+
+
+def q_gini_concentration(spark, sf_dir) -> DataFrame:
+    """Per-event-type Gini coefficient of user activity — traffic
+    concentration (is one bot producing all the clicks?). Exact
+    sorted-rank form G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ): integer sums,
+    ONE double division; ties are order-invariant under the formula
+    and the (cnt, user_id) total order pins ranks anyway. One groupBy
+    + one window on the same key."""
+    cnt = (load(spark, sf_dir, "events")
+           .groupBy("event_type", "user_id")
+           .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    r = cnt.withColumn("i", F.row_number().over(w))
+    return (r.groupBy("event_type")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("cnt").alias("sx"),
+                 F.sum(F.col("i") * F.col("cnt")).alias("six"))
+            .select("event_type", "n_users",
+                    ((2 * F.col("six") - (F.col("n_users") + 1)
+                      * F.col("sx"))
+                     / (F.col("n_users") * F.col("sx"))).alias("gini"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4186,6 +4230,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_join": q_temporal_join,
         "ntile_bins": q_ntile_bins,
         "pmi_pairs": q_pmi_pairs,
+        "simpson_diversity": q_simpson_diversity,
+        "gini_concentration": q_gini_concentration,
     }
 
 
@@ -5176,6 +5222,30 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "simpson_diversity": (
+            "WITH d AS (SELECT source, lang, count(*) AS ni "
+            "FROM documents GROUP BY source, lang), "
+            "g AS (SELECT source, sum(ni) AS n_docs, "
+            "count(*) AS n_langs, sum(ni * (ni - 1)) AS num "
+            "FROM d GROUP BY source) "
+            "SELECT source, n_docs, n_langs, "
+            "CASE WHEN n_docs >= 2 THEN "
+            "1 - num / (n_docs * (n_docs - 1)) END AS simpson "
+            "FROM g ORDER BY source"
+        ),
+        "gini_concentration": (
+            "WITH c AS (SELECT event_type, user_id, count(*) AS cnt "
+            "FROM events GROUP BY event_type, user_id), "
+            "r AS (SELECT event_type, cnt, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY cnt, user_id) AS i "
+            "FROM c), "
+            "g AS (SELECT event_type, count(*) AS n_users, "
+            "sum(cnt) AS sx, sum(i * cnt) AS six FROM r "
+            "GROUP BY event_type) "
+            "SELECT event_type, n_users, "
+            "(2 * six - (n_users + 1) * sx) / (n_users * sx) AS gini "
+            "FROM g ORDER BY event_type"
+        ),
         "csv_roundtrip": (
             "SELECT doc_id, lang, "
             "sha256(text || '\",' || chr(10) || ' tricky \"') "

@@ -114,25 +114,19 @@ def _unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray,
     return (out % 256).astype(np.uint8)
 
 
-def encode_png(img: np.ndarray, filter_type: int | str = "adaptive",
-               level: int = 6) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8. filter_type:
-    0..4 fixed, or 'adaptive' (per-row minimum-sum-of-abs heuristic,
-    the spec's recommended strategy)."""
-    if img.dtype != np.uint8:
-        raise ValueError("uint8 only")
-    if img.ndim == 2:
-        color, channels = 0, 1
-    elif img.ndim == 3 and img.shape[2] == 3:
-        color, channels = 2, 3
-    else:
-        raise ValueError("shape must be (h,w) or (h,w,3)")
-    h, w = img.shape[0], img.shape[1]
-    bpp = channels
-    flat = img.reshape(h, w * channels)
-    prev = np.zeros(w * channels, dtype=np.uint8)
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filtered_stream(flat: np.ndarray, bpp: int,
+                     filter_type) -> bytearray:
+    """Filter one (sub)image given as (h, stride) bytes — one pass of
+    an interlaced stream, or the whole image when non-interlaced. The
+    previous-row state resets per pass, per spec."""
     raw = bytearray()
-    for yy in range(h):
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for yy in range(flat.shape[0]):
         row = flat[yy]
         if filter_type == "adaptive":
             best, best_ft = None, 0
@@ -148,7 +142,59 @@ def encode_png(img: np.ndarray, filter_type: int | str = "adaptive",
         raw.append(ft)
         raw.extend(_filter_row(ft, row, prev, bpp).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return raw
+
+
+def _unfilter_stream(raw: bytes, h: int, stride: int, bpp: int,
+                     out: np.ndarray) -> None:
+    """Reverse of ``_filtered_stream`` into the (h, stride) array."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError("filtered stream length mismatch")
+    prev = np.zeros(stride, dtype=np.uint8)
+    for yy in range(h):
+        ft = raw[yy * (stride + 1)]
+        cur = np.frombuffer(
+            raw[yy * (stride + 1) + 1:(yy + 1) * (stride + 1)],
+            dtype=np.uint8)
+        row = _unfilter_row(ft, cur, prev, bpp)
+        out[yy] = row
+        prev = row
+
+
+def encode_png(img: np.ndarray, filter_type: int | str = "adaptive",
+               level: int = 6, interlace: int = 0) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8. filter_type:
+    0..4 fixed, or 'adaptive' (per-row minimum-sum-of-abs heuristic,
+    the spec's recommended strategy). interlace=1 writes Adam7 (the
+    progressive web-display layout, spec §8.2): seven sub-image
+    passes, each filtered independently, empty passes omitted."""
+    if img.dtype != np.uint8:
+        raise ValueError("uint8 only")
+    if img.ndim == 2:
+        color, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, channels = 2, 3
+    else:
+        raise ValueError("shape must be (h,w) or (h,w,3)")
+    if interlace not in (0, 1):
+        raise ValueError("interlace must be 0 or 1")
+    h, w = img.shape[0], img.shape[1]
+    bpp = channels
+    img3 = img.reshape(h, w, channels)
+    raw = bytearray()
+    if interlace == 0:
+        raw = _filtered_stream(img3.reshape(h, w * channels), bpp,
+                               filter_type)
+    else:
+        for x0, y0, dx, dy in ADAM7:
+            sub = img3[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            raw.extend(_filtered_stream(
+                np.ascontiguousarray(sub).reshape(ph, pw * channels),
+                bpp, filter_type))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
     return (_MAGIC + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
             + _chunk(b"IEND", b""))
@@ -181,23 +227,32 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 \
-            or interlace != 0:
+            or interlace not in (0, 1):
         raise NotImplementedError(
-            "supported profile: 8-bit gray/RGB, deflate, no interlace")
+            "supported profile: 8-bit gray/RGB, deflate, "
+            "interlace 0 or Adam7")
     channels = 1 if color == 0 else 3
     bpp = channels
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("filtered stream length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for yy in range(h):
-        ft = raw[yy * (stride + 1)]
-        cur = np.frombuffer(
-            raw[yy * (stride + 1) + 1:(yy + 1) * (stride + 1)],
-            dtype=np.uint8)
-        row = _unfilter_row(ft, cur, prev, bpp)
-        out[yy] = row
-        prev = row
-    return out if channels == 1 else out.reshape(h, w, 3)
+    if interlace == 0:
+        stride = w * channels
+        out = np.zeros((h, stride), dtype=np.uint8)
+        _unfilter_stream(raw, h, stride, bpp, out)
+        return out if channels == 1 else out.reshape(h, w, 3)
+    # Adam7: consume the seven per-pass streams, scatter into place
+    out3 = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7:
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        if ph == 0 or pw == 0:
+            continue
+        stride = pw * channels
+        need = ph * (stride + 1)
+        sub = np.zeros((ph, stride), dtype=np.uint8)
+        _unfilter_stream(raw[pos:pos + need], ph, stride, bpp, sub)
+        pos += need
+        out3[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+    if pos != len(raw):
+        raise ValueError("interlaced stream length mismatch")
+    return out3[:, :, 0] if channels == 1 else out3

@@ -108,3 +108,50 @@ def test_property_roundtrip(w, h, rgb, ft, seed):
     img = _rand(shape, seed=seed)
     out = decode_png(encode_png(img, ft))
     assert out.shape == img.shape and (out == img).all()
+
+
+# ---------------------------------------------------------------- Adam7
+import numpy as _np
+
+from imagery_utils_spark.sources.png import decode_png as _dec
+from imagery_utils_spark.sources.png import encode_png as _enc
+
+
+def _grad(h, w, ch=None):
+    y, x = _np.mgrid[0:h, 0:w]
+    g = ((x * 3 + y * 7) % 256).astype(_np.uint8)
+    if ch:
+        return _np.stack(
+            [g, (g.astype(_np.int32) + 85) % 256,
+             (g.astype(_np.int32) + 170) % 256],
+            axis=-1).astype(_np.uint8)
+    return g
+
+
+def test_adam7_roundtrip_various_sizes_gray():
+    # sizes straddling every pass-emptiness boundary (1..9 plus odd)
+    for h in (1, 2, 3, 4, 5, 7, 8, 9, 13):
+        for w in (1, 2, 3, 4, 5, 7, 8, 9, 11):
+            img = _grad(h, w)
+            blob = _enc(img, interlace=1)
+            out = _dec(blob)
+            assert out.shape == img.shape, (h, w)
+            assert (out == img).all(), (h, w)
+
+
+def test_adam7_roundtrip_rgb_adaptive():
+    img = _grad(23, 17, ch=3)
+    out = _dec(_enc(img, interlace=1, filter_type="adaptive"))
+    assert (out == img).all()
+
+
+def test_adam7_equals_noninterlaced_pixels():
+    img = _grad(16, 16, ch=3)
+    a = _dec(_enc(img, interlace=0))
+    b = _dec(_enc(img, interlace=1))
+    assert (a == b).all()
+
+
+def test_adam7_interlace_flag_in_ihdr():
+    blob = _enc(_grad(8, 8), interlace=1)
+    assert blob[8 + 8 + 12] == 1  # IHDR interlace byte
