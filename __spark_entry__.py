@@ -4060,6 +4060,68 @@ def q_gini_concentration(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_grid_cluster(spark, sf_dir) -> DataFrame:
+    """Grid-density clustering (GDBSCAN over the engine's own cell
+    index): dense cells (≥4 points at res 5) become nodes, 8-neighbor
+    adjacency becomes edges, clusters = connected components via the
+    large-star/small-star operator — the composition a 100 TB hot-spot
+    map actually runs (no pairwise point distances anywhere: counts
+    collapse per cell FIRST, so the CC graph is bounded by the GRID,
+    not the data). No anti-meridian wrap at cluster level by design
+    (wrap handling lives in wrap_180). Oracle: recursive-CTE closure
+    over the same dense-cell adjacency."""
+    from imagery_utils_spark.operators.graph import connected_components
+
+    n = 32
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    dense = (pts.select(SJ.cell_col(F.col("lon"), F.col("lat"), 5)
+                        .alias("cell"))
+             .groupBy("cell").agg(F.count("*").alias("n"))
+             .filter(F.col("n") >= 4))
+    d = (dense.withColumn("x", F.col("cell") % n)
+         .withColumn("y", (F.col("cell") / n).cast("long")))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)])
+    nb = (d.select("cell", "x", "y", F.explode(offs).alias("o"))
+          .filter((F.col("x") + F.col("o.dx")).between(0, n - 1)
+                  & (F.col("y") + F.col("o.dy")).between(0, n - 1))
+          .select("cell", ((F.col("y") + F.col("o.dy")) * n
+                           + F.col("x") + F.col("o.dx")).alias("ncell")))
+    edges = (nb.join(dense.select(F.col("cell").alias("ncell")), "ncell")
+             .select("cell", "ncell")
+             .unionByName(dense.select(
+                 "cell", F.col("cell").alias("ncell"))))
+    cc = connected_components(edges, src="cell", dst="ncell")
+    return (cc.join(dense, cc["node"] == dense["cell"])
+            .groupBy(F.col("component").alias("cluster"))
+            .agg(F.count("*").alias("n_cells"),
+                 F.sum("n").alias("n_points"))
+            .orderBy("cluster"))
+
+
+def q_compaction_plan(spark, sf_dir) -> DataFrame:
+    """Small-files compaction planning — the Iceberg/Delta maintenance
+    job: per partition (source domain), files in name order pack
+    greedily into ~4 KiB bins via bin = floor(running_bytes_before /
+    target) — ONE per-key window (contrast seq_pack's GLOBAL two-phase
+    prefix sum: partitioned prefix sums don't need the driver step).
+    Output pins every bin's file count, bytes and id span."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("bytes"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_before = F.sum("bytes").over(w) - F.col("bytes")
+    binned = docs.withColumn(
+        "bin", F.floor(cum_before / 4096).cast("long"))
+    return (binned.groupBy("source", "bin")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("bytes").alias("bin_bytes"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id"))
+            .orderBy("source", "bin"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4232,6 +4294,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "simpson_diversity": q_simpson_diversity,
         "gini_concentration": q_gini_concentration,
+        "grid_cluster": q_grid_cluster,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -5222,6 +5286,33 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "grid_cluster": (
+            f"WITH {_pages_cte()}, "
+            f"c AS (SELECT {SJ.cell_sql('lon', 'lat', 5)} AS cell "
+            "FROM pages), "
+            "dense AS (SELECT cell, count(*) AS n FROM c GROUP BY cell "
+            "HAVING count(*) >= 4), "
+            "e AS (SELECT a.cell AS u, b.cell AS v FROM dense a "
+            "JOIN dense b ON abs((a.cell % 32) - (b.cell % 32)) <= 1 "
+            "AND abs((a.cell // 32) - (b.cell // 32)) <= 1), "
+            "r AS (WITH RECURSIVE reach(node, lab) AS ("
+            "SELECT cell, cell FROM dense UNION "
+            "SELECT e.u, reach.lab FROM reach JOIN e ON e.v = "
+            "reach.node) SELECT node, min(lab) AS comp FROM reach "
+            "GROUP BY node) "
+            "SELECT comp AS cluster, count(*) AS n_cells, "
+            "sum(n) AS n_points FROM r JOIN dense ON r.node = "
+            "dense.cell GROUP BY comp ORDER BY cluster"
+        ),
+        "compaction_plan": (
+            "WITH f AS (SELECT source, doc_id, n_chars AS bytes, "
+            "sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) "
+            "- n_chars AS cum_before FROM documents) "
+            "SELECT source, cast(floor(cum_before / 4096) as bigint) "
+            "AS bin, count(*) AS n_files, sum(bytes) AS bin_bytes, "
+            "min(doc_id) AS first_id, max(doc_id) AS last_id "
+            "FROM f GROUP BY source, bin ORDER BY source, bin"
+        ),
         "simpson_diversity": (
             "WITH d AS (SELECT source, lang, count(*) AS ni "
             "FROM documents GROUP BY source, lang), "
