@@ -166,7 +166,9 @@ def main() -> None:
                   # multi-round work, not a cold-worker artifact
                   "kmeans_fixed", "bpe_train",
                   # long composed DAG (robots parse + 4 chained stages)
-                  "hygiene_funnel"}
+                  "hygiene_funnel",
+                  # r5d iterative peel / CC-composed rows
+                  "kcore", "grid_cluster", "bfs_layers"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))

@@ -327,3 +327,67 @@ def test_star_join_broadcasts_both_dims(spark, sf_dir):
     # final rollup's n_name aggregate
     ex = [l for l in body.splitlines() if "Exchange hashpartitioning" in l]
     assert all("n_name" in l for l in ex), ex
+
+
+def test_temporal_join_broadcasts_interval_dim(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["temporal_join"](spark, sf_dir)
+    plan = plan_of(df)
+    # the SCD2 dim is broadcast: no shuffle keyed on the fact's join key
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_overlap_is_hash_join_not_cartesian(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["interval_overlap"](spark, sf_dir)
+    plan = plan_of(df)
+    # banding turns the theta join into an equi join on _band
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_feature_hash_has_partial_aggregation(spark, sf_dir):
+    import __spark_entry__ as E
+    from imagery_utils_spark.operators.features import feature_hash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(feature_hash(docs))
+    # map-side combine before the (doc,bucket) shuffle
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan  # zero Python in the hot path
+
+
+def test_compaction_plan_single_shuffle_on_source(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["compaction_plan"](spark, sf_dir)
+    plan = plan_of(df)
+    shuffles = {l.strip() for l in plan.splitlines()
+                if "Arguments" in l and "hashpartitioning(" in l}
+    # window + re-aggregation reuse the same source partitioning where
+    # possible; every shuffle must be keyed on source
+    assert shuffles and all("source" in s for s in shuffles), shuffles
+
+
+def test_g711_is_pure_jvm_projection(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["g711_codec"](spark, sf_dir)
+    df.collect()  # finalize AQE so codegen annotations materialize
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_hist_eq_collapses_before_window(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["hist_eq"](spark, sf_dir)
+    plan = plan_of(df)
+    # HashAggregate (the per-(tile,v) collapse) must appear BELOW the
+    # Window in the tree: text order lists Window above its child agg
+    assert "Window" in plan and "HashAggregate" in plan
