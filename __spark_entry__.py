@@ -4122,6 +4122,104 @@ def q_compaction_plan(spark, sf_dir) -> DataFrame:
             .orderBy("source", "bin"))
 
 
+def q_observe_metrics(spark, sf_dir) -> DataFrame:
+    """In-flight pipeline metrics via df.observe() (CollectMetrics —
+    the Spark surface behind the north rule's per-run metrics tables):
+    the counters ride INSIDE the flagship scan, costing zero extra
+    passes, and are read off the Observation after one action. The
+    returned 1-row frame is pinned against an oracle recomputing the
+    same aggregates — proving observe() sees every row exactly once."""
+    from pyspark.sql import Observation
+
+    obs = Observation("pages_metrics")
+    df = MQ.geocoded_pages(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("lon").alias("min_lon"),
+        F.max("lat").alias("max_lat"),
+        # DISTINCT aggregates are rejected by observe(); the geocode
+        # failure counter is the metric a real ingest would watch anyway
+        F.sum(F.when(F.col("lon").isNull(), 1).otherwise(0))
+        .alias("n_nogeo"))
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_pages"], m["min_lon"], m["max_lat"], m["n_nogeo"])],
+        "n_pages long, min_lon double, max_lat double, n_nogeo long")
+
+
+def q_udtf_sentences(spark, sf_dir) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) splitting docs
+    into indexed sentences via LATERAL — the row-to-rows extension
+    point beyond scalar UDFs; indexes are assigned BEFORE empty
+    segments drop so they stay stable under edits. The oracle replays
+    the split with list indexing. (UDTFs are per-row Python — correct
+    surface coverage, not the hot path; the hot-path splitter stays
+    the JVM tokens_col.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                if s != "":
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.idx, s.sentence FROM docs_v d, "
+        "LATERAL sentence_split(d.text) s "
+        "ORDER BY d.doc_id, s.idx")
+
+
+def q_variant_json(spark, sf_dir) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4 parse_json/variant_get —
+    the open-format answer to schemaless columns): events.props parsed
+    once to variant, the typed field extracted WITHOUT a global schema
+    pass, rolled up per event_type. Oracle extracts via DuckDB JSON."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+        .alias("k"))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+def q_arrow_group_stats(spark, sf_dir) -> DataFrame:
+    """groupBy().applyInArrow (the zero-pandas Arrow grouped-map path,
+    new beside the cogroup of change_detect): exact per-tile pixel
+    MODE (most frequent value, smallest-value tie-break) computed on
+    the Arrow table directly — no pandas materialization, the cheapest
+    Python grouped-map Spark offers. Oracle replays mode via windowed
+    rank."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    px = (docs.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(63)))
+                      .alias("i"))
+          .select((F.col("doc_id") % 8).alias("tile"),
+                  F.expr("(doc_id * 31 + i * 17) % 256").alias("v")))
+
+    def mode_fn(table: pa.Table) -> pa.Table:
+        tile = table.column("tile")[0].as_py()
+        vc = pc.value_counts(table.column("v"))
+        pairs = sorted((int(x["values"]), int(x["counts"]))
+                       for x in vc.to_pylist())
+        best_v, best_n = max(pairs, key=lambda p: (p[1], -p[0]))
+        return pa.table({"tile": [tile], "mode_v": [best_v],
+                         "mode_n": [best_n],
+                         "n": [table.num_rows]})
+
+    schema = "tile long, mode_v long, mode_n long, n long"
+    return (px.groupBy("tile").applyInArrow(mode_fn, schema)
+            .orderBy("tile"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4296,6 +4394,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "grid_cluster": q_grid_cluster,
         "compaction_plan": q_compaction_plan,
+        "observe_metrics": q_observe_metrics,
+        "udtf_sentences": q_udtf_sentences,
+        "variant_json": q_variant_json,
+        "arrow_group_stats": q_arrow_group_stats,
     }
 
 
@@ -5286,6 +5388,42 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "observe_metrics": (
+            f"WITH {_pages_cte()} SELECT count(*) AS n_pages, "
+            "min(lon) AS min_lon, max(lat) AS max_lat, "
+            "sum(CASE WHEN lon IS NULL THEN 1 ELSE 0 END) AS n_nogeo "
+            "FROM pages"
+        ),
+        "udtf_sentences": (
+            "WITH t AS (SELECT doc_id, string_split(text, '. ') AS p "
+            "FROM documents), "
+            "z AS (SELECT doc_id, p, unnest(generate_series(1, len(p))) "
+            "AS i FROM t) "
+            "SELECT doc_id, cast(i - 1 as int) AS idx, p[i] AS sentence "
+            "FROM z WHERE p[i] <> '' ORDER BY doc_id, idx"
+        ),
+        "variant_json": (
+            "SELECT event_type, count(*) AS n, "
+            "sum(cast(json_extract_string(props, '$.k') as int)) "
+            "AS sum_k, "
+            "min(cast(json_extract_string(props, '$.k') as int)) "
+            "AS min_k, "
+            "max(cast(json_extract_string(props, '$.k') as int)) "
+            "AS max_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "arrow_group_stats": (
+            "WITH px AS (SELECT doc_id % 8 AS tile, "
+            "(doc_id * 31 + i * 17) % 256 AS v FROM documents "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g), "
+            "h AS (SELECT tile, v, count(*) AS cnt FROM px "
+            "GROUP BY tile, v), "
+            "r AS (SELECT tile, v, cnt, row_number() OVER "
+            "(PARTITION BY tile ORDER BY cnt DESC, v) AS rn, "
+            "sum(cnt) OVER (PARTITION BY tile) AS n FROM h) "
+            "SELECT tile, v AS mode_v, cnt AS mode_n, n "
+            "FROM r WHERE rn = 1 ORDER BY tile"
+        ),
         "grid_cluster": (
             f"WITH {_pages_cte()}, "
             f"c AS (SELECT {SJ.cell_sql('lon', 'lat', 5)} AS cell "
