@@ -4220,6 +4220,92 @@ def q_arrow_group_stats(spark, sf_dir) -> DataFrame:
             .orderBy("tile"))
 
 
+def q_tar_roundtrip(spark, sf_dir) -> DataFrame:
+    """POSIX ustar container (sources/tar.py): 10 docs per archive
+    built executor-side, exploded back by the checksum-verifying
+    parser (stdlib-tarfile interop pinned both directions in
+    tests/test_tar.py). Completes the archive set beside WARC and ZIP;
+    the reference bundles sidecars in tar. Oracle recomputes
+    name/size/sha direct from the corpus."""
+    import pandas as pd
+
+    from imagery_utils_spark.sources import tar as TAR
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        entries = [(f"p/{int(r.doc_id)}.txt",
+                    str(r.text).encode("utf-8"))
+                   for _, r in pdf.iterrows()]
+        return pd.DataFrame({"tar_id": [int(key[0])],
+                             "tar": [TAR.write_tar(entries)]})
+
+    blobs = (docs.groupBy(F.floor(F.col("doc_id") / 10).alias("g"))
+             .applyInPandas(build, "tar_id long, tar binary"))
+    return (TAR.tar_entries(blobs)
+            .select("name", "size",
+                    F.sha2(F.col("body"), 256).alias("body_sha"))
+            .orderBy("name"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_unpivot_melt(spark, sf_dir) -> DataFrame:
+    """pivot ∘ unpivot = identity: per-user-bucket event counts pivoted
+    WIDE (explicit column list — never let pivot run its distinct-scan
+    job at scale) then melted back LONG with df.unpivot (Spark 4 melt).
+    Null cells (bucket never saw the type) drop on the way back; the
+    oracle is the direct long-form aggregate, so any pivot/unpivot
+    asymmetry breaks parity."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("bucket"), "event_type")
+    wide = (ev.groupBy("bucket").pivot("event_type", _EVENT_TYPES)
+            .agg(F.count(F.lit(1))))
+    long = wide.unpivot("bucket", _EVENT_TYPES, "event_type", "n")
+    return (long.filter(F.col("n").isNotNull())
+            .orderBy("bucket", "event_type"))
+
+
+def q_rank_functions(spark, sf_dir) -> DataFrame:
+    """The analytic-rank surface in one row: percent_rank ((rank−1)/
+    (n−1)) and cume_dist (rn/n) per event_type over a TOTAL (cents,
+    event_id) order — tie-free by construction, each a single double
+    division so values are bit-exact cross-engine. Output thinned to
+    every 17th event."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = (ev.withColumn("pr", F.percent_rank().over(w))
+         .withColumn("cd", F.cume_dist().over(w)))
+    return (r.filter(F.col("event_id") % 17 == 0)
+            .select("event_type", "event_id", "cents", "pr", "cd")
+            .orderBy("event_type", "event_id"))
+
+
+def q_twap(spark, sf_dir) -> DataFrame:
+    """Time-weighted average price/value per user — the TWAP every
+    metering/billing pipeline needs: each observation holds until the
+    next one (lead), weight = hold seconds; integer Σ(cents·Δt) and
+    Σ(Δt) with ONE final division. One window + one groupBy on the
+    same user key."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    d = ev.withColumn("dt", F.lead("ep").over(w) - F.col("ep"))
+    return (d.filter(F.col("dt").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("cents") * F.col("dt")).alias("num"),
+                 F.sum("dt").alias("den"))
+            .withColumn("twap", F.when(
+                F.col("den") > 0, F.col("num") / F.col("den")))
+            .orderBy("user_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4398,6 +4484,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "variant_json": q_variant_json,
         "arrow_group_stats": q_arrow_group_stats,
+        "tar_roundtrip": q_tar_roundtrip,
+        "unpivot_melt": q_unpivot_melt,
+        "rank_functions": q_rank_functions,
+        "twap": q_twap,
     }
 
 
@@ -5388,6 +5478,40 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "tar_roundtrip": (
+            "SELECT 'p/' || doc_id || '.txt' AS name, "
+            "cast(octet_length(encode(text)) as bigint) AS size, "
+            "sha256(text) AS body_sha FROM documents ORDER BY name"
+        ),
+        "unpivot_melt": (
+            "SELECT user_id % 10 AS bucket, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2 "
+            "ORDER BY bucket, event_type"
+        ),
+        "rank_functions": (
+            "WITH e AS (SELECT event_type, event_id, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "r AS (SELECT event_type, event_id, cents, "
+            "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd "
+            "FROM e WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY cents, event_id)) "
+            "SELECT event_type, event_id, cents, pr, cd FROM r "
+            "WHERE event_id % 17 = 0 ORDER BY event_type, event_id"
+        ),
+        "twap": (
+            "WITH e AS (SELECT user_id, event_id, "
+            "cast(floor(epoch(ts)) as bigint) AS ep, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "d AS (SELECT user_id, cents, "
+            "lead(ep) OVER (PARTITION BY user_id "
+            "ORDER BY ep, event_id) - ep AS dt FROM e) "
+            "SELECT user_id, count(*) AS n, sum(cents * dt) AS num, "
+            "sum(dt) AS den, "
+            "CASE WHEN sum(dt) > 0 THEN sum(cents * dt) / sum(dt) END "
+            "AS twap "
+            "FROM d WHERE dt IS NOT NULL GROUP BY user_id "
+            "ORDER BY user_id"
+        ),
         "observe_metrics": (
             f"WITH {_pages_cte()} SELECT count(*) AS n_pages, "
             "min(lon) AS min_lon, max(lat) AS max_lat, "
