@@ -4306,6 +4306,54 @@ def q_twap(spark, sf_dir) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_dag_layers(spark, sf_dir) -> DataFrame:
+    """DAG scheduling depth via MAX-PLUS relaxations — the fourth and
+    last graph semiring next to pagerank (sum), connected components
+    (min-label) and BFS (min-plus): level(v) = longest path from a
+    source, the critical-path/stage-depth computation a task scheduler
+    runs. Edges oriented low→high (acyclic by construction); 4 fixed
+    relaxations, each one groupBy(max) shuffle; integer levels are
+    partitioning-independent. Oracle unrolls the same relaxations."""
+    d = F.col("doc_id")
+    edges = (load(spark, sf_dir, "documents")
+             .select((d % 61).alias("u"), ((d * 7) % 64).alias("v"))
+             .filter(F.col("u") < F.col("v")))
+    nodes = (edges.select(F.col("u").alias("node"))
+             .unionByName(edges.select(F.col("v").alias("node")))
+             .distinct())
+    lvl = nodes.select("node", F.lit(0).alias("lvl"))
+    for _ in range(4):
+        relaxed = (edges.join(lvl, edges["u"] == lvl["node"])
+                   .select(F.col("v").alias("node"),
+                           (F.col("lvl") + 1).alias("lvl")))
+        lvl = (lvl.unionByName(relaxed)
+               .groupBy("node").agg(F.max("lvl").alias("lvl"))
+               .localCheckpoint(eager=True))
+    return lvl.orderBy("node")
+
+
+def q_presence_bitmap(spark, sf_dir) -> DataFrame:
+    """Per-user activity bitmaps — the roaring-bitmap/presence-set
+    idiom: bit i = active on day i, built with ONE bit_or aggregate
+    (associative+commutative ⇒ partitioning-independent, map-side
+    combinable); day count back out via bit_count. At 10^9 users this
+    is the audience-overlap primitive (AND/OR of bitmaps replaces
+    set joins). Day span fits int64 (30 days here; shard the bitmap
+    column by epoch at larger spans)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", (F.unix_timestamp("ts") / 86400).cast("long")
+        .alias("day"))
+    m = ev.agg(F.min("day").alias("d0"))
+    off = (ev.crossJoin(F.broadcast(m))
+           .select("user_id", (F.col("day") - F.col("d0")).alias("i")))
+    bit = F.expr("cast(power(2, i) as bigint)")  # exact for i <= 62
+    return (off.groupBy("user_id")
+            .agg(F.bit_or(bit).alias("bitmap"))
+            .select("user_id", "bitmap",
+                    F.bit_count("bitmap").cast("long").alias("n_days"))
+            .orderBy("user_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4488,6 +4536,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_melt": q_unpivot_melt,
         "rank_functions": q_rank_functions,
         "twap": q_twap,
+        "dag_layers": q_dag_layers,
+        "presence_bitmap": q_presence_bitmap,
     }
 
 
@@ -5478,6 +5528,34 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "dag_layers": (
+            "WITH e AS (SELECT doc_id % 61 AS u, (doc_id * 7) % 64 AS v "
+            "FROM documents WHERE doc_id % 61 < (doc_id * 7) % 64), "
+            "n AS (SELECT DISTINCT u AS node FROM e "
+            "UNION SELECT DISTINCT v FROM e), "
+            "l0 AS (SELECT node, 0 AS lvl FROM n), "
+            + ", ".join(
+                f"l{t} AS (SELECT node, max(lvl) AS lvl FROM ("
+                f"SELECT node, lvl FROM l{t - 1} UNION ALL "
+                f"SELECT e.v AS node, l{t - 1}.lvl + 1 AS lvl FROM e "
+                f"JOIN l{t - 1} ON e.u = l{t - 1}.node) t{t} "
+                "GROUP BY node)"
+                for t in range(1, 5))
+            + " SELECT node, lvl FROM l4 ORDER BY node"
+        ),
+        "presence_bitmap": (
+            "WITH e AS (SELECT user_id, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day "
+            "FROM events), "
+            "m AS (SELECT min(day) AS d0 FROM e), "
+            "o AS (SELECT user_id, day - d0 AS i FROM e CROSS JOIN m), "
+            "b AS (SELECT user_id, "
+            "bit_or(cast(power(2, i) as bigint)) AS bitmap "
+            "FROM o GROUP BY user_id) "
+            "SELECT user_id, bitmap, "
+            "cast(bit_count(bitmap) as bigint) AS n_days "
+            "FROM b ORDER BY user_id"
+        ),
         "tar_roundtrip": (
             "SELECT 'p/' || doc_id || '.txt' AS name, "
             "cast(octet_length(encode(text)) as bigint) AS size, "
