@@ -4354,6 +4354,49 @@ def q_presence_bitmap(spark, sf_dir) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_embed_quantize(spark, sf_dir) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× memory cut every
+    vector index applies before ANN: per-vector max-abs scale, q =
+    floor(x/s·127 + 0.5) (round-half-up spelled as floor so both
+    engines share the text; banker's-rounding builtins differ).
+    Quantized codes are INTEGERS, so unlike raw cosine floats the
+    whole vector is value-hashable cross-engine. Pure array algebra
+    (transform/aggregate), zero shuffles before the final sort."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = (emb.withColumn(
+        "s", F.expr("array_max(transform(embedding, "
+                    "x -> abs(cast(x as double))))"))
+        .withColumn("q", F.expr(
+            "transform(embedding, x -> CASE WHEN s = 0.0 THEN "
+            "cast(0 as bigint) ELSE cast(floor(cast(x as double) / s "
+            "* 127 + 0.5) as bigint) END)")))
+    return (d.select(
+        "vec_id",
+        F.expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)")
+        .alias("qsum"),
+        F.expr("size(filter(q, x -> x <> 0))").cast("long").alias("nnz"),
+        F.sha2(F.concat_ws(",", F.expr(
+            "transform(q, x -> cast(x as string))")), 256).alias("qsha"))
+        .orderBy("vec_id"))
+
+
+def q_log2_hist(spark, sf_dir) -> DataFrame:
+    """Power-of-two (latency-style) histogram: bucket = bit length of
+    integer cents — the floor-log2 idiom shared with lm_bits (Spark
+    length(bin(x)) ↔ DuckDB length(printf('%b', x))), giving exact
+    log-scale bins with NO libm log. One groupBy with map-side
+    combine; the shape every latency/size dashboard wants."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    bucket = F.length(F.bin(F.col("cents"))).cast("int")
+    return (ev.filter(F.col("cents") > 0)
+            .groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"), F.min("cents").alias("lo"),
+                 F.max("cents").alias("hi"))
+            .orderBy("event_type", "bucket"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4538,6 +4581,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "dag_layers": q_dag_layers,
         "presence_bitmap": q_presence_bitmap,
+        "embed_quantize": q_embed_quantize,
+        "log2_hist": q_log2_hist,
     }
 
 
@@ -5528,6 +5573,28 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "embed_quantize": (
+            "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+            "list_max(list_transform(embedding::DOUBLE[], "
+            "x -> abs(x))) AS s FROM embeddings), "
+            "qd AS (SELECT vec_id, list_transform(v, x -> "
+            "CASE WHEN s = 0.0 THEN cast(0 as bigint) ELSE "
+            "cast(floor(x / s * 127 + 0.5) as bigint) END) AS q "
+            "FROM d) "
+            "SELECT vec_id, cast(list_sum(q) as bigint) AS qsum, "
+            "cast(len(list_filter(q, x -> x <> 0)) as bigint) AS nnz, "
+            "sha256(array_to_string(q, ',')) AS qsha "
+            "FROM qd ORDER BY vec_id"
+        ),
+        "log2_hist": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events) "
+            "SELECT event_type, "
+            "cast(length(printf('%b', cents)) as int) AS bucket, "
+            "count(*) AS n, min(cents) AS lo, max(cents) AS hi "
+            "FROM e WHERE cents > 0 "
+            "GROUP BY event_type, bucket ORDER BY event_type, bucket"
+        ),
         "dag_layers": (
             "WITH e AS (SELECT doc_id % 61 AS u, (doc_id * 7) % 64 AS v "
             "FROM documents WHERE doc_id % 61 < (doc_id * 7) % 64), "
