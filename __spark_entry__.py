@@ -4397,6 +4397,25 @@ def q_log2_hist(spark, sf_dir) -> DataFrame:
             .orderBy("event_type", "bucket"))
 
 
+def q_calendar_math(spark, sf_dir) -> DataFrame:
+    """Calendar semantics pinned (the battery's time math is otherwise
+    integer epochs BY POLICY — this row proves the calendar functions
+    themselves agree): month bucket, quarter, ISO weekday (Spark
+    weekday()+1 == ISO Mon=1 — dayofweek() is Sunday-first and NOT
+    portable), last day of month. Output thinned to every 13th
+    event."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0)
+    return ev.select(
+        "event_id",
+        F.date_trunc("month", F.col("ts")).cast("date")
+        .alias("month_start"),
+        F.quarter("ts").cast("int").alias("q"),
+        (F.weekday("ts") + 1).cast("int").alias("isodow"),
+        F.last_day("ts").alias("month_end"),
+    ).orderBy("event_id")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4583,6 +4602,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "presence_bitmap": q_presence_bitmap,
         "embed_quantize": q_embed_quantize,
         "log2_hist": q_log2_hist,
+        "calendar_math": q_calendar_math,
     }
 
 
@@ -5573,6 +5593,14 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "calendar_math": (
+            "SELECT event_id, "
+            "cast(date_trunc('month', ts) as date) AS month_start, "
+            "cast(quarter(ts) as int) AS q, "
+            "cast(isodow(ts) as int) AS isodow, "
+            "last_day(ts) AS month_end "
+            "FROM events WHERE event_id % 13 = 0 ORDER BY event_id"
+        ),
         "embed_quantize": (
             "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
             "list_max(list_transform(embedding::DOUBLE[], "

@@ -168,7 +168,9 @@ def main() -> None:
                   # long composed DAG (robots parse + 4 chained stages)
                   "hygiene_funnel",
                   # r5d iterative peel / CC-composed rows
-                  "kcore", "grid_cluster", "bfs_layers"}
+                  "kcore", "grid_cluster", "bfs_layers", "dag_layers",
+                  # container build+parse roundtrips (warc-shaped walls)
+                  "zip_roundtrip", "tar_roundtrip", "csv_roundtrip"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
