@@ -4416,6 +4416,47 @@ def q_calendar_math(spark, sf_dir) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_salted_agg(spark, sf_dir) -> DataFrame:
+    """Hot-key salting made oracle-checkable (operators/salt.py — the
+    north rule's explicit skew answer): a deliberately skewed rollup
+    (every doc of the hottest domain amplified 32×) runs through the
+    TWO-PHASE salted aggregate — (key, salt) partials, then per-key
+    merge — and must equal the plain one-shot groupBy the oracle runs.
+    Associative integer sums make the re-association safe; the row
+    pins exactly that."""
+    from imagery_utils_spark.operators.salt import salted_aggregate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("b"))
+    # amplify: hot rows replicated 32x (the skew a salted agg exists for)
+    amp = docs.withColumn(
+        "r", F.explode(F.sequence(
+            F.lit(1), F.when(F.col("doc_id") % 97 == 0, 32)
+            .otherwise(1))))
+    out = salted_aggregate(
+        amp, ["source"],
+        [F.count(F.lit(1)).alias("pn"), F.sum("b").alias("pb")],
+        [F.sum("pn").alias("n_rows"), F.sum("pb").alias("sum_bytes")],
+        n_salts=16, salt_from="doc_id")
+    return out.orderBy("source")
+
+
+def q_dict_encode(spark, sf_dir) -> DataFrame:
+    """Dictionary encoding — the string-interning pass every columnar
+    warehouse applies: the (small, distinct) domain dictionary gets
+    dense integer codes by sorted order, then broadcast-joins back
+    onto the fact rows. One distinct + one broadcast join; the fact
+    table never shuffles. Output thins to every 7th doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dic = (docs.select("source").distinct()
+           .withColumn("code", F.row_number().over(
+               Window.orderBy("source")) - 1))
+    return (docs.join(F.broadcast(dic), "source")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "source", "code")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4603,6 +4644,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "log2_hist": q_log2_hist,
         "calendar_math": q_calendar_math,
+        "salted_agg": q_salted_agg,
+        "dict_encode": q_dict_encode,
     }
 
 
@@ -5593,6 +5636,21 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "salted_agg": (
+            "WITH amp AS (SELECT source, n_chars AS b, "
+            "unnest(generate_series(1, CASE WHEN doc_id % 97 = 0 "
+            "THEN 32 ELSE 1 END)) AS r FROM documents) "
+            "SELECT source, count(*) AS n_rows, sum(b) AS sum_bytes "
+            "FROM amp GROUP BY source ORDER BY source"
+        ),
+        "dict_encode": (
+            "WITH dic AS (SELECT source, row_number() OVER "
+            "(ORDER BY source) - 1 AS code FROM "
+            "(SELECT DISTINCT source FROM documents) s) "
+            "SELECT doc_id, d.source, code FROM documents d "
+            "JOIN dic USING (source) WHERE doc_id % 7 = 0 "
+            "ORDER BY doc_id"
+        ),
         "calendar_math": (
             "SELECT event_id, "
             "cast(date_trunc('month', ts) as date) AS month_start, "
