@@ -4457,6 +4457,83 @@ def q_dict_encode(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# Shared-text ANSI rows (the sql_surface family): ONE string, executed
+# verbatim by spark.sql() AND DuckDB.
+GROUPING_SETS_TEXT = (
+    "SELECT coalesce(lang, '*') AS lang, "
+    "coalesce(source, '*') AS source, count(*) AS n, "
+    "grouping(lang) AS g_lang, grouping(source) AS g_source "
+    "FROM documents "
+    "GROUP BY GROUPING SETS ((lang, source), (lang), (source), ()) "
+    "ORDER BY g_lang, g_source, lang, source"
+)
+
+SUBQUERY_TEXT = (
+    "SELECT d.doc_id, d.lang FROM documents d "
+    "WHERE EXISTS (SELECT 1 FROM documents x "
+    "WHERE x.source = d.source AND x.n_chars > d.n_chars * 2) "
+    "AND d.lang IN (SELECT lang FROM documents "
+    "GROUP BY lang HAVING count(*) >= 5) "
+    "AND d.n_chars > (SELECT min(n_chars) FROM documents) "
+    "ORDER BY d.doc_id"
+)
+
+
+def q_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS in the shared ANSI dialect (one string,
+    both engines verbatim — the sql_surface family): all four set
+    shapes plus grouping() flags, which distinguish a real NULL from a
+    rolled-up one. Catalyst expands this to a single Expand + one
+    aggregate — no four-pass union."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(GROUPING_SETS_TEXT)
+
+
+def q_subquery_surface(spark, sf_dir) -> DataFrame:
+    """Correlated subqueries in the shared dialect (one string, both
+    engines): correlated EXISTS (decorrelated by Catalyst to a semi
+    join), uncorrelated IN (semi join on an aggregate), and a scalar
+    subquery (broadcast singleton) — the three rewrites a reference
+    user's ad-hoc SQL leans on most."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(SUBQUERY_TEXT)
+
+
+def q_range_frame(spark, sf_dir) -> DataFrame:
+    """VALUE-based window frames (RANGE BETWEEN 100 PRECEDING AND
+    CURRENT ROW) — semantically different from the ROWS frames of
+    moving_window: the frame is defined by cents VALUES, so tied rows
+    share one frame and the result is total-order-free by
+    construction. Output thinned to every 11th event."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = (Window.partitionBy("event_type").orderBy("cents")
+         .rangeBetween(-100, Window.currentRow))
+    r = ev.withColumn("near_sum", F.sum("cents").over(w)) \
+          .withColumn("near_n", F.count(F.lit(1)).over(w))
+    return (r.filter(F.col("event_id") % 11 == 0)
+            .select("event_type", "event_id", "cents", "near_sum",
+                    "near_n")
+            .orderBy("event_type", "event_id"))
+
+
+def q_set_ops(spark, sf_dir) -> DataFrame:
+    """Relational set operators: INTERSECT and EXCEPT (distinct
+    semantics) between the even-doc and the %3==0 id sets, counted.
+    Both engines' set ops dedupe identically; counts pin it."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    inter = a.intersect(b).agg(F.count(F.lit(1)).alias("n"))\
+        .select(F.lit("intersect").alias("op"), "n")
+    exc = a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n"))\
+        .select(F.lit("except").alias("op"), "n")
+    uni = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n"))\
+        .select(F.lit("union").alias("op"), "n")
+    return inter.unionByName(exc).unionByName(uni).orderBy("op")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4646,6 +4723,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_math": q_calendar_math,
         "salted_agg": q_salted_agg,
         "dict_encode": q_dict_encode,
+        "grouping_sets": q_grouping_sets,
+        "subquery_surface": q_subquery_surface,
+        "range_frame": q_range_frame,
+        "set_ops": q_set_ops,
     }
 
 
@@ -5636,6 +5717,32 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "grouping_sets": GROUPING_SETS_TEXT,
+        "subquery_surface": SUBQUERY_TEXT,
+        "range_frame": (
+            "WITH e AS (SELECT event_type, event_id, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "r AS (SELECT event_type, event_id, cents, "
+            "sum(cents) OVER w AS near_sum, count(*) OVER w AS near_n "
+            "FROM e WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY cents RANGE BETWEEN 100 PRECEDING "
+            "AND CURRENT ROW)) "
+            "SELECT event_type, event_id, cents, near_sum, near_n "
+            "FROM r WHERE event_id % 11 = 0 "
+            "ORDER BY event_type, event_id"
+        ),
+        "set_ops": (
+            "WITH a AS (SELECT doc_id FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) "
+            "SELECT 'except' AS op, count(*) AS n FROM "
+            "(SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b) t1 "
+            "UNION ALL SELECT 'intersect', count(*) FROM "
+            "(SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b) t2 "
+            "UNION ALL SELECT 'union', count(*) FROM "
+            "(SELECT doc_id FROM a UNION SELECT doc_id FROM b) t3 "
+            "ORDER BY op"
+        ),
         "salted_agg": (
             "WITH amp AS (SELECT source, n_chars AS b, "
             "unnest(generate_series(1, CASE WHEN doc_id % 97 = 0 "
