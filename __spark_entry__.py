@@ -4534,6 +4534,35 @@ def q_set_ops(spark, sf_dir) -> DataFrame:
     return inter.unionByName(exc).unionByName(uni).orderBy("op")
 
 
+def q_json_quarantine(spark, sf_dir) -> DataFrame:
+    """Ingest-robustness routing — the dead-letter/quarantine split
+    every raw-JSON feed needs: five crafted malformation classes
+    (valid, wrong-type, malformed, null field, non-object) classified
+    with try_parse_json/try_variant_get (error-safe VARIANT path, no
+    job-killing exceptions), counted per route with the parsable sum.
+    Oracle replays via json_valid + lazy CASE + try_cast."""
+    d = F.col("doc_id")
+    raw = (F.when(d % 5 == 0, F.concat(F.lit('{"k": '),
+                                       d.cast("string"), F.lit("}")))
+           .when(d % 5 == 1, F.concat(F.lit('{"k": "s'),
+                                      d.cast("string"), F.lit('"}')))
+           .when(d % 5 == 2, F.lit("{bad"))
+           .when(d % 5 == 3, F.lit('{"k": null}'))
+           .otherwise(F.lit("[1,2]")))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("raw"))
+    v = F.try_parse_json(F.col("raw"))
+    ki = F.try_variant_get(v, "$.k", "bigint")
+    cls = (F.when(v.isNull(), "corrupt")
+           .when(ki.isNotNull(), "ok")
+           .otherwise("unusable"))
+    return (docs.select(cls.alias("route"), ki.alias("ki"))
+            .groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("ki"), F.lit(0)).alias("sum_k"))
+            .orderBy("route"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4727,6 +4756,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_surface": q_subquery_surface,
         "range_frame": q_range_frame,
         "set_ops": q_set_ops,
+        "json_quarantine": q_json_quarantine,
     }
 
 
@@ -5717,6 +5747,23 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "json_quarantine": (
+            "WITH raw AS (SELECT CASE doc_id % 5 "
+            "WHEN 0 THEN '{\"k\": ' || doc_id || '}' "
+            "WHEN 1 THEN '{\"k\": \"s' || doc_id || '\"}' "
+            "WHEN 2 THEN '{bad' "
+            "WHEN 3 THEN '{\"k\": null}' "
+            "ELSE '[1,2]' END AS raw FROM documents), "
+            "c AS (SELECT raw, NOT json_valid(raw) AS corrupt, "
+            "CASE WHEN json_valid(raw) THEN try_cast("
+            "json_extract_string(raw, '$.k') as bigint) END AS ki "
+            "FROM raw) "
+            "SELECT CASE WHEN corrupt THEN 'corrupt' "
+            "WHEN ki IS NOT NULL THEN 'ok' ELSE 'unusable' END "
+            "AS route, count(*) AS n, "
+            "coalesce(sum(ki), 0) AS sum_k "
+            "FROM c GROUP BY route ORDER BY route"
+        ),
         "grouping_sets": GROUPING_SETS_TEXT,
         "subquery_surface": SUBQUERY_TEXT,
         "range_frame": (
