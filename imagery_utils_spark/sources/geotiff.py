@@ -106,11 +106,16 @@ def encode_geotiff(arr: np.ndarray, xmin: float, ymin: float, xmax: float,
 
         strip = tiff_lzw_encode(strip)
         comp_tag = 5
+    elif compress == "packbits":
+        from imagery_utils_spark.sources.packbits import packbits_encode
+
+        strip = packbits_encode(strip, row_bytes=len(strip) // h)
+        comp_tag = 32773
     elif compress is None:
         comp_tag = 1
     else:
         raise NotImplementedError(f"compression {compress!r} not supported "
-                                  "(lzw, deflate or None)")
+                                  "(lzw, deflate, packbits or None)")
 
     px = (xmax - xmin) / w
     py = (ymax - ymin) / h
@@ -480,8 +485,9 @@ def decode_geotiff(blob: bytes):
     samples = tags[_SAMPLES][2] if _SAMPLES in tags else 1
     bits = shorts(_BITS)[0]
     comp = tags[_COMP][2]
-    if comp not in (1, 5, 8):
-        raise NotImplementedError("only uncompressed / LZW / Deflate TIFF")
+    if comp not in (1, 5, 8, 32773):
+        raise NotImplementedError(
+            "only uncompressed / LZW / Deflate / PackBits TIFF")
     # multi-strip (r5): concatenate RowsPerStrip-sized strips in order —
     # the layout most external writers emit (GDAL defaults to ~8 KB strips)
     offs = _tag_longs(blob, tags, _STRIP_OFF)
@@ -499,6 +505,15 @@ def decode_geotiff(blob: bytes):
                 tiff_lzw_decode)
 
             raw = tiff_lzw_decode(blob[off:off + cnt])
+            parts.append(np.frombuffer(raw, dtype=dt))
+        elif comp == 32773:
+            from imagery_utils_spark.sources.packbits import (
+                packbits_decode)
+
+            # strips are whole rows; expected = rows_in_strip * row_bytes
+            raw = packbits_decode(blob[off:off + cnt],
+                                  h * w * samples * (bits // 8)
+                                  // len(offs))
             parts.append(np.frombuffer(raw, dtype=dt))
         else:
             parts.append(np.frombuffer(blob, dtype=dt,
