@@ -227,3 +227,116 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     raw = _lzw_decode(bytes(lzw), mcs, iw * ih)
     return (np.frombuffer(raw, dtype=np.uint8).reshape(ih, iw).copy(),
             pal.copy())
+
+
+# --------------------------------------------------------------- GIF89a
+# Animation per the CompuServe GIF89a spec: Graphic Control Extensions
+# (delay, transparency, disposal), a NETSCAPE2.0 looping application
+# extension, and one image descriptor + LZW stream per frame. Frames
+# here are full-canvas (the writer's profile) so decode needs no
+# composition pass; partial-frame/interlaced inputs are rejected, not
+# guessed.
+
+def encode_gif89a(frames: list[np.ndarray], palette: np.ndarray,
+                  delay_cs: int = 10, loop: int = 0,
+                  transparent: int | None = None) -> bytes:
+    """Animated GIF89a: each frame (h, w) uint8 into the shared global
+    palette; ``delay_cs`` in 1/100 s; ``loop`` 0 = forever."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    for f in frames:
+        if f.dtype != np.uint8 or f.shape != (h, w):
+            raise ValueError("all frames must be (h, w) uint8")
+    bits = 1
+    while (1 << bits) < palette.shape[0]:
+        bits += 1
+    n_table = 1 << bits
+    pal = np.zeros((n_table, 3), dtype=np.uint8)
+    pal[:palette.shape[0]] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       0x80 | ((bits - 1) & 0x07) << 4 | (bits - 1),
+                       0, 0)
+    out += pal.tobytes()
+    # NETSCAPE2.0 looping extension
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1]) + struct.pack("<H", loop) + bytes([0])
+    for f in frames:
+        gce_flags = 0x04 | (0x01 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([transparent or 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        lzw = _lzw_encode(f.tobytes(), mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i:i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[dict]]:
+    """GIF87a or GIF89a -> (palette, frames). Each frame dict:
+    indices/(h,w), delay_cs, transparent (index or None). Extensions
+    (GCE, comment, app, plain-text) are parsed or skipped by the
+    sub-block grammar; full-canvas frames only (composition of partial
+    frames is out of scope — rejected explicitly)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("global color table required")
+    n_table = 2 << (flags & 0x07)
+    pal = np.frombuffer(
+        data[pos:pos + 3 * n_table], dtype=np.uint8).reshape(-1, 3)
+    pos += 3 * n_table
+    frames: list[dict] = []
+    delay, transparent = 0, None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:                      # trailer
+            return pal.copy(), frames
+        if b == 0x21:                      # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:              # GCE
+                sz = data[pos]
+                gflags = data[pos + 1]
+                delay = struct.unpack("<H", data[pos + 2:pos + 4])[0]
+                transparent = data[pos + 4] if gflags & 1 else None
+                pos += sz + 1
+            # skip remaining sub-blocks (and whole non-GCE extensions)
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02x}")
+        left, top, iw, ih, iflags = struct.unpack(
+            "<HHHHB", data[pos + 1:pos + 10])
+        pos += 10
+        if iflags & 0xC0:
+            raise NotImplementedError("local table / interlace")
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError("partial-canvas frames")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            n = data[pos]
+            lzw += data[pos + 1:pos + 1 + n]
+            pos += n + 1
+        pos += 1
+        raw = _lzw_decode(bytes(lzw), mcs, iw * ih)
+        frames.append({
+            "indices": np.frombuffer(raw, dtype=np.uint8)
+            .reshape(ih, iw).copy(),
+            "delay_cs": delay, "transparent": transparent})
+        delay, transparent = 0, None
+    raise ValueError("missing trailer")

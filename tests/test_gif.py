@@ -78,3 +78,64 @@ def test_tail_boundary_fuzz():
         n = rng.randint(0, 60)
         d = bytes(rng.randint(0, (1 << mcs) - 1) for _ in range(n))
         assert _lzw_decode(_lzw_encode(d, mcs), mcs, len(d)) == d
+
+
+# --------------------------------------------------------------- GIF89a
+import numpy as _np
+
+from imagery_utils_spark.sources.gif import (decode_gif_frames,
+                                             encode_gif89a)
+
+
+def _pal(n=8):
+    return _np.array([[i * 31 % 256, i * 17 % 256, i * 7 % 256]
+                      for i in range(n)], dtype=_np.uint8)
+
+
+def test_gif89a_animation_roundtrip():
+    rng = _np.random.RandomState(5)
+    frames = [rng.randint(0, 8, (13, 21)).astype(_np.uint8)
+              for _ in range(4)]
+    blob = encode_gif89a(frames, _pal(), delay_cs=7, loop=3,
+                         transparent=2)
+    pal, out = decode_gif_frames(blob)
+    assert len(out) == 4
+    assert (pal[:8] == _pal()).all()
+    for a, b in zip(frames, out):
+        assert (b["indices"] == a).all()
+        assert b["delay_cs"] == 7
+        assert b["transparent"] == 2
+
+
+def test_gif89a_reader_accepts_87a_single_frame():
+    from imagery_utils_spark.sources.gif import encode_gif
+
+    idx = (_np.arange(35, dtype=_np.uint8) % 8).reshape(5, 7)
+    pal, out = decode_gif_frames(encode_gif(idx, _pal()))
+    assert len(out) == 1
+    assert (out[0]["indices"] == idx).all()
+    assert out[0]["transparent"] is None
+
+
+def test_gif89a_skips_foreign_extensions():
+    idx = _np.zeros((3, 3), dtype=_np.uint8)
+    blob = bytearray(encode_gif89a([idx], _pal(2)))
+    # splice a comment extension before the first GCE (after GCT)
+    insert_at = 13 + 2 * 3
+    comment = bytes([0x21, 0xFE, 5]) + b"hello" + bytes([0])
+    blob[insert_at:insert_at] = comment
+    pal, out = decode_gif_frames(bytes(blob))
+    assert len(out) == 1 and (out[0]["indices"] == idx).all()
+
+
+def test_gif89a_rejects_partial_frames():
+    import struct as _struct
+
+    idx = _np.zeros((4, 4), dtype=_np.uint8)
+    blob = bytearray(encode_gif89a([idx], _pal(2)))
+    i = blob.index(0x2C, 13)  # first image descriptor
+    # shrink the frame to 2x2 at (1,1): now partial-canvas
+    blob[i + 1:i + 9] = _struct.pack("<HHHH", 1, 1, 2, 2)
+    import pytest as _pytest
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_gif_frames(bytes(blob))
