@@ -391,3 +391,54 @@ def test_hist_eq_collapses_before_window(spark, sf_dir):
     # HashAggregate (the per-(tile,v) collapse) must appear BELOW the
     # Window in the tree: text order lists Window above its child agg
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_dict_encode_joins_broadcast(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["dict_encode"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the only hash shuffle allowed is the dictionary's own distinct
+    shuffles = [l for l in plan.splitlines()
+                if "Arguments" in l and "hashpartitioning(" in l]
+    assert all("source" in s for s in shuffles), shuffles
+
+
+def test_grouping_sets_is_single_expand(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["grouping_sets"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Expand") >= 1
+    assert "Union" not in plan  # not a 4-pass union rewrite
+
+
+def test_subquery_exists_decorrelates_to_semi_join(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["subquery_surface"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan or "SemiJoin" in plan
+
+
+def test_salted_agg_two_phase_shuffles(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["salted_agg"](spark, sf_dir)
+    plan = plan_of(df)
+    shuffles = [l for l in plan.splitlines()
+                if "Arguments" in l and "hashpartitioning(" in l]
+    # phase 1 shuffles on (source, _salt); phase 2 on source alone
+    assert any("_salt" in s for s in shuffles), shuffles
+    assert any("_salt" not in s and "source" in s for s in shuffles), \
+        shuffles
+
+
+def test_presence_bitmap_partial_aggregation(spark, sf_dir):
+    import __spark_entry__ as E
+
+    df = E.queries()["presence_bitmap"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial" in plan.lower()  # bit_or combines map-side
+    assert "BatchEvalPython" not in plan
