@@ -4563,6 +4563,57 @@ def q_json_quarantine(spark, sf_dir) -> DataFrame:
             .orderBy("route"))
 
 
+def q_stream_upsert(spark, sf_dir) -> DataFrame:
+    """STREAMING foreachBatch keyed upsert (streaming/events.
+    run_foreach_upsert) — the streaming MERGE INTO sink: two real
+    micro-batches (v1 full load, v2 updates for key%3==0) fold into a
+    keyed parquet state via latest-version-wins with staging + atomic
+    swap. After the drain the FINAL BATCH IS REPLAYED (simulated
+    at-least-once redelivery) and the state sha must not move — the
+    idempotence that upgrades foreachBatch to effective exactly-once.
+    Oracle resolves the final state directly."""
+    import shutil
+
+    from imagery_utils_spark.streaming.events import (
+        apply_upsert_batch, run_foreach_upsert)
+
+    base = _lineage_base(sf_dir, "fupsert")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    cp = os.path.join(base, "cp")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    b1 = docs.select(d.alias("key"), F.lit(1).alias("version"),
+                     F.sha2(F.col("text"), 256).alias("sig"))
+    b2 = (docs.filter(d % 3 == 0)
+          .select(d.alias("key"), F.lit(2).alias("version"),
+                  F.sha2(F.concat(F.col("text"), F.lit("#v2")), 256)
+                  .alias("sig")))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_foreach_upsert(spark, src, state, cp)
+
+    def state_sha() -> str:
+        rows = spark.read.parquet(state).agg(F.sha2(F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_list(F.struct(
+                "key", "version", "sig"))),
+                lambda r: F.concat_ws("|", r["key"].cast("string"),
+                                      r["version"].cast("string"),
+                                      r["sig"]))), 256).alias("s"))
+        return rows.first().s
+
+    before = state_sha()
+    apply_upsert_batch(spark, b2, state)   # redeliver the last batch
+    if state_sha() != before:
+        raise AssertionError("foreachBatch upsert is not idempotent")
+    st = spark.read.parquet(state)
+    return st.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("version").alias("sum_version"),
+        F.lit(before).alias("state_sha"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4757,6 +4808,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame": q_range_frame,
         "set_ops": q_set_ops,
         "json_quarantine": q_json_quarantine,
+        "stream_upsert": q_stream_upsert,
     }
 
 
@@ -5747,6 +5799,15 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "stream_upsert": (
+            "WITH st AS (SELECT doc_id AS key, "
+            "CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS version, "
+            "CASE WHEN doc_id % 3 = 0 THEN sha256(text || '#v2') "
+            "ELSE sha256(text) END AS sig FROM documents) "
+            "SELECT count(*) AS n_keys, sum(version) AS sum_version, "
+            "sha256(string_agg(key || '|' || version || '|' || sig, "
+            "',' ORDER BY key)) AS state_sha FROM st"
+        ),
         "json_quarantine": (
             "WITH raw AS (SELECT CASE doc_id % 5 "
             "WHEN 0 THEN '{\"k\": ' || doc_id || '}' "

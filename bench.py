@@ -161,7 +161,7 @@ def main() -> None:
     # wall bounded as the query count grows.
     SINGLE_REP = {"stream_quota", "stream_champion", "stream_dedup",
                   "connected_components", "near_dup_keep", "warc_roundtrip",
-                  "stream_join", "pagerank",
+                  "stream_join", "pagerank", "stream_upsert",
                   # iterative driver-state loops: the wall is their own
                   # multi-round work, not a cold-worker artifact
                   "kmeans_fixed", "bpe_train",

@@ -209,3 +209,65 @@ def run_interval_join_to_memory(spark: SparkSession, views_path: str,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+def run_foreach_upsert(spark: SparkSession, src_path: str,
+                       state_dir: str, checkpoint: str,
+                       schema: str = "key long, version int, sig string",
+                       ) -> None:
+    """foreachBatch exactly-once-style keyed upsert — the sink shape a
+    streaming MERGE INTO uses: each micro-batch folds into a keyed
+    state table with latest-version-wins, written via a staging dir +
+    atomic rename so a crash mid-write never exposes partial state.
+
+    The merge is IDEMPOTENT (state ∪ batch re-resolved by max version),
+    which is what turns Structured Streaming's at-least-once foreachBatch
+    delivery into effective exactly-once: replaying a batch after a
+    failure reproduces the identical state. ``q_stream_upsert`` replays
+    the final batch explicitly and asserts the state hash is unchanged.
+
+    Scale shape: per batch one (key) groupBy over state∪batch; at real
+    scale state lives in Iceberg and the fold is MERGE INTO — the
+    resolution semantics here are identical (see q_merge_upsert).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        apply_upsert_batch(spark, batch_df, state_dir)
+
+    (spark.readStream.schema(schema)
+     .option("maxFilesPerTrigger", 1).parquet(src_path)
+     .writeStream.foreachBatch(merge_batch)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True).start().awaitTermination())
+
+
+def apply_upsert_batch(spark: SparkSession, batch_df: DataFrame,
+                       state_dir: str) -> None:
+    """One idempotent latest-wins fold of ``batch_df`` into the keyed
+    parquet state (staging + atomic swap)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if os.path.isfile(os.path.join(state_dir, "_SUCCESS")):
+        cur = spark.read.parquet(state_dir)
+    else:
+        cur = spark.createDataFrame([], batch_df.schema)
+    merged = (cur.unionByName(batch_df)
+              .groupBy("key")
+              .agg(F.max(F.struct("version", "sig")).alias("m"))
+              .select("key", F.col("m.version").alias("version"),
+                      F.col("m.sig").alias("sig")))
+    staging = state_dir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = state_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(state_dir):
+        os.rename(state_dir, old)
+    os.rename(staging, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
