@@ -4614,6 +4614,34 @@ def q_stream_upsert(spark, sf_dir) -> DataFrame:
         F.lit(before).alias("state_sha"))
 
 
+def q_arrow_bytes(spark, sf_dir) -> DataFrame:
+    """mapInArrow — the last Python-boundary shape (beside pandas UDF,
+    applyInPandas, cogroup, applyInArrow): NON-grouped Arrow batches,
+    zero pandas materialization. Counts UTF-8 continuation bytes per
+    doc straight off the Arrow buffer; for valid UTF-8 that equals
+    octet_length − char_length, which is the oracle (an independent
+    identity, not a replay)."""
+    import pyarrow as pa
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("raw"))
+
+    def run(batches):
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            cont = [sum(1 for byte in (buf or b"") if byte & 0xC0 == 0x80)
+                    for buf in b.column("raw").to_pylist()]
+            total = [len(buf or b"") for buf in b.column("raw").to_pylist()]
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()), pa.array(cont, pa.int64()),
+                 pa.array(total, pa.int64())],
+                names=["doc_id", "cont_bytes", "n_bytes"])
+
+    return (docs.mapInArrow(run,
+                            "doc_id long, cont_bytes long, n_bytes long")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4809,6 +4837,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "json_quarantine": q_json_quarantine,
         "stream_upsert": q_stream_upsert,
+        "arrow_bytes": q_arrow_bytes,
     }
 
 
@@ -5799,6 +5828,13 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "arrow_bytes": (
+            "SELECT doc_id, "
+            "cast(octet_length(encode(text)) - length(text) as bigint) "
+            "AS cont_bytes, "
+            "cast(octet_length(encode(text)) as bigint) AS n_bytes "
+            "FROM documents ORDER BY doc_id"
+        ),
         "stream_upsert": (
             "WITH st AS (SELECT doc_id AS key, "
             "CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS version, "
