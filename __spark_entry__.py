@@ -4642,6 +4642,63 @@ def q_arrow_bytes(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dyn_overwrite(spark, sf_dir) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse write contract
+    (partitionOverwriteMode=dynamic, the Hive/Iceberg replace-
+    where-touched semantics): load all langs partitioned by lang,
+    then overwrite ONLY the partitions present in a corrected batch
+    (one lang, doubled weight). Untouched partitions must survive
+    byte-for-byte; static mode would have wiped them. Oracle builds
+    the expected post-state directly."""
+    import shutil
+
+    base = _lineage_base(sf_dir, "dynover")
+    shutil.rmtree(base, ignore_errors=True)
+    tgt = os.path.join(base, "t")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("wt"))
+    docs.write.partitionBy("lang").parquet(tgt)
+    fix = (docs.filter(F.col("lang") == "en")
+           .select("doc_id", "lang", (F.col("wt") * 2).alias("wt")))
+    (fix.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("lang").parquet(tgt))
+    out = spark.read.parquet(tgt)
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("wt").alias("sum_wt"))
+            .orderBy("lang"))
+
+
+def q_nested_shred(spark, sf_dir) -> DataFrame:
+    """Nested-parquet shredding roundtrip: orders nest into one
+    array<struct> row per customer (the document/denormalized layout),
+    write parquet (Dremel repetition/definition encoding), read back,
+    re-explode — totals must survive the nest→shred→unnest cycle.
+    Array order is pinned by sort_array so the layout is deterministic;
+    oracle aggregates the flat table directly."""
+    import shutil
+
+    base = _lineage_base(sf_dir, "nest")
+    shutil.rmtree(base, ignore_errors=True)
+    tgt = os.path.join(base, "n")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    nested = (orders.groupBy("o_custkey")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("o_orderkey", "cents"))).alias("orders")))
+    nested.write.parquet(tgt)
+    back = spark.read.parquet(tgt)
+    flat = back.select("o_custkey",
+                       F.explode("orders").alias("o"))
+    return (flat.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o.cents").alias("sum_cents"),
+                 F.min("o.o_orderkey").alias("first_order"))
+            .orderBy("o_custkey"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4838,6 +4895,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine": q_json_quarantine,
         "stream_upsert": q_stream_upsert,
         "arrow_bytes": q_arrow_bytes,
+        "dyn_overwrite": q_dyn_overwrite,
+        "nested_shred": q_nested_shred,
     }
 
 
@@ -5828,6 +5887,21 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "dyn_overwrite": (
+            "SELECT lang, count(*) AS n, "
+            "sum(CASE WHEN lang = 'en' THEN n_chars * 2 "
+            "ELSE n_chars END) AS sum_wt "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "nested_shred": (
+            "WITH o AS (SELECT o_custkey, o_orderkey, "
+            "cast(floor(o_totalprice * 100) as bigint) AS cents "
+            "FROM orders) "
+            "SELECT o_custkey, count(*) AS n_orders, "
+            "sum(cents) AS sum_cents, "
+            "min(o_orderkey) AS first_order "
+            "FROM o GROUP BY o_custkey ORDER BY o_custkey"
+        ),
         "arrow_bytes": (
             "SELECT doc_id, "
             "cast(octet_length(encode(text)) - length(text) as bigint) "

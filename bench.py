@@ -170,7 +170,9 @@ def main() -> None:
                   # r5d iterative peel / CC-composed rows
                   "kcore", "grid_cluster", "bfs_layers", "dag_layers",
                   # container build+parse roundtrips (warc-shaped walls)
-                  "zip_roundtrip", "tar_roundtrip", "csv_roundtrip"}
+                  "zip_roundtrip", "tar_roundtrip", "csv_roundtrip",
+                  # write-then-read-back lakehouse semantics rows
+                  "dyn_overwrite", "nested_shred", "stream_upsert"}
     rep_walls: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY"):
         battery_reps = int(os.environ.get("SPARK_GRAFT_BATTERY_REPS", "2"))
