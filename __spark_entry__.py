@@ -4699,6 +4699,33 @@ def q_nested_shred(spark, sf_dir) -> DataFrame:
             .orderBy("o_custkey"))
 
 
+_HILBERT_X = ("cast(least(255, greatest(0, "
+              "floor((lon + 180.0) / 360.0 * 256))) as bigint)")
+_HILBERT_Y = ("cast(least(255, greatest(0, "
+              "floor((lat + 90.0) / 180.0 * 256))) as bigint)")
+
+
+def q_hilbert_key(spark, sf_dir) -> DataFrame:
+    """Hilbert-curve layout key (operators/hilbert.py) — the S2-grade
+    space-filling order: unlike Morton (zorder_key), EVERY consecutive
+    index step is grid-adjacent (no quadrant seams), so range scans
+    touch contiguous ground. The per-bit rotate/reflect recurrence is
+    UNROLLED into shared-text column steps (order 8, 256×256 grid):
+    pure whole-stage codegen on Spark, the IDENTICAL text on DuckDB.
+    Bijectivity + the adjacency property are pinned in
+    tests/test_hilbert.py against an independent reference."""
+    from imagery_utils_spark.functions.audio import apply_steps
+    from imagery_utils_spark.operators.hilbert import hilbert_steps
+
+    pts = MQ.geocoded_pages(spark, sf_dir).select(
+        "doc_id", F.expr(_HILBERT_X).alias("hx"),
+        F.expr(_HILBERT_Y).alias("hy"))
+    out = apply_steps(pts, hilbert_steps(8))
+    return (out.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "hx", "hy", "hd")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4897,6 +4924,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_bytes": q_arrow_bytes,
         "dyn_overwrite": q_dyn_overwrite,
         "nested_shred": q_nested_shred,
+        "hilbert_key": q_hilbert_key,
     }
 
 
@@ -5063,6 +5091,17 @@ def _rpc_warp_oracle_sql() -> str:
         f"SELECT doc_id, lon, lat, height, {line_e} AS line, {samp_e} AS samp "
         "FROM d ORDER BY doc_id"
     )
+
+
+def _hilbert_oracle_sql() -> str:
+    from imagery_utils_spark.functions.audio import steps_sql
+    from imagery_utils_spark.operators.hilbert import hilbert_steps
+
+    inner = (f"WITH {_pages_cte()} SELECT doc_id, "
+             f"{_HILBERT_X} AS hx, {_HILBERT_Y} AS hy FROM pages")
+    sql = steps_sql(inner, hilbert_steps(8))
+    return (f"SELECT doc_id, hx, hy, hd FROM ({sql}) q "
+            "WHERE doc_id % 3 = 0 ORDER BY doc_id")
 
 
 def _kcore_oracle_sql(k: int = 3, iters: int = 4) -> str:
@@ -5887,6 +5926,7 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "hilbert_key": _hilbert_oracle_sql(),
         "dyn_overwrite": (
             "SELECT lang, count(*) AS n, "
             "sum(CASE WHEN lang = 'en' THEN n_chars * 2 "
