@@ -4726,6 +4726,44 @@ def q_hilbert_key(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_contour_trace(spark, sf_dir) -> DataFrame:
+    """Marching-squares contour of the crawl-density surface
+    (operators/contour.py — the gdal_contour analog): density per res-5
+    cell, zero-filled dense grid, midpoint iso-segments at level 2 in
+    exact half-unit integers; saddle resolution = separate-the-aboves.
+    ONE stencil shuffle + a static 16-config CASE + explode, no Python.
+    Oracle: independent pattern-wise re-derivation (singleton/domino/
+    saddle/triple island analysis, numpy masks) in
+    independent_oracles.contour_expected — VALUES literal recomputed at
+    check time."""
+    from imagery_utils_spark.operators.contour import contour_segments
+
+    n = 32
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    cx = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("lon") + 180.0) / 360.0 * n))).cast("long")
+    cy = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("lat") + 90.0) / 180.0 * n))).cast("long")
+    cnt = (pts.select(cx.alias("x"), cy.alias("y"))
+           .groupBy("x", "y").agg(F.count(F.lit(1)).alias("c")))
+    grid = (spark.range(n).select(F.col("id").alias("x"))
+            .crossJoin(spark.range(n).select(F.col("id").alias("y"))))
+    dense = (grid.join(cnt, ["x", "y"], "left")
+             .select("x", "y", F.coalesce("c", F.lit(0)).alias("v")))
+    segs = contour_segments(dense, level=2)
+    rendered = F.transform(
+        F.array_sort(F.collect_list(F.struct("x1", "y1", "x2", "y2"))),
+        lambda r: F.concat_ws(",", r["x1"].cast("string"),
+                              r["y1"].cast("string"),
+                              r["x2"].cast("string"),
+                              r["y2"].cast("string")))
+    return segs.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("x1") + F.col("y1") + F.col("x2") + F.col("y2"))
+        .alias("coord_sum"),
+        F.sha2(F.concat_ws("\n", rendered), 256).alias("seg_sha"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4925,6 +4963,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyn_overwrite": q_dyn_overwrite,
         "nested_shred": q_nested_shred,
         "hilbert_key": q_hilbert_key,
+        "contour_trace": q_contour_trace,
     }
 
 
@@ -5927,6 +5966,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": _kcore_oracle_sql(),
         "hilbert_key": _hilbert_oracle_sql(),
+        "contour_trace": _IO.contour_oracle_sql(
+            _oracle_sf_dir(),
+            f"WITH {_pages_cte()} SELECT lon, lat FROM pages",
+            res=5, level=2),
         "dyn_overwrite": (
             "SELECT lang, count(*) AS n, "
             "sum(CASE WHEN lang = 'en' THEN n_chars * 2 "

@@ -551,3 +551,99 @@ def winnow_oracle_sql(sf_dir: str) -> str:
         "CAST(c2 AS VARCHAR) AS fps_sha",
         "doc_id",
     )
+
+
+# ------------------------------------------------- marching-squares contour
+
+def contour_expected(sf_dir: str, pages_sql: str, res: int = 5,
+                     level: int = 2):
+    """One (n_segments, coord_sum, seg_sha) row — independent
+    re-derivation of the midpoint marching-squares boundary. Written
+    pattern-wise, NOT as a 16-case table: per 2x2 window classify the
+    above-corner PATTERN (singleton / adjacent domino / diagonal pair /
+    triple) and emit the edges adjacent to each above island — the
+    same geometry the engine's config CASE chain produces, derived
+    from the region structure instead. Saddles (diagonal pairs) emit
+    each above corner's own adjacent-edge segment (the engine's
+    documented resolution).
+
+    ``pages_sql`` must yield (lon, lat) with ``documents`` registered.
+    """
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    n = 1 << res
+    counts = np.zeros((n, n), dtype=np.int64)   # [y, x]
+    for lon, lat in con.sql(pages_sql).fetchall():
+        gx = min(n - 1, max(0, int((float(lon) + 180.0) / 360.0 * n)))
+        gy = min(n - 1, max(0, int((float(lat) + 90.0) / 180.0 * n)))
+        counts[gy, gx] += 1
+    above = counts >= level
+    # corner order clockwise from TL; adjacent edges per corner
+    corner_edges = {
+        "tl": ((1, 0), (0, 1)),     # top, left (half-unit offsets)
+        "tr": ((1, 0), (2, 1)),     # top, right
+        "br": ((1, 2), (2, 1)),     # bottom, right
+        "bl": ((1, 2), (0, 1)),     # bottom, left
+    }
+    ring = ["tl", "tr", "br", "bl"]
+    segs = []
+    for y in range(n - 1):
+        for x in range(n - 1):
+            vals = {"tl": above[y, x], "tr": above[y, x + 1],
+                    "br": above[y + 1, x + 1], "bl": above[y + 1, x]}
+            ups = [c for c in ring if vals[c]]
+            k = len(ups)
+            islands: list[list[str]] = []
+            if k in (1, 3):
+                # singleton island: the lone above (k=1) or lone below
+                # complemented (k=3 -> boundary hugs the below corner)
+                lone = ups[0] if k == 1 else \
+                    [c for c in ring if not vals[c]][0]
+                islands = [[lone]]
+            elif k == 2:
+                a, bb = ups
+                ia, ib = ring.index(a), ring.index(bb)
+                if (ia - ib) % 4 in (1, 3):       # adjacent domino
+                    islands = [[a, bb]]
+                else:                              # diagonal saddle
+                    islands = [[a], [bb]]
+            for isl in islands:
+                if len(isl) == 1:
+                    e1, e2 = corner_edges[isl[0]]
+                else:
+                    # domino: the two edges NOT interior to the pair —
+                    # each member's adjacent edge not shared with the other
+                    ea = set(corner_edges[isl[0]])
+                    eb = set(corner_edges[isl[1]])
+                    e1 = next(iter(ea - eb))
+                    e2 = next(iter(eb - ea))
+                    # drop the edge between the two below corners? No:
+                    # ea-eb and eb-ea are exactly the crossing edges.
+                p1 = (2 * x + e1[0], 2 * y + e1[1])
+                p2 = (2 * x + e2[0], 2 * y + e2[1])
+                if p2 < p1:
+                    p1, p2 = p2, p1
+                segs.append((p1[0], p1[1], p2[0], p2[1]))
+    segs.sort()
+    sha = hashlib.sha256(
+        "\n".join(",".join(map(str, s)) for s in segs).encode()
+    ).hexdigest()
+    coord_sum = int(sum(sum(s) for s in segs))
+    return [(len(segs), coord_sum, sha)]
+
+
+@functools.lru_cache(maxsize=4)
+def contour_oracle_sql(sf_dir: str, pages_sql: str, res: int = 5,
+                       level: int = 2) -> str:
+    rows = contour_expected(sf_dir, pages_sql, res, level)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS n_segments, CAST(c1 AS BIGINT) AS "
+        "coord_sum, CAST(c2 AS VARCHAR) AS seg_sha",
+        "n_segments",
+    )
