@@ -59,3 +59,30 @@ def test_ours_reads_stdlib():
 
 def test_determinism():
     assert write_tar(ENTRIES) == write_tar(ENTRIES)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tname = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-/",
+                 min_size=1, max_size=90).filter(
+    lambda s: not s.startswith("/") and "//" not in s
+    and not s.endswith("/"))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_tname, st.binary(max_size=600)),
+                min_size=1, max_size=5))
+def test_tar_roundtrip_property(entries):
+    seen, uniq = set(), []
+    for n, d in entries:
+        if n not in seen:
+            seen.add(n)
+            uniq.append((n, d))
+    blob = write_tar(uniq)
+    assert [(e["name"], e["data"]) for e in iter_tar(blob)] == uniq
+    import io
+    import tarfile as tf
+    t = tf.open(fileobj=io.BytesIO(blob))
+    for n, d in uniq:
+        assert t.extractfile(n).read() == d

@@ -76,3 +76,35 @@ def test_comment_tail_still_finds_eocd():
 def test_determinism():
     entries = [("n", b"same bytes", DEFLATED)]
     assert write_zip(entries) == write_zip(entries)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc"),
+                           blacklist_characters="\\"),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_name, st.binary(max_size=400),
+                          st.sampled_from([0, 8])),
+                min_size=1, max_size=6))
+def test_zip_roundtrip_property(entries):
+    # unique names (archives allow dupes; the test map doesn't)
+    seen, uniq = set(), []
+    for n, d, m in entries:
+        if n not in seen:
+            seen.add(n)
+            uniq.append((n, d, m))
+    blob = write_zip(uniq)
+    out = list(iter_zip(blob))
+    assert [(e["name"], e["data"], e["method"]) for e in out] == uniq
+    # stdlib agrees on every payload
+    import io
+    import zipfile as zf
+    z = zf.ZipFile(io.BytesIO(blob))
+    assert z.testzip() is None
+    for n, d, _ in uniq:
+        assert z.read(n) == d
