@@ -4764,6 +4764,54 @@ def q_contour_trace(spark, sf_dir) -> DataFrame:
         F.sha2(F.concat_ws("\n", rendered), 256).alias("seg_sha"))
 
 
+def q_bilinear_up(spark, sf_dir) -> DataFrame:
+    """2× bilinear upsampling of the density raster — gdalwarp -r
+    bilinear in its integer-exact form: output lattice values scaled
+    ×4 so every sample is a plain neighbor sum (corner 4v, edge
+    2(v+v_e), center v+v_e+v_s+v_se); no floats anywhere. One stencil
+    gather (c/e/s/se) then a partition-local 4-way lattice explode.
+    Oracle replays with three shifted self-joins. Output pins the
+    upsampled surface by per-parity-class sums + count."""
+    from imagery_utils_spark.operators.stencil import stencil_gather
+
+    n = 32
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    cx = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("lon") + 180.0) / 360.0 * n))).cast("long")
+    cy = F.least(F.lit(n - 1), F.greatest(F.lit(0), F.floor(
+        (F.col("lat") + 90.0) / 180.0 * n))).cast("long")
+    cnt = (pts.select(cx.alias("x"), cy.alias("y"))
+           .groupBy("x", "y").agg(F.count(F.lit(1)).alias("c")))
+    grid = (spark.range(n).select(F.col("id").alias("x"))
+            .crossJoin(spark.range(n).select(F.col("id").alias("y"))))
+    dense = (grid.join(cnt, ["x", "y"], "left")
+             .select("x", "y", F.coalesce("c", F.lit(0)).alias("v")))
+    g = stencil_gather(dense, F.col("x"), F.col("y"), F.col("v"),
+                       offsets={"c": (0, 0), "e": (1, 0), "s": (0, 1),
+                                "se": (1, 1)}, require_full=True)
+    c, e, s, se = (F.col("v_c"), F.col("v_e"), F.col("v_s"),
+                   F.col("v_se"))
+    lattice = F.explode(F.array(
+        F.struct((2 * F.col("x")).alias("ux"),
+                 (2 * F.col("y")).alias("uy"), (4 * c).alias("uv")),
+        F.struct((2 * F.col("x") + 1).alias("ux"),
+                 (2 * F.col("y")).alias("uy"),
+                 (2 * (c + e)).alias("uv")),
+        F.struct((2 * F.col("x")).alias("ux"),
+                 (2 * F.col("y") + 1).alias("uy"),
+                 (2 * (c + s)).alias("uv")),
+        F.struct((2 * F.col("x") + 1).alias("ux"),
+                 (2 * F.col("y") + 1).alias("uy"),
+                 (c + e + s + se).alias("uv")))).alias("u")
+    up = g.select(lattice).select("u.ux", "u.uy", "u.uv")
+    return (up.groupBy((F.col("ux") % 2).alias("px"),
+                       (F.col("uy") % 2).alias("py"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("uv").alias("sum_v"),
+                 F.max("uv").alias("max_v"))
+            .orderBy("px", "py"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -4964,6 +5012,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_shred": q_nested_shred,
         "hilbert_key": q_hilbert_key,
         "contour_trace": q_contour_trace,
+        "bilinear_up": q_bilinear_up,
     }
 
 
@@ -5965,6 +6014,34 @@ def oracle_sql() -> dict[str, str]:
             "AS filled, v IS NULL AS is_gap FROM f ORDER BY key, day"
         ),
         "kcore": _kcore_oracle_sql(),
+        "bilinear_up": (
+            f"WITH {_pages_cte()}, "
+            "cells AS (SELECT "
+            "cast(least(31, greatest(0, floor((lon + 180.0) / 360.0 "
+            "* 32))) as bigint) AS x, "
+            "cast(least(31, greatest(0, floor((lat + 90.0) / 180.0 "
+            "* 32))) as bigint) AS y FROM pages), "
+            "cnt AS (SELECT x, y, count(*) AS c FROM cells "
+            "GROUP BY x, y), "
+            "g AS (SELECT gx.x, gy.y FROM (SELECT unnest("
+            "generate_series(0, 31)) AS x) gx CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 31)) AS y) gy), "
+            "d AS (SELECT g.x, g.y, coalesce(c, 0) AS v FROM g "
+            "LEFT JOIN cnt USING (x, y)), "
+            "w AS (SELECT a.x, a.y, a.v AS vc, b.v AS ve, "
+            "n2.v AS vs, t.v AS vse FROM d a "
+            "JOIN d b ON b.x = a.x + 1 AND b.y = a.y "
+            "JOIN d n2 ON n2.x = a.x AND n2.y = a.y + 1 "
+            "JOIN d t ON t.x = a.x + 1 AND t.y = a.y + 1), "
+            "up AS (SELECT 2 * x AS ux, 2 * y AS uy, 4 * vc AS uv "
+            "FROM w UNION ALL SELECT 2 * x + 1, 2 * y, 2 * (vc + ve) "
+            "FROM w UNION ALL SELECT 2 * x, 2 * y + 1, 2 * (vc + vs) "
+            "FROM w UNION ALL SELECT 2 * x + 1, 2 * y + 1, "
+            "vc + ve + vs + vse FROM w) "
+            "SELECT ux % 2 AS px, uy % 2 AS py, count(*) AS n, "
+            "sum(uv) AS sum_v, max(uv) AS max_v FROM up "
+            "GROUP BY 1, 2 ORDER BY px, py"
+        ),
         "hilbert_key": _hilbert_oracle_sql(),
         "contour_trace": _IO.contour_oracle_sql(
             _oracle_sf_dir(),
