@@ -4812,6 +4812,47 @@ def q_bilinear_up(spark, sf_dir) -> DataFrame:
             .orderBy("px", "py"))
 
 
+def q_url_resolve(spark, sf_dir) -> DataFrame:
+    """RFC 3986 relative-reference resolution (functions/urlnorm.
+    resolve_url) — the per-link hot path of frontier expansion (the raw
+    hrefs link_graph extracts are RELATIVE; a crawler resolves billions
+    per hour, so this is pure column algebra, no Python): absolute /
+    scheme-relative / root-relative / dot-segment / fragment / query /
+    empty reference classes over deterministic (base, href) pairs. The
+    oracle is CPython's urllib.parse.urljoin recomputed at check time —
+    an independent reference implementation, not a replay."""
+    from imagery_utils_spark.functions.urlnorm import resolve_url
+
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://host"), (d % 97).cast("string"),
+        F.lit(".example"),
+        F.when(d % 4 == 0, "/a/b/page.html")
+        .when(d % 4 == 1, "/a/b/c/")
+        .when(d % 4 == 2, "/page").otherwise(""))
+    href = (F.when(d % 13 == 0, F.concat(
+        F.lit("https://other.example/x"), d.cast("string")))
+        .when(d % 13 == 1, F.lit("//cdn.example/lib.js"))
+        .when(d % 13 == 2, F.concat(F.lit("/root/x"),
+                                    (d % 7).cast("string")))
+        .when(d % 13 == 3, F.concat(F.lit("img"), (d % 5).cast("string"),
+                                    F.lit(".png")))
+        .when(d % 13 == 4, F.lit("./img.png"))
+        .when(d % 13 == 5, F.lit("../up.html"))
+        .when(d % 13 == 6, F.lit("../../up2.html"))
+        .when(d % 13 == 7, F.lit("../../../over.html"))
+        .when(d % 13 == 8, F.concat(F.lit("sub/dir/p"),
+                                    (d % 9).cast("string")))
+        .when(d % 13 == 9, F.lit("#frag"))
+        .when(d % 13 == 10, F.lit("?q=1"))
+        .when(d % 13 == 11, F.lit(""))
+        .otherwise(F.lit("a/./b/../c")))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (docs.select("doc_id",
+                        resolve_url(base, href).alias("resolved"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5013,6 +5054,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": q_hilbert_key,
         "contour_trace": q_contour_trace,
         "bilinear_up": q_bilinear_up,
+        "url_resolve": q_url_resolve,
     }
 
 
@@ -6042,6 +6084,7 @@ def oracle_sql() -> dict[str, str]:
             "sum(uv) AS sum_v, max(uv) AS max_v FROM up "
             "GROUP BY 1, 2 ORDER BY px, py"
         ),
+        "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "hilbert_key": _hilbert_oracle_sql(),
         "contour_trace": _IO.contour_oracle_sql(
             _oracle_sf_dir(),

@@ -89,3 +89,56 @@ def surt_col(url: Column) -> Column:
     return F.concat(
         F.array_join(F.reverse(F.split(host, "\\.")), ","),
         F.lit(")"), pathq)
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """RFC 3986 §5 reference resolution — relative href -> absolute URL
+    against a base, as PURE column algebra (the per-link hot path of a
+    crawl frontier must not run Python).
+
+    Handled reference classes (the crawl-real ones): absolute
+    (scheme:), scheme-relative (//host/...), root-relative (/path),
+    same-document (#frag / empty), query-only (?q), and relative paths
+    with ./ and ../ — dot segments removed by a bounded unrolled
+    rewrite (8 applications of the leading-../ collapse, covering any
+    real path depth; deeper inputs keep their residue, matching the
+    RFC's "consume what you can" behavior for over-popped paths only
+    when the base is exhausted).
+
+    Verified against CPython's ``urllib.parse.urljoin`` (the de-facto
+    RFC executable) over the battery's generated href classes — an
+    INDEPENDENT oracle, not a replay (q_url_resolve).
+    """
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*):", 1)
+    # authority = scheme://host[:port]
+    auth = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    # base directory: path up to and incl. the last '/' (strip ?/#)
+    base_nofrag = F.regexp_replace(base, r"[?#].*$", "")
+    # query kept, fragment dropped (same-document '#x' references)
+    base_defrag = F.regexp_replace(base, r"#.*$", "")
+    base_dir = F.regexp_replace(base_nofrag, r"(://[^/?#]*)?[^/]*$",
+                                "$1")
+    base_dir = F.when(F.regexp_like(base_dir, F.lit(r"://[^/]*$")),
+                      F.concat(base_dir, F.lit("/"))).otherwise(base_dir)
+
+    joined = (
+        F.when(F.regexp_like(href, F.lit(r"^[a-z][a-z0-9+.-]*:")), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(auth, href))
+        .when(href.startswith("#"), F.concat(base_defrag, href))
+        .when(href.startswith("?"), F.concat(base_nofrag, href))
+        .when(href == "", base)  # urljoin keeps base verbatim
+        .otherwise(F.concat(base_dir, href)))
+    # dot-segment removal on the path part: iterate a bounded number of
+    # times — each pass removes one layer of '/./' and '/seg/../'
+    out = joined
+    for _ in range(8):
+        out = F.regexp_replace(out, r"(://[^/?#]*[^?#]*?)/\.(/|$|[?#])",
+                               "$1$2")
+        out = F.regexp_replace(
+            out, r"(://[^/?#]*(?:/[^/?#]*)*?)/(?!\.\.(?:/|$|[?#]))"
+                 r"[^/?#]+/\.\.(/|$|[?#])", "$1$2")
+        # RFC: excess '..' at the root are dropped, not kept
+        out = F.regexp_replace(out, r"(://[^/?#]*)/\.\.(/|$|[?#])",
+                               "$1$2")
+    return out

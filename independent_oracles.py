@@ -647,3 +647,51 @@ def contour_oracle_sql(sf_dir: str, pages_sql: str, res: int = 5,
         "coord_sum, CAST(c2 AS VARCHAR) AS seg_sha",
         "n_segments",
     )
+
+
+# --------------------------------------------------- RFC 3986 resolution
+
+_HREF_CLASSES = 13
+
+
+def _url_case(doc_id: int) -> tuple[str, str]:
+    d = doc_id
+    base = f"https://host{d % 97}.example" + \
+        ["/a/b/page.html", "/a/b/c/", "/page", ""][d % 4]
+    href = [f"https://other.example/x{d}", "//cdn.example/lib.js",
+            f"/root/x{d % 7}", f"img{d % 5}.png", "./img.png",
+            "../up.html", "../../up2.html", "../../../over.html",
+            f"sub/dir/p{d % 9}", "#frag", "?q=1", "",
+            "a/./b/../c"][d % _HREF_CLASSES]
+    return base, href
+
+
+def url_resolve_expected(sf_dir: str):
+    """(doc_id, resolved) — CPython's urllib.parse.urljoin (the
+    de-facto RFC 3986 executable) over the battery's deterministic
+    (base, href) classes; the engine resolves the same pairs with pure
+    column algebra (functions/urlnorm.resolve_url). Independent by
+    construction: a C-tested reference implementation, not a replay."""
+    from urllib.parse import urljoin
+
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        base, href = _url_case(int(d))
+        out.append((int(d), urljoin(base, href)))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def url_resolve_oracle_sql(sf_dir: str) -> str:
+    rows = url_resolve_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS resolved",
+        "doc_id", ncols=2,
+    )
