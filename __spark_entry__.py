@@ -4853,6 +4853,40 @@ def q_url_resolve(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_frontier_expand(spark, sf_dir) -> DataFrame:
+    """Frontier expansion COMPOSED — what a crawler actually runs per
+    page: anchors extracted from html (webgraph.extract_links, JVM
+    regexp), each RELATIVE href resolved against its page URL
+    (urlnorm.resolve_url), expanded targets rolled up per target host.
+    Pages carry one absolute, one root-relative and one dot-segment
+    link each, so resolution genuinely decides the rollup. Oracle:
+    python re + CPython urljoin replay as a recomputed VALUES literal."""
+    from imagery_utils_spark.functions.urlnorm import resolve_url
+    from imagery_utils_spark.operators.webgraph import extract_links
+
+    d = F.col("doc_id")
+    page_url = F.concat(F.lit("https://host"), (d % 97).cast("string"),
+                        F.lit(".example/a/b/page"),
+                        d.cast("string"), F.lit(".html"))
+    html = F.concat(
+        F.lit('<a href="https://ext'), ((d * 3) % 31).cast("string"),
+        F.lit('.example/x">ext</a><a href="/sec/'),
+        (d % 11).cast("string"),
+        F.lit('/doc.html">sec</a><a href="../up/'),
+        (d % 5).cast("string"), F.lit('.html">up</a>'))
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id", page_url.alias("url"), html.alias("html"))
+    links = extract_links(pages, html_col="html", id_col="doc_id")
+    j = links.join(pages.select("doc_id", "url"), "doc_id")
+    resolved = j.select(resolve_url(F.col("url"), F.col("href"))
+                        .alias("target"))
+    host = F.regexp_extract("target", r"^https?://([^/]+)/", 1)
+    return (resolved.groupBy(host.alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.count_distinct(F.col("target")).alias("n_targets"))
+            .orderBy("host"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5055,6 +5089,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_trace": q_contour_trace,
         "bilinear_up": q_bilinear_up,
         "url_resolve": q_url_resolve,
+        "frontier_expand": q_frontier_expand,
     }
 
 
@@ -6085,6 +6120,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 ORDER BY px, py"
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
+        "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
         "hilbert_key": _hilbert_oracle_sql(),
         "contour_trace": _IO.contour_oracle_sql(
             _oracle_sf_dir(),

@@ -695,3 +695,44 @@ def url_resolve_oracle_sql(sf_dir: str) -> str:
         "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS resolved",
         "doc_id", ncols=2,
     )
+
+
+# ------------------------------------------------ frontier expansion
+
+def frontier_expected(sf_dir: str):
+    """(host, n_links, n_targets) — python re + urljoin replay of the
+    composed extract->resolve->rollup pipeline (q_frontier_expand)."""
+    import re
+    from urllib.parse import urljoin
+
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [int(r[0]) for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()]
+    pat = re.compile(r'<a href="([^"]*)">([^<]*)</a>')
+    per_host: dict[str, list[str]] = {}
+    for d in ids:
+        url = f"https://host{d % 97}.example/a/b/page{d}.html"
+        html = (f'<a href="https://ext{(d * 3) % 31}.example/x">ext</a>'
+                f'<a href="/sec/{d % 11}/doc.html">sec</a>'
+                f'<a href="../up/{d % 5}.html">up</a>')
+        for href, _txt in pat.findall(html):
+            t = urljoin(url, href)
+            m = re.match(r"^https?://([^/]+)/", t)
+            per_host.setdefault(m.group(1), []).append(t)
+    rows = [(h, len(ts), len(set(ts)))
+            for h, ts in sorted(per_host.items())]
+    return rows
+
+
+@functools.lru_cache(maxsize=4)
+def frontier_oracle_sql(sf_dir: str) -> str:
+    rows = frontier_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS host, CAST(c1 AS BIGINT) AS n_links, "
+        "CAST(c2 AS BIGINT) AS n_targets",
+        "host",
+    )
