@@ -4887,6 +4887,79 @@ def q_frontier_expand(spark, sf_dir) -> DataFrame:
             .orderBy("host"))
 
 
+def q_ab_test(spark, sf_dir) -> DataFrame:
+    """Two-cohort A/B readout: events split by id parity, conversion =
+    cents above a mid-range threshold (event-level units keep both
+    outcome classes populated at every SF — user-level conversion
+    saturates on this fixture). Counts are integers; the lift ratio
+    and the pooled two-proportion z-statistic are computed in ONE
+    shared expression order (each float op is a single IEEE operation
+    — the same cross-engine-bitwise argument mixture_stats makes for
+    sqrt), so even the z value hashes identically. One groupBy +
+    a 2-row pivot."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("cohort"),
+        (F.floor(F.col("value") * 100) > 10000).cast("int")
+        .alias("converted"))
+    g = (ev.groupBy("cohort")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("converted").alias("c"))
+         .orderBy("cohort"))
+    w = g.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("c"))).alias("c1"))
+    z_expr = ("(c1 / n1 - c0 / n0) / sqrt("
+              "((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) "
+              "* (1 / n0 + 1 / n1))")
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.expr("(c1 * n0) / (c0 * n1)").alias("lift"),
+        F.expr(z_expr).alias("z"))
+
+
+def q_record_linkage(spark, sf_dir) -> DataFrame:
+    """Fellegi–Sunter record linkage with EXACT integer odds — the
+    probabilistic matcher (1969, public) without a single logarithm:
+    each field agreement multiplies the match odds by a fixed rational
+    m/u; the composite score stays an integer numerator/denominator
+    pair and the decision threshold compares by CROSS-MULTIPLICATION,
+    so classification is bit-exact at any scale and partitioning
+    (float log-weights would not be). Blocking = same source domain
+    (the candidate-pair generator); agreements: lang equality and
+    n_chars within 10%."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = (a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .filter((F.col("a.doc_id") % 3 == 0)
+                     & (F.col("b.doc_id") % 3 == 0)))
+    # field odds as fixed rationals (m/u): lang agree 9/2, disagree
+    # 1/8; size-within-10% agree 4/1, disagree 1/4. Numerator and
+    # denominator accumulate separately as exact integers.
+    lang_eq = F.col("a.lang") == F.col("b.lang")
+    size_ok = (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) * 10
+               <= F.least(F.col("a.n_chars"), F.col("b.n_chars")))
+    num = (F.when(lang_eq, 9).otherwise(1)
+           * F.when(size_ok, 4).otherwise(1)).cast("long")
+    den = (F.when(lang_eq, 2).otherwise(8)
+           * F.when(size_ok, 1).otherwise(4)).cast("long")
+    # decision: odds >= 9 (threshold 9/1) via cross-multiplication
+    is_match = num >= 9 * den
+    scored = pairs.select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+        num.alias("num"), den.alias("den"), is_match.alias("match"))
+    return (scored.groupBy("match")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("num").alias("sum_num"),
+                 F.sum("den").alias("sum_den"),
+                 F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"))
+            .orderBy("match"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5090,6 +5163,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bilinear_up": q_bilinear_up,
         "url_resolve": q_url_resolve,
         "frontier_expand": q_frontier_expand,
+        "ab_test": q_ab_test,
+        "record_linkage": q_record_linkage,
     }
 
 
@@ -6121,6 +6196,40 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "ab_test": (
+            "WITH u AS (SELECT event_id % 2 AS cohort, "
+            "CASE WHEN cast(floor(value * 100) as bigint) > 10000 "
+            "THEN 1 ELSE 0 END AS converted FROM events), "
+            "g AS (SELECT cohort, count(*) AS n, sum(converted) AS c "
+            "FROM u GROUP BY cohort), "
+            "w AS (SELECT "
+            "max(CASE WHEN cohort = 0 THEN n END) AS n0, "
+            "max(CASE WHEN cohort = 0 THEN c END) AS c0, "
+            "max(CASE WHEN cohort = 1 THEN n END) AS n1, "
+            "max(CASE WHEN cohort = 1 THEN c END) AS c1 FROM g) "
+            "SELECT n0, c0, n1, c1, "
+            "(c1 * n0) / (c0 * n1) AS lift, "
+            "(c1 / n1 - c0 / n0) / sqrt("
+            "((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) "
+            "* (1 / n0 + 1 / n1)) AS z FROM w"
+        ),
+        "record_linkage": (
+            "WITH d AS (SELECT doc_id, source, lang, n_chars "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN a.lang = b.lang THEN 9 ELSE 1 END * "
+            "CASE WHEN abs(a.n_chars - b.n_chars) * 10 <= "
+            "least(a.n_chars, b.n_chars) THEN 4 ELSE 1 END AS num, "
+            "CASE WHEN a.lang = b.lang THEN 2 ELSE 8 END * "
+            "CASE WHEN abs(a.n_chars - b.n_chars) * 10 <= "
+            "least(a.n_chars, b.n_chars) THEN 1 ELSE 4 END AS den "
+            "FROM d a JOIN d b ON a.source = b.source "
+            "AND a.doc_id < b.doc_id) "
+            "SELECT num >= 9 * den AS match, count(*) AS n_pairs, "
+            "sum(num) AS sum_num, sum(den) AS sum_den, "
+            "sum(id_a + id_b) AS id_sum "
+            "FROM p GROUP BY 1 ORDER BY match"
+        ),
         "hilbert_key": _hilbert_oracle_sql(),
         "contour_trace": _IO.contour_oracle_sql(
             _oracle_sf_dir(),
