@@ -4960,6 +4960,45 @@ def q_record_linkage(spark, sf_dir) -> DataFrame:
             .orderBy("match"))
 
 
+_OLS_TAIL_SQL = (
+    "SELECT event_type, n, "
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, "
+    "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n "
+    "AS intercept, "
+    # each variance term fits 2^53 (exact as double); their PRODUCT
+    # does not fit int64, so multiply as doubles — identical on both
+    # engines, where int128 × int64 arithmetic would diverge
+    "(n * sxy - sx * sy) / sqrt(cast(n * sxx - sx * sx as double) "
+    "* cast(n * syy - sy * sy as double)) AS pearson_r "
+    "FROM m ORDER BY event_type"
+)
+
+
+def q_ols_trend(spark, sf_dir) -> DataFrame:
+    """Closed-form OLS trend + Pearson r per event_type — revenue vs
+    day: every MOMENT (Σx, Σy, Σxy, Σx², Σy²) is an exact integer sum
+    (day index × cents), so the slope/intercept/r are each a fixed
+    chain of IEEE ops over exact integers — bit-equal cross-engine,
+    partitioning-free. ONE groupBy; the regression itself is a
+    projection. The tail SQL is shared text."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    m0 = ev.agg(F.min("day").alias("d0"))
+    e2 = (ev.crossJoin(F.broadcast(m0))
+          .select("event_type", (F.col("day") - F.col("d0")).alias("x"),
+                  F.col("cents").alias("y")))
+    m = (e2.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    m.createOrReplaceTempView("m")
+    return spark.sql(_OLS_TAIL_SQL)
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5165,6 +5204,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_expand": q_frontier_expand,
         "ab_test": q_ab_test,
         "record_linkage": q_record_linkage,
+        "ols_trend": q_ols_trend,
     }
 
 
@@ -6196,6 +6236,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "ols_trend": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "m0 AS (SELECT min(day) AS d0 FROM e), "
+            "e2 AS (SELECT event_type, day - d0 AS x, cents AS y "
+            "FROM e CROSS JOIN m0), "
+            "m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+            "sum(y * y) AS syy FROM e2 GROUP BY event_type) "
+            + _OLS_TAIL_SQL
+        ),
         "ab_test": (
             "WITH u AS (SELECT event_id % 2 AS cohort, "
             "CASE WHEN cast(floor(value * 100) as bigint) > 10000 "
