@@ -4999,6 +4999,32 @@ def q_ols_trend(spark, sf_dir) -> DataFrame:
     return spark.sql(_OLS_TAIL_SQL)
 
 
+def q_winsorize(spark, sf_dir) -> DataFrame:
+    """Winsorization at discrete p05/p95 — the robust-stats clamp a
+    metrics pipeline applies before averaging: percentile_disc returns
+    an ACTUAL data value (integer cents), so unlike interpolated
+    percentiles there is no (1−f)a+fb float-form ULP hazard between
+    engines. Per-group quantiles broadcast back onto the stream; one
+    extra groupBy pins the clamped sums."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("y"))
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY y)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY y)")
+        .alias("hi"))
+    w = (ev.join(F.broadcast(q), "event_type")
+         .withColumn("wy", F.greatest(F.col("lo"),
+                                      F.least(F.col("hi"), F.col("y")))))
+    return (w.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("lo").alias("lo"),
+                 F.max("hi").alias("hi"), F.sum("wy").alias("sum_w"),
+                 F.sum(F.when(F.col("y") != F.col("wy"), 1).otherwise(0))
+                 .alias("n_clamped"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5205,6 +5231,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "record_linkage": q_record_linkage,
         "ols_trend": q_ols_trend,
+        "winsorize": q_winsorize,
     }
 
 
@@ -6236,6 +6263,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "winsorize": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(value * 100) as bigint) AS y FROM events), "
+            "q AS (SELECT event_type, "
+            "quantile_disc(y, 0.05) AS lo, "
+            "quantile_disc(y, 0.95) AS hi FROM e GROUP BY event_type), "
+            "w AS (SELECT e.event_type, y, lo, hi, "
+            "greatest(lo, least(hi, y)) AS wy FROM e "
+            "JOIN q USING (event_type)) "
+            "SELECT event_type, count(*) AS n, max(lo) AS lo, "
+            "max(hi) AS hi, sum(wy) AS sum_w, "
+            "sum(CASE WHEN y <> wy THEN 1 ELSE 0 END) AS n_clamped "
+            "FROM w GROUP BY event_type ORDER BY event_type"
+        ),
         "ols_trend": (
             "WITH e AS (SELECT event_type, "
             "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
