@@ -5025,6 +5025,34 @@ def q_winsorize(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_explode_outer(spark, sf_dir) -> DataFrame:
+    """NULL-preservation semantics of the two explode flavors — the
+    row-multiplying operator's edge contract: docs tokenize to arrays
+    (every 7th doc deliberately emptied); explode DROPS empty-array
+    parents, explode_outer keeps them with a NULL element. Both
+    flavors counted; the oracle replays with unnest vs a LEFT JOIN
+    LATERAL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.array().cast("array<string>"))
+        .otherwise(F.expr("slice(split(text, ' '), 1, 3)"))
+        .alias("toks"))
+    inner = docs.select("doc_id", F.explode("toks").alias("tok"))
+    outer = docs.select("doc_id", F.explode_outer("toks").alias("tok"))
+    a = inner.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+        .alias("n_null")).select(F.lit("inner").alias("mode"), "*")
+    b = outer.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+        .alias("n_null")).select(F.lit("outer").alias("mode"), "*")
+    return a.unionByName(b).orderBy("mode")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5232,6 +5260,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "ols_trend": q_ols_trend,
         "winsorize": q_winsorize,
+        "explode_outer": q_explode_outer,
     }
 
 
@@ -6263,6 +6292,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "explode_outer": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN [] ELSE string_split(text, ' ')[1:3] END AS toks "
+            "FROM documents), "
+            "i AS (SELECT doc_id, unnest(toks) AS tok FROM d), "
+            "o AS (SELECT d.doc_id, u.tok FROM d LEFT JOIN "
+            "(SELECT doc_id, unnest(toks) AS tok FROM d) u "
+            "USING (doc_id)) "
+            "SELECT 'inner' AS mode, count(*) AS n_rows, "
+            "count(DISTINCT doc_id) AS n_docs, "
+            "sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS n_null "
+            "FROM i UNION ALL "
+            "SELECT 'outer', count(*), count(DISTINCT doc_id), "
+            "sum(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) FROM o "
+            "ORDER BY mode"
+        ),
         "winsorize": (
             "WITH e AS (SELECT event_type, "
             "cast(floor(value * 100) as bigint) AS y FROM events), "
