@@ -5053,6 +5053,53 @@ def q_explode_outer(spark, sf_dir) -> DataFrame:
     return a.unionByName(b).orderBy("mode")
 
 
+def q_comparator_sort(spark, sf_dir) -> DataFrame:
+    """array_sort with a CUSTOM LAMBDA COMPARATOR — the higher-order-
+    function surface beyond natural ordering: tokens sorted by
+    (length ASC, lexicographic ASC) inside the array, no explode/
+    re-collect round trip. The oracle replays the same order
+    relationally (string_agg ORDER BY length, tok). Comparator
+    returns {-1,0,1} via integer CASE — pure JVM."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("slice(filter(split(lower(text), ' '), "
+               "x -> x <> ''), 1, 8)").alias("toks"))
+    cmp_sorted = F.expr(
+        "array_sort(toks, (l, r) -> CASE "
+        "WHEN length(l) < length(r) THEN -1 "
+        "WHEN length(l) > length(r) THEN 1 "
+        "WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END)")
+    return (docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id",
+                    F.concat_ws("|", cmp_sorted).alias("ordered"))
+            .orderBy("doc_id"))
+
+
+def q_event_pattern(spark, sf_dir) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE/CEP shape as a
+    fold): each user's event-type INITIALS concatenate in (ts,
+    event_id) order into one sequence string, then funnel patterns
+    count by non-overlapping regexp — 'vc*p' = view, any clicks, then
+    purchase. One window-free groupBy (string_agg with ORDER is the
+    fold); both engines regexp the identically-built string, so order
+    construction itself is under test."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ch"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id")
+    seq = (ev.withColumn("rn", F.row_number().over(w))
+           .groupBy("user_id")
+           .agg(F.concat_ws("", F.transform(
+               F.array_sort(F.collect_list(F.struct("rn", "ch"))),
+               lambda r: r["ch"])).alias("seq")))
+    return (seq.select(
+        "user_id", F.length("seq").alias("n_events"),
+        F.regexp_count(F.col("seq"), F.lit("vc*p")).alias("n_funnels"),
+        F.regexp_count(F.col("seq"), F.lit("e")).alias("n_errors"))
+        .orderBy("user_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5261,6 +5308,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "winsorize": q_winsorize,
         "explode_outer": q_explode_outer,
+        "comparator_sort": q_comparator_sort,
+        "event_pattern": q_event_pattern,
     }
 
 
@@ -6292,6 +6341,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "comparator_sort": (
+            "WITH t AS (SELECT doc_id, unnest(list_filter("
+            "string_split(lower(text), ' '), x -> x <> '')[1:8]) "
+            "AS tok FROM documents WHERE doc_id % 5 = 0) "
+            "SELECT doc_id, string_agg(tok, '|' "
+            "ORDER BY length(tok), tok) AS ordered "
+            "FROM t GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "event_pattern": (
+            "WITH e AS (SELECT user_id, substr(event_type, 1, 1) "
+            "AS ch, cast(floor(epoch(ts)) as bigint) AS ep, event_id "
+            "FROM events), "
+            "s AS (SELECT user_id, string_agg(ch, '' "
+            "ORDER BY ep, event_id) AS seq FROM e GROUP BY user_id) "
+            "SELECT user_id, cast(length(seq) as int) AS n_events, "
+            "cast(len(regexp_extract_all(seq, 'vc*p')) as int) "
+            "AS n_funnels, "
+            "cast(len(regexp_extract_all(seq, 'e')) as int) "
+            "AS n_errors FROM s ORDER BY user_id"
+        ),
         "explode_outer": (
             "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
             "THEN [] ELSE string_split(text, ' ')[1:3] END AS toks "
