@@ -5100,6 +5100,32 @@ def q_event_pattern(spark, sf_dir) -> DataFrame:
         .orderBy("user_id"))
 
 
+def q_string_surface(spark, sf_dir) -> DataFrame:
+    """The scalar string-function surface in one pinned row: translate,
+    repeat, reverse, lpad/rpad, left/right, replace, trim variants —
+    the utility layer every ETL expression leans on, value-hashed
+    across engines over real corpus text."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s = F.substring(F.col("text"), 1, 40)
+    out = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.translate(s, "aeiou", "AEIOU").alias("tr"),
+        F.reverse(F.substring(s, 1, 12)).alias("rev"),
+        F.lpad(F.substring(s, 1, 5), 9, ".").alias("lp"),
+        F.rpad(F.substring(s, 1, 5), 9, "_").alias("rp"),
+        F.expr("left(text, 6)").alias("l6"),
+        F.expr("right(text, 6)").alias("r6"),
+        F.expr("repeat(substring(text, 3, 2), 3)").alias("rep"),
+        F.expr("replace(substring(text, 1, 30), ' ', '~')").alias("rpl"),
+        F.expr("trim(BOTH ' ' FROM substring(text, 1, 20))").alias("tb"))
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sha2(F.concat_ws("\n", F.array_sort(F.collect_list(
+            F.concat_ws("|", "doc_id", "tr", "rev", "lp", "rp", "l6",
+                        "r6", "rep", "rpl", "tb")))), 256).alias("sha"))
+    return agg
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5310,6 +5336,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_outer": q_explode_outer,
         "comparator_sort": q_comparator_sort,
         "event_pattern": q_event_pattern,
+        "string_surface": q_string_surface,
     }
 
 
@@ -6341,6 +6368,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "string_surface": (
+            "WITH s AS (SELECT doc_id, substr(text, 1, 40) AS s40, "
+            "text FROM documents WHERE doc_id % 4 = 0), "
+            "r AS (SELECT doc_id || '|' || "
+            "translate(s40, 'aeiou', 'AEIOU') || '|' || "
+            "reverse(substr(s40, 1, 12)) || '|' || "
+            "lpad(substr(s40, 1, 5), 9, '.') || '|' || "
+            "rpad(substr(s40, 1, 5), 9, '_') || '|' || "
+            "left(text, 6) || '|' || right(text, 6) || '|' || "
+            "repeat(substr(text, 3, 2), 3) || '|' || "
+            "replace(substr(text, 1, 30), ' ', '~') || '|' || "
+            "trim(BOTH ' ' FROM substr(text, 1, 20)) AS line FROM s) "
+            "SELECT count(*) AS n, "
+            "sha256(string_agg(line, chr(10) ORDER BY line)) AS sha "
+            "FROM r"
+        ),
         "comparator_sort": (
             "WITH t AS (SELECT doc_id, unnest(list_filter("
             "string_split(lower(text), ' '), x -> x <> '')[1:8]) "
