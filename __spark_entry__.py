@@ -5126,6 +5126,35 @@ def q_string_surface(spark, sf_dir) -> DataFrame:
     return agg
 
 
+def q_try_arithmetic(spark, sf_dir) -> DataFrame:
+    """ANSI error-safety surface — the two error classes this battery
+    itself tripped during development (DIVIDE_BY_ZERO on a saturated
+    cohort, ARITHMETIC_OVERFLOW on a variance product), pinned as
+    semantics: try_divide → NULL on zero divisor, try_multiply → NULL
+    on int64 overflow (×3e14 overflows exactly the cents > 30747
+    tail). The oracle replays both NULL contracts with explicit CASE
+    guards over DuckDB's non-overflowing int128."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("a"),
+        ((F.col("event_id") % 5) - 2).cast("long").alias("b"))
+    r = ev.select(
+        "event_id", "a", "b",
+        F.try_divide(F.col("a"), F.col("b")).alias("sdiv"),
+        F.try_multiply(F.col("a"), F.lit(300000000000000).cast("long"))
+        .alias("smul"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sdiv").isNull(), 1).otherwise(0))
+        .alias("n_div_null"),
+        F.sum(F.when(F.col("smul").isNull(), 1).otherwise(0))
+        .alias("n_mul_null"),
+        # floor() before summing: a float sum would be merge-order
+        # dependent; integer partials are associative
+        F.sum(F.floor("sdiv").cast("long")).alias("sum_div_floor"),
+        F.max("smul").alias("max_mul"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5337,6 +5366,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comparator_sort": q_comparator_sort,
         "event_pattern": q_event_pattern,
         "string_surface": q_string_surface,
+        "try_arithmetic": q_try_arithmetic,
     }
 
 
@@ -6368,6 +6398,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_resolve": _IO.url_resolve_oracle_sql(_oracle_sf_dir()),
         "frontier_expand": _IO.frontier_oracle_sql(_oracle_sf_dir()),
+        "try_arithmetic": (
+            "WITH e AS (SELECT event_id, "
+            "cast(floor(value * 100) as bigint) AS a, "
+            "(event_id % 5) - 2 AS b FROM events), "
+            "r AS (SELECT a, b, "
+            "CASE WHEN b = 0 THEN NULL ELSE a / b END AS sdiv, "
+            "CASE WHEN a > 9223372036854775807 // 300000000000000 "
+            "THEN NULL ELSE a * 300000000000000 END AS smul FROM e) "
+            "SELECT count(*) AS n, "
+            "sum(CASE WHEN sdiv IS NULL THEN 1 ELSE 0 END) "
+            "AS n_div_null, "
+            "sum(CASE WHEN smul IS NULL THEN 1 ELSE 0 END) "
+            "AS n_mul_null, "
+            "sum(cast(floor(sdiv) as bigint)) AS sum_div_floor, "
+            "max(smul) AS max_mul FROM r"
+        ),
         "string_surface": (
             "WITH s AS (SELECT doc_id, substr(text, 1, 40) AS s40, "
             "text FROM documents WHERE doc_id % 4 = 0), "
