@@ -5155,6 +5155,70 @@ def q_try_arithmetic(spark, sf_dir) -> DataFrame:
         F.max("smul").alias("max_mul"))
 
 
+def q_hash_partition(spark, sf_dir) -> DataFrame:
+    """Engine-internals — Spark's shuffle partitioning hash pinned against
+    an independent from-spec Murmur3_x86_32 reimplementation
+    (independent_oracles.murmur3_spark_*, incl. Spark's deviant tail
+    treatment: trailing bytes mixed one-at-a-time sign-extended).
+    `part_32` is the exact partition id a 32-partition hash shuffle on
+    doc_id assigns — the semantics every salting / skew argument in this
+    repo rests on. Zero UDF: F.hash + pmod are JVM codegen."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.hash("doc_id").alias("h_key"),
+        F.hash(F.concat(F.lit("https://host"), F.col("doc_id") % 97,
+                        F.lit(".example/p/"), F.col("doc_id"))).alias("h_url"),
+        F.hash(F.substring("text", 1, 80)).alias("h_text"),
+        F.pmod(F.hash("doc_id"), F.lit(32)).alias("part_32"),
+    ).orderBy("doc_id")
+
+
+def q_xxhash_shard(spark, sf_dir) -> DataFrame:
+    """Engine-internals — xxhash64() (the hash behind Spark's bloom-filter
+    joins) pinned against a from-spec XXH64 reimplementation
+    (independent_oracles.xxh64_spark_*: 32-byte stripes, 8/4/1-byte tail,
+    seed 42). Same three inputs as q_hash_partition."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("doc_id").alias("x_key"),
+        F.xxhash64(F.concat(F.lit("https://host"), F.col("doc_id") % 97,
+                            F.lit(".example/p/"), F.col("doc_id"))).alias("x_url"),
+        F.xxhash64(F.substring("text", 1, 80)).alias("x_text"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("shard_64"),
+    ).orderBy("doc_id")
+
+
+def q_crc32_digest(spark, sf_dir) -> DataFrame:
+    """Engine-internals — F.crc32 (IEEE 802.3 polynomial) vs CPython's
+    zlib.crc32, a C-tested reference implementation independent of the
+    JVM's java.util.zip.CRC32."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.crc32(F.encode(F.concat(F.lit("https://host"), F.col("doc_id") % 97,
+                                  F.lit(".example/p/"), F.col("doc_id")),
+                         "utf-8")).alias("crc_url"),
+        F.crc32(F.encode(F.substring("text", 1, 80), "utf-8")).alias("crc_text"),
+    ).orderBy("doc_id")
+
+
+def q_digest_surface(spark, sf_dir) -> DataFrame:
+    """Scalar digest surface — md5 and sha2-256 hex over utf-8 text bytes;
+    both engines run their native implementations of the same published
+    algorithms (RFC 1321 / FIPS 180-4), so agreement is a genuine
+    cross-implementation check, not a replay."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.encode(F.substring("text", 1, 120), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.md5(body).alias("md5_hex"),
+        F.sha2(body, 256).alias("sha256_hex"),
+        F.substring(F.sha2(body, 256), 1, 8).alias("sha_prefix"),
+    ).orderBy("doc_id")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5367,6 +5431,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern": q_event_pattern,
         "string_surface": q_string_surface,
         "try_arithmetic": q_try_arithmetic,
+        "hash_partition": q_hash_partition,
+        "xxhash_shard": q_xxhash_shard,
+        "crc32_digest": q_crc32_digest,
+        "digest_surface": q_digest_surface,
     }
 
 
@@ -8039,5 +8107,17 @@ def oracle_sql() -> dict[str, str]:
             "'</source><params stretch=\"', " + _XML_ESC.format(c="stretch")
             + ", '\" epsg=\"', cast(epsg as varchar), '\"/></output>') AS xml "
             "FROM docs ORDER BY doc_id"
+        ),
+        # Engine-internals — independent from-spec Murmur3/XXH64/CRC32
+        # reimplementations rendered as VALUES (independent_oracles.py).
+        "hash_partition": _IO.hash_partition_oracle_sql(_oracle_sf_dir()),
+        "xxhash_shard": _IO.xxhash_shard_oracle_sql(_oracle_sf_dir()),
+        "crc32_digest": _IO.crc32_oracle_sql(_oracle_sf_dir()),
+        # Digest surface — both engines' native RFC 1321 / FIPS 180-4.
+        "digest_surface": (
+            "SELECT doc_id, md5(substr(text, 1, 120)) AS md5_hex, "
+            "sha256(substr(text, 1, 120)) AS sha256_hex, "
+            "substr(sha256(substr(text, 1, 120)), 1, 8) AS sha_prefix "
+            "FROM documents ORDER BY doc_id"
         ),
     }

@@ -736,3 +736,228 @@ def frontier_oracle_sql(sf_dir: str) -> str:
         "CAST(c2 AS BIGINT) AS n_targets",
         "host",
     )
+
+
+# ------------------------------------------------ Spark hash internals
+# Pure-Python reimplementations of the three hash functions Spark exposes
+# as columns (and uses internally for shuffle partitioning and bloom
+# filters), written from the Murmur3/XXH64 algorithm specs — NOT replays
+# of Spark. Verified against F.hash / F.xxhash64 / F.crc32 on 23 edge
+# vectors (all tail lengths, unicode, sign-extension, long extremes).
+
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _m3_mix(h1: int, k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = _rotl32(k1, 15)
+    k1 = (k1 * 0x1B873593) & _M32
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _m3_fmix(h1: int, n: int) -> int:
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def murmur3_spark_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashUnsafeBytes: 4-byte LE words, then each
+    trailing byte mixed INDIVIDUALLY as a sign-extended int (this tail
+    treatment is where Spark deviates from canonical Murmur3)."""
+    import struct
+
+    h1 = seed & _M32
+    n = len(data)
+    rounded = n & ~3
+    for i in range(0, rounded, 4):
+        h1 = _m3_mix(h1, struct.unpack_from("<i", data, i)[0] & _M32)
+    for i in range(rounded, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # sign-extended byte
+        h1 = _m3_mix(h1, b & _M32)
+    return _m3_fmix(h1, n)
+
+
+def murmur3_spark_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashLong: low int then high int."""
+    h1 = seed & _M32
+    h1 = _m3_mix(h1, v & _M32)
+    h1 = _m3_mix(h1, (v >> 32) & _M32)
+    return _m3_fmix(h1, 8)
+
+
+_XP1, _XP2, _XP3, _XP4, _XP5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_spark_bytes(data: bytes, seed: int = 42) -> int:
+    """Canonical XXH64 (Spark's XXH64.hashUnsafeBytes is spec-compliant):
+    32-byte stripes, then 8-byte, one 4-byte, then single bytes."""
+    import struct
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i <= n - 32:
+            for j in range(4):
+                k = struct.unpack_from("<Q", data, i)[0]
+                acc = (v1, v2, v3, v4)[j]
+                acc = (_rotl64((acc + k * _XP2) & _M64, 31) * _XP1) & _M64
+                if j == 0:
+                    v1 = acc
+                elif j == 1:
+                    v2 = acc
+                elif j == 2:
+                    v3 = acc
+                else:
+                    v4 = acc
+                i += 8
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = struct.unpack_from("<Q", data, i)[0]
+        h ^= (_rotl64((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i <= n - 4:
+        k = struct.unpack_from("<I", data, i)[0]
+        h ^= (k * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    return _xx_fmix(h)
+
+
+def xxh64_spark_long(v: int, seed: int = 42) -> int:
+    h = (seed + _XP5 + 8) & _M64
+    h ^= (_rotl64((v & _M64) * _XP2 & _M64, 31) * _XP1) & _M64
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+    return _xx_fmix(h)
+
+
+def _hash_inputs(sf_dir: str):
+    """(doc_id, url, text_prefix) triples both engines derive identically:
+    url is synthesized from doc_id; text_prefix is the first 80 chars of
+    documents.text straight from the parquet."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, substr(text, 1, 80) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    return [(int(d), f"https://host{int(d) % 97}.example/p/{int(d)}", t)
+            for d, t in rows]
+
+
+def hash_partition_expected(sf_dir: str):
+    """(doc_id, h_key, h_url, h_text, part_32) — Spark's shuffle hash
+    (Murmur3_x86_32 seed 42) over the long key, the synthesized url, and
+    the text prefix, plus pmod(h_key, 32): the exact partition id a
+    32-partition hash shuffle on doc_id would assign."""
+    out = []
+    for d, url, text in _hash_inputs(sf_dir):
+        hk = murmur3_spark_long(d & _M64)
+        out.append((d, hk, murmur3_spark_bytes(url.encode("utf-8")),
+                    murmur3_spark_bytes(text.encode("utf-8")),
+                    hk % 32 if hk % 32 >= 0 else hk % 32 + 32))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def hash_partition_oracle_sql(sf_dir: str) -> str:
+    rows = hash_partition_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS INTEGER) AS h_key, "
+        "CAST(c2 AS INTEGER) AS h_url, CAST(c3 AS INTEGER) AS h_text, "
+        "CAST(c4 AS INTEGER) AS part_32",
+        "doc_id", ncols=5,
+    )
+
+
+def xxhash_shard_expected(sf_dir: str):
+    """(doc_id, x_key, x_url, x_text, shard_64) — XXH64 seed 42 (Spark's
+    bloom-filter / xxhash64() hash) over the same three inputs, plus
+    pmod(x_key, 64)."""
+    out = []
+    for d, url, text in _hash_inputs(sf_dir):
+        xk = xxh64_spark_long(d & _M64)
+        out.append((d, xk, xxh64_spark_bytes(url.encode("utf-8")),
+                    xxh64_spark_bytes(text.encode("utf-8")),
+                    xk % 64 if xk % 64 >= 0 else xk % 64 + 64))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def xxhash_shard_oracle_sql(sf_dir: str) -> str:
+    rows = xxhash_shard_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS x_key, "
+        "CAST(c2 AS BIGINT) AS x_url, CAST(c3 AS BIGINT) AS x_text, "
+        "CAST(c4 AS BIGINT) AS shard_64",
+        "doc_id", ncols=5,
+    )
+
+
+def crc32_expected(sf_dir: str):
+    """(doc_id, crc_url, crc_text) — IEEE 802.3 CRC-32 via CPython's zlib
+    (a C-tested reference implementation, independent of Spark's JVM
+    java.util.zip.CRC32)."""
+    import zlib
+
+    return [(d, zlib.crc32(url.encode("utf-8")),
+             zlib.crc32(text.encode("utf-8")))
+            for d, url, text in _hash_inputs(sf_dir)]
+
+
+@functools.lru_cache(maxsize=4)
+def crc32_oracle_sql(sf_dir: str) -> str:
+    rows = crc32_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS BIGINT) AS crc_url, "
+        "CAST(c2 AS BIGINT) AS crc_text",
+        "doc_id",
+    )
