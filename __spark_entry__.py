@@ -5219,6 +5219,142 @@ def q_digest_surface(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_agg_filter_surface(spark, sf_dir) -> DataFrame:
+    """ANSI aggregate-modifier surface — count_if, FILTER clause,
+    bool_and/bool_or, and deterministic max_by/min_by (the ordering value
+    is made unique by folding o_orderkey into the low bits, so arg-max
+    ties cannot arise). Integer partials only: floor before sum."""
+    orders = load(spark, sf_dir, "orders")
+    uniq = (F.floor(F.col("o_totalprice") * 100).cast("long") * 4294967296
+            + F.col("o_orderkey"))
+    return (orders
+            .withColumn("uniq", uniq)
+            .groupBy("o_orderpriority")
+            .agg(F.expr("count_if(o_totalprice > 150000)").alias("n_high"),
+                 F.expr("sum(CAST(floor(o_totalprice) AS BIGINT)) "
+                        "FILTER (WHERE o_orderstatus = 'O')").alias("sum_open"),
+                 F.expr("bool_and(o_totalprice > 0)").alias("all_pos"),
+                 F.expr("bool_or(o_orderstatus = 'F')").alias("any_f"),
+                 F.expr("max_by(o_orderkey, uniq)").alias("best_key"),
+                 F.expr("min_by(o_orderkey, uniq)").alias("worst_key"))
+            .orderBy("o_orderpriority"))
+
+
+def q_datetime_surface(spark, sf_dir) -> DataFrame:
+    """Calendar-function surface — last_day, month-trunc, end-of-month
+    clamped add_months, datediff, Sunday=1 dayofweek, ISO weekofyear,
+    quarter, dayofyear, next_day. The oracle reconstructs Spark's
+    conventions from DuckDB primitives (dow offset, to_days arithmetic)."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.last_day(d).alias("ld"),
+        F.trunc(d, "month").alias("m0"),
+        F.add_months(d, (F.col("o_orderkey") % 3 + 1).cast("int")).alias("am"),
+        F.datediff(d, F.lit("2019-01-01").cast("date")).alias("dd"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        F.next_day(d, "Mon").alias("nmon"),
+    ).orderBy("o_orderkey")
+
+
+def q_regexp_surface(spark, sf_dir) -> DataFrame:
+    """Regexp toolbox surface — extract_all with a capture group,
+    match counting, regexp split with empty-field preservation, and
+    group-reference replacement (Spark `$1` vs DuckDB `\\1` — different
+    spelling, same semantics). Patterns are plain char-classes so Java
+    regex and RE2 agree."""
+    docs = load(spark, sf_dir, "documents")
+    s = F.concat(F.lit("p"), F.col("doc_id") % 13, F.lit("-q"),
+                 F.col("doc_id") % 7, F.lit("-r"), F.col("doc_id") % 29)
+    body = F.substring("text", 1, 60)
+    return docs.select(
+        "doc_id",
+        F.array_join(F.expr(
+            "regexp_extract_all(concat('p', doc_id % 13, '-q', doc_id % 7, "
+            "'-r', doc_id % 29), '[a-z]([0-9]+)', 1)"), "|").alias("nums"),
+        F.size(F.expr(
+            "regexp_extract_all(substring(text, 1, 60), '[aeiou]', 0)")
+        ).alias("n_vowels"),
+        F.array_join(F.split(s, "-"), "|").alias("parts"),
+        F.regexp_replace(s, "([pqr])([0-9]+)", "$2$1").alias("swapped"),
+    ).orderBy("doc_id")
+
+
+def q_array_surface(spark, sf_dir) -> DataFrame:
+    """Array/lambda surface — sequence, transform, slice, position,
+    sorted distinct (first-occurrence order differs across engines, so
+    both sides sort), fold via aggregate(), repeat, flatten."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("array_join(transform(sequence(1, CAST(1 + doc_id % 7 AS INT)),"
+               " x -> x * x), ',')").alias("squares"),
+        F.expr("array_join(slice(sequence(1, 6), CAST(1 + doc_id % 3 AS INT),"
+               " 3), ',')").alias("sl"),
+        F.expr("array_position(sequence(0, 9), CAST(doc_id % 10 AS BIGINT))")
+        .alias("pos"),
+        F.expr("array_join(array_sort(array_distinct(array(doc_id % 5, "
+               "doc_id % 3, doc_id % 5, 2))), ',')").alias("dist"),
+        F.expr("aggregate(sequence(1, CAST(1 + doc_id % 9 AS INT)), 0L, "
+               "(a, x) -> a + x * x)").alias("fold_sq"),
+        F.expr("array_join(array_repeat('ab', CAST(doc_id % 4 AS INT)), '')")
+        .alias("rep"),
+        F.expr("array_join(flatten(array(sequence(1, 2), "
+               "sequence(CAST(doc_id % 3 AS BIGINT), CAST(doc_id % 3 AS "
+               "BIGINT)))), ',')").alias("flat"),
+    ).orderBy("doc_id")
+
+
+def q_bit_radix_surface(spark, sf_dir) -> DataFrame:
+    """Bitwise + radix surface — bit_count, shifts (signed right),
+    and/or/xor (Spark `^` is xor; DuckDB `^` is POWER, its oracle uses
+    xor()), upper-hex, binary rendering, and conv() round-trips pinned
+    by re-parsing the engine's own rendering back to decimal."""
+    ev = load(spark, sf_dir, "events")
+    a = F.col("event_id")
+    b = F.col("user_id")
+    return ev.select(
+        "event_id",
+        F.bit_count(a).alias("bc"),
+        F.shiftleft(a % 1024, 3).alias("shl"),
+        F.shiftright(a - 500, 2).alias("shr"),
+        F.expr("event_id & user_id").alias("band"),
+        F.expr("event_id | user_id").alias("bor"),
+        F.expr("event_id ^ user_id").alias("bxor"),
+        F.hex(a).alias("hx"),
+        F.bin(a % 64).alias("bn"),
+        F.conv(F.hex(a), 16, 10).alias("hex_back"),
+        F.conv(F.bin(a % 64), 2, 10).alias("bin_back"),
+    ).orderBy("event_id")
+
+
+def q_phonetic_fuzzy(spark, sf_dir) -> DataFrame:
+    """Phonetic + edit-distance surface — Spark's soundex (the
+    H/W-transparent Hive variant) and levenshtein over 24 deterministic
+    name stems, pinned against from-spec reference implementations
+    (independent_oracles.soundex_ref / levenshtein_ref — Wagner-Fischer
+    DP, not a replay of either engine)."""
+    from independent_oracles import _NAME_STEMS
+
+    docs = load(spark, sf_dir, "documents")
+    stems = F.array(*[F.lit(s) for s in _NAME_STEMS])
+    n = len(_NAME_STEMS)
+    a = F.element_at(stems, (F.col("doc_id") % n + 1).cast("int"))
+    b = F.element_at(stems, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.soundex(a).alias("sdx_a"),
+        F.soundex(b).alias("sdx_b"),
+        F.levenshtein(a, b).alias("lev"),
+        F.when(F.soundex(a) == F.soundex(b), 1).otherwise(0).alias("same_code"),
+    ).orderBy("doc_id")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5435,6 +5571,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xxhash_shard": q_xxhash_shard,
         "crc32_digest": q_crc32_digest,
         "digest_surface": q_digest_surface,
+        "agg_filter_surface": q_agg_filter_surface,
+        "datetime_surface": q_datetime_surface,
+        "regexp_surface": q_regexp_surface,
+        "array_surface": q_array_surface,
+        "bit_radix_surface": q_bit_radix_surface,
+        "phonetic_fuzzy": q_phonetic_fuzzy,
     }
 
 
@@ -8113,6 +8255,87 @@ def oracle_sql() -> dict[str, str]:
         "hash_partition": _IO.hash_partition_oracle_sql(_oracle_sf_dir()),
         "xxhash_shard": _IO.xxhash_shard_oracle_sql(_oracle_sf_dir()),
         "crc32_digest": _IO.crc32_oracle_sql(_oracle_sf_dir()),
+        # ANSI aggregate modifiers; max_by ordering value is unique by
+        # construction (orderkey folded into low bits) so no arg-max ties.
+        "agg_filter_surface": (
+            "WITH o AS (SELECT *, CAST(floor(o_totalprice * 100) AS BIGINT) "
+            "* 4294967296 + o_orderkey AS uniq FROM orders) "
+            "SELECT o_orderpriority, "
+            "count(*) FILTER (o_totalprice > 150000) AS n_high, "
+            "sum(CAST(floor(o_totalprice) AS BIGINT)) "
+            "FILTER (o_orderstatus = 'O') AS sum_open, "
+            "bool_and(o_totalprice > 0) AS all_pos, "
+            "bool_or(o_orderstatus = 'F') AS any_f, "
+            "max_by(o_orderkey, uniq) AS best_key, "
+            "min_by(o_orderkey, uniq) AS worst_key "
+            "FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # Calendar surface — Spark conventions rebuilt from DuckDB
+        # primitives: dayofweek+1 (Sunday=1), to_days for next-Monday.
+        "datetime_surface": (
+            "WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d "
+            "FROM orders) "
+            "SELECT o_orderkey, d, last_day(d) AS ld, "
+            "date_trunc('month', d) AS m0, "
+            "CAST(d + to_months(CAST(o_orderkey % 3 + 1 AS INT)) AS DATE) "
+            "AS am, "
+            "datediff('day', DATE '2019-01-01', d) AS dd, "
+            "dayofweek(d) + 1 AS dow, weekofyear(d) AS woy, "
+            "quarter(d) AS q, dayofyear(d) AS doy, "
+            "CAST(d + to_days(CAST(CASE WHEN (8 - dayofweek(d)) % 7 = 0 "
+            "THEN 7 ELSE (8 - dayofweek(d)) % 7 END AS INT)) AS DATE) AS nmon "
+            "FROM o ORDER BY o_orderkey"
+        ),
+        # Regexp surface — DuckDB group refs are \1 and replace needs the
+        # 'g' flag to match Spark's replace-all.
+        "regexp_surface": (
+            "WITH d AS (SELECT doc_id, text, concat('p', doc_id % 13, '-q', "
+            "doc_id % 7, '-r', doc_id % 29) AS s FROM documents) "
+            "SELECT doc_id, "
+            "array_to_string(regexp_extract_all(s, '[a-z]([0-9]+)', 1), '|') "
+            "AS nums, "
+            "len(regexp_extract_all(substr(text, 1, 60), '[aeiou]', 0)) "
+            "AS n_vowels, "
+            "array_to_string(string_split_regex(s, '-'), '|') AS parts, "
+            "regexp_replace(s, '([pqr])([0-9]+)', '\\2\\1', 'g') AS swapped "
+            "FROM d ORDER BY doc_id"
+        ),
+        # Array/lambda surface — generate_series is end-inclusive (Spark
+        # sequence), list_slice takes an inclusive end index.
+        "array_surface": (
+            "SELECT doc_id, "
+            "array_to_string(list_transform(generate_series(1, "
+            "CAST(1 + doc_id % 7 AS INT)), x -> x * x), ',') AS squares, "
+            "array_to_string(list_slice(generate_series(1, 6), "
+            "CAST(1 + doc_id % 3 AS INT), CAST(3 + doc_id % 3 AS INT)), ',') "
+            "AS sl, "
+            "CAST(list_position(generate_series(0, 9), doc_id % 10) "
+            "AS BIGINT) AS pos, "
+            "array_to_string(list_sort(list_distinct([doc_id % 5, "
+            "doc_id % 3, doc_id % 5, 2])), ',') AS dist, "
+            "CAST(list_sum(list_transform(generate_series(1, "
+            "CAST(1 + doc_id % 9 AS INT)), x -> x * x)) AS BIGINT) "
+            "AS fold_sq, "
+            "repeat('ab', CAST(doc_id % 4 AS INT)) AS rep, "
+            "array_to_string(flatten([generate_series(1, 2), "
+            "generate_series(doc_id % 3, doc_id % 3)]), ',') AS flat "
+            "FROM documents ORDER BY doc_id"
+        ),
+        # Bitwise/radix surface — DuckDB ^ is POWER so xor() spells the
+        # engine's ^; conv() round-trips re-parse the rendering.
+        "bit_radix_surface": (
+            "SELECT event_id, bit_count(event_id) AS bc, "
+            "(event_id % 1024) << 3 AS shl, (event_id - 500) >> 2 AS shr, "
+            "event_id & user_id AS band, event_id | user_id AS bor, "
+            "xor(event_id, user_id) AS bxor, "
+            "upper(to_hex(event_id)) AS hx, bin(event_id % 64) AS bn, "
+            "CAST(event_id AS VARCHAR) AS hex_back, "
+            "CAST(event_id % 64 AS VARCHAR) AS bin_back "
+            "FROM events ORDER BY event_id"
+        ),
+        # Phonetics — from-spec soundex + Wagner-Fischer levenshtein
+        # rendered as VALUES (independent_oracles.py).
+        "phonetic_fuzzy": _IO.phonetic_oracle_sql(_oracle_sf_dir()),
         # Digest surface — both engines' native RFC 1321 / FIPS 180-4.
         "digest_surface": (
             "SELECT doc_id, md5(substr(text, 1, 120)) AS md5_hex, "

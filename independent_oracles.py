@@ -961,3 +961,90 @@ def crc32_oracle_sql(sf_dir: str) -> str:
         "CAST(c2 AS BIGINT) AS crc_text",
         "doc_id",
     )
+
+
+# ------------------------------------------------ phonetics / edit distance
+
+_SOUNDEX_CODE = {}
+for _grp, _c in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                 ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _ch in _grp:
+        _SOUNDEX_CODE[_ch] = _c
+
+
+def soundex_ref(name: str) -> str:
+    """American Soundex, H/W-transparent variant (the one Hive/Spark
+    implement: H and W neither emit nor separate; vowels separate).
+    Verified on the classic vectors Robert=R163, Tymczak=T522,
+    Honeyman=H555, Ashcraft=A261, Pfister=P236."""
+    s = name.upper()
+    out = s[0]
+    last = _SOUNDEX_CODE.get(s[0])
+    for ch in s[1:]:
+        if ch in "HW":
+            continue
+        code = _SOUNDEX_CODE.get(ch)
+        if code is None:  # vowel (or Y): separates
+            last = None
+            continue
+        if code != last:
+            out += code
+            last = code
+        if len(out) == 4:
+            break
+    return (out + "000")[:4]
+
+
+def levenshtein_ref(a: str, b: str) -> int:
+    """Textbook Wagner-Fischer DP — independent of both engines."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_NAME_STEMS = [
+    "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+    "Honeyman", "Jackson", "Schmidt", "Smith", "Smythe", "Gauss",
+    "Ghosh", "Heilbronn", "Lloyd", "Moses", "Washington", "Lee",
+    "Gutierrez", "Vandeusen", "Deusen", "Knuth", "Kant", "Oconnor",
+]
+
+
+def phonetic_cases(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [int(r[0]) for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        a = _NAME_STEMS[d % len(_NAME_STEMS)]
+        b = _NAME_STEMS[(d * 7 + 3) % len(_NAME_STEMS)]
+        out.append((d, a, b))
+    return out
+
+
+def phonetic_expected(sf_dir: str):
+    """(doc_id, sdx_a, sdx_b, lev, same_code) — soundex + levenshtein from
+    the from-spec reference implementations above."""
+    return [(d, soundex_ref(a), soundex_ref(b), levenshtein_ref(a, b),
+             1 if soundex_ref(a) == soundex_ref(b) else 0)
+            for d, a, b in phonetic_cases(sf_dir)]
+
+
+@functools.lru_cache(maxsize=4)
+def phonetic_oracle_sql(sf_dir: str) -> str:
+    rows = phonetic_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS sdx_a, "
+        "CAST(c2 AS VARCHAR) AS sdx_b, CAST(c3 AS INTEGER) AS lev, "
+        "CAST(c4 AS INTEGER) AS same_code",
+        "doc_id", ncols=5,
+    )
