@@ -5355,6 +5355,50 @@ def q_phonetic_fuzzy(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_geohash_encode(spark, sf_dir) -> DataFrame:
+    """Geohash page ids (operators/geokeys.py) — the interoperable
+    prefix-joinable spatial key (Niemeyer's public scheme; the id
+    ElasticSearch/Redis geo APIs speak). Closed-form quantize+interleave
+    +base32 as ONE JVM expression (no loop, no UDF); the oracle runs the
+    generator-rendered identical integer algebra, and
+    tests/test_geokeys.py pins it against an independent interval-
+    subdivision reference plus the published u4pruydq vector. Output:
+    per 2-char-prefix rollup (a prefix IS a containment query)."""
+    from imagery_utils_spark.operators.geokeys import geohash_col
+
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    gh = geohash_col(F.col("lon"), F.col("lat"), 8)
+    return (pts.select(gh.alias("gh"))
+            .groupBy(F.substring("gh", 1, 2).alias("pfx"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("gh").alias("n_distinct"),
+                 F.min("gh").alias("gh_min"),
+                 F.max("gh").alias("gh_max"))
+            .orderBy("pfx"))
+
+
+def q_slippy_tiles(spark, sf_dir) -> DataFrame:
+    """Web-Mercator XYZ tile assignment + Bing quadkey (operators/
+    geokeys.py) — the published slippy-map tiling every web map speaks,
+    i.e. the raster-tile addressing half of the tile math. xtile is
+    pure integer quantization; ytile runs the ln(tan+sec) Mercator
+    chain as IDENTICAL expression text on both engines (same-libm
+    convention as warp_utm); quadkey is exact bit algebra rendered as
+    base-4 text. Pinned against the OSM reference formula and the Bing
+    '213' vector in tests/test_geokeys.py."""
+    from imagery_utils_spark.operators.geokeys import quadkey_col, slippy_cols
+
+    z = 6
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    xt, yt = slippy_cols(F.col("lon"), F.col("lat"), z)
+    t = pts.select(xt.alias("xt"), yt.alias("yt"))
+    t = t.withColumn("qk", quadkey_col(F.col("xt"), F.col("yt"), z))
+    return (t.groupBy("xt", "yt", "qk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "qk")
+            .limit(40))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5577,6 +5621,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_surface": q_array_surface,
         "bit_radix_surface": q_bit_radix_surface,
         "phonetic_fuzzy": q_phonetic_fuzzy,
+        "geohash_encode": q_geohash_encode,
+        "slippy_tiles": q_slippy_tiles,
     }
 
 
@@ -5754,6 +5800,35 @@ def _hilbert_oracle_sql() -> str:
     sql = steps_sql(inner, hilbert_steps(8))
     return (f"SELECT doc_id, hx, hy, hd FROM ({sql}) q "
             "WHERE doc_id % 3 = 0 ORDER BY doc_id")
+
+
+def _geohash_oracle_sql() -> str:
+    from imagery_utils_spark.operators.geokeys import geohash_parts_sql
+
+    x, y, g, concat = geohash_parts_sql("lon", "lat", 8)
+    return (
+        f"WITH {_pages_cte()}, "
+        f"xy AS (SELECT {x} AS xg, {y} AS yg FROM pages), "
+        f"gi AS (SELECT {g} AS gg FROM xy), "
+        f"gh AS (SELECT {concat} AS gh FROM gi) "
+        "SELECT substr(gh, 1, 2) AS pfx, count(*) AS n, "
+        "count(DISTINCT gh) AS n_distinct, min(gh) AS gh_min, "
+        "max(gh) AS gh_max FROM gh GROUP BY 1 ORDER BY pfx"
+    )
+
+
+def _slippy_oracle_sql(z: int = 6) -> str:
+    from imagery_utils_spark.operators.geokeys import quadkey_sql, slippy_sql
+
+    xs, ys = slippy_sql("lon", "lat", z)
+    qk = quadkey_sql("xt", "yt", z)
+    return (
+        f"WITH {_pages_cte()}, "
+        f"t AS (SELECT {xs} AS xt, {ys} AS yt FROM pages), "
+        f"q AS (SELECT xt, yt, {qk} AS qk FROM t) "
+        "SELECT xt, yt, qk, count(*) AS n FROM q GROUP BY xt, yt, qk "
+        "ORDER BY n DESC, qk LIMIT 40"
+    )
 
 
 def _kcore_oracle_sql(k: int = 3, iters: int = 4) -> str:
@@ -8343,4 +8418,6 @@ def oracle_sql() -> dict[str, str]:
             "substr(sha256(substr(text, 1, 120)), 1, 8) AS sha_prefix "
             "FROM documents ORDER BY doc_id"
         ),
+        "geohash_encode": _geohash_oracle_sql(),
+        "slippy_tiles": _slippy_oracle_sql(),
     }
