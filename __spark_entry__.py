@@ -5399,6 +5399,130 @@ def q_slippy_tiles(spark, sf_dir) -> DataFrame:
             .limit(40))
 
 
+def q_ohlc_bars(spark, sf_dir) -> DataFrame:
+    """OHLC candlestick resampling — the time-series bar aggregation a
+    metrics warehouse runs per (series, day): open/close are min_by/
+    max_by over ONE exact bigint ordering key (epoch·10^7 + event_id —
+    collision-free, so the arg-extremum is deterministic), high/low/
+    volume are plain extrema. ONE groupBy, all integer cents; oracle =
+    DuckDB arg_min/arg_max over the same key."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        (F.unix_timestamp("ts") * 10000000 + F.col("event_id"))
+        .cast("long").alias("ord"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    return (ev.groupBy("event_type", "day")
+            .agg(F.min_by("cents", "ord").alias("open"),
+                 F.max("cents").alias("high"),
+                 F.min("cents").alias("low"),
+                 F.max_by("cents", "ord").alias("close"),
+                 F.count(F.lit(1)).alias("volume"),
+                 F.sum("cents").alias("notional"))
+            .filter(F.col("day") % 7 == 0)
+            .orderBy("event_type", "day"))
+
+
+def q_benford_digits(spark, sf_dir) -> DataFrame:
+    """Benford first-significant-digit profile of the cents stream —
+    the classic fraud/quality screen over financial columns. The digit
+    is taken lexically (substr of the decimal rendering — identical
+    semantics both engines, no float log10 anywhere); per-mille shares
+    are integer division against the total via a broadcast scalar."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    pos = ev.filter(F.col("cents") >= 1)
+    d = pos.select(F.substring(F.col("cents").cast("string"), 1, 1)
+                   .cast("int").alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    return (d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    (F.col("n") * 100000 / F.col("total")).cast("long")
+                    .alias("per_mille_x100"))
+            .orderBy("digit"))
+
+
+def q_allen_relations(spark, sf_dir) -> DataFrame:
+    """Allen's interval algebra — classify deterministic interval pairs
+    into the 13 published relations (before/meets/overlaps/starts/
+    during/finishes, their inverses, equals). The temporal-logic
+    surface under every scheduling/overlap join; pure integer CASE
+    chain (first-match-wins, both engines), one groupBy to pin the
+    distribution."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.unix_timestamp("ts").cast("long") % 1000).alias("s1"),
+        (F.col("event_id") % 50 + 1).alias("d1"),
+        ((F.unix_timestamp("ts").cast("long") * 7) % 1000).alias("s2"),
+        ((F.col("event_id") * 3) % 60 + 1).alias("d2"))
+    t = ev.select(
+        "event_id", F.col("s1"), (F.col("s1") + F.col("d1")).alias("e1"),
+        F.col("s2"), (F.col("s2") + F.col("d2")).alias("e2"))
+    s1, e1, s2, e2 = (F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"))
+    rel = (F.when((s1 == s2) & (e1 == e2), "equals")
+           .when(e1 < s2, "before")
+           .when(e2 < s1, "after")
+           .when(e1 == s2, "meets")
+           .when(e2 == s1, "met_by")
+           .when((s1 == s2) & (e1 < e2), "starts")
+           .when((s1 == s2) & (e1 > e2), "started_by")
+           .when((e1 == e2) & (s1 > s2), "finishes")
+           .when((e1 == e2) & (s1 < s2), "finished_by")
+           .when((s1 > s2) & (e1 < e2), "during")
+           .when((s1 < s2) & (e1 > e2), "contains")
+           .when(s1 < s2, "overlaps")
+           .otherwise("overlapped_by"))
+    return (t.select(rel.alias("rel"))
+            .groupBy("rel").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("rel"))
+
+
+def q_http_headers(spark, sf_dir) -> DataFrame:
+    """HTTP response-header parsing — the per-fetch hot path of a crawl
+    pipeline (status line, Content-Type media type + charset attribute
+    per RFC 9110 §8.3, Cache-Control max-age, Content-Length), as pure
+    regexp column algebra over deterministically synthesized raw header
+    blobs. Spark's java.util.regex vs DuckDB's RE2 are INDEPENDENT
+    regex engines running the same patterns — a cross-engine parse
+    check, not a replay. Missing charset defaults to utf-8 (the RFC
+    9110 HTML default convention)."""
+    d = F.col("doc_id")
+    status = F.element_at(F.split(F.lit("200|200|301|404|503"), "[|]"),
+                          (d % 5 + 1).cast("int"))
+    mime = F.element_at(F.split(F.lit(
+        "text/html|application/json|text/plain|image/png"), "[|]"),
+        (d % 4 + 1).cast("int"))
+    charset = F.when(d % 3 == 0, F.lit("; charset=ISO-8859-1")).otherwise(
+        F.when(d % 3 == 1, F.lit("; charset=utf-8")).otherwise(F.lit("")))
+    raw = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(" OK\r\n"),
+        F.lit("Content-Type: "), mime, charset, F.lit("\r\n"),
+        F.lit("Cache-Control: public, max-age="),
+        ((d * 37) % 86400).cast("string"), F.lit("\r\n"),
+        F.lit("Content-Length: "), ((d * 991) % 100000).cast("string"),
+        F.lit("\r\nServer: graft/1.0\r\n\r\n"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", raw.alias("raw"))
+    parsed = docs.select(
+        "doc_id",
+        F.regexp_extract("raw", r"^HTTP/1\.1 (\d{3})", 1).cast("int")
+        .alias("status"),
+        F.regexp_extract("raw", r"Content-Type: ([a-z]+/[a-z]+)", 1)
+        .alias("media_type"),
+        F.lower(F.coalesce(F.nullif(F.regexp_extract(
+            "raw", r"charset=([A-Za-z0-9-]+)", 1), F.lit("")),
+            F.lit("utf-8"))).alias("charset"),
+        F.regexp_extract("raw", r"max-age=(\d+)", 1).cast("long")
+        .alias("max_age"),
+        F.regexp_extract("raw", r"Content-Length: (\d+)", 1).cast("long")
+        .alias("clen"))
+    return (parsed.groupBy("status", "media_type", "charset")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("max_age").alias("sum_max_age"),
+                 F.sum("clen").alias("sum_clen"))
+            .orderBy("status", "media_type", "charset"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5623,6 +5747,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_fuzzy": q_phonetic_fuzzy,
         "geohash_encode": q_geohash_encode,
         "slippy_tiles": q_slippy_tiles,
+        "ohlc_bars": q_ohlc_bars,
+        "benford_digits": q_benford_digits,
+        "allen_relations": q_allen_relations,
+        "http_headers": q_http_headers,
     }
 
 
@@ -8420,4 +8548,82 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geohash_encode": _geohash_oracle_sql(),
         "slippy_tiles": _slippy_oracle_sql(),
+        "ohlc_bars": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "cast(floor(epoch(ts)) as bigint) * 10000000 + event_id "
+            "AS ord, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events) "
+            "SELECT event_type, day, arg_min(cents, ord) AS open, "
+            "max(cents) AS high, min(cents) AS low, "
+            "arg_max(cents, ord) AS close, count(*) AS volume, "
+            "sum(cents) AS notional FROM e GROUP BY event_type, day "
+            "HAVING day % 7 = 0 ORDER BY event_type, day"
+        ),
+        "benford_digits": (
+            "WITH e AS (SELECT cast(floor(value * 100) as bigint) "
+            "AS cents FROM events), "
+            "d AS (SELECT cast(substr(cast(cents as varchar), 1, 1) "
+            "as int) AS digit FROM e WHERE cents >= 1), "
+            "t AS (SELECT count(*) AS total FROM d) "
+            "SELECT digit, count(*) AS n, "
+            "cast(count(*) * 100000 // max(total) as bigint) "
+            "AS per_mille_x100 "
+            "FROM d CROSS JOIN t GROUP BY digit ORDER BY digit"
+        ),
+        "allen_relations": (
+            "WITH e AS (SELECT event_id, "
+            "cast(floor(epoch(ts)) as bigint) % 1000 AS s1, "
+            "event_id % 50 + 1 AS d1, "
+            "(cast(floor(epoch(ts)) as bigint) * 7) % 1000 AS s2, "
+            "(event_id * 3) % 60 + 1 AS d2 FROM events), "
+            "t AS (SELECT s1, s1 + d1 AS e1, s2, s2 + d2 AS e2 FROM e), "
+            "r AS (SELECT CASE "
+            "WHEN s1 = s2 AND e1 = e2 THEN 'equals' "
+            "WHEN e1 < s2 THEN 'before' "
+            "WHEN e2 < s1 THEN 'after' "
+            "WHEN e1 = s2 THEN 'meets' "
+            "WHEN e2 = s1 THEN 'met_by' "
+            "WHEN s1 = s2 AND e1 < e2 THEN 'starts' "
+            "WHEN s1 = s2 AND e1 > e2 THEN 'started_by' "
+            "WHEN e1 = e2 AND s1 > s2 THEN 'finishes' "
+            "WHEN e1 = e2 AND s1 < s2 THEN 'finished_by' "
+            "WHEN s1 > s2 AND e1 < e2 THEN 'during' "
+            "WHEN s1 < s2 AND e1 > e2 THEN 'contains' "
+            "WHEN s1 < s2 THEN 'overlaps' "
+            "ELSE 'overlapped_by' END AS rel FROM t) "
+            "SELECT rel, count(*) AS n FROM r GROUP BY rel ORDER BY rel"
+        ),
+        "http_headers": (
+            "WITH d AS (SELECT doc_id, "
+            "(['200','200','301','404','503'])[doc_id % 5 + 1] AS st, "
+            "(['text/html','application/json','text/plain',"
+            "'image/png'])[doc_id % 4 + 1] AS mime, "
+            "CASE WHEN doc_id % 3 = 0 THEN '; charset=ISO-8859-1' "
+            "WHEN doc_id % 3 = 1 THEN '; charset=utf-8' ELSE '' END "
+            "AS cs FROM documents), "
+            "raw AS (SELECT doc_id, 'HTTP/1.1 ' || st || ' OK' || "
+            "chr(13) || chr(10) || 'Content-Type: ' || mime || cs || "
+            "chr(13) || chr(10) || 'Cache-Control: public, max-age=' "
+            "|| cast((doc_id * 37) % 86400 as varchar) || chr(13) || "
+            "chr(10) || 'Content-Length: ' || "
+            "cast((doc_id * 991) % 100000 as varchar) || chr(13) || "
+            "chr(10) || 'Server: graft/1.0' || chr(13) || chr(10) || "
+            "chr(13) || chr(10) AS raw FROM d), "
+            "p AS (SELECT doc_id, "
+            "cast(regexp_extract(raw, 'HTTP/1\\.1 (\\d{3})', 1) as int) "
+            "AS status, "
+            "regexp_extract(raw, 'Content-Type: ([a-z]+/[a-z]+)', 1) "
+            "AS media_type, "
+            "lower(coalesce(nullif(regexp_extract(raw, "
+            "'charset=([A-Za-z0-9-]+)', 1), ''), 'utf-8')) AS charset, "
+            "cast(regexp_extract(raw, 'max-age=(\\d+)', 1) as bigint) "
+            "AS max_age, "
+            "cast(regexp_extract(raw, 'Content-Length: (\\d+)', 1) "
+            "as bigint) AS clen FROM raw) "
+            "SELECT status, media_type, charset, count(*) AS n, "
+            "sum(max_age) AS sum_max_age, sum(clen) AS sum_clen "
+            "FROM p GROUP BY status, media_type, charset "
+            "ORDER BY status, media_type, charset"
+        ),
     }
