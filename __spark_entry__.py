@@ -5523,6 +5523,114 @@ def q_http_headers(spark, sf_dir) -> DataFrame:
             .orderBy("status", "media_type", "charset"))
 
 
+def q_hmac_sha256(spark, sf_dir) -> DataFrame:
+    """HMAC-SHA256 per RFC 2104 composed from Spark's sha2 primitive —
+    the content-authentication tag a pipeline stamps on shipped shards:
+    tag = H(K⊕opad ‖ H(K⊕ipad ‖ msg)) with the padded-key XOR blocks
+    precomputed as hex literals (key < block size, zero-padded to 64).
+    Everything stays JVM-side binary algebra (unhex/concat/sha2). The
+    oracle is CPython's hmac/hashlib recomputed at check time — an
+    independent FIPS 198-1 implementation, not a replay; the public
+    'f7bc83f4…' quick-brown-fox vector is pinned in
+    tests/test_geokeys.py::test_hmac_known_vector."""
+    from independent_oracles import HMAC_KEY
+
+    key = HMAC_KEY.ljust(64, b"\0")
+    ipad = bytes(b ^ 0x36 for b in key).hex()
+    opad = bytes(b ^ 0x5c for b in key).hex()
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    msg = F.encode(F.substring("text", 1, 80), "UTF-8")
+    inner = F.sha2(F.concat(F.unhex(F.lit(ipad)), msg), 256)
+    tag = F.sha2(F.concat(F.unhex(F.lit(opad)), F.unhex(inner)), 256)
+    return docs.select("doc_id", tag.alias("tag")).orderBy("doc_id")
+
+
+def q_ewma_trend(spark, sf_dir) -> DataFrame:
+    """Exponentially-weighted moving average (decay 3/4) over the last
+    12 daily revenue totals per series — the streaming-smoother
+    semantics, made EXACT: the recurrence s_t=(3s_{t-1}+y_t)/4 unrolls
+    to integer weights 3^(n-t)·4^(t-1) (S_n = 4^n·s_n stays int64 for
+    12 taps), so both engines sum exact integers and perform ONE final
+    IEEE division S/4^n. Window row_number picks the taps; weights come
+    from literal power tables (no float pow anywhere)."""
+    p3 = [3 ** i for i in range(13)]
+    p4 = [4 ** i for i in range(13)]
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("cents").alias("y")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    last = (daily.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 12))
+    m = (last.groupBy("event_type").agg(F.count(F.lit(1)).alias("m")))
+    a3 = F.array(*[F.lit(v) for v in p3])
+    a4 = F.array(*[F.lit(v) for v in p4])
+    t = (last.join(F.broadcast(m), "event_type")
+         .withColumn("t", F.col("m") - F.col("rn"))
+         .withColumn("wt", F.element_at(a3, (F.col("m") - 1 - F.col("t") + 1)
+                                        .cast("int")) *
+                     F.when(F.col("t") == 0, F.lit(1)).otherwise(
+                         F.element_at(a4, F.col("t").cast("int")))))
+    return (t.groupBy("event_type")
+            .agg(F.sum(F.col("y") * F.col("wt")).alias("s_scaled"),
+                 F.max("m").alias("m"),
+                 F.sum("y").alias("sum_y"))
+            .select("event_type", "m", "s_scaled", "sum_y",
+                    (F.col("s_scaled") /
+                     F.element_at(a4, F.col("m").cast("int"))
+                     .cast("double")).alias("ewma"))
+            .orderBy("event_type"))
+
+
+def q_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis 2006,
+    exponential-clock form): key = −ln(u)/w with u a deterministic
+    Knuth multiplicative hash of doc_id mapped into (0,1) and w =
+    n_chars — the smallest k keys per language are the weighted sample.
+    Distributed shape: a scan + per-group top-k (no global sort); the
+    float chain is the same expression text on both engines over exact
+    integers, ties impossible (u injective per doc)."""
+    docs = load(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * 2654435761) % 2147483648 + 1).cast("double") \
+        / 2147483649.0
+    w = F.greatest(F.lit(1), F.col("n_chars")).cast("double")
+    key = -F.log(u) / w
+    t = docs.select("doc_id", "lang", key.alias("k"))
+    win = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (t.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= 10)
+            .select("lang", "rn", "doc_id", "k")
+            .orderBy("lang", "rn"))
+
+
+def q_map_surface(spark, sf_dir) -> DataFrame:
+    """Map-typed column surface — map_from_arrays over deduped leading
+    tokens, transform_values (doc-dependent rewrite), map_filter (key
+    predicate), map_entries→sorted render. The MapType algebra is
+    Spark-specific; the oracle derives the IDENTICAL rendered entries
+    relationally (DISTINCT unnest + string_agg ORDER BY), so the check
+    is semantic (set-of-entries), not a text replay. Sorted render
+    makes the comparison order-free by construction."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    toks = F.slice(F.filter(F.split(F.lower("text"), " "),
+                            lambda x: x != ""), 1, 6)
+    ks = F.array_distinct(toks)
+    m = F.map_from_arrays(ks, F.transform(ks, lambda k: F.length(k)))
+    m2 = F.transform_values(m, lambda k, v: v * 2 + F.col("doc_id") % 3)
+    m3 = F.map_filter(m2, lambda k, v: F.length(k) > 3)
+    rendered = F.array_join(F.array_sort(F.transform(
+        F.map_entries(m3),
+        lambda e: F.concat(e["key"], F.lit("="),
+                           e["value"].cast("string")))), "|")
+    return docs.select(
+        "doc_id", F.size(m).alias("n_keys"), F.size(m3).alias("n_kept"),
+        rendered.alias("entries")).orderBy("doc_id")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5751,6 +5859,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "allen_relations": q_allen_relations,
         "http_headers": q_http_headers,
+        "hmac_sha256": q_hmac_sha256,
+        "ewma_trend": q_ewma_trend,
+        "weighted_sample": q_weighted_sample,
+        "map_surface": q_map_surface,
     }
 
 
@@ -8625,5 +8737,60 @@ def oracle_sql() -> dict[str, str]:
             "sum(max_age) AS sum_max_age, sum(clen) AS sum_clen "
             "FROM p GROUP BY status, media_type, charset "
             "ORDER BY status, media_type, charset"
+        ),
+        # HMAC — CPython hmac/hashlib as the independent FIPS 198-1
+        # reference (VALUES literal recomputed at check time).
+        "hmac_sha256": _IO.hmac_oracle_sql(_oracle_sf_dir()),
+        "ewma_trend": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "sum(cast(floor(value * 100) as bigint)) AS y "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day DESC) AS rn "
+            "FROM daily), "
+            "last AS (SELECT * FROM r WHERE rn <= 12), "
+            "mm AS (SELECT event_type, count(*) AS m FROM last "
+            "GROUP BY event_type), "
+            "t AS (SELECT l.event_type, l.y, mm.m, mm.m - l.rn AS t, "
+            f"([{', '.join(str(3 ** i) for i in range(13))}])"
+            "[mm.m - 1 - (mm.m - l.rn) + 1] * "
+            "CASE WHEN mm.m - l.rn = 0 THEN 1 ELSE "
+            f"([{', '.join(str(4 ** i) for i in range(13))}])"
+            "[mm.m - l.rn] END AS wt "
+            "FROM last l JOIN mm USING (event_type)) "
+            "SELECT event_type, max(m) AS m, "
+            "sum(y * wt) AS s_scaled, sum(y) AS sum_y, "
+            f"sum(y * wt) / cast(([{', '.join(str(4 ** i) for i in range(13))}])"
+            "[max(m)] as double) AS ewma "
+            "FROM t GROUP BY event_type ORDER BY event_type"
+        ),
+        "weighted_sample": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "-ln(cast((doc_id * 2654435761) % 2147483648 + 1 as double) "
+            "/ 2147483649.0) / "
+            "cast(greatest(1, n_chars) as double) AS k FROM documents), "
+            "r AS (SELECT lang, doc_id, k, row_number() OVER ("
+            "PARTITION BY lang ORDER BY k, doc_id) AS rn FROM t) "
+            "SELECT lang, rn, doc_id, k FROM r WHERE rn <= 10 "
+            "ORDER BY lang, rn"
+        ),
+        "map_surface": (
+            "WITH d AS (SELECT doc_id, list_filter(string_split("
+            "lower(text), ' '), x -> x <> '')[1:6] AS toks "
+            "FROM documents WHERE doc_id % 5 = 1), "
+            "u AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d), "
+            "v AS (SELECT doc_id, tok, "
+            "length(tok) * 2 + doc_id % 3 AS val FROM u), "
+            "agg AS (SELECT doc_id, count(*) AS n_keys, "
+            "count(*) FILTER (length(tok) > 3) AS n_kept, "
+            "coalesce(string_agg(tok || '=' || cast(val as varchar), "
+            "'|' ORDER BY tok || '=' || cast(val as varchar)) "
+            "FILTER (length(tok) > 3), '') AS entries "
+            "FROM v GROUP BY doc_id) "
+            "SELECT d.doc_id, cast(coalesce(n_keys, 0) as int) AS n_keys, "
+            "cast(coalesce(n_kept, 0) as int) AS n_kept, "
+            "coalesce(entries, '') AS entries "
+            "FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
         ),
     }

@@ -1048,3 +1048,40 @@ def phonetic_oracle_sql(sf_dir: str) -> str:
         "CAST(c4 AS INTEGER) AS same_code",
         "doc_id", ncols=5,
     )
+
+
+# ------------------------------------------------ HMAC-SHA256 (RFC 2104)
+
+HMAC_KEY = b"graft-hmac-key"
+
+
+def hmac_expected(sf_dir: str):
+    """(doc_id, tag_hex) — CPython's hmac/hashlib (the FIPS 198-1
+    reference everybody validates against) over substr(text,1,80) of
+    every 7th document. The engine composes the SAME tag from Spark's
+    sha2 primitive per RFC 2104 (explicit ipad/opad block algebra), so
+    this checks the composition against an independent implementation,
+    not a replay."""
+    import hashlib
+    import hmac as _hmac
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, substr(text, 1, 80) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % 7 = 0 ORDER BY doc_id").fetchall()
+    return [(int(d), _hmac.new(HMAC_KEY, t.encode("utf-8"),
+                               hashlib.sha256).hexdigest())
+            for d, t in rows]
+
+
+@functools.lru_cache(maxsize=4)
+def hmac_oracle_sql(sf_dir: str) -> str:
+    rows = hmac_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS tag",
+        "doc_id", ncols=2,
+    )

@@ -152,3 +152,21 @@ def test_geohash_prefix_containment(spark):
         g8 = ref_geohash(la, lo, 8)
         g5 = ref_geohash(la, lo, 5)
         assert g8.startswith(g5)
+
+
+def test_hmac_known_vector(spark):
+    """RFC-style public vector: HMAC-SHA256('key', quick-brown-fox) —
+    the engine's unhex/concat/sha2 composition must reproduce it."""
+    from pyspark.sql import functions as F
+
+    key = b"key".ljust(64, b"\0")
+    ipad = bytes(b ^ 0x36 for b in key).hex()
+    opad = bytes(b ^ 0x5c for b in key).hex()
+    df = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog",)], "msg string")
+    inner = F.sha2(F.concat(F.unhex(F.lit(ipad)),
+                            F.encode(F.col("msg"), "UTF-8")), 256)
+    tag = F.sha2(F.concat(F.unhex(F.lit(opad)), F.unhex(inner)), 256)
+    got = df.select(tag.alias("t")).first().t
+    assert got == ("f7bc83f430538424b13298e6aa6fb143"
+                   "ef4d59a14946175997479dbc2d1a3cd8")
