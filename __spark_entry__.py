@@ -5631,6 +5631,64 @@ def q_map_surface(spark, sf_dir) -> DataFrame:
         rendered.alias("entries")).orderBy("doc_id")
 
 
+def q_gif_anim_compose(spark, sf_dir) -> DataFrame:
+    """GIF89a animation with partial-canvas frames + the player's
+    composition pass (sources/gif.py compose_gif — disposal 2 restore-
+    to-background, 3 restore-to-previous, transparency holes), closing
+    the last declared GIF limit. Per doc: full base frame (disposal 2),
+    a transparent-holed patch (disposal 3), an opaque patch — encoded,
+    re-decoded and composed executor-side; the oracle derives all three
+    DISPLAYED canvases closed-form (the disposal semantics make them
+    analytic: frame 2 paints over background, not over frame 1).
+    Spec-vector + per-disposal literals pinned in tests/test_gif.py."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") % 3 == 0)
+
+    def work(batches):
+        import numpy as np
+
+        from imagery_utils_spark.sources.gif import (
+            compose_gif, encode_gif89a_anim)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                a = np.array([[(d + i * 3 + j) % 16 for j in range(8)]
+                              for i in range(8)], dtype=np.uint8)
+                b = np.array([[(d * 5 + i * 7 + j) % 16
+                               for j in range(4)] for i in range(3)],
+                             dtype=np.uint8)
+                c = np.array([[(d * 11 + i * 2 + j + 1) % 16
+                               for j in range(2)] for i in range(2)],
+                             dtype=np.uint8)
+                pal = np.array([(d * 7 + j * 11) % 256
+                                for j in range(48)],
+                               dtype=np.uint8).reshape(16, 3)
+                blob = encode_gif89a_anim(
+                    [{"indices": a, "disposal": 2, "delay_cs": 5},
+                     {"indices": b, "left": 2, "top": 3,
+                      "transparent": d % 16, "disposal": 3},
+                     {"indices": c, "left": 5, "top": 1}],
+                    pal, background=0)
+                _, out = compose_gif(blob)
+                assert len(out) == 3
+                rows.append(tuple([d] + [
+                    ",".join(str(v) for v in fr.reshape(-1).tolist())
+                    for fr in out]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "f0", "f1", "f2"])
+
+    out = docs.mapInPandas(work, "doc_id long, f0 string, f1 string, "
+                                 "f2 string")
+    return (out.select("doc_id",
+                       F.sha2("f0", 256).alias("f0_sha"),
+                       F.sha2("f1", 256).alias("f1_sha"),
+                       F.sha2("f2", 256).alias("f2_sha"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5863,6 +5921,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_trend": q_ewma_trend,
         "weighted_sample": q_weighted_sample,
         "map_surface": q_map_surface,
+        "gif_anim_compose": q_gif_anim_compose,
     }
 
 
@@ -8737,6 +8796,30 @@ def oracle_sql() -> dict[str, str]:
             "sum(max_age) AS sum_max_age, sum(clen) AS sum_clen "
             "FROM p GROUP BY status, media_type, charset "
             "ORDER BY status, media_type, charset"
+        ),
+        # GIF animation composition — all three displayed canvases are
+        # analytic consequences of the disposal semantics (f0 shown =
+        # base; f1 shown = patch-over-BACKGROUND since f0 had disposal
+        # 2; f2 shown = opaque patch over background since f1 had
+        # disposal 3), so the oracle derives them closed-form.
+        "gif_anim_compose": (
+            "SELECT doc_id, "
+            "sha256(array_to_string(list_transform(range(0, 64), k -> "
+            "cast((doc_id + (k // 8) * 3 + (k % 8)) % 16 as varchar)"
+            "), ',')) AS f0_sha, "
+            "sha256(array_to_string(list_transform(range(0, 64), k -> "
+            "cast(CASE WHEN k // 8 BETWEEN 3 AND 5 "
+            "AND k % 8 BETWEEN 2 AND 5 "
+            "AND (doc_id * 5 + (k // 8 - 3) * 7 + (k % 8 - 2)) % 16 "
+            "<> doc_id % 16 "
+            "THEN (doc_id * 5 + (k // 8 - 3) * 7 + (k % 8 - 2)) % 16 "
+            "ELSE 0 END as varchar)), ',')) AS f1_sha, "
+            "sha256(array_to_string(list_transform(range(0, 64), k -> "
+            "cast(CASE WHEN k // 8 BETWEEN 1 AND 2 "
+            "AND k % 8 BETWEEN 5 AND 6 "
+            "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
+            "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
+            "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
         # HMAC — CPython hmac/hashlib as the independent FIPS 198-1
         # reference (VALUES literal recomputed at check time).

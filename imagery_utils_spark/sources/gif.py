@@ -232,10 +232,13 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
 # --------------------------------------------------------------- GIF89a
 # Animation per the CompuServe GIF89a spec: Graphic Control Extensions
 # (delay, transparency, disposal), a NETSCAPE2.0 looping application
-# extension, and one image descriptor + LZW stream per frame. Frames
-# here are full-canvas (the writer's profile) so decode needs no
-# composition pass; partial-frame/interlaced inputs are rejected, not
-# guessed.
+# extension, and one image descriptor + LZW stream per frame.
+# Partial-canvas frames (left/top/iw/ih sub-rectangles) decode with
+# their placement recorded, and compose_gif() runs the player's
+# composition pass per the spec's disposal methods: 0/1 = leave in
+# place, 2 = restore rectangle to background, 3 = restore to previous
+# canvas; transparent pixels never overwrite. Interlaced frames and
+# local color tables remain rejected, not guessed.
 
 def encode_gif89a(frames: list[np.ndarray], palette: np.ndarray,
                   delay_cs: int = 10, loop: int = 0,
@@ -297,7 +300,7 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[dict]]:
         data[pos:pos + 3 * n_table], dtype=np.uint8).reshape(-1, 3)
     pos += 3 * n_table
     frames: list[dict] = []
-    delay, transparent = 0, None
+    delay, transparent, disposal = 0, None, 0
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:                      # trailer
@@ -310,6 +313,7 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[dict]]:
                 gflags = data[pos + 1]
                 delay = struct.unpack("<H", data[pos + 2:pos + 4])[0]
                 transparent = data[pos + 4] if gflags & 1 else None
+                disposal = (gflags >> 2) & 0x07
                 pos += sz + 1
             # skip remaining sub-blocks (and whole non-GCE extensions)
             while data[pos] != 0:
@@ -323,8 +327,8 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[dict]]:
         pos += 10
         if iflags & 0xC0:
             raise NotImplementedError("local table / interlace")
-        if (left, top, iw, ih) != (0, 0, w, h):
-            raise NotImplementedError("partial-canvas frames")
+        if left + iw > w or top + ih > h:
+            raise ValueError("frame rectangle outside logical screen")
         mcs = data[pos]
         pos += 1
         lzw = bytearray()
@@ -337,6 +341,98 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[dict]]:
         frames.append({
             "indices": np.frombuffer(raw, dtype=np.uint8)
             .reshape(ih, iw).copy(),
-            "delay_cs": delay, "transparent": transparent})
-        delay, transparent = 0, None
+            "left": left, "top": top,
+            "delay_cs": delay, "transparent": transparent,
+            "disposal": disposal})
+        delay, transparent, disposal = 0, None, 0
     raise ValueError("missing trailer")
+
+
+def gif_screen(data: bytes) -> tuple[int, int, int]:
+    """(width, height, background index) from the logical screen
+    descriptor."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, _flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    return w, h, bg
+
+
+def compose_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+    """The player's composition pass (GIF89a spec §23 disposal
+    semantics): returns (palette, full-canvas frames as displayed).
+    Canvas starts at the background index; each frame's non-transparent
+    pixels paint its rectangle; afterwards disposal 2 restores the
+    rectangle to background, 3 restores the pre-frame canvas, 0/1
+    leave the canvas as painted."""
+    pal, frames = decode_gif_frames(data)
+    w, h, bg = gif_screen(data)
+    canvas = np.full((h, w), bg, dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for f in frames:
+        left, top = f["left"], f["top"]
+        ih, iw = f["indices"].shape
+        before = canvas.copy()
+        region = canvas[top:top + ih, left:left + iw]
+        if f["transparent"] is None:
+            region[:] = f["indices"]
+        else:
+            mask = f["indices"] != f["transparent"]
+            region[mask] = f["indices"][mask]
+        out.append(canvas.copy())
+        if f["disposal"] == 2:
+            canvas[top:top + ih, left:left + iw] = bg
+        elif f["disposal"] == 3:
+            canvas = before
+    return pal.copy(), out
+
+
+def encode_gif89a_anim(frame_specs: list[dict], palette: np.ndarray,
+                       loop: int = 0, background: int = 0) -> bytes:
+    """Animated GIF89a with per-frame placement + disposal: each spec =
+    {indices (ih, iw) uint8, left, top, delay_cs, transparent
+    (index|None), disposal (0..3)}. The logical screen is the bounding
+    canvas passed implicitly via spec 0 (which must cover (0,0,w,h))."""
+    if not frame_specs:
+        raise ValueError("need at least one frame")
+    h, w = frame_specs[0]["indices"].shape
+    if frame_specs[0].get("left", 0) or frame_specs[0].get("top", 0):
+        raise ValueError("first frame must cover the canvas at (0,0)")
+    bits = 1
+    while (1 << bits) < palette.shape[0]:
+        bits += 1
+    n_table = 1 << bits
+    pal = np.zeros((n_table, 3), dtype=np.uint8)
+    pal[:palette.shape[0]] = palette
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       0x80 | ((bits - 1) & 0x07) << 4 | (bits - 1),
+                       background, 0)
+    out += pal.tobytes()
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1]) + struct.pack("<H", loop) + bytes([0])
+    for f in frame_specs:
+        ind = f["indices"]
+        if ind.dtype != np.uint8:
+            raise ValueError("indices must be uint8")
+        ih, iw = ind.shape
+        left, top = f.get("left", 0), f.get("top", 0)
+        if left + iw > w or top + ih > h:
+            raise ValueError("frame rectangle outside logical screen")
+        transparent = f.get("transparent")
+        disposal = f.get("disposal", 0)
+        gce_flags = ((disposal & 0x07) << 2) | (
+            0x01 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags])
+        out += struct.pack("<H", f.get("delay_cs", 10))
+        out += bytes([transparent or 0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, left, top, iw, ih, 0)
+        out.append(mcs)
+        lzw = _lzw_encode(ind.tobytes(), mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i:i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

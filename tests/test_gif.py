@@ -139,3 +139,122 @@ def test_gif89a_rejects_partial_frames():
     import pytest as _pytest
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_gif_frames(bytes(blob))
+
+
+# ------------------------------------------- partial-canvas composition
+
+def test_compose_disposal_none_paints_over():
+    """Disposal 0/1: later frames paint over a persistent canvas —
+    expected canvases are hand literals, not a replay."""
+    import numpy as np
+
+    from imagery_utils_spark.sources.gif import (
+        compose_gif, encode_gif89a_anim)
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    base = np.zeros((4, 4), dtype=np.uint8)
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+    blob = encode_gif89a_anim(
+        [{"indices": base, "disposal": 1},
+         {"indices": patch, "left": 1, "top": 2, "disposal": 1},
+         {"indices": np.full((1, 1), 3, dtype=np.uint8),
+          "left": 3, "top": 0, "disposal": 0}], pal)
+    _, out = compose_gif(blob)
+    assert len(out) == 3
+    want1 = np.zeros((4, 4), dtype=np.uint8)
+    want1[2:4, 1:3] = 2
+    assert (out[1] == want1).all()
+    want2 = want1.copy()
+    want2[0, 3] = 3          # persists OVER the previous canvas
+    assert (out[2] == want2).all()
+
+
+def test_compose_disposal_background_clears_rect():
+    import numpy as np
+
+    from imagery_utils_spark.sources.gif import (
+        compose_gif, encode_gif89a_anim)
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]],
+                   dtype=np.uint8)
+    base = np.full((3, 3), 1, dtype=np.uint8)
+    blob = encode_gif89a_anim(
+        [{"indices": base, "disposal": 0},
+         # disposal 2: after display, rect restored to BACKGROUND (3)
+         {"indices": np.full((2, 2), 2, dtype=np.uint8),
+          "left": 0, "top": 0, "disposal": 2},
+         {"indices": np.full((1, 1), 1, dtype=np.uint8),
+          "left": 2, "top": 2, "disposal": 0}],
+        pal, background=3)
+    _, out = compose_gif(blob)
+    want_f1 = np.full((3, 3), 1, dtype=np.uint8)
+    want_f1[0:2, 0:2] = 2
+    assert (out[1] == want_f1).all()
+    want_f2 = np.full((3, 3), 1, dtype=np.uint8)
+    want_f2[0:2, 0:2] = 3    # cleared to background, NOT frame 0 pixels
+    assert (out[2] == want_f2).all()
+
+
+def test_compose_disposal_previous_restores():
+    import numpy as np
+
+    from imagery_utils_spark.sources.gif import (
+        compose_gif, encode_gif89a_anim)
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    base = np.arange(16, dtype=np.uint8).reshape(4, 4) % 4
+    blob = encode_gif89a_anim(
+        [{"indices": base, "disposal": 0},
+         # disposal 3: after display, canvas reverts to pre-frame state
+         {"indices": np.full((2, 3), 1, dtype=np.uint8),
+          "left": 1, "top": 1, "disposal": 3},
+         {"indices": np.full((1, 1), 2, dtype=np.uint8),
+          "left": 0, "top": 0, "disposal": 0}], pal)
+    _, out = compose_gif(blob)
+    shown1 = base.copy()
+    shown1[1:3, 1:4] = 1
+    assert (out[1] == shown1).all()
+    want2 = base.copy()      # frame 1's paint is GONE (restored)
+    want2[0, 0] = 2
+    assert (out[2] == want2).all()
+
+
+def test_compose_transparent_pixels_preserve_underlying():
+    import numpy as np
+
+    from imagery_utils_spark.sources.gif import (
+        compose_gif, encode_gif89a_anim)
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [7, 7, 7]],
+                   dtype=np.uint8)
+    base = np.full((2, 4), 1, dtype=np.uint8)
+    patch = np.array([[3, 2, 3, 2]], dtype=np.uint8)  # 3 = transparent
+    blob = encode_gif89a_anim(
+        [{"indices": base, "disposal": 0},
+         {"indices": patch, "left": 0, "top": 1, "transparent": 3,
+          "disposal": 0}], pal)
+    _, out = compose_gif(blob)
+    want = base.copy()
+    want[1] = [1, 2, 1, 2]   # transparent slots keep the base pixel
+    assert (out[1] == want).all()
+
+
+def test_compose_full_canvas_equals_raw_frames():
+    """Full-canvas opaque frames: composition must be the identity."""
+    import numpy as np
+
+    from imagery_utils_spark.sources.gif import (
+        compose_gif, decode_gif_frames, encode_gif89a)
+
+    rng = [(i * 37 + j * 11) % 4 for i in range(5) for j in range(6)]
+    f0 = np.array(rng, dtype=np.uint8).reshape(5, 6)
+    f1 = (f0 + 1) % 4
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170],
+                    [255, 255, 255]], dtype=np.uint8)
+    blob = encode_gif89a([f0, f1], pal)
+    _, composed = compose_gif(blob)
+    _, raw = decode_gif_frames(blob)
+    assert (composed[0] == raw[0]["indices"]).all()
+    assert (composed[1] == raw[1]["indices"]).all()

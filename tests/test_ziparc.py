@@ -108,3 +108,65 @@ def test_zip_roundtrip_property(entries):
     assert z.testzip() is None
     for n, d, _ in uniq:
         assert z.read(n) == d
+
+
+# ----------------------------------------------------------------- ZIP64
+
+def test_zip64_roundtrip_forced():
+    entries = [(f"d/{i}.txt", f"payload {i}".encode() * (i + 1),
+                DEFLATED if i % 2 else STORED) for i in range(7)]
+    blob = write_zip(entries, force_zip64=True)
+    got = list(iter_zip(blob))
+    assert [(e["name"], e["data"]) for e in got] == \
+        [(n, d) for n, d, _ in entries]
+
+
+def test_zip64_stdlib_reads_ours():
+    import io
+    import zipfile
+
+    entries = [("a.txt", b"alpha" * 100, STORED),
+               ("b.txt", b"beta" * 999, DEFLATED)]
+    blob = write_zip(entries, force_zip64=True)
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert zf.namelist() == ["a.txt", "b.txt"]
+        assert zf.read("a.txt") == b"alpha" * 100
+        assert zf.read("b.txt") == b"beta" * 999
+        assert zf.testzip() is None
+
+
+def test_zip64_ours_reads_stdlib_forced():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        with zf.open("x.bin", "w", force_zip64=True) as f:
+            f.write(b"\x01\x02" * 4096)
+        zf.writestr("y.txt", "hello zip64")
+    got = {e["name"]: e["data"] for e in iter_zip(buf.getvalue())}
+    assert got["x.bin"] == b"\x01\x02" * 4096
+    assert got["y.txt"] == b"hello zip64"
+
+
+def test_zip64_many_entries_16bit_count_overflow():
+    """>65535 entries forces the ZIP64 EOCD count path for real."""
+    import io
+    import zipfile
+
+    n = 65540
+    entries = [(f"e{i}", b"x", STORED) for i in range(n)]
+    blob = write_zip(entries)  # auto-switches: n >= 0xFFFF
+    got = list(iter_zip(blob))
+    assert len(got) == n
+    assert got[0]["name"] == "e0" and got[-1]["name"] == f"e{n - 1}"
+    # stdlib agrees on the count
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert len(zf.infolist()) == n
+
+
+def test_zip64_auto_stays_classic_when_small():
+    """Small archives must NOT pay the ZIP64 tax (no PK\\x06\\x06)."""
+    blob = write_zip([("a", b"b", STORED)])
+    assert b"PK\x06\x06" not in blob
+    assert list(iter_zip(blob))[0]["data"] == b"b"
