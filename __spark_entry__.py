@@ -5689,6 +5689,82 @@ def q_gif_anim_compose(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_exif_meta(spark, sf_dir) -> DataFrame:
+    """EXIF extraction from JPEG APP1 blobs (sources/exif.py — TIFF 6.0
+    IFD walk, EXIF 2.3 envelope, both byte orders alternating per doc)
+    — the in-band camera-metadata scan of a multimodal corpus: marker
+    grammar only, no entropy decode, Arrow-batched. Each blob is BUILT
+    executor-side by the from-spec writer and re-parsed; the oracle
+    derives the expected fields analytically from doc_id, so any
+    writer/parser asymmetry (inline vs heap ASCII, endianness, marker
+    walk) breaks parity. Hand-assembled spec-layout golden pinned in
+    tests/test_exif.py."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") % 4 == 1)
+
+    def work(batches):
+        from imagery_utils_spark.sources.exif import (
+            build_jpeg_exif, parse_exif)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype("int64"):
+                d = int(d)
+                blob = build_jpeg_exif(
+                    {0x010F: f"Vendor{d % 5}", 0x0110: f"Camera{d % 7}",
+                     0x0112: d % 8 + 1,
+                     0x0132: f"2026:01:{d % 28 + 1:02d} 00:00:00"},
+                    little_endian=(d % 2 == 1))
+                m = parse_exif(blob)
+                rows.append((d, m["byte_order"], m["make"], m["model"],
+                             m["orientation"], m["datetime"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "byte_order", "make", "model", "orientation",
+                "dt"])
+
+    out = docs.mapInPandas(
+        work, "doc_id long, byte_order string, make string, "
+              "model string, orientation int, dt string")
+    return out.orderBy("doc_id")
+
+
+def q_sitemap_urls(spark, sf_dir) -> DataFrame:
+    """XML sitemap ingestion via Spark's xpath surface — the crawl-
+    seeding path: per-host sitemap documents assembled from sorted
+    <url> elements, then xpath('urlset/url/loc/text()') explodes the
+    locs and the priorities come off the sibling axis. The ORACLE never
+    parses XML — it derives the same rollup analytically from doc_id —
+    so the check exercises the engine's real XPath evaluator against
+    closed-form expectations."""
+    d = F.col("doc_id")
+    elem = F.concat(
+        F.lit("<url><loc>https://h"), (d % 23).cast("string"),
+        F.lit(".example/p"), d.cast("string"),
+        F.lit(".html</loc><priority>0."), (d % 9 + 1).cast("string"),
+        F.lit("</priority></url>"))
+    docs = load(spark, sf_dir, "documents").select(
+        (d % 23).alias("host"), d.alias("doc_id"), elem.alias("elem"))
+    sm = (docs.groupBy("host")
+          .agg(F.concat(F.lit("<urlset>"), F.array_join(F.array_sort(
+              F.collect_list(F.struct("doc_id", "elem")))["elem"], ""),
+              F.lit("</urlset>")).alias("xml")))
+    parsed = sm.select(
+        "host",
+        F.expr("xpath(xml, 'urlset/url/loc/text()')").alias("locs"),
+        F.expr("xpath(xml, 'urlset/url/priority/text()')").alias("pris"))
+    return (parsed.select(
+        "host", F.size("locs").alias("n_urls"),
+        F.array_min("locs").alias("loc_min"),
+        F.array_max("locs").alias("loc_max"),
+        F.aggregate(F.transform(
+            F.col("pris"),
+            lambda p: F.substring(p, 3, 1).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("pri_digit_sum"))
+        .orderBy("host"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -5922,6 +5998,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "map_surface": q_map_surface,
         "gif_anim_compose": q_gif_anim_compose,
+        "exif_meta": q_exif_meta,
+        "sitemap_urls": q_sitemap_urls,
     }
 
 
@@ -8820,6 +8898,30 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # EXIF — expected fields are analytic in doc_id; the engine
+        # must reproduce them through a real build->parse binary pass.
+        "exif_meta": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 1 THEN 'II' ELSE 'MM' END "
+            "AS byte_order, "
+            "'Vendor' || cast(doc_id % 5 as varchar) AS make, "
+            "'Camera' || cast(doc_id % 7 as varchar) AS model, "
+            "cast(doc_id % 8 + 1 as int) AS orientation, "
+            "'2026:01:' || lpad(cast(doc_id % 28 + 1 as varchar), 2, "
+            "'0') || ' 00:00:00' AS dt "
+            "FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id"
+        ),
+        # Sitemap — rollup derived analytically, no XML on oracle side.
+        "sitemap_urls": (
+            "WITH d AS (SELECT doc_id % 23 AS host, "
+            "'https://h' || cast(doc_id % 23 as varchar) || "
+            "'.example/p' || cast(doc_id as varchar) || '.html' "
+            "AS loc, doc_id % 9 + 1 AS pd FROM documents) "
+            "SELECT host, cast(count(*) as int) AS n_urls, "
+            "min(loc) AS loc_min, max(loc) AS loc_max, "
+            "sum(pd) AS pri_digit_sum FROM d GROUP BY host "
+            "ORDER BY host"
         ),
         # HMAC — CPython hmac/hashlib as the independent FIPS 198-1
         # reference (VALUES literal recomputed at check time).
