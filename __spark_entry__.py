@@ -5765,6 +5765,48 @@ def q_sitemap_urls(spark, sf_dir) -> DataFrame:
         .orderBy("host"))
 
 
+def q_ntt_convolution(spark, sf_dir) -> DataFrame:
+    """Exact circular convolution via the number-theoretic transform
+    (operators/ntt.py — radix-2 Cooley–Tukey in Z/65537, from the
+    published algorithm): per group, the 64-bin doc histogram (counts
+    mod 10, keeping the true convolution under p) is convolved with a
+    fixed 8-tap kernel through forward-NTT → pointwise → inverse-NTT.
+    The ORACLE computes the O(n²) convolution sum directly and
+    relationally (a CROSS JOIN against the kernel + one groupBy) — two
+    entirely different algorithms that must agree bit-for-bit on exact
+    integers. Scale shape: ONE groupBy shuffle, then O(n log n) local
+    work per group."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 16).alias("g"),
+        ((F.col("doc_id") / 16).cast("long") % 64).alias("bin"))
+    hist = (docs.groupBy("g", "bin")
+            .agg((F.count(F.lit(1)) % 10).alias("av")))
+
+    def work(key, pdf):
+        import numpy as np
+
+        from imagery_utils_spark.operators.ntt import circular_convolve
+        a = np.zeros(64, dtype=np.int64)
+        a[pdf["bin"].astype("int64").to_numpy()] = \
+            pdf["av"].astype("int64").to_numpy()
+        b = np.array([(j * j + 1) % 5 if j < 8 else 0
+                      for j in range(64)], dtype=np.int64)
+        c = circular_convolve(a, b)
+        return pd.DataFrame({
+            "g": [int(key[0])],
+            "conv_csv": [",".join(str(int(v)) for v in c)],
+            "conv_sum": [int(c.sum())],
+            "conv_max": [int(c.max())]})
+
+    out = hist.groupBy("g").applyInPandas(
+        work, "g long, conv_csv string, conv_sum long, conv_max long")
+    return (out.select("g", F.sha2("conv_csv", 256).alias("conv_sha"),
+                       "conv_sum", "conv_max")
+            .orderBy("g"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6000,6 +6042,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_anim_compose": q_gif_anim_compose,
         "exif_meta": q_exif_meta,
         "sitemap_urls": q_sitemap_urls,
+        "ntt_convolution": q_ntt_convolution,
     }
 
 
@@ -8898,6 +8941,27 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # NTT convolution — the oracle is the O(n²) DEFINITION of
+        # circular convolution, computed relationally; the engine runs
+        # the O(n log n) transform algorithm. Independent by algebra.
+        "ntt_convolution": (
+            "WITH h AS (SELECT doc_id % 16 AS g, "
+            "(doc_id // 16) % 64 AS bin, count(*) % 10 AS av "
+            "FROM documents GROUP BY 1, 2), "
+            "k AS (SELECT j, CASE WHEN j < 8 THEN (j * j + 1) % 5 "
+            "ELSE 0 END AS bv FROM (SELECT unnest(generate_series(0, "
+            "63)) AS j)), "
+            "c0 AS (SELECT h.g, (h.bin + k.j) % 64 AS ck, "
+            "sum(h.av * k.bv) AS cv FROM h CROSS JOIN k "
+            "GROUP BY 1, 2), "
+            "grid AS (SELECT g, ck FROM (SELECT DISTINCT g FROM h) "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS ck)), "
+            "c AS (SELECT grid.g, grid.ck, coalesce(cv, 0) AS cv "
+            "FROM grid LEFT JOIN c0 USING (g, ck)) "
+            "SELECT g, sha256(string_agg(cast(cv as varchar), ',' "
+            "ORDER BY ck)) AS conv_sha, sum(cv) AS conv_sum, "
+            "max(cv) AS conv_max FROM c GROUP BY g ORDER BY g"
         ),
         # EXIF — expected fields are analytic in doc_id; the engine
         # must reproduce them through a real build->parse binary pass.
