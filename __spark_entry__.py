@@ -5807,6 +5807,35 @@ def q_ntt_convolution(spark, sf_dir) -> DataFrame:
             .orderBy("g"))
 
 
+def q_jaro_winkler(spark, sf_dir) -> DataFrame:
+    """Jaro–Winkler similarity from the published 1990 definition
+    (operators/fuzzy.py — greedy windowed matching, half-transposition
+    count, prefix boost gated on the 0.7 threshold Winkler's original
+    code carries), Arrow-batched over the name-stem pairs. The oracle
+    is DuckDB's BUILT-IN jaro_winkler_similarity — an independent C++
+    implementation — and the two agree bitwise on every pair (verified
+    over the full 576-pair stem cross product before wiring). MARTHA/
+    MARHTA and DWAYNE/DUANE published vectors pinned in
+    tests/test_fuzzy.py."""
+    from imagery_utils_spark.operators.fuzzy import jaro_winkler_cols
+    from independent_oracles import _NAME_STEMS
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    stems = F.array(*[F.lit(s) for s in _NAME_STEMS])
+    n = len(_NAME_STEMS)
+    t = docs.select(
+        "doc_id",
+        F.element_at(stems, (F.col("doc_id") % n + 1).cast("int"))
+        .alias("a"),
+        F.element_at(stems, ((F.col("doc_id") * 7 + 3) % n + 1)
+                     .cast("int")).alias("b"))
+    scored = jaro_winkler_cols(t, "a", "b")
+    return (scored.select(
+        "doc_id", "a", "b", "jaro", "jw",
+        F.when(F.col("jw") >= 0.84, 1).otherwise(0).alias("is_match"))
+        .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6043,6 +6072,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": q_exif_meta,
         "sitemap_urls": q_sitemap_urls,
         "ntt_convolution": q_ntt_convolution,
+        "jaro_winkler": q_jaro_winkler,
     }
 
 
@@ -8941,6 +8971,20 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # Jaro-Winkler — oracle is DuckDB's independent C++ builtin.
+        "jaro_winkler": (
+            "WITH s AS (SELECT " +
+            "[" + ", ".join(
+                "'" + s + "'" for s in _IO._NAME_STEMS) + "] AS st), "
+            "t AS (SELECT doc_id, "
+            f"st[doc_id % {len(_IO._NAME_STEMS)} + 1] AS a, "
+            f"st[(doc_id * 7 + 3) % {len(_IO._NAME_STEMS)} + 1] AS b "
+            "FROM documents CROSS JOIN s) "
+            "SELECT doc_id, a, b, jaro_similarity(a, b) AS jaro, "
+            "jaro_winkler_similarity(a, b) AS jw, "
+            "CASE WHEN jaro_winkler_similarity(a, b) >= 0.84 THEN 1 "
+            "ELSE 0 END AS is_match FROM t ORDER BY doc_id"
         ),
         # NTT convolution — the oracle is the O(n²) DEFINITION of
         # circular convolution, computed relationally; the engine runs

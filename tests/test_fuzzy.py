@@ -59,3 +59,51 @@ def test_range_lookup_bucketed_equals_broadcast(spark):
     tags = dict(a)
     assert tags[0] == "a" and tags[2] == "b" and tags[20] is None
     assert tags[35] == "d"  # range spanning several 4096-buckets
+
+
+# --------------------------------------------------------- Jaro-Winkler
+
+def test_jaro_winkler_published_vectors():
+    """Winkler's published examples (also the Wikipedia worked cases)."""
+    from imagery_utils_spark.operators.fuzzy import (
+        jaro_similarity_py, jaro_winkler_py)
+
+    # MARTHA/MARHTA: m=6, t=1 -> (1 + 1 + 5/6)/3 = 17/18 ≈ 0.944444
+    assert abs(jaro_similarity_py("MARTHA", "MARHTA") - 17 / 18) < 1e-9
+    assert abs(jaro_winkler_py("MARTHA", "MARHTA") - 0.9611111111111111) \
+        < 1e-9
+    # DWAYNE/DUANE: m=4, t=0 -> (4/6 + 4/5 + 1)/3 ≈ 0.822222
+    assert abs(jaro_similarity_py("DWAYNE", "DUANE") - 0.8222222222222223) \
+        < 1e-9
+    assert jaro_similarity_py("abc", "abc") == 1.0
+    assert jaro_similarity_py("abc", "xyz") == 0.0
+    assert jaro_winkler_py("", "x") == 0.0
+
+
+def test_jaro_winkler_boost_threshold_gate():
+    """Prefix bonus must NOT apply when base jaro <= 0.7 (Winkler's
+    original behavior; DuckDB agrees)."""
+    from imagery_utils_spark.operators.fuzzy import (
+        jaro_similarity_py, jaro_winkler_py)
+
+    j = jaro_similarity_py("Gauss", "Ghosh")
+    assert j <= 0.7
+    assert jaro_winkler_py("Gauss", "Ghosh") == j
+
+
+def test_jaro_winkler_bitwise_vs_duckdb():
+    import itertools
+
+    import duckdb
+
+    from imagery_utils_spark.operators.fuzzy import (
+        jaro_similarity_py, jaro_winkler_py)
+    from independent_oracles import _NAME_STEMS
+
+    con = duckdb.connect()
+    for a, b in itertools.product(_NAME_STEMS, _NAME_STEMS):
+        dj, djw = con.execute(
+            "SELECT jaro_similarity(?, ?), "
+            "jaro_winkler_similarity(?, ?)", [a, b, a, b]).fetchone()
+        assert jaro_similarity_py(a, b) == dj, (a, b)
+        assert jaro_winkler_py(a, b) == djw, (a, b)
