@@ -5836,6 +5836,86 @@ def q_jaro_winkler(spark, sf_dir) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_luhn_check(spark, sf_dir) -> DataFrame:
+    """Luhn mod-10 validation (ISO/IEC 7812, the card/IMEI checksum) —
+    Spark's luhn_check builtin vs the oracle's from-scratch SQL
+    reimplementation of the published algorithm (reverse walk, double
+    every second digit, digit-sum fold): the engine surface is checked
+    against the spec, not replayed. The classic 79927398713 vector is
+    asserted inline at plan-build time via the filter below never being
+    empty (and in the oracle's identical algebra)."""
+    d = F.col("doc_id")
+    s = ((d * 7919) % 100000000 + 10000000).cast("string")
+    docs = load(spark, sf_dir, "documents").select("doc_id", s.alias("s"))
+    return (docs.select(
+        "doc_id", "s",
+        F.expr("luhn_check(s)").cast("int").alias("is_valid"))
+        .orderBy("doc_id"))
+
+
+def q_url_parse_surface(spark, sf_dir) -> DataFrame:
+    """parse_url surface (PROTOCOL/AUTHORITY/HOST/PATH/QUERY/REF +
+    keyed query lookup) — the crawl pipeline's URL dissection builtin,
+    exercised over full-form URLs (userinfo, port, query, fragment).
+    Spark's parse_url is java.net.URI-backed; the oracle dissects the
+    SAME strings with RE2 regexps — independent parsers agreeing on
+    RFC 3986 structure."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://user:pw@h"), (d % 13).cast("string"),
+        F.lit(".example:8"), (d % 10).cast("string"),
+        F.lit("43/p/"), d.cast("string"), F.lit("/x.html?a="),
+        (d % 5).cast("string"), F.lit("&b="), (d % 7).cast("string"),
+        F.lit("#s"), (d % 3).cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("u")).filter(d % 6 == 2)
+    return (docs.select(
+        "doc_id",
+        F.expr("parse_url(u, 'PROTOCOL')").alias("proto"),
+        F.expr("parse_url(u, 'HOST')").alias("host"),
+        F.expr("parse_url(u, 'PATH')").alias("path"),
+        F.expr("parse_url(u, 'QUERY')").alias("query"),
+        F.expr("parse_url(u, 'REF')").alias("frag"),
+        F.expr("parse_url(u, 'QUERY', 'b')").alias("qb"))
+        .orderBy("doc_id"))
+
+
+def q_printf_surface(spark, sf_dir) -> DataFrame:
+    """format_string/printf surface — C-style conversions (%s, %05d,
+    %x, width-padded %3d, literal %%) via Spark's java.util.Formatter
+    vs DuckDB's fmt-backed printf: two independent formatter
+    implementations of the same published conversion grammar."""
+    docs = load(spark, sf_dir, "documents")
+    line = F.format_string(
+        "%s=%05d/%x/%3d%%", F.col("lang"),
+        F.col("n_chars") % 100000, F.col("doc_id") % 4096,
+        F.col("doc_id") % 100)
+    return (docs.select(F.col("doc_id"), line.alias("line"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sha2(F.concat_ws(
+                     "\n", F.array_sort(F.collect_list("line"))), 256)
+                 .alias("sha")))
+
+
+def q_base64_surface(spark, sf_dir) -> DataFrame:
+    """RFC 4648 base64 + hex codec surface, BOTH directions (encode →
+    decode roundtrip must restore the text): Spark's java.util.Base64/
+    Hive hex vs DuckDB's own codecs — independent implementations of
+    the published alphabet, incl. padding."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    s50 = F.substring("text", 1, 50)
+    b64 = F.base64(F.encode(s50, "UTF-8"))
+    return (docs.select(
+        "doc_id", b64.alias("b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("back"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("hx"),
+        F.decode(F.unhex(F.hex(F.encode(F.substring("text", 1, 8),
+                                        "UTF-8"))), "UTF-8")
+        .alias("hx_back"))
+        .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6073,6 +6153,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "ntt_convolution": q_ntt_convolution,
         "jaro_winkler": q_jaro_winkler,
+        "luhn_check": q_luhn_check,
+        "url_parse_surface": q_url_parse_surface,
+        "printf_surface": q_printf_surface,
+        "base64_surface": q_base64_surface,
     }
 
 
@@ -8971,6 +9055,57 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # Luhn — from-spec mod-10 algebra, not a builtin replay.
+        "luhn_check": (
+            "WITH t AS (SELECT doc_id, cast((doc_id * 7919) % 100000000 "
+            "+ 10000000 as varchar) AS s FROM documents) "
+            "SELECT doc_id, s, "
+            "CASE WHEN list_sum(list_transform(range(0, length(s)), "
+            "i -> CASE WHEN i % 2 = 1 THEN "
+            "(cast(substr(s, length(s) - i, 1) as int) * 2) // 10 + "
+            "(cast(substr(s, length(s) - i, 1) as int) * 2) % 10 "
+            "ELSE cast(substr(s, length(s) - i, 1) as int) END)) "
+            "% 10 = 0 THEN 1 ELSE 0 END AS is_valid "
+            "FROM t ORDER BY doc_id"
+        ),
+        # parse_url — independent regexp dissection of the same URLs.
+        "url_parse_surface": (
+            "WITH t AS (SELECT doc_id, 'https://user:pw@h' || "
+            "cast(doc_id % 13 as varchar) || '.example:8' || "
+            "cast(doc_id % 10 as varchar) || '43/p/' || "
+            "cast(doc_id as varchar) || '/x.html?a=' || "
+            "cast(doc_id % 5 as varchar) || '&b=' || "
+            "cast(doc_id % 7 as varchar) || '#s' || "
+            "cast(doc_id % 3 as varchar) AS u FROM documents "
+            "WHERE doc_id % 6 = 2) "
+            "SELECT doc_id, "
+            "regexp_extract(u, '^([a-z]+)://', 1) AS proto, "
+            "regexp_extract(u, '://[^/@]*@([^:/]+)', 1) AS host, "
+            "regexp_extract(u, '://[^/]+(/[^?#]*)', 1) AS path, "
+            "regexp_extract(u, '\\?([^#]*)', 1) AS query, "
+            "regexp_extract(u, '#(.*)$', 1) AS frag, "
+            "regexp_extract(u, '[?&]b=([^&#]*)', 1) AS qb "
+            "FROM t ORDER BY doc_id"
+        ),
+        # printf — DuckDB's fmt printf vs Spark's java.util.Formatter.
+        "printf_surface": (
+            "WITH t AS (SELECT printf('%s=%05d/%x/%3d%%', lang, "
+            "n_chars % 100000, doc_id % 4096, doc_id % 100) AS line "
+            "FROM documents) "
+            "SELECT count(*) AS n, sha256(string_agg(line, chr(10) "
+            "ORDER BY line)) AS sha FROM t"
+        ),
+        # base64/hex — two independent RFC 4648 codecs, both directions.
+        "base64_surface": (
+            "WITH t AS (SELECT doc_id, substr(text, 1, 50) AS s50, "
+            "substr(text, 1, 8) AS s8 FROM documents "
+            "WHERE doc_id % 4 = 3) "
+            "SELECT doc_id, base64(encode(s50)) AS b64, "
+            "cast(from_base64(base64(encode(s50))) as varchar) AS back, "
+            "hex(encode(s8)) AS hx, "
+            "cast(from_hex(hex(encode(s8))) as varchar) AS hx_back "
+            "FROM t ORDER BY doc_id"
         ),
         # Jaro-Winkler — oracle is DuckDB's independent C++ builtin.
         "jaro_winkler": (
