@@ -5916,6 +5916,99 @@ def q_base64_surface(spark, sf_dir) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_dist_rank_surface(spark, sf_dir) -> DataFrame:
+    """Distribution-rank window surface — percent_rank() and
+    cume_dist(), the two rational-definition window functions
+    ((rank-1)/(n-1) and rows≤current/n: ONE IEEE division each, so
+    bit-equal cross-engine). Tie groups (equal cents) must share
+    values; the rollup sums floor(·×10⁵) per series to pin every row
+    without emitting duplicate-keyed rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long")
+        .alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    t = ev.select(
+        "event_type", "cents",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"))
+    return (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("pr") * 100000)).alias("sum_pr5"),
+                 F.sum(F.floor(F.col("cd") * 100000)).alias("sum_cd5"),
+                 F.max("pr").alias("max_pr"))
+            .orderBy("event_type"))
+
+
+def q_width_bucket(spark, sf_dir) -> DataFrame:
+    """width_bucket equi-width histogram assignment (SQL:2003) —
+    Spark's builtin vs the oracle's from-definition algebra
+    (floor(nb·(v−lo)/(hi−lo))+1 with under/overflow buckets 0 and
+    nb+1, the EXACT operation order Spark's WidthBucket codegen uses).
+    The value stream exceeds [0,100) so both edge buckets are
+    populated."""
+    ev = load(spark, sf_dir, "events").select("value")
+    wb = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0),
+                        F.lit(16))
+    return (ev.select(wb.alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))
+
+
+def q_str_to_map_surface(spark, sf_dir) -> DataFrame:
+    """str_to_map parsing surface (the Hive-inherited kv-blob splitter
+    a webtext pipeline aims at query strings and header lines) + keyed
+    lookup — rendered as sorted entries so the comparison is
+    map-order-free; the oracle re-derives the entries relationally
+    from the same delimited text."""
+    d = F.col("doc_id")
+    s = F.concat(
+        F.lit("k"), (d % 5).cast("string"), F.lit(":"),
+        (d % 7).cast("string"),
+        F.lit(",j"), (d % 4).cast("string"), F.lit(":"),
+        (d % 11).cast("string"),
+        F.lit(",z:"), (d % 3).cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", s.alias("s")).filter(d % 5 == 0)
+    m = F.expr("str_to_map(s, ',', ':')")
+    rendered = F.array_join(F.array_sort(F.transform(
+        F.map_entries(m),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]))), "|")
+    return (docs.select(
+        "doc_id", F.size(m).alias("n_keys"),
+        rendered.alias("entries"),
+        F.element_at(m, F.lit("z")).alias("z_val"))
+        .orderBy("doc_id"))
+
+
+def q_lateral_surface(spark, sf_dir) -> DataFrame:
+    """Row-multiplying lateral surface: stack(n, ...) (the UNPIVOT
+    kernel) and posexplode (ordinal explode). Both engines must agree
+    on ORDINALS, not just multisets — pos is part of the group key.
+    Oracle: stack as UNION ALL, posexplode as a range cross-join
+    subscript walk."""
+    docs = load(spark, sf_dir, "documents")
+    stacked = docs.select(
+        F.col("doc_id"),
+        F.expr("stack(3, 'lang', lang, 'src', source, 'len', "
+               "cast(n_chars as string)) AS (k, v)"))
+    s_agg = (stacked.groupBy("k")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .select(F.lit("stack").alias("kind"), F.col("k").alias("key"),
+                     "n", "mn", "mx"))
+    toks = docs.select(
+        (F.col("doc_id") % 7).alias("g"),
+        F.posexplode(F.slice(F.split(F.lower("text"), " "), 1, 4))
+        .alias("pos", "tok"))
+    p_agg = (toks.groupBy("pos")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("tok").alias("mn"), F.max("tok").alias("mx"))
+             .select(F.lit("pos").alias("kind"),
+                     F.col("pos").cast("string").alias("key"),
+                     "n", "mn", "mx"))
+    return s_agg.unionByName(p_agg).orderBy("kind", "key")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6157,6 +6250,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse_surface": q_url_parse_surface,
         "printf_surface": q_printf_surface,
         "base64_surface": q_base64_surface,
+        "dist_rank_surface": q_dist_rank_surface,
+        "width_bucket": q_width_bucket,
+        "str_to_map_surface": q_str_to_map_surface,
+        "lateral_surface": q_lateral_surface,
     }
 
 
@@ -9055,6 +9152,66 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "dist_rank_surface": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "t AS (SELECT event_type, "
+            "percent_rank() OVER (PARTITION BY event_type "
+            "ORDER BY cents) AS pr, "
+            "cume_dist() OVER (PARTITION BY event_type "
+            "ORDER BY cents) AS cd FROM e) "
+            "SELECT event_type, count(*) AS n, "
+            "sum(cast(floor(pr * 100000) as bigint)) AS sum_pr5, "
+            "sum(cast(floor(cd * 100000) as bigint)) AS sum_cd5, "
+            "max(pr) AS max_pr FROM t GROUP BY event_type "
+            "ORDER BY event_type"
+        ),
+        # width_bucket — oracle reimplements the SQL:2003 definition in
+        # Spark's exact operation order (16.0*(v-0)/(100-0), floor, +1).
+        "width_bucket": (
+            "WITH t AS (SELECT CASE WHEN value < 0.0 THEN 0 "
+            "WHEN value >= 100.0 THEN 17 "
+            "ELSE cast(floor(16 * (value - 0.0) / (100.0 - 0.0)) "
+            "as bigint) + 1 END AS bucket FROM events) "
+            "SELECT bucket, count(*) AS n FROM t GROUP BY bucket "
+            "ORDER BY bucket"
+        ),
+        "str_to_map_surface": (
+            "WITH t AS (SELECT doc_id, "
+            "'k' || cast(doc_id % 5 as varchar) || ':' || "
+            "cast(doc_id % 7 as varchar) || ',j' || "
+            "cast(doc_id % 4 as varchar) || ':' || "
+            "cast(doc_id % 11 as varchar) || ',z:' || "
+            "cast(doc_id % 3 as varchar) AS s FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "kv AS (SELECT doc_id, unnest(string_split(s, ',')) AS p "
+            "FROM t), "
+            "e AS (SELECT doc_id, string_split(p, ':')[1] AS k, "
+            "string_split(p, ':')[2] AS v FROM kv) "
+            "SELECT doc_id, cast(count(*) as int) AS n_keys, "
+            "string_agg(k || '=' || v, '|' ORDER BY k || '=' || v) "
+            "AS entries, "
+            "max(CASE WHEN k = 'z' THEN v END) AS z_val "
+            "FROM e GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "lateral_surface": (
+            "WITH st AS (SELECT 'lang' AS k, lang AS v FROM documents "
+            "UNION ALL SELECT 'src', source FROM documents "
+            "UNION ALL SELECT 'len', cast(n_chars as varchar) "
+            "FROM documents), "
+            "sa AS (SELECT 'stack' AS kind, k AS key, count(*) AS n, "
+            "min(v) AS mn, max(v) AS mx FROM st GROUP BY k), "
+            "tk AS (SELECT list_filter(string_split(lower(text), ' '), "
+            "x -> true)[1:4] AS l FROM documents), "
+            "px AS (SELECT i.i AS pos, l[i.i + 1] AS tok FROM tk "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i "
+            "WHERE i.i < len(l)), "
+            "pa AS (SELECT 'pos' AS kind, cast(pos as varchar) AS key, "
+            "count(*) AS n, min(tok) AS mn, max(tok) AS mx FROM px "
+            "GROUP BY pos) "
+            "SELECT * FROM sa UNION ALL SELECT * FROM pa "
+            "ORDER BY kind, key"
         ),
         # Luhn — from-spec mod-10 algebra, not a builtin replay.
         "luhn_check": (
