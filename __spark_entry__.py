@@ -6009,6 +6009,105 @@ def q_lateral_surface(spark, sf_dir) -> DataFrame:
     return s_agg.unionByName(p_agg).orderBy("kind", "key")
 
 
+def q_uuid5(spark, sf_dir) -> DataFrame:
+    """RFC 4122 name-based UUIDv5 composed from Spark's sha1 primitive
+    — the deterministic content-id a pipeline mints per host/url (same
+    input ⇒ same id on every run, unlike uuid()). The version nibble
+    ('5') and the variant nibble (high two bits → 10, i.e. '89ab'
+    alphabet) are set by explicit STRING surgery on the hex digest, per
+    spec §4.3/§4.1.1. Oracle: CPython's uuid.uuid5 — the reference
+    implementation — as a VALUES literal; the python.org public vector
+    is pinned in tests/test_geokeys.py::test_uuid5_known_vector."""
+    d = F.col("doc_id")
+    name = F.concat(F.lit("h"), (d % 97).cast("string"),
+                    F.lit(".example"))
+    ns = "6ba7b8109dad11d180b400c04fd430c8"  # NAMESPACE_DNS bytes
+    hx = F.sha1(F.concat(F.unhex(F.lit(ns)), F.encode(name, "UTF-8")))
+    variant_alpha = F.split(F.lit("8|9|a|b"), "[|]")
+    vchar = F.element_at(
+        variant_alpha,
+        (F.conv(F.substring(hx, 17, 1), 16, 10).cast("int") % 4 + 1))
+    u = F.concat(
+        F.substring(hx, 1, 8), F.lit("-"),
+        F.substring(hx, 9, 4), F.lit("-"),
+        F.lit("5"), F.substring(hx, 14, 3), F.lit("-"),
+        vchar, F.substring(hx, 18, 3), F.lit("-"),
+        F.substring(hx, 21, 12))
+    docs = load(spark, sf_dir, "documents").filter(d % 6 == 1)
+    return docs.select("doc_id", u.alias("uuid")).orderBy("doc_id")
+
+
+def q_islands_gaps(spark, sf_dir) -> DataFrame:
+    """Gaps-and-islands — consecutive-run detection over a sparse id
+    sequence (the resume/backfill primitive: which checkpoint ranges
+    are contiguous, where are the holes). ENGINE uses the rank-
+    difference idiom (value − dense_rank() is constant within an
+    island); the ORACLE uses the other classic derivation (LAG start-
+    flags + running sum) — two independent window formulations that
+    must produce identical islands."""
+    s = (load(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 5 != 3)
+         .select((F.col("doc_id") / 7).cast("long").alias("v"))
+         .distinct())
+    w = Window.orderBy("v")
+    t = s.withColumn("grp", F.col("v") - F.dense_rank().over(w))
+    isl = (t.groupBy("grp")
+           .agg(F.min("v").alias("start"), F.max("v").alias("end"),
+                F.count(F.lit(1)).alias("len")))
+    return (isl.select("start", "end", "len")
+            .orderBy("start"))
+
+
+def q_rank_sum_test(spark, sf_dir) -> DataFrame:
+    """Mann–Whitney rank-sum statistic with midrank ties, EXACT: twice
+    the average rank of a tie group is the integer 2·rank + c − 1, so
+    2R₁ and 2U₁ = 2R₁ − n₁(n₁+1) accumulate as plain bigints — the
+    nonparametric A/B readout with zero float anywhere. One window
+    pass + one groupBy per series."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 2).alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wt = Window.partitionBy("event_type", "cents")
+    t = ev.select(
+        "event_type", "grp",
+        (2 * F.rank().over(w) + F.count(F.lit(1)).over(wt) - 1)
+        .alias("two_avg_rank"))
+    g = (t.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_all"),
+              F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+              .alias("n1"),
+              F.sum(F.when(F.col("grp") == 0, F.col("two_avg_rank"))
+                    .otherwise(0)).alias("two_r1")))
+    return (g.select(
+        "event_type", "n1", (F.col("n_all") - F.col("n1")).alias("n2"),
+        "two_r1",
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .alias("two_u1"))
+        .orderBy("event_type"))
+
+
+def q_tz_convert(spark, sf_dir) -> DataFrame:
+    """Named-timezone conversion via the IANA tzdb (Spark's JSR-310
+    zone rules vs DuckDB's ICU — two independent tz databases must
+    agree on wall clocks): UTC event stream rendered in New York (DST
+    both sides), Berlin, and Kolkata (the +05:30 half-hour offset that
+    catches integer-hour assumptions). Local-hour histogram per zone
+    pins every conversion."""
+    zones = F.split(
+        F.lit("America/New_York|Europe/Berlin|Asia/Kolkata"), "[|]")
+    ev = load(spark, sf_dir, "events").select(
+        "ts", F.element_at(zones, (F.col("event_id") % 3 + 1)
+                           .cast("int")).alias("zone"))
+    local = F.from_utc_timestamp(F.col("ts"), F.col("zone"))
+    return (ev.select("zone", F.hour(local).alias("local_hour"),
+                      F.to_date(local).alias("local_date"))
+            .groupBy("zone", "local_hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("local_date").alias("n_dates"))
+            .orderBy("zone", "local_hour"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6254,6 +6353,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "width_bucket": q_width_bucket,
         "str_to_map_surface": q_str_to_map_surface,
         "lateral_surface": q_lateral_surface,
+        "uuid5": q_uuid5,
+        "islands_gaps": q_islands_gaps,
+        "rank_sum_test": q_rank_sum_test,
+        "tz_convert": q_tz_convert,
     }
 
 
@@ -9152,6 +9255,48 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # UUIDv5 — CPython's uuid module as the independent RFC 4122
+        # reference (VALUES literal recomputed at check time).
+        "uuid5": _IO.uuid5_oracle_sql(_oracle_sf_dir()),
+        # Islands — the OTHER classic derivation (lag start-flags +
+        # running sum), independent of the engine's rank-difference.
+        "islands_gaps": (
+            "WITH s AS (SELECT DISTINCT doc_id // 7 AS v "
+            "FROM documents WHERE doc_id % 5 <> 3), "
+            "f AS (SELECT v, CASE WHEN v - lag(v) OVER (ORDER BY v) "
+            "= 1 THEN 0 ELSE 1 END AS is_start FROM s), "
+            "g AS (SELECT v, sum(is_start) OVER (ORDER BY v "
+            "ROWS UNBOUNDED PRECEDING) AS isl FROM f) "
+            "SELECT min(v) AS start, max(v) AS \"end\", "
+            "count(*) AS len FROM g GROUP BY isl ORDER BY start"
+        ),
+        "rank_sum_test": (
+            "WITH e AS (SELECT event_type, event_id % 2 AS grp, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "t AS (SELECT event_type, grp, "
+            "2 * rank() OVER (PARTITION BY event_type ORDER BY cents) "
+            "+ count(*) OVER (PARTITION BY event_type, cents) - 1 "
+            "AS two_avg_rank FROM e), "
+            "g AS (SELECT event_type, count(*) AS n_all, "
+            "sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n1, "
+            "sum(CASE WHEN grp = 0 THEN two_avg_rank ELSE 0 END) "
+            "AS two_r1 FROM t GROUP BY event_type) "
+            "SELECT event_type, n1, n_all - n1 AS n2, two_r1, "
+            "two_r1 - n1 * (n1 + 1) AS two_u1 FROM g "
+            "ORDER BY event_type"
+        ),
+        # tz — DuckDB's ICU tzdb vs Spark's JSR-310 rules.
+        "tz_convert": (
+            "WITH e AS (SELECT ts, (['America/New_York',"
+            "'Europe/Berlin','Asia/Kolkata'])[event_id % 3 + 1] "
+            "AS zone FROM events), "
+            "l AS (SELECT zone, ts AT TIME ZONE 'UTC' AT TIME ZONE "
+            "zone AS local FROM e) "
+            "SELECT zone, cast(hour(local) as int) AS local_hour, "
+            "count(*) AS n, count(DISTINCT cast(local as date)) "
+            "AS n_dates FROM l GROUP BY zone, local_hour "
+            "ORDER BY zone, local_hour"
         ),
         "dist_rank_surface": (
             "WITH e AS (SELECT event_type, "

@@ -1085,3 +1085,32 @@ def hmac_oracle_sql(sf_dir: str) -> str:
         "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS tag",
         "doc_id", ncols=2,
     )
+
+
+# ------------------------------------------------ UUIDv5 (RFC 4122 §4.3)
+
+def uuid5_expected(sf_dir: str):
+    """(doc_id, uuid) — CPython's uuid.uuid5 (the reference RFC 4122
+    implementation) over deterministic host names; the engine composes
+    the same UUID from Spark's sha1 primitive with explicit version/
+    variant bit surgery in string algebra."""
+    import uuid
+
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [int(r[0]) for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 6 = 1 ORDER BY doc_id").fetchall()]
+    return [(d, str(uuid.uuid5(uuid.NAMESPACE_DNS,
+                               f"h{d % 97}.example"))) for d in ids]
+
+
+@functools.lru_cache(maxsize=4)
+def uuid5_oracle_sql(sf_dir: str) -> str:
+    rows = uuid5_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS uuid",
+        "doc_id", ncols=2,
+    )

@@ -170,3 +170,27 @@ def test_hmac_known_vector(spark):
     got = df.select(tag.alias("t")).first().t
     assert got == ("f7bc83f430538424b13298e6aa6fb143"
                    "ef4d59a14946175997479dbc2d1a3cd8")
+
+
+def test_uuid5_known_vector(spark):
+    """Public RFC 4122 vector: uuid5(NAMESPACE_DNS, 'python.org')."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    assert str(_uuid.uuid5(_uuid.NAMESPACE_DNS, "python.org")) == \
+        "886313e1-3b8a-5372-9b90-0c9aee199e5d"
+    ns = "6ba7b8109dad11d180b400c04fd430c8"
+    df = spark.createDataFrame([("python.org",)], "name string")
+    hx = F.sha1(F.concat(F.unhex(F.lit(ns)),
+                         F.encode(F.col("name"), "UTF-8")))
+    vchar = F.element_at(
+        F.split(F.lit("8|9|a|b"), "[|]"),
+        (F.conv(F.substring(hx, 17, 1), 16, 10).cast("int") % 4 + 1))
+    u = F.concat(
+        F.substring(hx, 1, 8), F.lit("-"), F.substring(hx, 9, 4),
+        F.lit("-"), F.lit("5"), F.substring(hx, 14, 3), F.lit("-"),
+        vchar, F.substring(hx, 18, 3), F.lit("-"),
+        F.substring(hx, 21, 12))
+    assert df.select(u.alias("u")).first().u == \
+        "886313e1-3b8a-5372-9b90-0c9aee199e5d"
