@@ -6108,6 +6108,67 @@ def q_tz_convert(spark, sf_dir) -> DataFrame:
             .orderBy("zone", "local_hour"))
 
 
+def q_chi_square(spark, sf_dir) -> DataFrame:
+    """Chi-square independence test over the lang×source contingency
+    table, float-hazard-free: each cell's contribution is the ONE IEEE
+    chain (o·N − r·c)²/(r·c·N) over exact integer marginals, floored
+    at ×10⁹ BEFORE the cross-cell sum — so the statistic accumulates
+    as a plain bigint and is partitioning-invariant by construction
+    (a raw double Σ over cells would be shuffle-order-dependent).
+    Broadcast marginals; two small aggs + one projection."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o"))
+    r = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cell = (o.join(F.broadcast(r), "lang")
+            .join(F.broadcast(c), "source")
+            .crossJoin(F.broadcast(n)))
+    # square in DOUBLE: (o·N − r·c)² can exceed int64 at large sf
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")) \
+        .cast("double")
+    term = (num * num) / \
+        (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    t = cell.select(F.floor(term * 1e9).cast("long").alias("t9"))
+    dims = cell.agg(
+        F.countDistinct("lang").alias("nr"),
+        F.countDistinct("source").alias("nc"))
+    return (t.agg(F.sum("t9").alias("chi2_e9"),
+                  F.count(F.lit(1)).alias("n_cells"),
+                  F.max("t9").alias("max_cell_e9"))
+            .crossJoin(F.broadcast(dims))
+            .select("chi2_e9", "n_cells", "max_cell_e9",
+                    ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof")))
+
+
+def q_reachability(spark, sf_dir) -> DataFrame:
+    """Bounded transitive closure (≤4 hops) on the doc DAG — ENGINE
+    runs the log-step DOUBLING plan (R₂ = E ∪ E∘E, R₄ = R₂ ∪ R₂∘R₂:
+    two self-join rounds instead of four sequential expansions — the
+    shuffle-count argument that matters at 10¹² edges); the ORACLE runs
+    a depth-tracked WITH RECURSIVE linear expansion. Different
+    evaluation strategies, identical reachable-pair sets."""
+    e = (load(spark, sf_dir, "documents")
+         .select((F.col("doc_id") % 200).alias("u"),
+                 (F.col("doc_id") % 200 + 1 + (F.col("doc_id") * 7) % 3)
+                 .alias("v"))
+         .distinct())
+
+    def compose(a, b):
+        return (a.alias("x")
+                .join(b.alias("y"), F.col("x.v") == F.col("y.u"))
+                .select(F.col("x.u").alias("u"), F.col("y.v").alias("v")))
+
+    r2 = e.unionByName(compose(e, e)).distinct()
+    r4 = r2.unionByName(compose(r2, r2)).distinct()
+    return (r4.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n_reach"),
+                 F.min("v").alias("v_min"), F.max("v").alias("v_max"),
+                 F.sum("v").alias("v_sum"))
+            .orderBy("u"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6357,6 +6418,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "islands_gaps": q_islands_gaps,
         "rank_sum_test": q_rank_sum_test,
         "tz_convert": q_tz_convert,
+        "chi_square": q_chi_square,
+        "reachability": q_reachability,
     }
 
 
@@ -9255,6 +9318,38 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "chi_square": (
+            "WITH d AS (SELECT lang, source FROM documents), "
+            "o AS (SELECT lang, source, count(*) AS o FROM d "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT lang, count(*) AS r FROM d GROUP BY 1), "
+            "c AS (SELECT source, count(*) AS c FROM d GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM d), "
+            "cell AS (SELECT o.o, r.r, c.c, n.n FROM o "
+            "JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n), "
+            "t AS (SELECT cast(floor(cast(o * n - r * c as double) * "
+            "cast(o * n - r * c as double) / cast(r * c * n as double) "
+            "* 1e9) as bigint) AS t9 FROM cell), "
+            "dims AS (SELECT count(DISTINCT lang) AS nr, "
+            "count(DISTINCT source) AS nc FROM o) "
+            "SELECT sum(t9) AS chi2_e9, count(*) AS n_cells, "
+            "max(t9) AS max_cell_e9, "
+            "(max(nr) - 1) * (max(nc) - 1) AS dof "
+            "FROM t CROSS JOIN dims"
+        ),
+        # Reachability — linear WITH RECURSIVE expansion vs the
+        # engine's doubling joins.
+        "reachability": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT doc_id % 200 AS u, "
+            "doc_id % 200 + 1 + (doc_id * 7) % 3 AS v FROM documents), "
+            "r(u, v, d) AS (SELECT u, v, 1 FROM e "
+            "UNION SELECT r.u, e.v, r.d + 1 FROM r JOIN e "
+            "ON r.v = e.u WHERE r.d < 4), "
+            "p AS (SELECT DISTINCT u, v FROM r) "
+            "SELECT u, count(*) AS n_reach, min(v) AS v_min, "
+            "max(v) AS v_max, sum(v) AS v_sum FROM p GROUP BY u "
+            "ORDER BY u"
         ),
         # UUIDv5 — CPython's uuid module as the independent RFC 4122
         # reference (VALUES literal recomputed at check time).
