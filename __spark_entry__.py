@@ -6169,6 +6169,110 @@ def q_reachability(spark, sf_dir) -> DataFrame:
             .orderBy("u"))
 
 
+def q_rendezvous_hash(spark, sf_dir) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — Thaler &
+    Ravishankar 1998, the shard-assignment scheme whose MINIMAL-
+    DISRUPTION property the row pins: keys are assigned under an
+    8-node ring and a 7-node ring (node n3 removed), and by
+    construction every key that moved must have been on n3 — the
+    output includes that violation count, which both engines must
+    agree is ZERO. Weights are sha256-derived 60-bit ints (the
+    neg_sample idiom); assignment is ONE broadcast cross join +
+    max_by, no shuffle of the key table."""
+    nodes8 = [f"n{i}" for i in range(8)]
+    d = F.col("doc_id")
+    key = F.concat(F.lit("url"), d.cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", key.alias("key")).filter(d % 2 == 0)
+
+    def weight(node_col, key_col):
+        return F.conv(F.substring(F.sha2(F.concat(
+            node_col, F.lit("|"), key_col), 256), 1, 15), 16, 10) \
+            .cast("long")
+
+    nodes = spark.createDataFrame([(n,) for n in nodes8], "node string")
+    scored = (docs.crossJoin(F.broadcast(nodes))
+              .select("doc_id", "key", "node",
+                      weight(F.col("node"), F.col("key")).alias("w")))
+    a8 = (scored.groupBy("doc_id")
+          .agg(F.max_by("node", "w").alias("n8")))
+    a7 = (scored.filter(F.col("node") != "n3").groupBy("doc_id")
+          .agg(F.max_by("node", "w").alias("n7")))
+    j = a8.join(a7, "doc_id")
+    return (j.groupBy("n8")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum(F.when(F.col("n8") != F.col("n7"), 1)
+                       .otherwise(0)).alias("n_moved"),
+                 F.sum(F.when((F.col("n8") != F.col("n7")) &
+                              (F.col("n8") != "n3"), 1).otherwise(0))
+                 .alias("n_violations"))
+            .orderBy("n8"))
+
+
+def q_readability(spark, sf_dir) -> DataFrame:
+    """Flesch reading-ease scoring from pure integer counts (words,
+    [.!?]+ sentence breaks, [aeiouy]+ vowel-group syllables — the
+    published heuristic): the formula 206.835 − 1.015·W/S − 84.6·Syl/W
+    is one IEEE chain per doc over exact integers, floored ×100 before
+    the per-lang rollup so the aggregate is partition-order-free."""
+    docs = load(spark, sf_dir, "documents")
+    txt = F.lower("text")
+    words = F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+    sents = F.greatest(F.lit(1), F.regexp_count(txt, F.lit(r"[.!?]+")))
+    syls = F.greatest(F.lit(1),
+                      F.regexp_count(txt, F.lit("[aeiouy]+")))
+    fre = (F.lit(206.835)
+           - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+           - F.lit(84.6) * (syls.cast("double") / words.cast("double")))
+    t = docs.select("lang", words.alias("w"), sents.alias("s"),
+                    syls.alias("y"),
+                    F.floor(fre * 100).cast("long").alias("fre100"))
+    return (t.filter(F.col("w") > 0)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("w").alias("sum_words"),
+                 F.sum("s").alias("sum_sents"),
+                 F.sum("y").alias("sum_syls"),
+                 F.sum("fre100").alias("sum_fre100"),
+                 F.min("fre100").alias("min_fre100"),
+                 F.max("fre100").alias("max_fre100"))
+            .orderBy("lang"))
+
+
+def q_ks_test(spark, sf_dir) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic as an EXACT RATIONAL:
+    D = max|F₁−F₂| evaluated on the combined support, kept as the
+    integer max of |c₁·n₂ − c₂·n₁| with denominator n₁·n₂ — no float
+    until never. Window cumulative counts per sample over the merged
+    value axis; one groupBy per series."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 2).alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    per_v = (ev.groupBy("event_type", "cents")
+             .agg(F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                  .alias("a1"),
+                  F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                  .alias("a2")))
+    w = (Window.partitionBy("event_type").orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_v.select(
+        "event_type", "cents",
+        F.sum("a1").over(w).alias("c1"),
+        F.sum("a2").over(w).alias("c2"))
+    tot = (ev.groupBy("event_type")
+           .agg(F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+                .alias("n1"),
+                F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+                .alias("n2")))
+    j = cum.join(F.broadcast(tot), "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.max(F.abs(F.col("c1") * F.col("n2")
+                             - F.col("c2") * F.col("n1")))
+                 .alias("d_num"),
+                 F.max(F.col("n1") * F.col("n2")).alias("d_den"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6420,6 +6524,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tz_convert": q_tz_convert,
         "chi_square": q_chi_square,
         "reachability": q_reachability,
+        "rendezvous_hash": q_rendezvous_hash,
+        "readability": q_readability,
+        "ks_test": q_ks_test,
     }
 
 
@@ -9318,6 +9425,66 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "rendezvous_hash": (
+            "WITH k AS (SELECT doc_id, 'url' || cast(doc_id as varchar) "
+            "AS key FROM documents WHERE doc_id % 2 = 0), "
+            "nodes AS (SELECT 'n' || cast(unnest(generate_series(0, 7)) "
+            "as varchar) AS node), "
+            "s AS (SELECT doc_id, node, "
+            "cast('0x' || substr(sha256(node || '|' || key), 1, 15) "
+            "as bigint) AS w FROM k CROSS JOIN nodes), "
+            "a8 AS (SELECT doc_id, arg_max(node, w) AS n8 FROM s "
+            "GROUP BY doc_id), "
+            "a7 AS (SELECT doc_id, arg_max(node, w) AS n7 FROM s "
+            "WHERE node <> 'n3' GROUP BY doc_id), "
+            "j AS (SELECT a8.doc_id, n8, n7 FROM a8 JOIN a7 "
+            "USING (doc_id)) "
+            "SELECT n8, count(*) AS n_keys, "
+            "sum(CASE WHEN n8 <> n7 THEN 1 ELSE 0 END) AS n_moved, "
+            "sum(CASE WHEN n8 <> n7 AND n8 <> 'n3' THEN 1 ELSE 0 END) "
+            "AS n_violations FROM j GROUP BY n8 ORDER BY n8"
+        ),
+        "readability": (
+            "WITH t AS (SELECT lang, lower(text) AS txt "
+            "FROM documents), "
+            "m AS (SELECT lang, "
+            "cast(len(list_filter(string_split(txt, ' '), "
+            "x -> x <> '')) as bigint) AS w, "
+            "greatest(1, cast(len(regexp_extract_all(txt, "
+            "'[.!?]+')) as bigint)) AS s, "
+            "greatest(1, cast(len(regexp_extract_all(txt, "
+            "'[aeiouy]+')) as bigint)) AS y FROM t), "
+            "f AS (SELECT lang, w, s, y, "
+            "cast(floor((206.835 - 1.015 * (cast(w as double) / "
+            "cast(s as double)) - 84.6 * (cast(y as double) / "
+            "cast(w as double))) * 100) as bigint) AS fre100 "
+            "FROM m WHERE w > 0) "
+            "SELECT lang, count(*) AS n, sum(w) AS sum_words, "
+            "sum(s) AS sum_sents, sum(y) AS sum_syls, "
+            "sum(fre100) AS sum_fre100, min(fre100) AS min_fre100, "
+            "max(fre100) AS max_fre100 FROM f GROUP BY lang "
+            "ORDER BY lang"
+        ),
+        "ks_test": (
+            "WITH e AS (SELECT event_type, event_id % 2 AS grp, "
+            "cast(floor(value * 100) as bigint) AS cents FROM events), "
+            "pv AS (SELECT event_type, cents, "
+            "sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a1, "
+            "sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a2 "
+            "FROM e GROUP BY 1, 2), "
+            "c AS (SELECT event_type, cents, "
+            "sum(a1) OVER (PARTITION BY event_type ORDER BY cents "
+            "ROWS UNBOUNDED PRECEDING) AS c1, "
+            "sum(a2) OVER (PARTITION BY event_type ORDER BY cents "
+            "ROWS UNBOUNDED PRECEDING) AS c2 FROM pv), "
+            "t AS (SELECT event_type, "
+            "sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n1, "
+            "sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n2 "
+            "FROM e GROUP BY event_type) "
+            "SELECT event_type, max(abs(c1 * n2 - c2 * n1)) AS d_num, "
+            "max(n1 * n2) AS d_den FROM c JOIN t USING (event_type) "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "chi_square": (
             "WITH d AS (SELECT lang, source FROM documents), "
