@@ -6273,6 +6273,83 @@ def q_ks_test(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_bitmap_distinct(spark, sf_dir) -> DataFrame:
+    """Spark 3.5 bitmap aggregate surface — the documented exact-
+    distinct recipe (group by bitmap_bucket_number, OR bit positions
+    into 4 KiB bitmaps, count bits, sum across buckets) run TWICE: once
+    directly and once through an extra bitmap_or_agg merge level
+    (per-source partial bitmaps OR-ed together — the re-aggregation
+    path a warehouse rollup uses). The oracle is plain
+    count(DISTINCT): the bitmap algebra must reproduce it exactly."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source",
+                                                   "doc_id")
+    b1 = (docs.groupBy("lang", F.expr("bitmap_bucket_number(doc_id)")
+                       .alias("bkt"))
+          .agg(F.expr("bitmap_count(bitmap_construct_agg("
+                      "bitmap_bit_position(doc_id)))").alias("c")))
+    direct = (b1.groupBy("lang").agg(F.sum("c").alias("nd_direct")))
+    b2 = (docs.groupBy("lang", "source",
+                       F.expr("bitmap_bucket_number(doc_id)")
+                       .alias("bkt"))
+          .agg(F.expr("bitmap_construct_agg("
+                      "bitmap_bit_position(doc_id))").alias("bm")))
+    merged = (b2.groupBy("lang", "bkt")
+              .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+              .groupBy("lang").agg(F.sum("c").alias("nd_merged")))
+    return (direct.join(merged, "lang")
+            .select("lang", "nd_direct", "nd_merged")
+            .orderBy("lang"))
+
+
+def q_interval_merge(spark, sf_dir) -> DataFrame:
+    """Interval coalescing (the calendar/coverage primitive): merge
+    overlapping [s,e) ranges per source via the running-max sweep — a
+    new island starts exactly when s exceeds every prior end. Output
+    pins island count, total covered length (double-counted overlap
+    must vanish), and the longest merged span; all integers."""
+    d = F.col("doc_id")
+    iv = load(spark, sf_dir, "documents").select(
+        "source", ((d * 13) % 5000).alias("s"),
+        ((d * 13) % 5000 + d % 40 + 5).alias("e"))
+    w = (Window.partitionBy("source").orderBy("s", "e")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = iv.withColumn("prev_max_e", F.max("e").over(w))
+    t = t.withColumn(
+        "is_start",
+        F.when(F.col("prev_max_e").isNull() |
+               (F.col("s") > F.col("prev_max_e")), 1).otherwise(0))
+    w2 = (Window.partitionBy("source").orderBy("s", "e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = t.withColumn("isl", F.sum("is_start").over(w2))
+    isl = (t.groupBy("source", "isl")
+           .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    return (isl.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(F.col("me") - F.col("ms")).alias("covered"),
+                 F.max(F.col("me") - F.col("ms")).alias("longest"))
+            .orderBy("source"))
+
+
+def q_pivot_multi(spark, sf_dir) -> DataFrame:
+    """Multi-aggregate pivot — one pivot carrying TWO measures per
+    pivoted column (count + char sum per language): the Spark pivot
+    path emits suffixed columns which the row aliases explicitly; the
+    oracle builds the same wide table from CASE expressions."""
+    docs = load(spark, sf_dir, "documents")
+    langs = ["de", "en", "fr"]
+    p = (docs.filter(F.col("lang").isin(langs))
+         .groupBy("source").pivot("lang", langs)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("n_chars").alias("chars")))
+    cols = [F.col("source")]
+    for lg in langs:
+        cols.append(F.coalesce(F.col(f"{lg}_n"), F.lit(0))
+                    .alias(f"{lg}_n"))
+        cols.append(F.coalesce(F.col(f"{lg}_chars"), F.lit(0))
+                    .alias(f"{lg}_chars"))
+    return p.select(*cols).orderBy("source")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6527,6 +6604,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_hash": q_rendezvous_hash,
         "readability": q_readability,
         "ks_test": q_ks_test,
+        "bitmap_distinct": q_bitmap_distinct,
+        "interval_merge": q_interval_merge,
+        "pivot_multi": q_pivot_multi,
     }
 
 
@@ -9425,6 +9505,44 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # Bitmap aggregates — plain COUNT(DISTINCT) is the semantics
+        # the bitmap algebra must reproduce exactly.
+        "bitmap_distinct": (
+            "SELECT lang, count(DISTINCT doc_id) AS nd_direct, "
+            "count(DISTINCT doc_id) AS nd_merged FROM documents "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "interval_merge": (
+            "WITH iv AS (SELECT source, (doc_id * 13) % 5000 AS s, "
+            "(doc_id * 13) % 5000 + doc_id % 40 + 5 AS e "
+            "FROM documents), "
+            "t AS (SELECT source, s, e, max(e) OVER (PARTITION BY "
+            "source ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING) AS pme FROM iv), "
+            "f AS (SELECT source, s, e, CASE WHEN pme IS NULL OR "
+            "s > pme THEN 1 ELSE 0 END AS is_start FROM t), "
+            "g AS (SELECT source, s, e, sum(is_start) OVER ("
+            "PARTITION BY source ORDER BY s, e ROWS UNBOUNDED "
+            "PRECEDING) AS isl FROM f), "
+            "i AS (SELECT source, isl, min(s) AS ms, max(e) AS me "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT source, count(*) AS n_islands, "
+            "sum(me - ms) AS covered, max(me - ms) AS longest "
+            "FROM i GROUP BY source ORDER BY source"
+        ),
+        "pivot_multi": (
+            "SELECT source, "
+            "sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de_n, "
+            "coalesce(sum(CASE WHEN lang = 'de' THEN n_chars END), 0) "
+            "AS de_chars, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_n, "
+            "coalesce(sum(CASE WHEN lang = 'en' THEN n_chars END), 0) "
+            "AS en_chars, "
+            "sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr_n, "
+            "coalesce(sum(CASE WHEN lang = 'fr' THEN n_chars END), 0) "
+            "AS fr_chars "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "rendezvous_hash": (
             "WITH k AS (SELECT doc_id, 'url' || cast(doc_id as varchar) "
