@@ -6350,6 +6350,110 @@ def q_pivot_multi(spark, sf_dir) -> DataFrame:
     return p.select(*cols).orderBy("source")
 
 
+def q_autocorr(spark, sf_dir) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series —
+    the seasonality probe, EXACT: the mean-centered estimator expands
+    into integer moments (n²P_k − nS(A_k+B_k) + m_k·S² over
+    n²Q − nS²), every one an int64 sum of thousand-scaled daily totals,
+    so both engines divide the SAME two integers. One groupBy + one
+    lag window; the regression-style tail is a projection."""
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("cents") / 1000).cast("long").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    t = daily.select(
+        "event_type", "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"))
+    g = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+        F.count("y1").alias("m1"),
+        F.sum(F.col("y") * F.col("y1")).alias("p1"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.col("y"))).alias("a1"),
+        F.sum("y1").alias("b1"),
+        F.count("y7").alias("m7"),
+        F.sum(F.col("y") * F.col("y7")).alias("p7"),
+        F.sum(F.when(F.col("y7").isNotNull(), F.col("y"))).alias("a7"),
+        F.sum("y7").alias("b7"))
+    n, s = F.col("n"), F.col("s")
+
+    def r(k):
+        num = (n * n * F.col(f"p{k}")
+               - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+               + F.col(f"m{k}") * s * s)
+        return num
+
+    den = n * n * F.col("q") - n * s * s
+    return (g.select(
+        "event_type", "n", r(1).alias("num1"), r(7).alias("num7"),
+        den.alias("den"),
+        (r(1).cast("double") / den.cast("double")).alias("r1"),
+        (r(7).cast("double") / den.cast("double")).alias("r7"))
+        .orderBy("event_type"))
+
+
+def q_shannon_entropy(spark, sf_dir) -> DataFrame:
+    """Shannon entropy of the per-language token distribution — the
+    corpus-diversity readout, partition-order-free: each distinct
+    token's −p·log₂p contribution is ONE IEEE chain over the exact
+    integers (c, N), floored at ×10⁹ BEFORE the cross-token sum, so the
+    entropy accumulates as a bigint (a raw double Σ would depend on
+    shuffle order)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.slice(F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != ""), 1, 6))
+        .alias("tok"))
+    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    j = c.join(F.broadcast(n), "lang")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.floor(-p * F.log2(p) * 1e9).cast("long")
+    return (j.select("lang", "c", "n", term.alias("t9"))
+            .groupBy("lang")
+            .agg(F.max("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum("t9").alias("entropy_e9"))
+            .orderBy("lang"))
+
+
+def q_zipf_slope(spark, sf_dir) -> DataFrame:
+    """Zipf rank-frequency slope — the log-log OLS over the top-200
+    token frequencies with BOTH axes floored to ×10⁶ integers before
+    the moments, so the slope is a ratio of two exact int64s (the
+    ln(rank)/ln(count) terms are each one libm call + one floor).
+    Rank ties break lexicographically. Scale note: at 10¹² docs the
+    top-k comes from per-shard partial top-k merge, not a global
+    window — here the 200-row window is the battery profile."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != "")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), "tok")
+    top = freq.withColumn("r", F.row_number().over(w)) \
+        .filter(F.col("r") <= 200)
+    t = top.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+        .alias("y"))
+    g = t.agg(F.count(F.lit(1)).alias("m"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select(
+        "m", num.alias("num"), den.alias("den"),
+        (num.cast("double") / den.cast("double")).alias("slope"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6607,6 +6711,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_distinct": q_bitmap_distinct,
         "interval_merge": q_interval_merge,
         "pivot_multi": q_pivot_multi,
+        "autocorr": q_autocorr,
+        "shannon_entropy": q_shannon_entropy,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -9505,6 +9612,62 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "autocorr": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "cast(sum(cast(floor(value * 100) as bigint)) // 1000 "
+            "as bigint) AS y FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, y, "
+            "lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) "
+            "AS y1, "
+            "lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) "
+            "AS y7 FROM daily), "
+            "g AS (SELECT event_type, count(*) AS n, sum(y) AS s, "
+            "sum(y * y) AS q, count(y1) AS m1, sum(y * y1) AS p1, "
+            "sum(CASE WHEN y1 IS NOT NULL THEN y END) AS a1, "
+            "sum(y1) AS b1, count(y7) AS m7, sum(y * y7) AS p7, "
+            "sum(CASE WHEN y7 IS NOT NULL THEN y END) AS a7, "
+            "sum(y7) AS b7 FROM t GROUP BY event_type) "
+            "SELECT event_type, n, "
+            "n * n * p1 - n * s * (a1 + b1) + m1 * s * s AS num1, "
+            "n * n * p7 - n * s * (a7 + b7) + m7 * s * s AS num7, "
+            "n * n * q - n * s * s AS den, "
+            "cast(n * n * p1 - n * s * (a1 + b1) + m1 * s * s "
+            "as double) / cast(n * n * q - n * s * s as double) AS r1, "
+            "cast(n * n * p7 - n * s * (a7 + b7) + m7 * s * s "
+            "as double) / cast(n * n * q - n * s * s as double) AS r7 "
+            "FROM g ORDER BY event_type"
+        ),
+        "shannon_entropy": (
+            "WITH toks AS (SELECT lang, unnest(list_filter("
+            "string_split(lower(text), ' '), x -> x <> '')[1:6]) "
+            "AS tok FROM documents), "
+            "c AS (SELECT lang, tok, count(*) AS c FROM toks "
+            "GROUP BY 1, 2), "
+            "n AS (SELECT lang, count(*) AS n FROM toks GROUP BY 1), "
+            "j AS (SELECT c.lang, c.c, n.n, "
+            "cast(floor(-(cast(c as double) / cast(n as double)) * "
+            "log2(cast(c as double) / cast(n as double)) * 1e9) "
+            "as bigint) AS t9 FROM c JOIN n USING (lang)) "
+            "SELECT lang, max(n) AS n_tokens, count(*) AS n_distinct, "
+            "sum(t9) AS entropy_e9 FROM j GROUP BY lang ORDER BY lang"
+        ),
+        "zipf_slope": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split("
+            "lower(text), ' '), x -> x <> '')) AS tok FROM documents), "
+            "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1), "
+            "top AS (SELECT c, row_number() OVER (ORDER BY c DESC, "
+            "tok) AS r FROM freq QUALIFY r <= 200), "
+            "t AS (SELECT cast(floor(ln(cast(r as double)) * 1e6) "
+            "as bigint) AS x, cast(floor(ln(cast(c as double)) * 1e6) "
+            "as bigint) AS y FROM top), "
+            "g AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx FROM t) "
+            "SELECT m, m * sxy - sx * sy AS num, "
+            "m * sxx - sx * sx AS den, "
+            "cast(m * sxy - sx * sy as double) / "
+            "cast(m * sxx - sx * sx as double) AS slope FROM g"
         ),
         # Bitmap aggregates — plain COUNT(DISTINCT) is the semantics
         # the bitmap algebra must reproduce exactly.
