@@ -6454,6 +6454,83 @@ def q_zipf_slope(spark, sf_dir) -> DataFrame:
         (num.cast("double") / den.cast("double")).alias("slope"))
 
 
+def q_dtw_align(spark, sf_dir) -> DataFrame:
+    """Dynamic-time-warping distance of each series' opening 16-day
+    revenue pattern against a fixed template (operators/dp.py — the
+    Sakoe–Chiba recurrence, exact integers): ONE groupBy collects each
+    group's sequence, then O(n²) local work — the canonical shape for
+    sequence DP at 10¹² rows. Oracle: an independent memoized-RECURSIVE
+    formulation (independent_oracles.dtw_expected) recomputed from the
+    same parquet at check time; hypothesis cross-checks both
+    formulations in tests/test_dp.py."""
+    import pandas as pd
+
+    from independent_oracles import DTW_TEMPLATE
+
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("cents") / 1000).cast("long").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    first16 = (daily.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 16))
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import dtw_distance
+        pdf = pdf.sort_values("rn")
+        ys = [int(v) for v in pdf["y"]]
+        return pd.DataFrame({
+            "event_type": [key[0]], "n_days": [len(ys)],
+            "dtw": [dtw_distance(ys, DTW_TEMPLATE)]})
+
+    return (first16.groupBy("event_type")
+            .applyInPandas(work, "event_type string, n_days int, "
+                                 "dtw long")
+            .orderBy("event_type"))
+
+
+def q_viterbi_decode(spark, sf_dir) -> DataFrame:
+    """Viterbi decoding with optimal-path COUNTING (operators/dp.py —
+    max-plus DP carrying multiplicities) over per-user event
+    sequences and an integer log-odds HMM. The oracle enumerates ALL
+    2^len state paths exhaustively (independent_oracles.
+    viterbi_expected) — brute force vs DP, the strongest independence
+    a DP row can have. Same one-shuffle-then-local scale shape as
+    q_dtw_align."""
+    import pandas as pd
+
+    from independent_oracles import VIT_EMIT, VIT_START, VIT_TRANS
+
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 29 == 0)
+          .select("user_id",
+                  (F.ascii(F.substring("event_type", 1, 1)) % 3)
+                  .alias("oc"),
+                  F.unix_timestamp("ts").cast("long").alias("ep"),
+                  "event_id"))
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    first10 = (ev.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 10))
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import viterbi_best
+        pdf = pdf.sort_values("rn")
+        obs = [int(v) for v in pdf["oc"]]
+        best, cnt = viterbi_best(obs, VIT_START, VIT_TRANS, VIT_EMIT)
+        return pd.DataFrame({
+            "user_id": [int(key[0])], "seq_len": [len(obs)],
+            "best": [best], "n_opt": [cnt]})
+
+    return (first10.groupBy("user_id")
+            .applyInPandas(work, "user_id long, seq_len int, "
+                                 "best long, n_opt long")
+            .orderBy("user_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6714,6 +6791,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr": q_autocorr,
         "shannon_entropy": q_shannon_entropy,
         "zipf_slope": q_zipf_slope,
+        "dtw_align": q_dtw_align,
+        "viterbi_decode": q_viterbi_decode,
     }
 
 
@@ -9613,6 +9692,10 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # DTW / Viterbi — independent recursive / brute-force oracles
+        # (VALUES literals recomputed from the same parquet).
+        "dtw_align": _IO.dtw_oracle_sql(_oracle_sf_dir()),
+        "viterbi_decode": _IO.viterbi_oracle_sql(_oracle_sf_dir()),
         "autocorr": (
             "WITH daily AS (SELECT event_type, "
             "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "

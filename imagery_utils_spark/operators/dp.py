@@ -1,0 +1,65 @@
+"""Dynamic-programming sequence kernels — DTW and Viterbi in their
+EXACT integer forms, the per-group local step of a 100-TB sequence
+pipeline (ONE groupBy shuffle collects a group's sequence; the DP is
+O(len²) / O(len·states²) local work, nothing crosses groups).
+
+DTW: the published O(nm) recurrence D[i,j] = |a_i − b_j| +
+min(D[i−1,j], D[i,j−1], D[i−1,j−1]) over integer costs (Sakoe & Chiba
+1978, unbanded). Exact — no floats.
+
+Viterbi with path counting: max-plus DP over integer log-odds scores,
+carrying (best score, number of optimal paths) per state — the
+counting semiring on top of the published recurrence (Viterbi 1967 /
+Rabiner 1989 tutorial form). The battery oracle brute-forces ALL
+state paths per sequence (exhaustive enumeration — an independent
+derivation, not a replay), so both the optimum and its multiplicity
+are pinned.
+"""
+
+from __future__ import annotations
+
+__all__ = ["dtw_distance", "viterbi_best"]
+
+
+def dtw_distance(a: list[int], b: list[int]) -> int:
+    """Exact integer DTW distance (full matrix, |·| local cost)."""
+    n, m = len(a), len(b)
+    if not n or not m:
+        raise ValueError("empty sequence")
+    big = 1 << 60
+    prev = [big] * (m + 1)
+    prev[0] = 0
+    for i in range(1, n + 1):
+        cur = [big] * (m + 1)
+        for j in range(1, m + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            cur[j] = c + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[m]
+
+
+def viterbi_best(obs: list[int], start: list[int],
+                 trans: list[list[int]],
+                 emit: list[list[int]]) -> tuple[int, int]:
+    """(best score, count of optimal paths) for an integer-scored HMM:
+    score(path) = start[s₀] + Σ trans[s_{t-1}][s_t] + Σ emit[s_t][o_t],
+    maximized. Max-plus DP with multiplicity."""
+    ns = len(start)
+    if not obs:
+        raise ValueError("empty observations")
+    cur = [(start[s] + emit[s][obs[0]], 1) for s in range(ns)]
+    for o in obs[1:]:
+        nxt = []
+        for s in range(ns):
+            best, cnt = None, 0
+            for p in range(ns):
+                sc = cur[p][0] + trans[p][s]
+                if best is None or sc > best:
+                    best, cnt = sc, cur[p][1]
+                elif sc == best:
+                    cnt += cur[p][1]
+            nxt.append((best + emit[s][o], cnt))
+        cur = nxt
+    best = max(sc for sc, _ in cur)
+    cnt = sum(c for sc, c in cur if sc == best)
+    return best, cnt

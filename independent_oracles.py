@@ -1114,3 +1114,115 @@ def uuid5_oracle_sql(sf_dir: str) -> str:
         "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS uuid",
         "doc_id", ncols=2,
     )
+
+
+# ------------------------------------------------ DTW (recursive form)
+
+DTW_TEMPLATE = [((j * j * 7) % 50) for j in range(16)]
+
+
+def dtw_expected(sf_dir: str):
+    """(event_type, n_days, dtw) — top-down MEMOIZED-RECURSIVE DTW (an
+    independent formulation of the recurrence; the engine runs the
+    iterative rolling-row form) over the first 16 thousand-scaled
+    daily totals per series vs the fixed template."""
+    import functools as _ft
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH daily AS (SELECT event_type, "
+        "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+        "cast(sum(cast(floor(value * 100) as bigint)) // 1000 "
+        "as bigint) AS y FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2), "
+        "r AS (SELECT event_type, y, row_number() OVER (PARTITION BY "
+        "event_type ORDER BY day) AS rn FROM daily) "
+        "SELECT event_type, list(y ORDER BY rn) FROM r WHERE rn <= 16 "
+        "GROUP BY event_type ORDER BY event_type").fetchall()
+
+    def rec(a, b):
+        @_ft.lru_cache(maxsize=None)
+        def d(i, j):
+            opts = []
+            if i == 0 and j == 0:
+                return abs(a[0] - b[0])
+            if i > 0:
+                opts.append(d(i - 1, j))
+            if j > 0:
+                opts.append(d(i, j - 1))
+            if i > 0 and j > 0:
+                opts.append(d(i - 1, j - 1))
+            return abs(a[i] - b[j]) + min(opts)
+
+        return d(len(a) - 1, len(b) - 1)
+
+    return [(et, len(ys), rec(tuple(int(y) for y in ys),
+                              tuple(DTW_TEMPLATE)))
+            for et, ys in rows]
+
+
+@functools.lru_cache(maxsize=4)
+def dtw_oracle_sql(sf_dir: str) -> str:
+    rows = dtw_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS INTEGER) "
+        "AS n_days, CAST(c2 AS BIGINT) AS dtw",
+        "event_type", ncols=3,
+    )
+
+
+# ------------------------------------------------ Viterbi (brute force)
+
+VIT_START = [0, -2]
+VIT_TRANS = [[0, -3], [-4, 0]]
+VIT_EMIT = [[0, -5, -1], [-6, 0, -1]]
+
+
+def viterbi_expected(sf_dir: str):
+    """(user_id, seq_len, best, n_opt) — EXHAUSTIVE enumeration of all
+    2^len state paths (independent of any DP): first 10 events per
+    sampled user ordered by (epoch, event_id), observation =
+    ascii(first char of event_type) % 3."""
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH e AS (SELECT user_id, "
+        "ascii(substr(event_type, 1, 1)) % 3 AS oc, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY "
+        "cast(floor(epoch(ts)) as bigint), event_id) AS rn FROM "
+        f"read_parquet('{sf_dir}/events.parquet') "
+        "WHERE user_id % 29 = 0) "
+        "SELECT user_id, list(oc ORDER BY rn) FROM e WHERE rn <= 10 "
+        "GROUP BY user_id ORDER BY user_id").fetchall()
+    out = []
+    for uid, obs in rows:
+        obs = [int(o) for o in obs]
+        best, cnt = None, 0
+        for path in itertools.product((0, 1), repeat=len(obs)):
+            sc = VIT_START[path[0]] + VIT_EMIT[path[0]][obs[0]]
+            for t in range(1, len(obs)):
+                sc += VIT_TRANS[path[t - 1]][path[t]] \
+                    + VIT_EMIT[path[t]][obs[t]]
+            if best is None or sc > best:
+                best, cnt = sc, 1
+            elif sc == best:
+                cnt += 1
+        out.append((int(uid), len(obs), best, cnt))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def viterbi_oracle_sql(sf_dir: str) -> str:
+    rows = viterbi_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS user_id, CAST(c1 AS INTEGER) AS seq_len, "
+        "CAST(c2 AS BIGINT) AS best, CAST(c3 AS BIGINT) AS n_opt",
+        "user_id", ncols=4,
+    )

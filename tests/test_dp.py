@@ -1,0 +1,83 @@
+"""DTW + Viterbi kernels (operators/dp.py) vs independent derivations:
+memoized-recursive DTW and exhaustive path enumeration."""
+
+import itertools
+from functools import lru_cache
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imagery_utils_spark.operators.dp import dtw_distance, viterbi_best
+
+
+def dtw_recursive(a, b):
+    """Independent formulation: top-down memoized recursion."""
+    @lru_cache(maxsize=None)
+    def d(i, j):
+        if i == 0 and j == 0:
+            return abs(a[0] - b[0])
+        opts = []
+        if i > 0:
+            opts.append(d(i - 1, j))
+        if j > 0:
+            opts.append(d(i, j - 1))
+        if i > 0 and j > 0:
+            opts.append(d(i - 1, j - 1))
+        return abs(a[i] - b[j]) + min(opts)
+
+    return d(len(a) - 1, len(b) - 1)
+
+
+def viterbi_brute(obs, start, trans, emit):
+    ns = len(start)
+    best, cnt = None, 0
+    for path in itertools.product(range(ns), repeat=len(obs)):
+        sc = start[path[0]] + emit[path[0]][obs[0]]
+        for t in range(1, len(obs)):
+            sc += trans[path[t - 1]][path[t]] + emit[path[t]][obs[t]]
+        if best is None or sc > best:
+            best, cnt = sc, 1
+        elif sc == best:
+            cnt += 1
+    return best, cnt
+
+
+def test_dtw_hand_example():
+    # identical series -> 0; constant shift of a flat series -> n*shift
+    assert dtw_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert dtw_distance([5, 5, 5], [7, 7, 7]) == 6
+    # classic elasticity: a stretched copy matches at zero cost
+    assert dtw_distance([1, 2, 3], [1, 1, 2, 2, 3, 3]) == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 20), min_size=1, max_size=8),
+       st.lists(st.integers(0, 20), min_size=1, max_size=8))
+def test_dtw_matches_recursive(a, b):
+    assert dtw_distance(a, b) == dtw_recursive(tuple(a), tuple(b))
+
+
+START = [0, -2]
+TRANS = [[0, -3], [-4, 0]]
+EMIT = [[0, -5, -1], [-6, 0, -1]]
+
+
+def test_viterbi_hand_example():
+    best, cnt = viterbi_best([0, 1, 0], START, TRANS, EMIT)
+    assert (best, cnt) == viterbi_brute([0, 1, 0], START, TRANS, EMIT)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2), min_size=1, max_size=9))
+def test_viterbi_matches_brute_force(obs):
+    assert viterbi_best(obs, START, TRANS, EMIT) == \
+        viterbi_brute(obs, START, TRANS, EMIT)
+
+
+def test_viterbi_counts_ties():
+    # symmetric scores: both states equally good at every step
+    s = [0, 0]
+    t = [[0, 0], [0, 0]]
+    e = [[0], [0]]
+    best, cnt = viterbi_best([0, 0, 0], s, t, e)
+    assert best == 0 and cnt == 8  # all 2^3 paths optimal
