@@ -6531,6 +6531,70 @@ def q_viterbi_decode(spark, sf_dir) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_permutation_test(spark, sf_dir) -> DataFrame:
+    """Permutation test by deterministic hash-sign flipping — the
+    resampling inference a metrics pipeline runs when no parametric
+    form holds: 32 replicates, each flipping every observation's sign
+    by one sha256 bit (replicable across runs AND engines, unlike
+    rand()), statistic = signed cent sum, p-numerator = #replicates
+    with |T_b| ≥ |T_obs|. Everything integer; the replicate axis is a
+    broadcast 32-row cross join (scale shape: constant fan-out, one
+    groupBy)."""
+    B = 32
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 4 == 0)
+          .select("event_type", "event_id",
+                  (F.col("event_id") % 2).alias("grp"),
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("x")))
+    obs = (ev.groupBy("event_type")
+           .agg(F.sum(F.when(F.col("grp") == 0, F.col("x"))
+                      .otherwise(-F.col("x"))).alias("t_obs")))
+    reps = spark.range(B).select(F.col("id").alias("b"))
+    signed = (ev.crossJoin(F.broadcast(reps))
+              .select("event_type", "b",
+                      (F.when(
+                          F.conv(F.substring(F.sha2(F.concat(
+                              F.col("event_id").cast("string"),
+                              F.lit(":"), F.col("b").cast("string")),
+                              256), 1, 1), 16, 10).cast("int") % 2
+                          == 0, F.col("x")).otherwise(-F.col("x")))
+                      .alias("sx")))
+    tb = (signed.groupBy("event_type", "b")
+          .agg(F.sum("sx").alias("t_b")))
+    j = tb.join(F.broadcast(obs), "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.max("t_obs").alias("t_obs"),
+                 F.sum(F.when(F.abs(F.col("t_b"))
+                              >= F.abs(F.col("t_obs")), 1)
+                       .otherwise(0)).alias("p_num"),
+                 F.count(F.lit(1)).alias("n_reps"),
+                 F.min("t_b").alias("t_min"),
+                 F.max("t_b").alias("t_max"))
+            .orderBy("event_type"))
+
+
+def q_haversine_bins(spark, sf_dir) -> DataFrame:
+    """Great-circle distance binning (haversine, R = 6371.0088 km —
+    the IUGG mean radius) from a fixed anchor: the geo-locality
+    histogram a crawl geocoder reports. The trig chain is IDENTICAL
+    expression text on both engines (the warp_utm same-libm
+    convention); bin = floor(d/1000 km) so a ULP would have to cross
+    a kilometer boundary to flip a count."""
+    lat0, lon0 = 48.8566, 2.3522
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    p1 = F.radians(F.lit(lat0))
+    p2 = F.radians(F.col("lat"))
+    dphi = F.radians(F.col("lat") - F.lit(lat0))
+    dlam = F.radians(F.col("lon") - F.lit(lon0))
+    a = (F.sin(dphi / 2) * F.sin(dphi / 2)
+         + F.cos(p1) * F.cos(p2) * F.sin(dlam / 2) * F.sin(dlam / 2))
+    d = 2 * 6371.0088 * F.asin(F.sqrt(a))
+    return (pts.select(F.floor(d / 1000.0).cast("long").alias("mm_bin"))
+            .groupBy("mm_bin").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("mm_bin"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6793,6 +6857,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "dtw_align": q_dtw_align,
         "viterbi_decode": q_viterbi_decode,
+        "permutation_test": q_permutation_test,
+        "haversine_bins": q_haversine_bins,
     }
 
 
@@ -9691,6 +9757,39 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "permutation_test": (
+            "WITH e AS (SELECT event_type, event_id, "
+            "event_id % 2 AS grp, "
+            "cast(floor(value * 100) as bigint) AS x FROM events "
+            "WHERE event_id % 4 = 0), "
+            "obs AS (SELECT event_type, sum(CASE WHEN grp = 0 THEN x "
+            "ELSE -x END) AS t_obs FROM e GROUP BY event_type), "
+            "reps AS (SELECT unnest(generate_series(0, 31)) AS b), "
+            "s AS (SELECT event_type, b, CASE WHEN "
+            "cast('0x' || substr(sha256(cast(event_id as varchar) || "
+            "':' || cast(b as varchar)), 1, 1) as int) % 2 = 0 "
+            "THEN x ELSE -x END AS sx FROM e CROSS JOIN reps), "
+            "tb AS (SELECT event_type, b, sum(sx) AS t_b FROM s "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT tb.event_type, t_b, t_obs FROM tb "
+            "JOIN obs USING (event_type)) "
+            "SELECT event_type, max(t_obs) AS t_obs, "
+            "sum(CASE WHEN abs(t_b) >= abs(t_obs) THEN 1 ELSE 0 END) "
+            "AS p_num, count(*) AS n_reps, min(t_b) AS t_min, "
+            "max(t_b) AS t_max FROM j GROUP BY event_type "
+            "ORDER BY event_type"
+        ),
+        "haversine_bins": (
+            f"WITH {_pages_cte()}, "
+            "d AS (SELECT 2 * 6371.0088 * asin(sqrt("
+            "sin(radians(lat - 48.8566) / 2) * "
+            "sin(radians(lat - 48.8566) / 2) + "
+            "cos(radians(48.8566)) * cos(radians(lat)) * "
+            "sin(radians(lon - 2.3522) / 2) * "
+            "sin(radians(lon - 2.3522) / 2))) AS km FROM pages) "
+            "SELECT cast(floor(km / 1000.0) as bigint) AS mm_bin, "
+            "count(*) AS n FROM d GROUP BY 1 ORDER BY mm_bin"
         ),
         # DTW / Viterbi — independent recursive / brute-force oracles
         # (VALUES literals recomputed from the same parquet).
