@@ -6595,6 +6595,68 @@ def q_haversine_bins(spark, sf_dir) -> DataFrame:
             .orderBy("mm_bin"))
 
 
+def q_sssp(spark, sf_dir) -> DataFrame:
+    """Single-source shortest paths, bounded Bellman–Ford (≤6 edges) —
+    the min-plus semiring completing the graph-algebra family (max-plus
+    dag_layers, boolean-OR reachability, counting pagerank): per round
+    ONE edge join + min-groupBy, the textbook distributed relaxation.
+    Edge weights are min-deduped per (u,v). Oracle: WITH RECURSIVE path
+    enumeration (cost-carrying, depth-bounded) minimized per node —
+    path algebra vs relaxation algebra."""
+    d = F.col("doc_id")
+    e = (load(spark, sf_dir, "documents")
+         .select((d % 200).alias("u"),
+                 (d % 200 + 1 + (d * 7) % 3).alias("v"),
+                 (d % 9 + 1).alias("w"))
+         .groupBy("u", "v").agg(F.min("w").alias("w")))
+    dist = e.sparkSession.createDataFrame([(0, 0)], "node long, dist long")
+    for _ in range(6):
+        ext = (dist.join(e, dist.node == e.u)
+               .select(F.col("v").alias("node"),
+                       (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(ext)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist.orderBy("node")
+
+
+def q_sprt(spark, sf_dir) -> DataFrame:
+    """Sequential probability-ratio test (Wald 1945) — the
+    early-stopping A/B monitor: per-series cumulative log-likelihood
+    ratio over the ordered conversion stream with the two per-step
+    increments and the ±log((1−β)/α) boundaries pre-scaled to ×10⁶
+    INTEGER literals (computed once, identical on both engines), so
+    the entire sequential walk is exact bigint algebra: first-crossing
+    index, decision, and final LLR."""
+    import math
+
+    l1 = math.floor(math.log(0.5 / 0.3) * 1e6)        # x=1 step
+    l0 = math.floor(math.log(0.5 / 0.7) * 1e6)        # x=0 step
+    bound = math.floor(math.log(0.95 / 0.05) * 1e6)   # ±A, α=β=0.05
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ep"), "event_id",
+        F.when(F.floor(F.col("value") * 100) > 5000, 1).otherwise(0)
+        .alias("x"))
+    w = (Window.partitionBy("event_type").orderBy("ep", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy("event_type").orderBy("ep", "event_id")
+    t = ev.select(
+        "event_type",
+        F.row_number().over(wn).alias("rn"),
+        F.sum(F.when(F.col("x") == 1, l1).otherwise(l0)).over(w)
+        .alias("llr"))
+    return (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.when(F.abs(F.col("llr")) >= bound,
+                              F.col("rn"))).alias("first_cross"),
+                 F.min(F.when(F.col("llr") >= bound, F.col("rn")))
+                 .alias("first_h1"),
+                 F.min(F.when(F.col("llr") <= -bound, F.col("rn")))
+                 .alias("first_h0"),
+                 F.max_by("llr", "rn").alias("final_llr"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6859,6 +6921,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_decode": q_viterbi_decode,
         "permutation_test": q_permutation_test,
         "haversine_bins": q_haversine_bins,
+        "sssp": q_sssp,
+        "sprt": q_sprt,
     }
 
 
@@ -7064,6 +7128,32 @@ def _slippy_oracle_sql(z: int = 6) -> str:
         f"q AS (SELECT xt, yt, {qk} AS qk FROM t) "
         "SELECT xt, yt, qk, count(*) AS n FROM q GROUP BY xt, yt, qk "
         "ORDER BY n DESC, qk LIMIT 40"
+    )
+
+
+def _sprt_oracle_sql() -> str:
+    import math
+
+    l1 = math.floor(math.log(0.5 / 0.3) * 1e6)
+    l0 = math.floor(math.log(0.5 / 0.7) * 1e6)
+    bound = math.floor(math.log(0.95 / 0.05) * 1e6)
+    return (
+        "WITH e AS (SELECT event_type, "
+        "cast(floor(epoch(ts)) as bigint) AS ep, event_id, "
+        "CASE WHEN cast(floor(value * 100) as bigint) > 5000 "
+        "THEN 1 ELSE 0 END AS x FROM events), "
+        "t AS (SELECT event_type, row_number() OVER (PARTITION BY "
+        "event_type ORDER BY ep, event_id) AS rn, "
+        f"sum(CASE WHEN x = 1 THEN {l1} ELSE {l0} END) OVER ("
+        "PARTITION BY event_type ORDER BY ep, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS llr FROM e) "
+        "SELECT event_type, count(*) AS n, "
+        f"min(CASE WHEN abs(llr) >= {bound} THEN rn END) "
+        "AS first_cross, "
+        f"min(CASE WHEN llr >= {bound} THEN rn END) AS first_h1, "
+        f"min(CASE WHEN llr <= -{bound} THEN rn END) AS first_h0, "
+        "arg_max(llr, rn) AS final_llr FROM t GROUP BY event_type "
+        "ORDER BY event_type"
     )
 
 
@@ -9758,6 +9848,18 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # SSSP — path-enumerating recursive CTE vs iterative relaxation.
+        "sssp": (
+            "WITH RECURSIVE e AS (SELECT doc_id % 200 AS u, "
+            "doc_id % 200 + 1 + (doc_id * 7) % 3 AS v, "
+            "min(doc_id % 9 + 1) AS w FROM documents GROUP BY 1, 2), "
+            "p(node, cost, d) AS (SELECT 0, 0, 0 "
+            "UNION ALL SELECT e.v, p.cost + e.w, p.d + 1 FROM p "
+            "JOIN e ON e.u = p.node WHERE p.d < 6) "
+            "SELECT node, min(cost) AS dist FROM p GROUP BY node "
+            "ORDER BY node"
+        ),
+        "sprt": _sprt_oracle_sql(),
         "permutation_test": (
             "WITH e AS (SELECT event_type, event_id, "
             "event_id % 2 AS grp, "
