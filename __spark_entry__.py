@@ -6657,6 +6657,32 @@ def q_sprt(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_dup_clusters(spark, sf_dir) -> DataFrame:
+    """END-TO-END duplicate-cluster extraction — the composed pipeline
+    a dedup pass actually runs: MinHash-LSH candidate pairs (exact
+    Jaccard ≥ 0.5 contract, recall 1.0 on this fixture) → undirected
+    connected components (large-star/small-star, min-id labels) →
+    cluster-size census. Oracle: all-pairs Jaccard in SQL + recursive-
+    CTE reachability closure — both stages independently re-derived.
+    Scale shape: LSH banding bounds the pair fan-out; CC is the
+    standard iterated star contraction."""
+    from imagery_utils_spark.operators.dedup import minhash_lsh_pairs
+    from imagery_utils_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, k=64, bands=16)
+    cc = connected_components(
+        pairs.select(F.col("key_a").alias("src"),
+                     F.col("key_b").alias("dst")))
+    sz = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (sz.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("component").alias("sum_label"))
+            .select(F.col("size").alias("cluster_size"), "n_clusters",
+                    "sum_label")
+            .orderBy("cluster_size"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6923,6 +6949,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_bins": q_haversine_bins,
         "sssp": q_sssp,
         "sprt": q_sprt,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -9847,6 +9874,37 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # Dup clusters — both stages independently re-derived: exact
+        # all-pairs Jaccard + recursive reachability closure.
+        "dup_clusters": (
+            r"WITH toks AS (SELECT doc_id, list_filter("
+            r"string_split_regex(lower(text), '\s+'), x -> x <> '') "
+            "AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || "
+            "t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) "
+            "AS s FROM toks WHERE len(t) >= 3), "
+            "pairs AS (SELECT key_a, key_b FROM (SELECT a.doc_id AS "
+            "key_a, b.doc_id AS key_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+            "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
+            "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5), "
+            "n0 AS (SELECT DISTINCT key_a AS node FROM pairs "
+            "UNION SELECT DISTINCT key_b FROM pairs), "
+            "e AS (SELECT key_a AS u, key_b AS v FROM pairs "
+            "UNION SELECT key_b, key_a FROM pairs), "
+            "r AS (WITH RECURSIVE reach(a, b) AS ("
+            "SELECT node, node FROM n0 "
+            "UNION SELECT reach.a, e.v FROM reach JOIN e "
+            "ON e.u = reach.b) SELECT * FROM reach), "
+            "comp AS (SELECT a AS node, min(b) AS component FROM r "
+            "GROUP BY a), "
+            "sz AS (SELECT component, count(*) AS sz FROM comp "
+            "GROUP BY component) "
+            "SELECT sz AS cluster_size, count(*) AS n_clusters, "
+            "sum(component) AS sum_label FROM sz GROUP BY sz "
+            "ORDER BY cluster_size"
         ),
         # SSSP — path-enumerating recursive CTE vs iterative relaxation.
         "sssp": (
