@@ -6683,6 +6683,82 @@ def q_dup_clusters(spark, sf_dir) -> DataFrame:
             .orderBy("cluster_size"))
 
 
+def q_matmul_relational(spark, sf_dir) -> DataFrame:
+    """Relational matrix multiply — the COO (i,k)×(k,j) join+groupBy
+    formulation that IS distributed matmul at any scale (one shuffle
+    on the contraction index, map-side partial sums): two 24×24
+    integer matrices derived from doc counts, C = A·B with exact
+    entries. Oracle: the identical contraction written as SQL — but
+    over its own independently-derived A and B."""
+    n = 24
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    a = (docs.select((d % n).alias("i"), ((d * 3) % n).alias("k"))
+         .groupBy("i", "k").agg((F.count(F.lit(1)) % 7).alias("a")))
+    b = (docs.select(((d * 5) % n).alias("k"), ((d * 11) % n).alias("j"))
+         .groupBy("k", "j").agg((F.count(F.lit(1)) % 5).alias("b")))
+    c = (a.join(b, "k")
+         .groupBy("i", "j")
+         .agg(F.sum(F.col("a") * F.col("b")).alias("c")))
+    return (c.filter(F.col("c") != 0)
+            .groupBy("i")
+            .agg(F.count(F.lit(1)).alias("nnz"),
+                 F.sum("c").alias("row_sum"),
+                 F.max("c").alias("row_max"))
+            .orderBy("i"))
+
+
+def q_markov_transitions(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    streams (the session-model estimator): consecutive event-initial
+    pairs via ONE lag window, then the (from,to) count matrix with
+    row-conditional probabilities as exact rationals (count·10⁶ //
+    row_total)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.substring("event_type", 1, 1).alias("c"),
+        F.unix_timestamp("ts").cast("long").alias("ep"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    t = (ev.withColumn("prev", F.lag("c").over(w))
+         .filter(F.col("prev").isNotNull()))
+    cnt = (t.groupBy(F.col("prev").alias("c_from"),
+                     F.col("c").alias("c_to"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("c_from").agg(F.sum("n").alias("row_n"))
+    return (cnt.join(tot, "c_from")
+            .select("c_from", "c_to", "n",
+                    ((F.col("n") * 1000000 / F.col("row_n"))
+                     .cast("long")).alias("p_ppm"))
+            .orderBy("c_from", "c_to"))
+
+
+def q_label_propagation(spark, sf_dir) -> DataFrame:
+    """Synchronous min-label propagation (3 rounds) — the community
+    primitive distinct from components: each round every node adopts
+    min(own, neighbors') label SIMULTANEOUSLY, so round count matters
+    and the oracle unrolls the SAME three rounds as CTEs. Per round:
+    one join + one min-groupBy (the scale-canonical message pass)."""
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    e = (docs.select((d % 150).alias("u"), ((d * 13) % 150).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    und = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))).distinct()
+    lab = und.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lab"))
+    for _ in range(3):
+        msg = (und.join(lab, und.v == lab.node)
+               .select(F.col("u").alias("node"),
+                       F.col("lab").alias("nlab")))
+        lab = (lab.unionByName(msg.select("node",
+                                          F.col("nlab").alias("lab")))
+               .groupBy("node").agg(F.min("lab").alias("lab")))
+    return (lab.groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("sz"), F.min("node").alias("lo"),
+                 F.max("node").alias("hi"))
+            .orderBy("lab"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -6950,6 +7026,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "sprt": q_sprt,
         "dup_clusters": q_dup_clusters,
+        "matmul_relational": q_matmul_relational,
+        "markov_transitions": q_markov_transitions,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -9874,6 +9953,52 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "matmul_relational": (
+            "WITH a AS (SELECT doc_id % 24 AS i, (doc_id * 3) % 24 "
+            "AS k, count(*) % 7 AS a FROM documents GROUP BY 1, 2), "
+            "b AS (SELECT (doc_id * 5) % 24 AS k, (doc_id * 11) % 24 "
+            "AS j, count(*) % 5 AS b FROM documents GROUP BY 1, 2), "
+            "c AS (SELECT i, j, sum(a * b) AS c FROM a JOIN b "
+            "USING (k) GROUP BY i, j) "
+            "SELECT i, count(*) AS nnz, sum(c) AS row_sum, "
+            "max(c) AS row_max FROM c WHERE c <> 0 GROUP BY i "
+            "ORDER BY i"
+        ),
+        "markov_transitions": (
+            "WITH e AS (SELECT user_id, substr(event_type, 1, 1) AS c, "
+            "cast(floor(epoch(ts)) as bigint) AS ep, event_id "
+            "FROM events), "
+            "t AS (SELECT c, lag(c) OVER (PARTITION BY user_id "
+            "ORDER BY ep, event_id) AS prev FROM e), "
+            "cnt AS (SELECT prev AS c_from, c AS c_to, count(*) AS n "
+            "FROM t WHERE prev IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT c_from, sum(n) AS row_n FROM cnt "
+            "GROUP BY c_from) "
+            "SELECT c_from, c_to, n, "
+            "cast(n * 1000000 // row_n as bigint) AS p_ppm "
+            "FROM cnt JOIN tot USING (c_from) ORDER BY c_from, c_to"
+        ),
+        "label_propagation": (
+            "WITH e0 AS (SELECT DISTINCT doc_id % 150 AS u, "
+            "(doc_id * 13) % 150 AS v FROM documents "
+            "WHERE doc_id % 150 <> (doc_id * 13) % 150), "
+            "und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0), "
+            "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und), "
+            "l1 AS (SELECT node, min(lab) AS lab FROM ("
+            "SELECT node, lab FROM l0 UNION ALL "
+            "SELECT und.u AS node, l0.lab FROM und JOIN l0 "
+            "ON l0.node = und.v) GROUP BY node), "
+            "l2 AS (SELECT node, min(lab) AS lab FROM ("
+            "SELECT node, lab FROM l1 UNION ALL "
+            "SELECT und.u AS node, l1.lab FROM und JOIN l1 "
+            "ON l1.node = und.v) GROUP BY node), "
+            "l3 AS (SELECT node, min(lab) AS lab FROM ("
+            "SELECT node, lab FROM l2 UNION ALL "
+            "SELECT und.u AS node, l2.lab FROM und JOIN l2 "
+            "ON l2.node = und.v) GROUP BY node) "
+            "SELECT lab, count(*) AS sz, min(node) AS lo, "
+            "max(node) AS hi FROM l3 GROUP BY lab ORDER BY lab"
         ),
         # Dup clusters — both stages independently re-derived: exact
         # all-pairs Jaccard + recursive reachability closure.
