@@ -6759,6 +6759,40 @@ def q_label_propagation(spark, sf_dir) -> DataFrame:
             .orderBy("lab"))
 
 
+def q_bwt_transform(spark, sf_dir) -> DataFrame:
+    """Burrows–Wheeler transform per document snippet (operators/
+    bwt.py — rotation-sort construction, LF-mapping inversion asserted
+    inline on EVERY row): the bzip2-family block-sort permutation as a
+    mapInPandas local transform. Oracle: the suffix-array identity
+    bwt[i] = t[sa[i]−1] derived independently at check time —
+    equivalent only through the unique-smallest-sentinel property the
+    row pins. Classic 'banana'→'annb␁aa' vector + hypothesis
+    roundtrip/identity properties in tests/test_dp.py."""
+    import pandas as pd
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 9 == 4)
+            .select("doc_id",
+                    F.substring(F.regexp_replace(F.lower("text"),
+                                                 "[^a-z]", ""), 1, 16)
+                    .alias("s")))
+
+    def work(batches):
+        from imagery_utils_spark.operators.bwt import (
+            bwt_forward, bwt_inverse)
+        for pdf in batches:
+            rows = []
+            for d, s in zip(pdf["doc_id"].astype("int64"), pdf["s"]):
+                s = str(s) if s is not None else ""
+                b = bwt_forward(s)
+                assert bwt_inverse(b) == s
+                rows.append((int(d), b.encode("utf-8").hex()))
+            yield pd.DataFrame(rows, columns=["doc_id", "bwt_hex"])
+
+    return (docs.mapInPandas(work, "doc_id long, bwt_hex string")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7029,6 +7063,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matmul_relational": q_matmul_relational,
         "markov_transitions": q_markov_transitions,
         "label_propagation": q_label_propagation,
+        "bwt_transform": q_bwt_transform,
     }
 
 
@@ -9954,6 +9989,8 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # BWT — suffix-array identity, independent of rotation sort.
+        "bwt_transform": _IO.bwt_oracle_sql(_oracle_sf_dir()),
         "matmul_relational": (
             "WITH a AS (SELECT doc_id % 24 AS i, (doc_id * 3) % 24 "
             "AS k, count(*) % 7 AS a FROM documents GROUP BY 1, 2), "

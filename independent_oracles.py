@@ -1226,3 +1226,37 @@ def viterbi_oracle_sql(sf_dir: str) -> str:
         "CAST(c2 AS BIGINT) AS best, CAST(c3 AS BIGINT) AS n_opt",
         "user_id", ncols=4,
     )
+
+
+# ------------------------------------------------ BWT via suffix array
+
+def bwt_expected(sf_dir: str):
+    """(doc_id, bwt_hex) — BWT derived through the SUFFIX-ARRAY identity
+    bwt[i] = t[sa[i]-1] (direct suffix sort), independent of the
+    engine's rotation-sort construction; equivalence REQUIRES the
+    unique smallest sentinel, which is the property being pinned."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, substr(regexp_replace(lower(text), "
+        "'[^a-z]', '', 'g'), 1, 16) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 9 = 4 ORDER BY doc_id").fetchall()
+    out = []
+    for d, s in rows:
+        t = (s or "") + "\x01"
+        sa = sorted(range(len(t)), key=lambda i: t[i:])
+        bwt = "".join(t[(i - 1) % len(t)] for i in sa)
+        out.append((int(d), bwt.encode("utf-8").hex()))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def bwt_oracle_sql(sf_dir: str) -> str:
+    rows = bwt_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS bwt_hex",
+        "doc_id", ncols=2,
+    )

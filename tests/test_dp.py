@@ -81,3 +81,24 @@ def test_viterbi_counts_ties():
     e = [[0], [0]]
     best, cnt = viterbi_best([0, 0, 0], s, t, e)
     assert best == 0 and cnt == 8  # all 2^3 paths optimal
+
+
+# -------------------------------------------------------------- BWT
+
+def test_bwt_classic_vector():
+    from imagery_utils_spark.operators.bwt import bwt_forward, bwt_inverse
+
+    assert bwt_forward("banana") == "annb\x01aa"
+    assert bwt_inverse("annb\x01aa") == "banana"
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcde ", max_size=24))
+def test_bwt_roundtrip_and_suffix_array_identity(s):
+    from imagery_utils_spark.operators.bwt import bwt_forward, bwt_inverse
+
+    b = bwt_forward(s)
+    assert bwt_inverse(b) == s
+    t = s + "\x01"
+    sa = sorted(range(len(t)), key=lambda i: t[i:])
+    assert b == "".join(t[(i - 1) % len(t)] for i in sa)
