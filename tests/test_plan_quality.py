@@ -442,3 +442,47 @@ def test_presence_bitmap_partial_aggregation(spark, sf_dir):
     plan = plan_of(df)
     assert "partial" in plan.lower()  # bit_or combines map-side
     assert "BatchEvalPython" not in plan
+
+
+def test_geokeys_are_pure_jvm_projections(spark, sf_dir):
+    """geohash/slippy/quadkey must stay in whole-stage codegen: no
+    Python eval, no shuffle before the rollup's single exchange."""
+    from pyspark.sql import functions as F
+
+    import imagery_utils_spark.plans.mosaic_query as MQ
+    from imagery_utils_spark.operators.geokeys import (
+        geohash_col, quadkey_col, slippy_cols)
+
+    pts = MQ.geocoded_pages(spark, sf_dir)
+    xt, yt = slippy_cols(F.col("lon"), F.col("lat"), 6)
+    df = pts.select(geohash_col(F.col("lon"), F.col("lat"), 8)
+                    .alias("gh"), xt.alias("x"), yt.alias("y"))
+    df = df.withColumn("qk", quadkey_col(F.col("x"), F.col("y"), 6))
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    # formatted mode marks codegen stages with '*'
+    assert "* Project" in plan
+
+
+def test_rendezvous_hash_broadcasts_node_ring(spark, sf_dir):
+    """The 8-node ring must be the BROADCAST side; the key table must
+    not shuffle before the per-key argmax partial-agg."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E._raw_queries()["rendezvous_hash"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+        in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_merge_single_shuffle(spark, sf_dir):
+    """The coalescing sweep is one partition-by-source exchange; the
+    two windows and the island groupBy must all reuse it."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E._raw_queries()["interval_merge"](spark, sf_dir))
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan[:2000]
+    assert "BatchEvalPython" not in plan
