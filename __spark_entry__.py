@@ -6793,6 +6793,38 @@ def q_bwt_transform(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_base58_encode(spark, sf_dir) -> DataFrame:
+    """Base58 (Bitcoin alphabet) of a 6-byte payload as PURE column
+    algebra — the content-id rendering compact enough for URLs: nine
+    unrolled div/mod-58 steps (58⁹ > 2⁴⁸ covers the domain), position
+    emitted iff v ≥ 58^i (interior zero digits correctly render '1'),
+    leading zero BYTES preserved as '1' chars per the published
+    big-integer algorithm. Every other doc uses a small payload so the
+    leading-'1' path is hot. Oracle: an independent CPython divmod
+    reference (VALUES)."""
+    from independent_oracles import B58_ALPHA
+
+    d = F.col("doc_id")
+    v = F.when(d % 2 == 1, (d * 7919) % (1 << 48)).otherwise(d % 65536)
+    docs = (load(spark, sf_dir, "documents").filter(d % 5 == 2)
+            .select("doc_id", v.alias("v")))
+    alpha = F.split(F.lit("|".join(B58_ALPHA)), "[|]")
+    pieces = []
+    for i in range(8, -1, -1):
+        p = 58 ** i
+        digit = ((F.col("v") / p).cast("long") % 58 + 1).cast("int")
+        pieces.append(F.when(F.col("v") >= p, F.element_at(alpha, digit))
+                      .otherwise(F.lit("")))
+    lz = (F.when(F.col("v") == 0, 6)
+          .when(F.col("v") < (1 << 8), 5)
+          .when(F.col("v") < (1 << 16), 4)
+          .when(F.col("v") < (1 << 24), 3)
+          .when(F.col("v") < (1 << 32), 2)
+          .when(F.col("v") < (1 << 40), 1).otherwise(0))
+    b58 = F.concat(F.repeat(F.lit("1"), lz.cast("int")), *pieces)
+    return docs.select("doc_id", b58.alias("b58")).orderBy("doc_id")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7064,6 +7096,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "label_propagation": q_label_propagation,
         "bwt_transform": q_bwt_transform,
+        "base58_encode": q_base58_encode,
     }
 
 
@@ -9989,6 +10022,8 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # base58 — CPython divmod reference (VALUES).
+        "base58_encode": _IO.base58_oracle_sql(_oracle_sf_dir()),
         # BWT — suffix-array identity, independent of rotation sort.
         "bwt_transform": _IO.bwt_oracle_sql(_oracle_sf_dir()),
         "matmul_relational": (

@@ -1260,3 +1260,49 @@ def bwt_oracle_sql(sf_dir: str) -> str:
         "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS bwt_hex",
         "doc_id", ncols=2,
     )
+
+
+# ------------------------------------------------ base58 (Bitcoin form)
+
+B58_ALPHA = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def base58_ref(payload: bytes) -> str:
+    """Independent reference: the published big-integer algorithm —
+    leading zero BYTES map to '1' chars, remainder via repeated
+    divmod 58 (the form every BTC library implements)."""
+    lz = 0
+    for b in payload:
+        if b:
+            break
+        lz += 1
+    v = int.from_bytes(payload, "big")
+    digits = ""
+    while v:
+        v, r = divmod(v, 58)
+        digits = B58_ALPHA[r] + digits
+    return "1" * lz + digits
+
+
+def base58_expected(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [int(r[0]) for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 5 = 2 ORDER BY doc_id").fetchall()]
+    out = []
+    for d in ids:
+        v = (d * 7919) % (1 << 48) if d % 2 else d % 65536
+        out.append((d, base58_ref(v.to_bytes(6, "big"))))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def base58_oracle_sql(sf_dir: str) -> str:
+    rows = base58_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS b58",
+        "doc_id", ncols=2,
+    )
