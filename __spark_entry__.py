@@ -6825,6 +6825,38 @@ def q_base58_encode(spark, sf_dir) -> DataFrame:
     return docs.select("doc_id", b58.alias("b58")).orderBy("doc_id")
 
 
+def q_huffman_bits(spark, sf_dir) -> DataFrame:
+    """Optimal prefix-code cost per language (operators/dp.py,
+    Huffman 1952) over the top-16 token frequencies: the output is
+    Σ freq·len, which is INVARIANT across every optimal code — so the
+    engine's heap construction and the oracle's sorted-list-insertion
+    construction use deliberately DIFFERENT tie-breaks and must still
+    agree exactly (the uniqueness-of-cost theorem is the thing being
+    pinned). The compression-budget estimator of a corpus codec."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != "")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tok")
+    top = freq.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= 16)
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import huffman_total_bits
+        cs = [int(v) for v in pdf["c"]]
+        return pd.DataFrame({
+            "lang": [key[0]], "n_symbols": [len(cs)],
+            "sum_freq": [sum(cs)],
+            "total_bits": [huffman_total_bits(cs)]})
+
+    return (top.groupBy("lang")
+            .applyInPandas(work, "lang string, n_symbols int, "
+                                 "sum_freq long, total_bits long")
+            .orderBy("lang"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7097,6 +7129,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "bwt_transform": q_bwt_transform,
         "base58_encode": q_base58_encode,
+        "huffman_bits": q_huffman_bits,
     }
 
 
@@ -10022,6 +10055,9 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # Huffman — cost invariance across optimal codes: oracle uses
+        # a DIFFERENT tie-break construction on purpose.
+        "huffman_bits": _IO.huffman_oracle_sql(_oracle_sf_dir()),
         # base58 — CPython divmod reference (VALUES).
         "base58_encode": _IO.base58_oracle_sql(_oracle_sf_dir()),
         # BWT — suffix-array identity, independent of rotation sort.

@@ -63,3 +63,25 @@ def viterbi_best(obs: list[int], start: list[int],
     best = max(sc for sc, _ in cur)
     cnt = sum(c for sc, c in cur if sc == best)
     return best, cnt
+
+
+def huffman_total_bits(freqs: list[int]) -> int:
+    """Total encoded size Σ freq·len of an optimal binary prefix code
+    (Huffman 1952). The SUM is invariant across every optimal code —
+    tie-breaks change the tree, never the cost — which is exactly what
+    makes it oracle-checkable without pinning a tie rule. Classic
+    two-queue O(n log n) construction; the cost accumulates as the sum
+    of all internal-node weights."""
+    import heapq
+
+    if len(freqs) == 1:
+        return freqs[0]  # single symbol: 1 bit each, len = 1
+    h = list(freqs)
+    heapq.heapify(h)
+    total = 0
+    while len(h) > 1:
+        a = heapq.heappop(h)
+        b = heapq.heappop(h)
+        total += a + b
+        heapq.heappush(h, a + b)
+    return total

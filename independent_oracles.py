@@ -1306,3 +1306,54 @@ def base58_oracle_sql(sf_dir: str) -> str:
         "CAST(c0 AS BIGINT) AS doc_id, CAST(c1 AS VARCHAR) AS b58",
         "doc_id", ncols=2,
     )
+
+
+# ------------------------------------------------ Huffman cost
+
+def huffman_expected(sf_dir: str):
+    """(lang, n_symbols, sum_freq, total_bits) — optimal prefix-code
+    cost via a DIFFERENT construction than the engine's heap: sorted-
+    list merging with last-position insertion (a distinct valid
+    tie-break; the cost is invariant across optimal codes, which is
+    the property under test)."""
+    import bisect
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH toks AS (SELECT lang, unnest(list_filter(string_split("
+        "lower(text), ' '), x -> x <> '')) AS tok FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')), "
+        "f AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+        "r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang "
+        "ORDER BY c DESC, tok) AS rn FROM f) "
+        "SELECT lang, list(c ORDER BY rn) FROM r WHERE rn <= 16 "
+        "GROUP BY lang ORDER BY lang").fetchall()
+    out = []
+    for lang, cs in rows:
+        cs = [int(c) for c in cs]
+        if len(cs) == 1:
+            out.append((lang, 1, cs[0], cs[0]))
+            continue
+        work = sorted(cs)
+        total = 0
+        while len(work) > 1:
+            a, b = work[0], work[1]
+            work = work[2:]
+            total += a + b
+            bisect.insort_right(work, a + b)  # rightmost insertion
+        out.append((lang, len(cs), sum(cs), total))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def huffman_oracle_sql(sf_dir: str) -> str:
+    rows = huffman_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS lang, CAST(c1 AS INTEGER) AS n_symbols, "
+        "CAST(c2 AS BIGINT) AS sum_freq, CAST(c3 AS BIGINT) "
+        "AS total_bits",
+        "lang", ncols=4,
+    )
