@@ -6857,6 +6857,41 @@ def q_huffman_bits(spark, sf_dir) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_aho_corasick(spark, sf_dir) -> DataFrame:
+    """Multi-pattern corpus scan via Aho–Corasick (operators/aho.py,
+    the 1975 construction: goto trie + BFS failure links) — ONE
+    automaton pass per document instead of P regex passes, the
+    blocklist/keyword-filter primitive at corpus scale. Oracle: the
+    regex engine counts each pattern separately; the patterns are
+    borderless (no proper prefix = suffix), so non-overlapping regex
+    counts provably equal the automaton's all-occurrence counts —
+    the equivalence the row pins. Overlap semantics cross-checked vs
+    lookahead regex in tests/test_dp.py."""
+    import pandas as pd
+
+    pats = ["the", "and", "ing", "ion", "ent", "he"]
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def work(batches):
+        from imagery_utils_spark.operators.aho import (
+            build_automaton, count_matches)
+        a = build_automaton(pats)
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"].astype("int64"), pdf["text"]):
+                c = count_matches(str(t).lower(), a, len(pats))
+                rows.append(tuple([int(d)] + c))
+            yield pd.DataFrame(rows, columns=["doc_id"] + [
+                f"n_{p}" for p in pats])
+
+    out = docs.mapInPandas(
+        work, "doc_id long, " + ", ".join(f"n_{p} long" for p in pats))
+    aggs = [F.sum(f"n_{p}").alias(f"total_{p}") for p in pats] + \
+        [F.sum(F.when(F.col(f"n_{p}") > 0, 1).otherwise(0))
+         .alias(f"docs_{p}") for p in pats]
+    return out.agg(*aggs)
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7130,6 +7165,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bwt_transform": q_bwt_transform,
         "base58_encode": q_base58_encode,
         "huffman_bits": q_huffman_bits,
+        "aho_corasick": q_aho_corasick,
     }
 
 
@@ -10054,6 +10090,23 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # Aho-Corasick — RE2 counts each borderless pattern separately.
+        "aho_corasick": (
+            "WITH c AS (SELECT "
+            + ", ".join(
+                f"cast(len(regexp_extract_all(lower(text), '{p}')) "
+                f"as bigint) AS n_{p}" for p in
+                ["the", "and", "ing", "ion", "ent", "he"]) +
+            " FROM documents) SELECT "
+            + ", ".join(
+                f"sum(n_{p}) AS total_{p}" for p in
+                ["the", "and", "ing", "ion", "ent", "he"]) + ", "
+            + ", ".join(
+                f"sum(CASE WHEN n_{p} > 0 THEN 1 ELSE 0 END) "
+                f"AS docs_{p}" for p in
+                ["the", "and", "ing", "ion", "ent", "he"]) +
+            " FROM c"
         ),
         # Huffman — cost invariance across optimal codes: oracle uses
         # a DIFFERENT tie-break construction on purpose.

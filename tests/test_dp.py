@@ -102,3 +102,37 @@ def test_bwt_roundtrip_and_suffix_array_identity(s):
     t = s + "\x01"
     sa = sorted(range(len(t)), key=lambda i: t[i:])
     assert b == "".join(t[(i - 1) % len(t)] for i in sa)
+
+
+# ----------------------------------------------------- Aho-Corasick
+
+def test_aho_corasick_vs_naive_scan():
+    import re
+
+    from imagery_utils_spark.operators.aho import (
+        build_automaton, count_matches)
+
+    pats = ["the", "and", "ing", "ion", "ent", "he"]
+    a = build_automaton(pats)
+    texts = ["the theory and the thing", "mention intention",
+             "entanglement entente", "xyz", "hehehe the and"]
+    for t in texts:
+        got = count_matches(t, a, len(pats))
+        # independent: all-occurrence count via lookahead regex
+        want = [len(re.findall(f"(?={re.escape(p)})", t)) for p in pats]
+        assert got == want, (t, got, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="theandiogn ", max_size=60))
+def test_aho_corasick_property(t):
+    import re
+
+    from imagery_utils_spark.operators.aho import (
+        build_automaton, count_matches)
+
+    pats = ["the", "and", "ing", "ion", "ent", "he", "an"]
+    a = build_automaton(pats)
+    got = count_matches(t, a, len(pats))
+    want = [len(re.findall(f"(?={re.escape(p)})", t)) for p in pats]
+    assert got == want
