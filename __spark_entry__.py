@@ -6892,6 +6892,56 @@ def q_aho_corasick(spark, sf_dir) -> DataFrame:
     return out.agg(*aggs)
 
 
+def q_rounding_modes(spark, sf_dir) -> DataFrame:
+    """Decimal rounding-mode semantics — round() is HALF_UP, bround()
+    is HALF_EVEN (banker's), pinned against the oracle's
+    FROM-DEFINITION integer algebra on exact cents at the tens place
+    (negative scale dodges decimal-precision construction entirely).
+    The rows where the two modes differ are exactly the …5-with-even-
+    tens cases; that differ-count is part of the output."""
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    dec = F.col("cents").cast("decimal(18,0)")
+    t = ev.select(
+        "cents",
+        F.round(dec, -1).cast("long").alias("r_up"),
+        F.bround(dec, -1).cast("long").alias("r_even"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_up").alias("sum_half_up"),
+        F.sum("r_even").alias("sum_half_even"),
+        F.sum(F.when(F.col("r_up") != F.col("r_even"), 1).otherwise(0))
+        .alias("n_differ"),
+        F.sum(F.when(F.col("cents") % 10 == 5, 1).otherwise(0))
+        .alias("n_midpoint"))
+
+
+def q_wilson_ci(spark, sf_dir) -> DataFrame:
+    """Wilson score interval for per-series conversion rates — the
+    small-sample-safe CI a metrics sheet should use instead of the
+    Wald interval: one IEEE chain per group over the exact integers
+    (c, n) with z = 1.96, bounds floored ×10⁹ so the output is
+    bigint-stable."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.floor(F.col("value") * 100) > 5000, 1).otherwise(0)
+        .alias("x"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("c"))
+    nn = F.col("n").cast("double")
+    p = F.col("c").cast("double") / nn
+    z2 = F.lit(1.96 * 1.96)
+    half = F.lit(1.96) * F.sqrt(
+        (p * (1.0 - p) + z2 / (4.0 * nn)) / nn)
+    lo = (p + z2 / (2.0 * nn) - half) / (1.0 + z2 / nn)
+    hi = (p + z2 / (2.0 * nn) + half) / (1.0 + z2 / nn)
+    return (g.select(
+        "event_type", "n", "c",
+        F.floor(lo * 1e9).cast("long").alias("lo_e9"),
+        F.floor(hi * 1e9).cast("long").alias("hi_e9"))
+        .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7166,6 +7216,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base58_encode": q_base58_encode,
         "huffman_bits": q_huffman_bits,
         "aho_corasick": q_aho_corasick,
+        "rounding_modes": q_rounding_modes,
+        "wilson_ci": q_wilson_ci,
     }
 
 
@@ -10090,6 +10142,48 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        # Rounding — from-definition integer algebra, not a builtin.
+        "rounding_modes": (
+            "WITH e AS (SELECT cast(floor(value * 100) as bigint) "
+            "AS cents FROM events), "
+            "t AS (SELECT cents, cents % 10 AS r, "
+            "cents - (cents % 10) + CASE WHEN cents % 10 >= 5 "
+            "THEN 10 ELSE 0 END AS r_up, "
+            "CASE WHEN cents % 10 > 5 THEN cents - (cents % 10) + 10 "
+            "WHEN cents % 10 < 5 THEN cents - (cents % 10) "
+            "WHEN ((cents - 5) // 10) % 2 = 1 "
+            "THEN cents - (cents % 10) + 10 "
+            "ELSE cents - (cents % 10) END AS r_even FROM e) "
+            "SELECT count(*) AS n, sum(r_up) AS sum_half_up, "
+            "sum(r_even) AS sum_half_even, "
+            "sum(CASE WHEN r_up <> r_even THEN 1 ELSE 0 END) "
+            "AS n_differ, "
+            "sum(CASE WHEN r = 5 THEN 1 ELSE 0 END) AS n_midpoint "
+            "FROM t"
+        ),
+        "wilson_ci": (
+            "WITH e AS (SELECT event_type, CASE WHEN "
+            "cast(floor(value * 100) as bigint) > 5000 THEN 1 ELSE 0 "
+            "END AS x FROM events), "
+            "g AS (SELECT event_type, count(*) AS n, sum(x) AS c "
+            "FROM e GROUP BY event_type) "
+            "SELECT event_type, n, c, "
+            "cast(floor((cast(c as double) / cast(n as double) + "
+            "3.8415999999999997 / (2.0 * cast(n as double)) - "
+            "1.96 * sqrt((cast(c as double) / cast(n as double) * "
+            "(1.0 - cast(c as double) / cast(n as double)) + "
+            "3.8415999999999997 / (4.0 * cast(n as double))) / "
+            "cast(n as double))) / (1.0 + 3.8415999999999997 / "
+            "cast(n as double)) * 1e9) as bigint) AS lo_e9, "
+            "cast(floor((cast(c as double) / cast(n as double) + "
+            "3.8415999999999997 / (2.0 * cast(n as double)) + "
+            "1.96 * sqrt((cast(c as double) / cast(n as double) * "
+            "(1.0 - cast(c as double) / cast(n as double)) + "
+            "3.8415999999999997 / (4.0 * cast(n as double))) / "
+            "cast(n as double))) / (1.0 + 3.8415999999999997 / "
+            "cast(n as double)) * 1e9) as bigint) AS hi_e9 "
+            "FROM g ORDER BY event_type"
         ),
         # Aho-Corasick — RE2 counts each borderless pattern separately.
         "aho_corasick": (
