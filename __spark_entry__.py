@@ -6942,6 +6942,51 @@ def q_wilson_ci(spark, sf_dir) -> DataFrame:
         .orderBy("event_type"))
 
 
+def q_schema_infer(spark, sf_dir) -> DataFrame:
+    """CSV schema inference — the ingest-time type vote: per simulated
+    column, classify every cell (int/double/date/bool/empty/text) by
+    lexical class and apply the standard widening rule (all-int →
+    BIGINT, numeric mix → DOUBLE, any text → STRING, empties don't
+    vote). java.util.regex vs RE2 classify independently; the
+    inferred type is a CASE over exact counts."""
+    d = F.col("doc_id")
+    cell = (F.when(d % 6 == 0, (d * 17).cast("string"))
+            .when(d % 6 == 1, F.concat((d % 90).cast("string"),
+                                       F.lit("."), (d % 100).cast("string")))
+            .when(d % 6 == 2, F.concat(F.lit("2026-"),
+                                       F.lpad((d % 12 + 1).cast("string"),
+                                              2, "0"),
+                                       F.lit("-"),
+                                       F.lpad((d % 28 + 1).cast("string"),
+                                              2, "0")))
+            .when(d % 6 == 3, F.when(d % 2 == 0, "true").otherwise("false"))
+            .when(d % 6 == 4, F.lit("w")).otherwise(F.lit("")))
+    docs = load(spark, sf_dir, "documents").select(
+        (d % 3).alias("col_id"), cell.alias("cell"))
+    is_int = F.col("cell").rlike(r"^-?\d+$")
+    is_dbl = F.col("cell").rlike(r"^-?\d+\.\d+$")
+    is_date = F.col("cell").rlike(r"^\d{4}-\d{2}-\d{2}$")
+    is_bool = F.col("cell").rlike("^(true|false)$")
+    is_empty = F.col("cell") == ""
+    g = (docs.groupBy("col_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(is_int.cast("int")).alias("n_int"),
+              F.sum(is_dbl.cast("int")).alias("n_dbl"),
+              F.sum(is_date.cast("int")).alias("n_date"),
+              F.sum(is_bool.cast("int")).alias("n_bool"),
+              F.sum(is_empty.cast("int")).alias("n_empty")))
+    voters = (F.col("n") - F.col("n_empty"))
+    inferred = (F.when(voters == 0, "string")
+                .when(F.col("n_int") == voters, "bigint")
+                .when(F.col("n_int") + F.col("n_dbl") == voters, "double")
+                .when(F.col("n_date") == voters, "date")
+                .when(F.col("n_bool") == voters, "boolean")
+                .otherwise("string"))
+    return (g.select("col_id", "n", "n_int", "n_dbl", "n_date",
+                     "n_bool", "n_empty", inferred.alias("inferred"))
+            .orderBy("col_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7218,6 +7263,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aho_corasick": q_aho_corasick,
         "rounding_modes": q_rounding_modes,
         "wilson_ci": q_wilson_ci,
+        "schema_infer": q_schema_infer,
     }
 
 
@@ -10142,6 +10188,37 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "schema_infer": (
+            "WITH d AS (SELECT doc_id % 3 AS col_id, "
+            "CASE WHEN doc_id % 6 = 0 THEN cast(doc_id * 17 as varchar) "
+            "WHEN doc_id % 6 = 1 THEN cast(doc_id % 90 as varchar) || "
+            "'.' || cast(doc_id % 100 as varchar) "
+            "WHEN doc_id % 6 = 2 THEN '2026-' || "
+            "lpad(cast(doc_id % 12 + 1 as varchar), 2, '0') || '-' || "
+            "lpad(cast(doc_id % 28 + 1 as varchar), 2, '0') "
+            "WHEN doc_id % 6 = 3 THEN CASE WHEN doc_id % 2 = 0 "
+            "THEN 'true' ELSE 'false' END "
+            "WHEN doc_id % 6 = 4 THEN 'w' ELSE '' END AS cell "
+            "FROM documents), "
+            "g AS (SELECT col_id, count(*) AS n, "
+            "sum(CASE WHEN regexp_matches(cell, '^-?\\d+$') THEN 1 "
+            "ELSE 0 END) AS n_int, "
+            "sum(CASE WHEN regexp_matches(cell, '^-?\\d+\\.\\d+$') "
+            "THEN 1 ELSE 0 END) AS n_dbl, "
+            "sum(CASE WHEN regexp_matches(cell, "
+            "'^\\d{4}-\\d{2}-\\d{2}$') THEN 1 ELSE 0 END) AS n_date, "
+            "sum(CASE WHEN regexp_matches(cell, '^(true|false)$') "
+            "THEN 1 ELSE 0 END) AS n_bool, "
+            "sum(CASE WHEN cell = '' THEN 1 ELSE 0 END) AS n_empty "
+            "FROM d GROUP BY col_id) "
+            "SELECT col_id, n, n_int, n_dbl, n_date, n_bool, n_empty, "
+            "CASE WHEN n - n_empty = 0 THEN 'string' "
+            "WHEN n_int = n - n_empty THEN 'bigint' "
+            "WHEN n_int + n_dbl = n - n_empty THEN 'double' "
+            "WHEN n_date = n - n_empty THEN 'date' "
+            "WHEN n_bool = n - n_empty THEN 'boolean' "
+            "ELSE 'string' END AS inferred FROM g ORDER BY col_id"
         ),
         # Rounding — from-definition integer algebra, not a builtin.
         "rounding_modes": (
