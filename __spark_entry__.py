@@ -6987,6 +6987,99 @@ def q_schema_infer(spark, sf_dir) -> DataFrame:
             .orderBy("col_id"))
 
 
+def q_cohens_kappa(spark, sf_dir) -> DataFrame:
+    """Cohen's kappa — inter-annotator agreement over two
+    deterministic hash-derived binary labelers (the labeling-QA
+    readout of a training-data pipeline): observed and expected
+    agreement from exact contingency integers, kappa = (po−pe)/(1−pe)
+    expressed as ONE chain over n²-scaled integers (po_n2 = n·agree,
+    pe_n2 = r1·c1 + r0·c0), floored ×10⁹."""
+    d = F.col("doc_id")
+    a = (F.conv(F.substring(F.sha2(F.concat(F.lit("ra:"),
+                                            d.cast("string")), 256),
+                            1, 2), 16, 10).cast("int") % 2)
+    b = (F.conv(F.substring(F.sha2(F.concat(F.lit("rb:"),
+                                            d.cast("string")), 256),
+                            1, 2), 16, 10).cast("int") % 3 % 2)
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", a.alias("ra"), b.alias("rb"))
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .alias("agree"),
+        F.sum("ra").alias("a1"), F.sum("rb").alias("b1"))
+    n = F.col("n")
+    po_n2 = n * F.col("agree")
+    pe_n2 = (F.col("a1") * F.col("b1")
+             + (n - F.col("a1")) * (n - F.col("b1")))
+    kappa = (po_n2 - pe_n2).cast("double") / (n * n - pe_n2).cast("double")
+    return (g.select("lang", "n", "agree", "a1", "b1",
+                     F.floor(kappa * 1e9).cast("long").alias("kappa_e9"))
+            .orderBy("lang"))
+
+
+def q_eval_metrics(spark, sf_dir) -> DataFrame:
+    """Classifier evaluation harness — precision/recall/F1/accuracy
+    from exact confusion-matrix integers (prediction = quality
+    heuristic, truth = hash-derived label): every metric is numerator/
+    denominator integer pairs plus ONE final division, so the scores
+    are bit-stable and the confusion counts are directly auditable."""
+    d = F.col("doc_id")
+    truth = (F.conv(F.substring(F.sha2(F.concat(
+        F.lit("y:"), d.cast("string")), 256), 1, 2), 16, 10)
+        .cast("int") % 2)
+    pred = F.when(F.col("n_chars") > 500, 1).otherwise(0)
+    docs = load(spark, sf_dir, "documents").select(
+        truth.alias("y"), pred.alias("p"))
+    g = docs.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("p") == 1), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("p") == 1), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("p") == 0), 1)
+              .otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("p") == 0), 1)
+              .otherwise(0)).alias("tn"))
+    tp, fp, fn, tn = (F.col("tp"), F.col("fp"), F.col("fn"),
+                      F.col("tn"))
+    prec = tp.cast("double") / (tp + fp).cast("double")
+    rec = tp.cast("double") / (tp + fn).cast("double")
+    f1 = (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double")
+    acc = (tp + tn).cast("double") / (tp + fp + fn + tn).cast("double")
+    return g.select(
+        "tp", "fp", "fn", "tn",
+        F.floor(prec * 1e9).cast("long").alias("prec_e9"),
+        F.floor(rec * 1e9).cast("long").alias("rec_e9"),
+        F.floor(f1 * 1e9).cast("long").alias("f1_e9"),
+        F.floor(acc * 1e9).cast("long").alias("acc_e9"))
+
+
+def q_dispersion_index(spark, sf_dir) -> DataFrame:
+    """Index of dispersion (variance-to-mean) per series from exact
+    integer moments — the overdispersion screen before choosing
+    Poisson vs negative-binomial models: D = n·(nΣx²−(Σx)²) /
+    ((n−1)·n·Σx) kept as an integer pair + one division; the binary
+    overdispersed flag is decided by exact cross-multiplication, no
+    floats in the decision."""
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("x")))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"))
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    num = n * (n * q - s * s)
+    den = (n - 1) * n * s
+    return (g.select(
+        "event_type", "n", "s", num.alias("d_num"), den.alias("d_den"),
+        (num.cast("double") / den.cast("double")).alias("dispersion"),
+        F.when(num > den, 1).otherwise(0).alias("overdispersed"))
+        .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7264,6 +7357,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rounding_modes": q_rounding_modes,
         "wilson_ci": q_wilson_ci,
         "schema_infer": q_schema_infer,
+        "cohens_kappa": q_cohens_kappa,
+        "eval_metrics": q_eval_metrics,
+        "dispersion_index": q_dispersion_index,
     }
 
 
@@ -10188,6 +10284,57 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "cohens_kappa": (
+            "WITH d AS (SELECT lang, "
+            "cast('0x' || substr(sha256('ra:' || cast(doc_id as "
+            "varchar)), 1, 2) as int) % 2 AS ra, "
+            "cast('0x' || substr(sha256('rb:' || cast(doc_id as "
+            "varchar)), 1, 2) as int) % 3 % 2 AS rb FROM documents), "
+            "g AS (SELECT lang, count(*) AS n, "
+            "sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree, "
+            "sum(ra) AS a1, sum(rb) AS b1 FROM d GROUP BY lang) "
+            "SELECT lang, n, agree, a1, b1, "
+            "cast(floor(cast(n * agree - (a1 * b1 + (n - a1) * "
+            "(n - b1)) as double) / cast(n * n - (a1 * b1 + "
+            "(n - a1) * (n - b1)) as double) * 1e9) as bigint) "
+            "AS kappa_e9 FROM g ORDER BY lang"
+        ),
+        "eval_metrics": (
+            "WITH d AS (SELECT "
+            "cast('0x' || substr(sha256('y:' || cast(doc_id as "
+            "varchar)), 1, 2) as int) % 2 AS y, "
+            "CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS p "
+            "FROM documents), "
+            "g AS (SELECT "
+            "sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp, "
+            "sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp, "
+            "sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn, "
+            "sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS tn "
+            "FROM d) "
+            "SELECT tp, fp, fn, tn, "
+            "cast(floor(cast(tp as double) / cast(tp + fp as double) "
+            "* 1e9) as bigint) AS prec_e9, "
+            "cast(floor(cast(tp as double) / cast(tp + fn as double) "
+            "* 1e9) as bigint) AS rec_e9, "
+            "cast(floor(cast(2 * tp as double) / cast(2 * tp + fp + "
+            "fn as double) * 1e9) as bigint) AS f1_e9, "
+            "cast(floor(cast(tp + tn as double) / cast(tp + fp + fn "
+            "+ tn as double) * 1e9) as bigint) AS acc_e9 FROM g"
+        ),
+        "dispersion_index": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "count(*) AS x FROM events GROUP BY 1, 2), "
+            "g AS (SELECT event_type, count(*) AS n, sum(x) AS s, "
+            "sum(x * x) AS q FROM daily GROUP BY event_type) "
+            "SELECT event_type, n, s, "
+            "n * (n * q - s * s) AS d_num, "
+            "(n - 1) * n * s AS d_den, "
+            "cast(n * (n * q - s * s) as double) / "
+            "cast((n - 1) * n * s as double) AS dispersion, "
+            "CASE WHEN n * (n * q - s * s) > (n - 1) * n * s THEN 1 "
+            "ELSE 0 END AS overdispersed FROM g ORDER BY event_type"
         ),
         "schema_infer": (
             "WITH d AS (SELECT doc_id % 3 AS col_id, "
