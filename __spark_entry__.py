@@ -7080,6 +7080,44 @@ def q_dispersion_index(spark, sf_dir) -> DataFrame:
         .orderBy("event_type"))
 
 
+def q_jenks_breaks(spark, sf_dir) -> DataFrame:
+    """Jenks/Fisher natural-breaks classification (operators/dp.py) —
+    the choropleth/histogram-banding optimizer, in EXACT form: the
+    within-class objective count·Σx²−(Σx)² stays int64 so optimality
+    comparisons never touch floats, and the output is (best cost,
+    number of optimal partitions) — invariants under tie-break choice.
+    Oracle: EXHAUSTIVE C(19,3) partition enumeration. Same
+    one-shuffle-then-local DP shape as dtw/viterbi."""
+    import pandas as pd
+
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("cents") / 1000).cast("long").alias("y")))
+    dv = daily.select("event_type", "y").distinct()
+    w = Window.partitionBy("event_type").orderBy("y")
+    small = (dv.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 20))
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import jenks_cost
+        xs = [int(v) for v in pdf["y"]]
+        k = min(4, len(xs))
+        best, cnt = jenks_cost(xs, k)
+        return pd.DataFrame({
+            "event_type": [key[0]], "n_vals": [len(xs)],
+            "best_cost": [best], "n_optimal": [cnt]})
+
+    return (small.groupBy("event_type")
+            .applyInPandas(work, "event_type string, n_vals int, "
+                                 "best_cost long, n_optimal long")
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7360,6 +7398,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "eval_metrics": q_eval_metrics,
         "dispersion_index": q_dispersion_index,
+        "jenks_breaks": q_jenks_breaks,
     }
 
 
@@ -10285,6 +10324,8 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # Jenks — exhaustive partition enumeration (VALUES).
+        "jenks_breaks": _IO.jenks_oracle_sql(_oracle_sf_dir()),
         "cohens_kappa": (
             "WITH d AS (SELECT lang, "
             "cast('0x' || substr(sha256('ra:' || cast(doc_id as "

@@ -85,3 +85,45 @@ def huffman_total_bits(freqs: list[int]) -> int:
         total += a + b
         heapq.heappush(h, a + b)
     return total
+
+
+def jenks_cost(values: list[int], k: int) -> tuple[int, int]:
+    """Optimal contiguous k-partition of SORTED integer values under
+    the integer-scaled within-class cost count·Σx² − (Σx)² (count×SSD
+    — exact in int64, so optimality comparisons never touch floats;
+    the Jenks/Fisher natural-breaks DP in its exact form). Returns
+    (best total cost, number of optimal partitions)."""
+    xs = sorted(values)
+    n = len(xs)
+    if not 1 <= k <= n:
+        raise ValueError("need 1 <= k <= n")
+    ps = [0] * (n + 1)
+    pq = [0] * (n + 1)
+    for i, x in enumerate(xs):
+        ps[i + 1] = ps[i] + x
+        pq[i + 1] = pq[i] + x * x
+
+    def cost(i, j):  # class covering xs[i..j] inclusive
+        c = j - i + 1
+        s = ps[j + 1] - ps[i]
+        q = pq[j + 1] - pq[i]
+        return c * q - s * s
+
+    big = 1 << 62
+    # dp[c][j] = (best cost, multiplicity) for first j values in c classes
+    dp = [[(big, 0)] * (n + 1) for _ in range(k + 1)]
+    dp[0][0] = (0, 1)
+    for c in range(1, k + 1):
+        for j in range(c, n + 1):
+            best, cnt = big, 0
+            for i in range(c - 1, j):
+                prev, pcnt = dp[c - 1][i]
+                if prev >= big:
+                    continue
+                tot = prev + cost(i, j - 1)
+                if tot < best:
+                    best, cnt = tot, pcnt
+                elif tot == best:
+                    cnt += pcnt
+            dp[c][j] = (best, cnt)
+    return dp[k][n]

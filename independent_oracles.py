@@ -1357,3 +1357,63 @@ def huffman_oracle_sql(sf_dir: str) -> str:
         "AS total_bits",
         "lang", ncols=4,
     )
+
+
+# ------------------------------------------------ Jenks (brute force)
+
+def jenks_expected(sf_dir: str, k: int = 4):
+    """(event_type, n_vals, best_cost, n_optimal) — EXHAUSTIVE
+    enumeration over all C(n-1, k-1) contiguous partitions of the 20
+    smallest distinct daily totals; the engine runs the Fisher/Jenks
+    DP. Integer-scaled objective count*SSD keeps everything exact."""
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH daily AS (SELECT event_type, "
+        "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+        "cast(sum(cast(floor(value * 100) as bigint)) // 1000 "
+        "as bigint) AS y FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2), "
+        "dv AS (SELECT DISTINCT event_type, y FROM daily), "
+        "r AS (SELECT event_type, y, row_number() OVER (PARTITION BY "
+        "event_type ORDER BY y) AS rn FROM dv) "
+        "SELECT event_type, list(y ORDER BY y) FROM r WHERE rn <= 20 "
+        "GROUP BY event_type ORDER BY event_type").fetchall()
+    out = []
+    for et, ys in rows:
+        xs = sorted(int(y) for y in ys)
+        n = len(xs)
+        kk = min(k, n)
+
+        def cost(seg):
+            c = len(seg)
+            s = sum(seg)
+            q = sum(x * x for x in seg)
+            return c * q - s * s
+
+        best, cnt = None, 0
+        for cuts in itertools.combinations(range(1, n), kk - 1):
+            bounds = [0] + list(cuts) + [n]
+            tot = sum(cost(xs[bounds[i]:bounds[i + 1]])
+                      for i in range(kk))
+            if best is None or tot < best:
+                best, cnt = tot, 1
+            elif tot == best:
+                cnt += 1
+        out.append((et, n, best, cnt))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def jenks_oracle_sql(sf_dir: str) -> str:
+    rows = jenks_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS event_type, CAST(c1 AS INTEGER) "
+        "AS n_vals, CAST(c2 AS BIGINT) AS best_cost, "
+        "CAST(c3 AS BIGINT) AS n_optimal",
+        "event_type", ncols=4,
+    )

@@ -136,3 +136,49 @@ def test_aho_corasick_property(t):
     got = count_matches(t, a, len(pats))
     want = [len(re.findall(f"(?={re.escape(p)})", t)) for p in pats]
     assert got == want
+
+
+# ----------------------------------------------------- Jenks breaks
+
+def jenks_brute(values, k):
+    """Exhaustive enumeration of all contiguous k-partitions."""
+    xs = sorted(values)
+    n = len(xs)
+
+    def cost(seg):
+        c = len(seg)
+        s = sum(seg)
+        q = sum(x * x for x in seg)
+        return c * q - s * s
+
+    best, cnt = None, 0
+    for cuts in itertools.combinations(range(1, n), k - 1):
+        bounds = [0] + list(cuts) + [n]
+        tot = sum(cost(xs[bounds[i]:bounds[i + 1]])
+                  for i in range(k))
+        if best is None or tot < best:
+            best, cnt = tot, 1
+        elif tot == best:
+            cnt += 1
+    return best, cnt
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=4, max_size=10),
+       st.integers(2, 4))
+def test_jenks_matches_brute_force(xs, k):
+    from imagery_utils_spark.operators.dp import jenks_cost
+
+    if k > len(xs):
+        k = len(xs)
+    assert jenks_cost(xs, k) == jenks_brute(xs, k)
+
+
+def test_jenks_hand_example():
+    from imagery_utils_spark.operators.dp import jenks_cost
+
+    # two tight clusters + k=2 -> split between them, cost = sum of
+    # within-cluster count*SSD: [1,2] -> 2*5-9=1, [10,11] -> 2*221-441=1
+    assert jenks_cost([1, 2, 10, 11], 2) == (2, 1)
+    # k = n -> every class a singleton, zero cost, one way
+    assert jenks_cost([5, 1, 9], 3) == (0, 1)
