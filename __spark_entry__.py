@@ -7118,6 +7118,109 @@ def q_jenks_breaks(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_bleu_lite(spark, sf_dir) -> DataFrame:
+    """BLEU-2 (Papineni 2002, the 1/2-gram form) over even/odd doc
+    pairs — the generation-eval metric as RELATIONAL algebra: clipped
+    counts are Σ min(count_cand, count_ref) per n-gram (one join per
+    order), brevity penalty exp(1−r/c) and the geometric mean
+    √(p₁·p₂) are ONE IEEE chain over exact integers, floored ×10⁹.
+    Corpus-level (counts pooled before the chain), so no per-pair
+    float sums exist to reorder."""
+    d = F.col("doc_id")
+    toks = F.slice(F.filter(F.split(F.lower("text"), " "),
+                            lambda x: x != ""), 1, 10)
+    docs = load(spark, sf_dir, "documents").select(
+        (d - d % 2).alias("pair"), (d % 2).alias("side"),
+        toks.alias("toks"))
+    both = docs.groupBy("pair").agg(
+        F.max(F.when(F.col("side") == 0, F.col("toks"))).alias("cand"),
+        F.max(F.when(F.col("side") == 1, F.col("toks"))).alias("ref"))
+    both = both.filter(F.col("cand").isNotNull()
+                       & F.col("ref").isNotNull())
+
+    def grams(col, n):
+        if n == 1:
+            return col
+        z = F.zip_with(col, F.slice(col, 2, 100),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+        # zip_with pads to the longer input -> drop the null tail
+        return F.filter(z, lambda x: x.isNotNull())
+
+    out = []
+    for n in (1, 2):
+        cg = (both.select("pair", F.explode(grams(F.col("cand"), n))
+                          .alias("g"))
+              .groupBy("pair", "g").agg(F.count(F.lit(1)).alias("cc")))
+        rg = (both.select("pair", F.explode(grams(F.col("ref"), n))
+                          .alias("g"))
+              .groupBy("pair", "g").agg(F.count(F.lit(1)).alias("rc")))
+        j = (cg.join(rg, ["pair", "g"], "left")
+             .select("pair", "cc", F.coalesce("rc", F.lit(0))
+                     .alias("rc")))
+        agg = j.agg(F.sum(F.least("cc", "rc")).alias(f"clip{n}"),
+                    F.sum("cc").alias(f"tot{n}"))
+        out.append(agg)
+    lens = both.agg(F.sum(F.size("cand")).alias("c_len"),
+                    F.sum(F.size("ref")).alias("r_len"),
+                    F.count(F.lit(1)).alias("n_pairs"))
+    g = out[0].crossJoin(out[1]).crossJoin(lens)
+    p1 = F.col("clip1").cast("double") / F.col("tot1").cast("double")
+    p2 = F.col("clip2").cast("double") / F.col("tot2").cast("double")
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("r_len").cast("double")
+              / F.col("c_len").cast("double")))
+    bleu = bp * F.sqrt(p1 * p2)
+    return g.select("n_pairs", "clip1", "tot1", "clip2", "tot2",
+                    "c_len", "r_len",
+                    F.floor(bleu * 1e9).cast("long").alias("bleu_e9"))
+
+
+def q_rouge_l(spark, sf_dir) -> DataFrame:
+    """ROUGE-L (Lin 2004) over the same even/odd doc pairs — LCS
+    length via the classic DP (operators/dp.py lcs_len), F-measure
+    from exact integers per pair, summed as floored ×10⁶ integers so
+    the corpus rollup is partition-order-free. Oracle: an independent
+    memoized-RECURSIVE LCS (VALUES, recomputed from parquet)."""
+    import pandas as pd
+
+    d = F.col("doc_id")
+    toks = F.slice(F.filter(F.split(F.lower("text"), " "),
+                            lambda x: x != ""), 1, 12)
+    docs = load(spark, sf_dir, "documents").select(
+        (d - d % 2).alias("pair"), (d % 2).alias("side"),
+        toks.alias("toks")).filter((d - d % 2) % 3 == 0)
+    both = (docs.groupBy("pair").agg(
+        F.max(F.when(F.col("side") == 0, F.col("toks"))).alias("cand"),
+        F.max(F.when(F.col("side") == 1, F.col("toks"))).alias("ref"))
+        .filter(F.col("cand").isNotNull() & F.col("ref").isNotNull()))
+
+    def work(batches):
+        from imagery_utils_spark.operators.dp import lcs_len
+        for pdf in batches:
+            rows = []
+            for pair, cand, ref in zip(pdf["pair"].astype("int64"),
+                                       pdf["cand"], pdf["ref"]):
+                a, b = list(cand), list(ref)
+                l = lcs_len(a, b)
+                if l == 0 or not a or not b:
+                    f_e6 = 0
+                else:
+                    p = l / len(a)
+                    r = l / len(b)
+                    f_e6 = int((2 * p * r / (p + r)) * 1e6)
+                rows.append((int(pair), len(a), len(b), l, f_e6))
+            yield pd.DataFrame(rows, columns=[
+                "pair", "c_len", "r_len", "lcs", "f_e6"])
+
+    out = both.mapInPandas(
+        work, "pair long, c_len int, r_len int, lcs int, f_e6 long")
+    return out.agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.sum("lcs").alias("sum_lcs"),
+                   F.sum("c_len").alias("sum_clen"),
+                   F.sum("r_len").alias("sum_rlen"),
+                   F.sum("f_e6").alias("sum_f_e6"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7399,6 +7502,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "dispersion_index": q_dispersion_index,
         "jenks_breaks": q_jenks_breaks,
+        "bleu_lite": q_bleu_lite,
+        "rouge_l": q_rouge_l,
     }
 
 
@@ -10324,6 +10429,46 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        "bleu_lite": (
+            "WITH t AS (SELECT doc_id - doc_id % 2 AS pair, "
+            "doc_id % 2 AS side, list_filter(string_split(lower(text), "
+            "' '), x -> x <> '')[1:10] AS toks FROM documents), "
+            "b AS (SELECT pair, "
+            "max(CASE WHEN side = 0 THEN toks END) AS cand, "
+            "max(CASE WHEN side = 1 THEN toks END) AS ref FROM t "
+            "GROUP BY pair HAVING max(CASE WHEN side = 0 THEN toks "
+            "END) IS NOT NULL AND max(CASE WHEN side = 1 THEN toks "
+            "END) IS NOT NULL), "
+            "c1 AS (SELECT pair, unnest(cand) AS g FROM b), "
+            "r1 AS (SELECT pair, unnest(ref) AS g FROM b), "
+            "c2 AS (SELECT pair, unnest([cand[i] || ' ' || cand[i+1] "
+            "for i in range(1, len(cand))]) AS g FROM b), "
+            "r2 AS (SELECT pair, unnest([ref[i] || ' ' || ref[i+1] "
+            "for i in range(1, len(ref))]) AS g FROM b), "
+            "cc1 AS (SELECT pair, g, count(*) AS cc FROM c1 "
+            "GROUP BY 1, 2), "
+            "rc1 AS (SELECT pair, g, count(*) AS rc FROM r1 "
+            "GROUP BY 1, 2), "
+            "cc2 AS (SELECT pair, g, count(*) AS cc FROM c2 "
+            "GROUP BY 1, 2), "
+            "rc2 AS (SELECT pair, g, count(*) AS rc FROM r2 "
+            "GROUP BY 1, 2), "
+            "a1 AS (SELECT sum(least(cc, coalesce(rc, 0))) AS clip1, "
+            "sum(cc) AS tot1 FROM cc1 LEFT JOIN rc1 USING (pair, g)), "
+            "a2 AS (SELECT sum(least(cc, coalesce(rc, 0))) AS clip2, "
+            "sum(cc) AS tot2 FROM cc2 LEFT JOIN rc2 USING (pair, g)), "
+            "l AS (SELECT sum(len(cand)) AS c_len, sum(len(ref)) "
+            "AS r_len, count(*) AS n_pairs FROM b) "
+            "SELECT n_pairs, clip1, tot1, clip2, tot2, c_len, r_len, "
+            "cast(floor((CASE WHEN c_len >= r_len THEN 1.0 ELSE "
+            "exp(1.0 - cast(r_len as double) / cast(c_len as double)) "
+            "END) * sqrt((cast(clip1 as double) / cast(tot1 as "
+            "double)) * (cast(clip2 as double) / cast(tot2 as "
+            "double))) * 1e9) as bigint) AS bleu_e9 "
+            "FROM a1 CROSS JOIN a2 CROSS JOIN l"
+        ),
+        # ROUGE-L — independent recursive LCS (VALUES).
+        "rouge_l": _IO.rouge_oracle_sql(_oracle_sf_dir()),
         # Jenks — exhaustive partition enumeration (VALUES).
         "jenks_breaks": _IO.jenks_oracle_sql(_oracle_sf_dir()),
         "cohens_kappa": (

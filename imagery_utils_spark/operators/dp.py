@@ -127,3 +127,18 @@ def jenks_cost(values: list[int], k: int) -> tuple[int, int]:
                     cnt += pcnt
             dp[c][j] = (best, cnt)
     return dp[k][n]
+
+
+def lcs_len(a: list, b: list) -> int:
+    """Longest-common-subsequence length, classic iterative DP
+    (rolling row) — the ROUGE-L kernel."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y
+                       else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]

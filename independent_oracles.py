@@ -1417,3 +1417,60 @@ def jenks_oracle_sql(sf_dir: str) -> str:
         "CAST(c3 AS BIGINT) AS n_optimal",
         "event_type", ncols=4,
     )
+
+
+# ------------------------------------------------ ROUGE-L (recursive)
+
+def rouge_expected(sf_dir: str):
+    """Corpus totals via an independent memoized-RECURSIVE LCS."""
+    import functools as _ft
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH t AS (SELECT doc_id - doc_id % 2 AS pair, "
+        "doc_id % 2 AS side, list_filter(string_split(lower(text), "
+        "' '), x -> x <> '')[1:12] AS toks FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE (doc_id - doc_id % 2) % 3 = 0) "
+        "SELECT pair, max(CASE WHEN side = 0 THEN toks END), "
+        "max(CASE WHEN side = 1 THEN toks END) FROM t GROUP BY pair "
+        "HAVING max(CASE WHEN side = 0 THEN toks END) IS NOT NULL "
+        "AND max(CASE WHEN side = 1 THEN toks END) IS NOT NULL "
+        "ORDER BY pair").fetchall()
+    n_pairs = sum_lcs = sum_clen = sum_rlen = sum_f = 0
+    for _pair, cand, ref in rows:
+        a, b = tuple(cand), tuple(ref)
+
+        @_ft.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0 or j == 0:
+                return 0
+            if a[i - 1] == b[j - 1]:
+                return rec(i - 1, j - 1) + 1
+            return max(rec(i - 1, j), rec(i, j - 1))
+
+        l = rec(len(a), len(b))
+        rec.cache_clear()
+        n_pairs += 1
+        sum_lcs += l
+        sum_clen += len(a)
+        sum_rlen += len(b)
+        if l and a and b:
+            p = l / len(a)
+            r = l / len(b)
+            sum_f += int((2 * p * r / (p + r)) * 1e6)
+    return [(n_pairs, sum_lcs, sum_clen, sum_rlen, sum_f)]
+
+
+@functools.lru_cache(maxsize=4)
+def rouge_oracle_sql(sf_dir: str) -> str:
+    rows = rouge_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS n_pairs, CAST(c1 AS BIGINT) AS sum_lcs, "
+        "CAST(c2 AS BIGINT) AS sum_clen, CAST(c3 AS BIGINT) "
+        "AS sum_rlen, CAST(c4 AS BIGINT) AS sum_f_e6",
+        "n_pairs", ncols=5,
+    )
