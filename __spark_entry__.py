@@ -7221,6 +7221,87 @@ def q_rouge_l(spark, sf_dir) -> DataFrame:
                    F.sum("f_e6").alias("sum_f_e6"))
 
 
+def q_attribution(spark, sf_dir) -> DataFrame:
+    """Multi-touch attribution — first-touch, last-touch, and linear
+    credit per channel over each user's ordered event path: the
+    arg-extremum pair reuses ONE collision-free bigint ordering key,
+    and linear credit stays exact by crediting 10⁶·touches//path_len
+    integer micro-units. The marketing-rollup the events table
+    exists for."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("ch"),
+        (F.unix_timestamp("ts") * 10000000 + F.col("event_id"))
+        .cast("long").alias("ord"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("ch", "ord").alias("first_ch"),
+        F.max_by("ch", "ord").alias("last_ch"),
+        F.count(F.lit(1)).alias("path_len"))
+    touches = ev.groupBy("user_id", "ch").agg(
+        F.count(F.lit(1)).alias("t"))
+    lin = (touches.join(per_user.select("user_id", "path_len"),
+                        "user_id")
+           .groupBy("ch")
+           .agg(F.sum((F.col("t") * 1000000 / F.col("path_len"))
+                      .cast("long")).alias("linear_micro")))
+    ft = per_user.groupBy(F.col("first_ch").alias("ch")).agg(
+        F.count(F.lit(1)).alias("first_touch"))
+    lt = per_user.groupBy(F.col("last_ch").alias("ch")).agg(
+        F.count(F.lit(1)).alias("last_touch"))
+    return (lin.join(ft, "ch", "left").join(lt, "ch", "left")
+            .select("ch",
+                    F.coalesce("first_touch", F.lit(0))
+                    .alias("first_touch"),
+                    F.coalesce("last_touch", F.lit(0))
+                    .alias("last_touch"), "linear_micro")
+            .orderBy("ch"))
+
+
+def q_hist_intersect(spark, sf_dir) -> DataFrame:
+    """Histogram-intersection similarity between source corpora over
+    their language profiles — Σ min(pᵃ, pᵇ) kept EXACT by cross-
+    multiplying into a common denominator (min(aᵢ·N_b, bᵢ·N_a) summed
+    as integers over N_a·N_b): the distribution-drift readout with no
+    float sums anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    prof = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    p = prof.join(tot, "source")
+    a = p.select(F.col("source").alias("sa"), "lang",
+                 F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = p.select(F.col("source").alias("sb"), "lang",
+                 F.col("c").alias("cb"), F.col("n").alias("nb"))
+    j = a.join(b, "lang").filter(F.col("sa") < F.col("sb"))
+    return (j.groupBy("sa", "sb")
+            .agg(F.sum(F.least(F.col("ca") * F.col("nb"),
+                               F.col("cb") * F.col("na")))
+                 .alias("inter_num"),
+                 F.max(F.col("na") * F.col("nb")).alias("inter_den"),
+                 F.count(F.lit(1)).alias("n_langs"))
+            .orderBy("sa", "sb"))
+
+
+def q_decay_counts(spark, sf_dir) -> DataFrame:
+    """Half-life-decayed engagement score (7-day half-life) — the
+    recency-weighted counter a ranking pipeline keeps per entity:
+    every event contributes floor(10⁶·0.5^(age_days/7)) as an INTEGER
+    (one libm pow per row, then exact sums), so the rollup is
+    partition-order-free; age is measured from the corpus max day."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"))
+    mx = ev.agg(F.max("day").alias("dmax"))
+    t = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type", (F.col("dmax") - F.col("day")).alias("age"))
+    term = F.floor(F.pow(F.lit(0.5), F.col("age").cast("double") / 7.0)
+                   * 1e6).cast("long")
+    return (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(term).alias("decayed_e6"),
+                 F.max("age").alias("max_age"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7504,6 +7585,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jenks_breaks": q_jenks_breaks,
         "bleu_lite": q_bleu_lite,
         "rouge_l": q_rouge_l,
+        "attribution": q_attribution,
+        "hist_intersect": q_hist_intersect,
+        "decay_counts": q_decay_counts,
     }
 
 
@@ -10428,6 +10512,55 @@ def oracle_sql() -> dict[str, str]:
             "THEN (doc_id * 11 + (k // 8 - 1) * 2 + (k % 8 - 5) + 1) "
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
+        ),
+        "attribution": (
+            "WITH e AS (SELECT user_id, event_type AS ch, "
+            "cast(floor(epoch(ts)) as bigint) * 10000000 + event_id "
+            "AS ord FROM events), "
+            "pu AS (SELECT user_id, arg_min(ch, ord) AS first_ch, "
+            "arg_max(ch, ord) AS last_ch, count(*) AS path_len "
+            "FROM e GROUP BY user_id), "
+            "tc AS (SELECT user_id, ch, count(*) AS t FROM e "
+            "GROUP BY 1, 2), "
+            "lin AS (SELECT ch, sum(t * 1000000 // path_len) "
+            "AS linear_micro FROM tc JOIN pu USING (user_id) "
+            "GROUP BY ch), "
+            "ft AS (SELECT first_ch AS ch, count(*) AS first_touch "
+            "FROM pu GROUP BY 1), "
+            "lt AS (SELECT last_ch AS ch, count(*) AS last_touch "
+            "FROM pu GROUP BY 1) "
+            "SELECT lin.ch, coalesce(first_touch, 0) AS first_touch, "
+            "coalesce(last_touch, 0) AS last_touch, linear_micro "
+            "FROM lin LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch) "
+            "ORDER BY ch"
+        ),
+        "hist_intersect": (
+            "WITH prof AS (SELECT source, lang, count(*) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY source), "
+            "p AS (SELECT prof.source, lang, c, n FROM prof "
+            "JOIN tot USING (source)), "
+            "j AS (SELECT a.source AS sa, b.source AS sb, "
+            "least(a.c * b.n, b.c * a.n) AS mn, a.n * b.n AS den "
+            "FROM p a JOIN p b ON a.lang = b.lang "
+            "AND a.source < b.source) "
+            "SELECT sa, sb, sum(mn) AS inter_num, "
+            "max(den) AS inter_den, count(*) AS n_langs FROM j "
+            "GROUP BY sa, sb ORDER BY sa, sb"
+        ),
+        "decay_counts": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day "
+            "FROM events), "
+            "m AS (SELECT max(day) AS dmax FROM e), "
+            "t AS (SELECT event_type, dmax - day AS age FROM e "
+            "CROSS JOIN m) "
+            "SELECT event_type, count(*) AS n, "
+            "sum(cast(floor(pow(0.5, cast(age as double) / 7.0) "
+            "* 1e6) as bigint)) AS decayed_e6, "
+            "max(age) AS max_age FROM t GROUP BY event_type "
+            "ORDER BY event_type"
         ),
         "bleu_lite": (
             "WITH t AS (SELECT doc_id - doc_id % 2 AS pair, "
