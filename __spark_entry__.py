@@ -7302,6 +7302,88 @@ def q_decay_counts(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_convex_hull(spark, sf_dir) -> DataFrame:
+    """Convex hull per region (operators/dp.py — Andrew's monotone
+    chain on EXACT integer coordinates, strict turns): the footprint-
+    envelope primitive of the tiling pipeline. Output pins vertex
+    count, shoelace 2·area, and Manhattan perimeter — all invariants
+    of the hull cycle. Oracle: an independent GIFT-WRAPPING
+    construction (Jarvis march) recomputed at check time; hypothesis
+    cross-checks both constructions in tests/test_dp.py."""
+    import pandas as pd
+
+    d = F.col("doc_id")
+    pts = load(spark, sf_dir, "documents").select(
+        (d % 8).alias("g"),
+        F.floor(((d * 37) % 3600) / 10.0).cast("long").alias("x"),
+        F.floor(((d * 53) % 1800) / 10.0).cast("long").alias("y"))
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import convex_hull
+        ps = sorted({(int(x), int(y))
+                     for x, y in zip(pdf["x"], pdf["y"])})
+        hull = convex_hull(ps)
+        n = len(hull)
+        area2 = abs(sum(hull[i][0] * hull[(i + 1) % n][1]
+                        - hull[(i + 1) % n][0] * hull[i][1]
+                        for i in range(n))) if n >= 3 else 0
+        perim = sum(abs(hull[i][0] - hull[(i + 1) % n][0])
+                    + abs(hull[i][1] - hull[(i + 1) % n][1])
+                    for i in range(n)) if n >= 2 else 0
+        return pd.DataFrame({
+            "g": [int(key[0])], "n_pts": [len(ps)], "n_hull": [n],
+            "area2": [area2], "perim_manhattan": [perim]})
+
+    return (pts.groupBy("g")
+            .applyInPandas(work, "g long, n_pts int, n_hull int, "
+                                 "area2 long, perim_manhattan long")
+            .orderBy("g"))
+
+
+def q_stable_matching(spark, sf_dir) -> DataFrame:
+    """Proposer-optimal stable matching (Gale–Shapley 1962) per
+    language partition — the assignment primitive (work-to-executor,
+    query-to-replica): preferences are sha-derived from data-dependent
+    seeds, the ENGINE runs deferred-acceptance, the ORACLE enumerates
+    ALL n! matchings, keeps the stable ones, and selects the
+    proposer-optimal — which the G-S theorem says is unique and
+    exactly what deferred acceptance returns. Theorem-level
+    independence; property-tested in tests/test_dp.py."""
+    import hashlib
+
+    import pandas as pd
+
+    n = 6
+    counts = (load(spark, sf_dir, "documents")
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")))
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import gale_shapley
+        lang = key[0]
+        cnt = int(pdf["cnt"].iloc[0])
+
+        def prefs(tag, i):
+            h = hashlib.sha256(
+                f"{lang}:{cnt}:{tag}:{i}".encode()).digest()
+            return sorted(range(n), key=lambda j: (h[j], j))
+
+        pp = [prefs("p", i) for i in range(n)]
+        ap = [prefs("a", i) for i in range(n)]
+        m = gale_shapley(pp, ap)
+        prank = {(p, a): r for p in range(n)
+                 for r, a in enumerate(pp[p])}
+        srank = sum(prank[(p, m[p])] for p in range(n))
+        return pd.DataFrame({
+            "lang": [lang],
+            "matching": [",".join(str(a) for a in m)],
+            "sum_prop_rank": [srank]})
+
+    return (counts.groupBy("lang")
+            .applyInPandas(work, "lang string, matching string, "
+                                 "sum_prop_rank long")
+            .orderBy("lang"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7588,6 +7670,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "hist_intersect": q_hist_intersect,
         "decay_counts": q_decay_counts,
+        "convex_hull": q_convex_hull,
+        "stable_matching": q_stable_matching,
     }
 
 
@@ -10513,6 +10597,11 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # Hull — independent Jarvis-march construction (VALUES).
+        "convex_hull": _IO.hull_oracle_sql(_oracle_sf_dir()),
+        # Matching — all-stable-matchings enumeration + proposer-
+        # optimal selection (VALUES); theorem-level independence.
+        "stable_matching": _IO.matching_oracle_sql(_oracle_sf_dir()),
         "attribution": (
             "WITH e AS (SELECT user_id, event_type AS ch, "
             "cast(floor(epoch(ts)) as bigint) * 10000000 + event_id "

@@ -142,3 +142,63 @@ def lcs_len(a: list, b: list) -> int:
                        else max(prev[j], cur[j - 1]))
         prev = cur
     return prev[-1]
+
+
+def convex_hull(points: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Andrew's monotone chain on INTEGER coordinates (exact cross
+    products, no epsilon): returns hull vertices in counter-clockwise
+    order starting from the lexicographically smallest point;
+    collinear boundary points are excluded (strict turns only)."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def gale_shapley(prop_prefs: list[list[int]],
+                 acc_prefs: list[list[int]]) -> list[int]:
+    """Proposer-optimal stable matching (Gale–Shapley 1962): returns
+    match[p] = acceptor index. The result is the UNIQUE proposer-
+    optimal stable matching (every proposer does at least as well as
+    in any other stable matching) — the invariant the battery oracle
+    verifies by enumerating ALL stable matchings."""
+    n = len(prop_prefs)
+    rank = [[0] * n for _ in range(n)]
+    for a in range(n):
+        for r, p in enumerate(acc_prefs[a]):
+            rank[a][p] = r
+    next_pick = [0] * n
+    engaged_to = [-1] * n   # acceptor -> proposer
+    match = [-1] * n        # proposer -> acceptor
+    free = list(range(n - 1, -1, -1))
+    while free:
+        p = free.pop()
+        a = prop_prefs[p][next_pick[p]]
+        next_pick[p] += 1
+        cur = engaged_to[a]
+        if cur < 0:
+            engaged_to[a] = p
+            match[p] = a
+        elif rank[a][p] < rank[a][cur]:
+            engaged_to[a] = p
+            match[p] = a
+            match[cur] = -1
+            free.append(cur)
+        else:
+            free.append(p)
+    return match

@@ -1474,3 +1474,140 @@ def rouge_oracle_sql(sf_dir: str) -> str:
         "AS sum_rlen, CAST(c4 AS BIGINT) AS sum_f_e6",
         "n_pairs", ncols=5,
     )
+
+
+# ------------------------------------------------ convex hull (Jarvis)
+
+def hull_expected(sf_dir: str):
+    """(g, n_pts, n_hull, area2, perim_manhattan) — gift-wrapping
+    (Jarvis march), an independent construction from the engine's
+    monotone chain; all stats are vertex-cycle invariants on exact
+    integer coordinates."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH p AS (SELECT doc_id % 8 AS g, "
+        "cast(floor(((doc_id * 37 % 3600) / 10.0)) as bigint) AS x, "
+        "cast(floor(((doc_id * 53 % 1800) / 10.0)) as bigint) AS y "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')) "
+        "SELECT g, list(DISTINCT [x, y]) FROM p GROUP BY g "
+        "ORDER BY g").fetchall()
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    out = []
+    for g, pts in rows:
+        pts = sorted({(int(p[0]), int(p[1])) for p in pts})
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            hull = []
+            start = min(pts)
+            p = start
+            while True:
+                hull.append(p)
+                q = pts[0] if pts[0] != p else pts[1]
+                for r in pts:
+                    if r == p:
+                        continue
+                    c = cross(p, q, r)
+                    if c < 0 or (c == 0 and
+                                 (abs(r[0] - p[0]) + abs(r[1] - p[1]))
+                                 > (abs(q[0] - p[0])
+                                    + abs(q[1] - p[1]))):
+                        q = r
+                p = q
+                if p == start:
+                    break
+        n = len(hull)
+        area2 = abs(sum(hull[i][0] * hull[(i + 1) % n][1]
+                        - hull[(i + 1) % n][0] * hull[i][1]
+                        for i in range(n))) if n >= 3 else 0
+        perim = sum(abs(hull[i][0] - hull[(i + 1) % n][0])
+                    + abs(hull[i][1] - hull[(i + 1) % n][1])
+                    for i in range(n)) if n >= 2 else 0
+        out.append((int(g), len(pts), n, area2, perim))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def hull_oracle_sql(sf_dir: str) -> str:
+    rows = hull_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS g, CAST(c1 AS INTEGER) AS n_pts, "
+        "CAST(c2 AS INTEGER) AS n_hull, CAST(c3 AS BIGINT) AS area2, "
+        "CAST(c4 AS BIGINT) AS perim_manhattan",
+        "g", ncols=5,
+    )
+
+
+# --------------------------------------- stable matching (brute force)
+
+def matching_expected(sf_dir: str, n: int = 6):
+    """(lang, matching, sum_prop_rank) — enumerate ALL stable
+    matchings, select the proposer-optimal one (unique by theorem);
+    the engine runs Gale-Shapley, a different algorithm."""
+    import hashlib
+    import itertools
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT lang, count(*) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY lang "
+        "ORDER BY lang").fetchall()
+
+    def prefs(lang, cnt, tag, i):
+        h = hashlib.sha256(f"{lang}:{cnt}:{tag}:{i}".encode()).digest()
+        return sorted(range(n), key=lambda j: (h[j], j))
+
+    out = []
+    for lang, cnt in rows:
+        pp = [prefs(lang, cnt, "p", i) for i in range(n)]
+        ap = [prefs(lang, cnt, "a", i) for i in range(n)]
+        prank = [[0] * n for _ in range(n)]
+        for p in range(n):
+            for r, a in enumerate(pp[p]):
+                prank[p][a] = r
+        arank = [[0] * n for _ in range(n)]
+        for a in range(n):
+            for r, p in enumerate(ap[a]):
+                arank[a][p] = r
+        best = None
+        for perm in itertools.permutations(range(n)):
+            stable = True
+            for p in range(n):
+                mp = perm[p]
+                for a in range(n):
+                    if a == mp:
+                        continue
+                    if prank[p][a] < prank[p][mp] and \
+                            arank[a][p] < arank[a][perm.index(a)]:
+                        stable = False
+                        break
+                if not stable:
+                    break
+            if stable:
+                if best is None or all(
+                        prank[p][perm[p]] <= prank[p][best[p]]
+                        for p in range(n)):
+                    best = list(perm)
+        srank = sum(prank[p][best[p]] for p in range(n))
+        out.append((lang, ",".join(str(a) for a in best), srank))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def matching_oracle_sql(sf_dir: str) -> str:
+    rows = matching_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS VARCHAR) AS lang, CAST(c1 AS VARCHAR) AS matching, "
+        "CAST(c2 AS BIGINT) AS sum_prop_rank",
+        "lang", ncols=3,
+    )

@@ -182,3 +182,125 @@ def test_jenks_hand_example():
     assert jenks_cost([1, 2, 10, 11], 2) == (2, 1)
     # k = n -> every class a singleton, zero cost, one way
     assert jenks_cost([5, 1, 9], 3) == (0, 1)
+
+
+# --------------------------------------------------- convex hull
+
+def jarvis_hull(points):
+    """Independent gift-wrapping construction (different algorithm)."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    hull = []
+    start = min(pts)
+    p = start
+    while True:
+        hull.append(p)
+        q = pts[0] if pts[0] != p else pts[1]
+        for r in pts:
+            if r == p:
+                continue
+            c = cross(p, q, r)
+            if c < 0 or (c == 0 and
+                         (abs(r[0] - p[0]) + abs(r[1] - p[1])) >
+                         (abs(q[0] - p[0]) + abs(q[1] - p[1]))):
+                q = r
+        p = q
+        if p == start:
+            break
+    return hull
+
+
+def hull_canon(h):
+    """Rotate a CCW/CW vertex cycle to a canonical form for compare."""
+    if len(h) <= 2:
+        return sorted(h)
+    i = h.index(min(h))
+    r = h[i:] + h[:i]
+    # jarvis walks clockwise with cross<0 preference; normalize both
+    # orders by trying forward and reversed
+    r2 = [r[0]] + list(reversed(r[1:]))
+    return min(r, r2)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=20))
+def test_convex_hull_matches_jarvis(pts):
+    from imagery_utils_spark.operators.dp import convex_hull
+
+    got = convex_hull(pts)
+    want = jarvis_hull(pts)
+    assert hull_canon(got) == hull_canon(want)
+
+
+def test_convex_hull_square_with_interior():
+    from imagery_utils_spark.operators.dp import convex_hull
+
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (1, 3), (2, 0)]
+    got = convex_hull(pts)
+    assert sorted(got) == [(0, 0), (0, 4), (4, 0), (4, 4)]
+
+
+# --------------------------------------------------- stable matching
+
+def all_stable_matchings(prop_prefs, acc_prefs):
+    n = len(prop_prefs)
+    prank = [[0] * n for _ in range(n)]
+    for p in range(n):
+        for r, a in enumerate(prop_prefs[p]):
+            prank[p][a] = r
+    arank = [[0] * n for _ in range(n)]
+    for a in range(n):
+        for r, p in enumerate(acc_prefs[a]):
+            arank[a][p] = r
+    out = []
+    for perm in itertools.permutations(range(n)):
+        stable = True
+        for p in range(n):
+            for a in range(n):
+                if perm[p] == a:
+                    continue
+                if prank[p][a] < prank[p][perm[p]] and \
+                        arank[a][p] < arank[a][perm.index(a)]:
+                    stable = False
+                    break
+            if not stable:
+                break
+        if stable:
+            out.append(list(perm))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10 ** 9))
+def test_gale_shapley_is_proposer_optimal(seed):
+    import hashlib
+
+    from imagery_utils_spark.operators.dp import gale_shapley
+
+    n = 5
+
+    def prefs(tag, i):
+        h = hashlib.sha256(f"{tag}:{seed}:{i}".encode()).digest()
+        order = sorted(range(n), key=lambda j: (h[j], j))
+        return order
+
+    pp = [prefs("p", i) for i in range(n)]
+    ap = [prefs("a", i) for i in range(n)]
+    got = gale_shapley(pp, ap)
+    allm = all_stable_matchings(pp, ap)
+    assert got in allm
+    # proposer-optimal: every proposer weakly prefers `got`
+    prank = [[0] * n for _ in range(n)]
+    for p in range(n):
+        for r, a in enumerate(pp[p]):
+            prank[p][a] = r
+    for m in allm:
+        for p in range(n):
+            assert prank[p][got[p]] <= prank[p][m[p]]
