@@ -7384,6 +7384,105 @@ def q_stable_matching(spark, sf_dir) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_closest_pair(spark, sf_dir) -> DataFrame:
+    """Closest pair of points per region (operators/dp.py — the
+    classic divide-and-conquer with index-side strip refinement,
+    exact integer squared distances) plus the COUNT of pairs achieving
+    the minimum (tie-robust output). Oracle: O(n²) brute force over
+    the same point sets; 2000-seed randomized + hypothesis cross-check
+    in tests/test_dp.py (which caught a real x-tie split bug during
+    development)."""
+    import pandas as pd
+
+    d = F.col("doc_id")
+    pts = (load(spark, sf_dir, "documents")
+           .filter(d % 23 == 1)
+           .select((d % 8).alias("g"),
+                   ((d * 37) % 500).alias("x"),
+                   ((d * 53) % 500).alias("y")))
+
+    def work(key, pdf):
+        from imagery_utils_spark.operators.dp import closest_pair_d2
+        ps = sorted({(int(x), int(y))
+                     for x, y in zip(pdf["x"], pdf["y"])})
+        if len(ps) < 2:
+            return pd.DataFrame(columns=["g", "n_pts", "min_d2",
+                                         "n_pairs_at_min"])
+        best, cnt = closest_pair_d2(ps)
+        return pd.DataFrame({
+            "g": [int(key[0])], "n_pts": [len(ps)],
+            "min_d2": [best], "n_pairs_at_min": [cnt]})
+
+    return (pts.groupBy("g")
+            .applyInPandas(work, "g long, n_pts int, min_d2 long, "
+                                 "n_pairs_at_min long")
+            .orderBy("g"))
+
+
+def q_segment_intersections(spark, sf_dir) -> DataFrame:
+    """Segment-intersection counting per region — the map-overlay
+    primitive — with the ENGINE predicate as PURE JVM orientation-sign
+    algebra over exact integers (the four cross products + collinear
+    on-segment boxes, CLRS §33.1 form) evaluated on a within-group
+    pair self-join; the ORACLE decides each pair with a rational
+    PARAMETRIC solver (Fractions, t/u ∈ [0,1]) — two different exact
+    decision procedures."""
+    d = F.col("doc_id")
+    segs = (load(spark, sf_dir, "documents")
+            .filter(d % 17 == 0)
+            .select((d % 5).alias("g"),
+                    ((d * 37) % 60).alias("x1"),
+                    ((d * 53) % 60).alias("y1"),
+                    ((d * 71) % 60).alias("x2"),
+                    ((d * 89) % 60).alias("y2"))
+            .filter(~((F.col("x1") == F.col("x2"))
+                      & (F.col("y1") == F.col("y2"))))
+            .distinct())
+    a = segs.select("g", *[F.col(c).alias(f"a{c}")
+                           for c in ("x1", "y1", "x2", "y2")])
+    b = segs.select("g", *[F.col(c).alias(f"b{c}")
+                           for c in ("x1", "y1", "x2", "y2")])
+    pairs = a.join(b, "g").filter(
+        F.struct("ax1", "ay1", "ax2", "ay2")
+        < F.struct("bx1", "by1", "bx2", "by2"))
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    d1 = F.signum(cross(F.col("bx1"), F.col("by1"), F.col("bx2"),
+                        F.col("by2"), F.col("ax1"), F.col("ay1")))
+    d2 = F.signum(cross(F.col("bx1"), F.col("by1"), F.col("bx2"),
+                        F.col("by2"), F.col("ax2"), F.col("ay2")))
+    d3 = F.signum(cross(F.col("ax1"), F.col("ay1"), F.col("ax2"),
+                        F.col("ay2"), F.col("bx1"), F.col("by1")))
+    d4 = F.signum(cross(F.col("ax1"), F.col("ay1"), F.col("ax2"),
+                        F.col("ay2"), F.col("bx2"), F.col("by2")))
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return ((rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+                & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy)))
+
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    touch = (
+        ((d1 == 0) & on_seg(F.col("bx1"), F.col("by1"), F.col("bx2"),
+                            F.col("by2"), F.col("ax1"), F.col("ay1")))
+        | ((d2 == 0) & on_seg(F.col("bx1"), F.col("by1"), F.col("bx2"),
+                              F.col("by2"), F.col("ax2"), F.col("ay2")))
+        | ((d3 == 0) & on_seg(F.col("ax1"), F.col("ay1"), F.col("ax2"),
+                              F.col("ay2"), F.col("bx1"), F.col("by1")))
+        | ((d4 == 0) & on_seg(F.col("ax1"), F.col("ay1"), F.col("ax2"),
+                              F.col("ay2"), F.col("bx2"), F.col("by2"))))
+    hit = (proper | touch).cast("long")
+    n_seg = segs.groupBy("g").agg(F.count(F.lit(1)).alias("n_segments"))
+    n_int = pairs.groupBy("g").agg(F.sum(hit).alias("n_intersecting"))
+    return (n_seg.join(n_int, "g", "left")
+            .select("g", F.col("n_segments").cast("int")
+                    .alias("n_segments"),
+                    F.coalesce("n_intersecting", F.lit(0))
+                    .alias("n_intersecting"))
+            .orderBy("g"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7672,6 +7771,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_counts": q_decay_counts,
         "convex_hull": q_convex_hull,
         "stable_matching": q_stable_matching,
+        "closest_pair": q_closest_pair,
+        "segment_intersections": q_segment_intersections,
     }
 
 
@@ -10597,6 +10698,11 @@ def oracle_sql() -> dict[str, str]:
             "% 16 ELSE 0 END as varchar)), ',')) AS f2_sha "
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"
         ),
+        # Closest pair — O(n²) brute force (VALUES).
+        "closest_pair": _IO.closest_pair_oracle_sql(_oracle_sf_dir()),
+        # Segment intersections — rational parametric solver (VALUES).
+        "segment_intersections":
+            _IO.seg_intersections_oracle_sql(_oracle_sf_dir()),
         # Hull — independent Jarvis-march construction (VALUES).
         "convex_hull": _IO.hull_oracle_sql(_oracle_sf_dir()),
         # Matching — all-stable-matchings enumeration + proposer-

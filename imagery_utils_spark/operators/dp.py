@@ -202,3 +202,56 @@ def gale_shapley(prop_prefs: list[list[int]],
         else:
             free.append(p)
     return match
+
+
+def closest_pair_d2(points: list[tuple[int, int]]) -> tuple[int, int]:
+    """(min squared distance, number of unordered pairs achieving it)
+    via the classic divide-and-conquer (strip refinement) on exact
+    integers. The battery oracle brute-forces all O(n²) pairs."""
+    pts = sorted(set(points))
+    n = len(pts)
+    if n < 2:
+        raise ValueError("need >= 2 distinct points")
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    best = None
+    cnt = 0
+
+    def consider(a, b):
+        nonlocal best, cnt
+        v = d2(a, b)
+        if best is None or v < best:
+            best, cnt = v, 1
+        elif v == best:
+            cnt += 1
+
+    def rec(lo, hi):
+        if hi - lo <= 3:
+            for i in range(lo, hi):
+                for j in range(i + 1, hi):
+                    consider(pts[i], pts[j])
+            return
+        mid = (lo + hi) // 2
+        mx = pts[mid][0]
+        rec(lo, mid)
+        rec(mid, hi)
+        # side by INDEX half (x ties at the split would fool an
+        # x-based side test); only cross-side pairs are new here —
+        # same-side pairs were already counted in the recursions
+        strip = [(p[1], p[0], i < mid)
+                 for i in range(lo, hi)
+                 for p in (pts[i],)
+                 if best is None or (p[0] - mx) ** 2 <= best]
+        strip.sort()
+        for i, (ay, ax, aside) in enumerate(strip):
+            for by, bx, bside in strip[i + 1:]:
+                if best is not None and (by - ay) ** 2 > best:
+                    break
+                if aside != bside:
+                    consider((ax, ay), (bx, by))
+        return
+
+    rec(0, n)
+    return best, cnt

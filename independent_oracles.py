@@ -1611,3 +1611,109 @@ def matching_oracle_sql(sf_dir: str) -> str:
         "CAST(c2 AS BIGINT) AS sum_prop_rank",
         "lang", ncols=3,
     )
+
+
+# ------------------------------------------ closest pair (brute force)
+
+def closest_pair_expected(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH p AS (SELECT doc_id % 8 AS g, "
+        "(doc_id * 37) % 500 AS x, (doc_id * 53) % 500 AS y FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 23 = 1) "
+        "SELECT g, list(DISTINCT [x, y]) FROM p GROUP BY g "
+        "ORDER BY g").fetchall()
+    out = []
+    for g, pts in rows:
+        ps = sorted({(int(p[0]), int(p[1])) for p in pts})
+        if len(ps) < 2:
+            continue
+        best, cnt = None, 0
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                v = ((ps[i][0] - ps[j][0]) ** 2
+                     + (ps[i][1] - ps[j][1]) ** 2)
+                if best is None or v < best:
+                    best, cnt = v, 1
+                elif v == best:
+                    cnt += 1
+        out.append((int(g), len(ps), best, cnt))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def closest_pair_oracle_sql(sf_dir: str) -> str:
+    rows = closest_pair_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS g, CAST(c1 AS INTEGER) AS n_pts, "
+        "CAST(c2 AS BIGINT) AS min_d2, CAST(c3 AS BIGINT) "
+        "AS n_pairs_at_min",
+        "g", ncols=4,
+    )
+
+
+# --------------------------- segment intersections (Fraction solver)
+
+def seg_intersections_expected(sf_dir: str):
+    """(g, n_segments, n_intersecting) — PARAMETRIC rational solver
+    (Fractions: solve p1+t·d1 = p3+u·d2, check t,u ∈ [0,1]; parallel
+    case via collinearity + 1-D projection overlap) — an independent
+    decision procedure from the engine's orientation-sign algebra."""
+    from fractions import Fraction
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "WITH s AS (SELECT doc_id % 5 AS g, "
+        "(doc_id * 37) % 60 AS x1, (doc_id * 53) % 60 AS y1, "
+        "(doc_id * 71) % 60 AS x2, (doc_id * 89) % 60 AS y2 FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id % 17 = 0) "
+        "SELECT g, list(DISTINCT [x1, y1, x2, y2]) FROM s "
+        "WHERE NOT (x1 = x2 AND y1 = y2) GROUP BY g "
+        "ORDER BY g").fetchall()
+
+    def intersects(a, b):
+        (x1, y1, x2, y2), (x3, y3, x4, y4) = a, b
+        dx1, dy1 = x2 - x1, y2 - y1
+        dx2, dy2 = x4 - x3, y4 - y3
+        den = dx1 * dy2 - dy1 * dx2
+        if den != 0:
+            t = Fraction(((x3 - x1) * dy2 - (y3 - y1) * dx2), den)
+            u = Fraction(((x3 - x1) * dy1 - (y3 - y1) * dx1), den)
+            return 0 <= t <= 1 and 0 <= u <= 1
+        # parallel: collinear + projection overlap
+        if (x3 - x1) * dy1 - (y3 - y1) * dx1 != 0:
+            return False
+        if dx1 != 0 or dx2 != 0:
+            lo1, hi1 = sorted((x1, x2))
+            lo2, hi2 = sorted((x3, x4))
+        else:
+            lo1, hi1 = sorted((y1, y2))
+            lo2, hi2 = sorted((y3, y4))
+        return max(lo1, lo2) <= min(hi1, hi2)
+
+    out = []
+    for g, segs in rows:
+        ss = sorted(tuple(int(v) for v in s) for s in segs)
+        n = len(ss)
+        cnt = sum(1 for i in range(n) for j in range(i + 1, n)
+                  if intersects(ss[i], ss[j]))
+        out.append((int(g), n, cnt))
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def seg_intersections_oracle_sql(sf_dir: str) -> str:
+    rows = seg_intersections_expected(sf_dir)
+    return _values_sql(
+        rows,
+        "CAST(c0 AS BIGINT) AS g, CAST(c1 AS INTEGER) AS n_segments, "
+        "CAST(c2 AS BIGINT) AS n_intersecting",
+        "g", ncols=3,
+    )

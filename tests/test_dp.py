@@ -304,3 +304,19 @@ def test_gale_shapley_is_proposer_optimal(seed):
     for m in allm:
         for p in range(n):
             assert prank[p][got[p]] <= prank[p][m[p]]
+
+
+# --------------------------------------------------- closest pair
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=2, max_size=25, unique=True))
+def test_closest_pair_matches_brute(pts):
+    from imagery_utils_spark.operators.dp import closest_pair_d2
+
+    want_best = min((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                    for a, b in itertools.combinations(pts, 2))
+    want_cnt = sum(1 for a, b in itertools.combinations(pts, 2)
+                   if (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                   == want_best)
+    assert closest_pair_d2(pts) == (want_best, want_cnt)
