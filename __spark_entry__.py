@@ -7483,6 +7483,36 @@ def q_segment_intersections(spark, sf_dir) -> DataFrame:
             .orderBy("g"))
 
 
+def q_kl_divergence(spark, sf_dir) -> DataFrame:
+    """KL divergence between source corpora over shared language
+    support — the drift alarm companion to hist_intersect: each term
+    pₐ·log₂(pₐ/p_b) is ONE IEEE chain over the four exact integers
+    (cₐ,nₐ,c_b,n_b), floored ×10⁹ before the cross-term sum (bigint
+    accumulation ⇒ partition-order-free). Restricted to langs present
+    in BOTH sources (documented ε-free support policy); the kept/total
+    mass numerators are exact integers."""
+    docs = load(spark, sf_dir, "documents")
+    prof = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    p = prof.join(tot, "source")
+    a = p.select(F.col("source").alias("sa"), "lang",
+                 F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = p.select(F.col("source").alias("sb"), "lang",
+                 F.col("c").alias("cb"), F.col("n").alias("nb"))
+    j = a.join(b, "lang").filter(F.col("sa") != F.col("sb"))
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    ratio = (F.col("ca") * F.col("nb")).cast("double") / \
+        (F.col("cb") * F.col("na")).cast("double")
+    term = F.floor(pa * F.log2(ratio) * 1e9).cast("long")
+    return (j.groupBy("sa", "sb")
+            .agg(F.count(F.lit(1)).alias("n_shared_langs"),
+                 F.sum("ca").alias("kept_mass_num"),
+                 F.max("na").alias("kept_mass_den"),
+                 F.sum(term).alias("kl_e9"))
+            .orderBy("sa", "sb"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7773,6 +7803,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_matching": q_stable_matching,
         "closest_pair": q_closest_pair,
         "segment_intersections": q_segment_intersections,
+        "kl_divergence": q_kl_divergence,
     }
 
 
@@ -10728,6 +10759,24 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(last_touch, 0) AS last_touch, linear_micro "
             "FROM lin LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch) "
             "ORDER BY ch"
+        ),
+        "kl_divergence": (
+            "WITH prof AS (SELECT source, lang, count(*) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY source), "
+            "p AS (SELECT prof.source, lang, c, n FROM prof "
+            "JOIN tot USING (source)), "
+            "j AS (SELECT a.source AS sa, b.source AS sb, "
+            "a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb "
+            "FROM p a JOIN p b ON a.lang = b.lang "
+            "AND a.source <> b.source) "
+            "SELECT sa, sb, count(*) AS n_shared_langs, "
+            "sum(ca) AS kept_mass_num, max(na) AS kept_mass_den, "
+            "sum(cast(floor(cast(ca as double) / cast(na as double) "
+            "* log2(cast(ca * nb as double) / cast(cb * na as "
+            "double)) * 1e9) as bigint)) AS kl_e9 "
+            "FROM j GROUP BY sa, sb ORDER BY sa, sb"
         ),
         "hist_intersect": (
             "WITH prof AS (SELECT source, lang, count(*) AS c "
