@@ -7513,6 +7513,91 @@ def q_kl_divergence(spark, sf_dir) -> DataFrame:
             .orderBy("sa", "sb"))
 
 
+def q_haar_wavelet(spark, sf_dir) -> DataFrame:
+    """Unnormalized integer Haar decomposition (the lifting scheme,
+    Sweldens form: s=a+b, d=a−b per level) of each series' first 16
+    daily totals — the multiresolution summary under compression/
+    anomaly pipelines, exact at every level. ENGINE runs the recursive
+    lifting; the ORACLE computes every coefficient CLOSED-FORM as a
+    signed dyadic-block sum (d_k[j] = first-half − second-half of
+    block j at width 2^k) — two different derivations of the same
+    algebra. Long-form output keys coefficients by (level, j)."""
+    import pandas as pd
+
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("cents") / 1000).cast("long").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    first16 = (daily.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 16))
+
+    def work(key, pdf):
+        pdf = pdf.sort_values("rn")
+        xs = [int(v) for v in pdf["y"]]
+        rows = []
+        s = xs
+        level = 0
+        while len(s) > 1:
+            level += 1
+            nxt, det = [], []
+            for j in range(len(s) // 2):
+                nxt.append(s[2 * j] + s[2 * j + 1])
+                det.append(s[2 * j] - s[2 * j + 1])
+            for j, dv in enumerate(det):
+                rows.append((key[0], level, j, dv))
+            s = nxt
+        rows.append((key[0], 99, 0, s[0]))  # final smooth = total sum
+        return pd.DataFrame(rows, columns=["event_type", "level",
+                                           "j", "coef"])
+
+    return (first16.groupBy("event_type")
+            .applyInPandas(work, "event_type string, level int, "
+                                 "j int, coef long")
+            .orderBy("event_type", "level", "j"))
+
+
+def q_symspell_pairs(spark, sf_dir) -> DataFrame:
+    """SymSpell-style fuzzy vocabulary pairing — deletion-neighborhood
+    blocking (each token joins on itself + every single-character
+    deletion, generated as PURE JVM array algebra) followed by an
+    exact levenshtein ≤ 1 filter: the spell-correction/dedup candidate
+    pipeline whose COMPLETENESS (no lev≤1 pair escapes the blocking)
+    is the theorem under test. Oracle: brute-force all-pairs
+    levenshtein over the same vocabulary — DuckDB's independent edit-
+    distance implementation."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != "")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.desc("c"), "tok")
+    vocab = (freq.withColumn("r", F.row_number().over(wv))
+             .filter(F.col("r") <= 300).select("tok"))
+    variants = vocab.select(
+        "tok",
+        F.explode(F.array_union(
+            F.array(F.col("tok")),
+            F.expr("transform(sequence(1, length(tok)), i -> "
+                   "concat(substr(tok, 1, i - 1), "
+                   "substr(tok, i + 1, length(tok))))")))
+        .alias("v"))
+    a = variants.select(F.col("tok").alias("ta"), "v")
+    b = variants.select(F.col("tok").alias("tb"), "v")
+    cand = (a.join(b, "v").filter(F.col("ta") < F.col("tb"))
+            .select("ta", "tb").distinct())
+    pairs = cand.filter(F.levenshtein("ta", "tb") <= 1)
+    return (pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(F.length("ta") + F.length("tb")),
+                   F.lit(0).cast("long")).alias("len_sum"),
+        F.sha2(F.concat_ws("\n", F.array_sort(F.collect_list(
+            F.concat("ta", F.lit("|"), "tb")))), 256).alias("pairs_sha")))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7804,6 +7889,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_pair": q_closest_pair,
         "segment_intersections": q_segment_intersections,
         "kl_divergence": q_kl_divergence,
+        "haar_wavelet": q_haar_wavelet,
+        "symspell_pairs": q_symspell_pairs,
     }
 
 
@@ -10759,6 +10846,45 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(last_touch, 0) AS last_touch, linear_micro "
             "FROM lin LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch) "
             "ORDER BY ch"
+        ),
+        # Haar — closed-form signed dyadic-block sums, no recursion.
+        "haar_wavelet": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "cast(sum(cast(floor(value * 100) as bigint)) // 1000 "
+            "as bigint) AS y FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day) - 1 AS i "
+            "FROM daily), "
+            "x AS (SELECT event_type, i, y FROM r WHERE i < 16), "
+            "d AS (SELECT event_type, k.k AS level, "
+            "cast(i // (1 << k.k) as int) AS j, "
+            "sum(CASE WHEN ((i >> (k.k - 1)) & 1) = 0 THEN y "
+            "ELSE -y END) AS coef "
+            "FROM x CROSS JOIN (SELECT unnest(generate_series(1, 4)) "
+            "AS k) k GROUP BY 1, 2, 3), "
+            "s AS (SELECT event_type, 99 AS level, 0 AS j, "
+            "sum(y) AS coef FROM x GROUP BY event_type) "
+            "SELECT event_type, cast(level as int) AS level, "
+            "cast(j as int) AS j, coef FROM (SELECT * FROM d "
+            "UNION ALL SELECT * FROM s) "
+            "ORDER BY event_type, level, j"
+        ),
+        # SymSpell — brute-force all-pairs levenshtein (DuckDB's own
+        # edit-distance implementation) over the same vocabulary.
+        "symspell_pairs": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split("
+            "lower(text), ' '), x -> x <> '')) AS tok FROM documents), "
+            "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1), "
+            "vocab AS (SELECT tok, row_number() OVER (ORDER BY c "
+            "DESC, tok) AS r FROM freq QUALIFY r <= 300), "
+            "p AS (SELECT a.tok AS ta, b.tok AS tb FROM vocab a "
+            "JOIN vocab b ON a.tok < b.tok "
+            "WHERE levenshtein(a.tok, b.tok) <= 1) "
+            "SELECT count(*) AS n_pairs, "
+            "coalesce(sum(length(ta) + length(tb)), 0) AS len_sum, "
+            "sha256(coalesce(string_agg(ta || '|' || tb, chr(10) "
+            "ORDER BY ta || '|' || tb), '')) AS pairs_sha FROM p"
         ),
         "kl_divergence": (
             "WITH prof AS (SELECT source, lang, count(*) AS c "
