@@ -7598,6 +7598,66 @@ def q_symspell_pairs(spark, sf_dir) -> DataFrame:
             F.concat("ta", F.lit("|"), "tb")))), 256).alias("pairs_sha")))
 
 
+NOT_IN_NULL_TEXT = (
+    "WITH sub_with_null AS (SELECT o_custkey AS k FROM orders "
+    "WHERE o_orderkey % 3 = 0 UNION ALL SELECT NULL), "
+    "sub_clean AS (SELECT o_custkey AS k FROM orders "
+    "WHERE o_orderkey % 3 = 0 AND o_custkey IS NOT NULL) "
+    "SELECT "
+    "(SELECT count(*) FROM customer WHERE c_custkey NOT IN "
+    "(SELECT k FROM sub_with_null)) AS n_not_in_with_null, "
+    "(SELECT count(*) FROM customer WHERE c_custkey NOT IN "
+    "(SELECT k FROM sub_clean)) AS n_not_in_clean, "
+    "(SELECT count(*) FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM sub_clean s WHERE s.k = c.c_custkey)) "
+    "AS n_not_exists"
+)
+
+
+def q_not_in_null_trap(spark, sf_dir) -> DataFrame:
+    """The NOT IN three-valued-logic trap, pinned as VERBATIM shared
+    ANSI text (sql_surface family): against a subquery containing a
+    NULL, NOT IN returns ZERO rows (x <> NULL is UNKNOWN, so no row
+    ever satisfies the predicate) while the NULL-filtered NOT IN and
+    NOT EXISTS agree on the real anti-join count — the single most
+    common silent-wrong-answer bug in migration SQL, demonstrated by
+    both engines producing the same three counts."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(NOT_IN_NULL_TEXT)
+
+
+def q_ignore_nulls_window(spark, sf_dir) -> DataFrame:
+    """IGNORE NULLS window semantics — forward-fill (last non-null so
+    far) over a sparse series, the gap-carry idiom of sensor/metric
+    tables: Spark's last(col, ignorenulls=True) vs DuckDB's
+    last_value(col IGNORE NULLS), both over the identical frame.
+    Output pins the filled series whole (sha per group) plus the
+    null-bookkeeping counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ep"), "event_id",
+        F.when(F.col("event_id") % 3 == 0,
+               F.floor(F.col("value") * 100).cast("long"))
+        .alias("v"))
+    w = (Window.partitionBy("event_type").orderBy("ep", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = ev.withColumn("filled", F.last("v", ignorenulls=True).over(w))
+    return (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("v").isNull().cast("int")).alias("n_null"),
+                 F.sum(F.col("filled").isNull().cast("int"))
+                 .alias("n_still_null"),
+                 F.sum("filled").alias("sum_filled"),
+                 F.sha2(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         "ep", "event_id",
+                         F.coalesce(F.col("filled").cast("string"),
+                                    F.lit("x")).alias("fv")))),
+                     lambda r: r["fv"])), 256).alias("series_sha"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -7891,6 +7951,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_divergence": q_kl_divergence,
         "haar_wavelet": q_haar_wavelet,
         "symspell_pairs": q_symspell_pairs,
+        "not_in_null_trap": q_not_in_null_trap,
+        "ignore_nulls_window": q_ignore_nulls_window,
     }
 
 
@@ -10846,6 +10908,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(last_touch, 0) AS last_touch, linear_micro "
             "FROM lin LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch) "
             "ORDER BY ch"
+        ),
+        # NOT IN trap — VERBATIM shared ANSI text.
+        "not_in_null_trap": NOT_IN_NULL_TEXT,
+        "ignore_nulls_window": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) AS ep, event_id, "
+            "CASE WHEN event_id % 3 = 0 THEN "
+            "cast(floor(value * 100) as bigint) END AS v FROM events), "
+            "t AS (SELECT event_type, ep, event_id, v, "
+            "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type "
+            "ORDER BY ep, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS filled FROM e) "
+            "SELECT event_type, count(*) AS n, "
+            "sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            "sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) "
+            "AS n_still_null, sum(filled) AS sum_filled, "
+            "sha256(string_agg(coalesce(cast(filled as varchar), "
+            "'x'), ',' ORDER BY ep, event_id)) AS series_sha "
+            "FROM t GROUP BY event_type ORDER BY event_type"
         ),
         # Haar — closed-form signed dyadic-block sums, no recursion.
         "haar_wavelet": (
