@@ -7598,6 +7598,81 @@ def q_symspell_pairs(spark, sf_dir) -> DataFrame:
             F.concat("ta", F.lit("|"), "tb")))), 256).alias("pairs_sha")))
 
 
+def q_hodges_lehmann(spark, sf_dir) -> DataFrame:
+    """Hodges–Lehmann robust location estimator per series — the
+    median of all pairwise Walsh averages (xᵢ+xⱼ)/2, i≤j, kept EXACT
+    by carrying 2·HL (the pairwise SUM) and selecting the discrete
+    lower-median by row_number = floor((m+1)/2) — a definition both
+    engines implement identically with zero interpolation. The
+    pairwise self-join is the O(n²) battery profile; at scale this
+    runs per-group after one shuffle."""
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("cents") / 1000).cast("long").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w)) \
+        .filter(F.col("i") <= 60)
+    a = idx.select("event_type", F.col("i").alias("ia"),
+                   F.col("y").alias("ya"))
+    b = idx.select("event_type", F.col("i").alias("ib"),
+                   F.col("y").alias("yb"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("ia") <= F.col("ib"))
+             .select("event_type",
+                     (F.col("ya") + F.col("yb")).alias("s")))
+    ws = Window.partitionBy("event_type").orderBy("s")
+    r = pairs.withColumn("rn", F.row_number().over(ws))
+    m = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    med = (r.join(F.broadcast(m), "event_type")
+           .filter(F.col("rn") == F.floor((F.col("m") + 1) / 2)))
+    return (med.select("event_type", "m",
+                       F.col("s").alias("two_hl"))
+            .orderBy("event_type"))
+
+
+def q_runs_test(spark, sf_dir) -> DataFrame:
+    """Wald–Wolfowitz runs test over each series' above/below-median
+    daily sign sequence — the randomness screen: the discrete median
+    (lower median, exact), sign classification (ties to the median
+    excluded, documented), run count via ONE lag window (a run starts
+    where the sign changes), and n₊/n₋ — all exact integers."""
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("cents") / 1000).cast("long").alias("y")))
+    wv = Window.partitionBy("event_type").orderBy("y", "day")
+    cnt = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    med = (daily.withColumn("rv", F.row_number().over(wv))
+           .join(F.broadcast(cnt), "event_type")
+           .filter(F.col("rv") == F.floor((F.col("n") + 1) / 2))
+           .select("event_type", F.col("y").alias("median")))
+    t = (daily.join(F.broadcast(med), "event_type")
+         .filter(F.col("y") != F.col("median"))
+         .select("event_type", "day",
+                 F.when(F.col("y") > F.col("median"), 1).otherwise(-1)
+                 .alias("sgn")))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    t = t.withColumn("prev", F.lag("sgn").over(wd))
+    return (t.groupBy("event_type")
+            .agg(F.sum(F.when(F.col("prev").isNull()
+                              | (F.col("sgn") != F.col("prev")), 1)
+                       .otherwise(0)).alias("n_runs"),
+                 F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+                 .alias("n_plus"),
+                 F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+                 .alias("n_minus"))
+            .orderBy("event_type"))
+
+
 NOT_IN_NULL_TEXT = (
     "WITH sub_with_null AS (SELECT o_custkey AS k FROM orders "
     "WHERE o_orderkey % 3 = 0 UNION ALL SELECT NULL), "
@@ -7953,6 +8028,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_pairs": q_symspell_pairs,
         "not_in_null_trap": q_not_in_null_trap,
         "ignore_nulls_window": q_ignore_nulls_window,
+        "hodges_lehmann": q_hodges_lehmann,
+        "runs_test": q_runs_test,
     }
 
 
@@ -10908,6 +10985,48 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(last_touch, 0) AS last_touch, linear_micro "
             "FROM lin LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch) "
             "ORDER BY ch"
+        ),
+        "hodges_lehmann": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "cast(sum(cast(floor(value * 100) as bigint)) // 1000 "
+            "as bigint) AS y FROM events GROUP BY 1, 2), "
+            "idx AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day) AS i FROM daily "
+            "QUALIFY i <= 60), "
+            "p AS (SELECT a.event_type, a.y + b.y AS s "
+            "FROM idx a JOIN idx b ON a.event_type = b.event_type "
+            "AND a.i <= b.i), "
+            "r AS (SELECT event_type, s, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY s) AS rn FROM p), "
+            "m AS (SELECT event_type, count(*) AS m FROM p "
+            "GROUP BY event_type) "
+            "SELECT r.event_type, m, s AS two_hl FROM r "
+            "JOIN m USING (event_type) "
+            "WHERE rn = (m + 1) // 2 ORDER BY event_type"
+        ),
+        "runs_test": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "cast(sum(cast(floor(value * 100) as bigint)) // 1000 "
+            "as bigint) AS y FROM events GROUP BY 1, 2), "
+            "cnt AS (SELECT event_type, count(*) AS n FROM daily "
+            "GROUP BY event_type), "
+            "rv AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY y, day) AS rv "
+            "FROM daily), "
+            "med AS (SELECT rv.event_type, y AS median FROM rv "
+            "JOIN cnt USING (event_type) WHERE rv = (n + 1) // 2), "
+            "t AS (SELECT daily.event_type, day, CASE WHEN y > median "
+            "THEN 1 ELSE -1 END AS sgn FROM daily JOIN med "
+            "USING (event_type) WHERE y <> median), "
+            "l AS (SELECT event_type, sgn, lag(sgn) OVER ("
+            "PARTITION BY event_type ORDER BY day) AS prev FROM t) "
+            "SELECT event_type, sum(CASE WHEN prev IS NULL OR "
+            "sgn <> prev THEN 1 ELSE 0 END) AS n_runs, "
+            "sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n_plus, "
+            "sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n_minus "
+            "FROM l GROUP BY event_type ORDER BY event_type"
         ),
         # NOT IN trap — VERBATIM shared ANSI text.
         "not_in_null_trap": NOT_IN_NULL_TEXT,
