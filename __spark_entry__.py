@@ -7673,6 +7673,43 @@ def q_runs_test(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_benjamini_hochberg(spark, sf_dir) -> DataFrame:
+    """Benjamini–Hochberg FDR control (1995) — the multiple-testing
+    gate a metrics platform runs over thousands of simultaneous
+    hypotheses: p-values live as EXACT ten-thousandths (hash-derived
+    integers x ∈ [0,10000)), the step-up rule 'largest k with p₍ₖ₎ ≤
+    k·α/m' is decided purely by cross-multiplied integers
+    (x₍ₖ₎·m·20 ≤ k·10000 at α = 0.05), and every p below the cutoff
+    rank is rejected — zero floats in the decision path. One sort
+    window + one max + one count per family."""
+    d = F.col("doc_id")
+    x = (F.conv(F.substring(F.sha2(F.concat(F.lit("pv:"),
+                                            d.cast("string")), 256),
+                            1, 8), 16, 10).cast("long") % 10000)
+    fam = (d % 4).alias("family")
+    t = load(spark, sf_dir, "documents").select(fam, x.alias("x"))
+    # row_number over x alone: ties reorder freely but x-at-rank-k is
+    # the sorted multiset, so every output is tie-order-invariant
+    wk = Window.partitionBy("family").orderBy("x")
+    r = t.withColumn("k", F.row_number().over(wk))
+    m = t.groupBy("family").agg(F.count(F.lit(1)).alias("m"))
+    j = r.join(F.broadcast(m), "family")
+    ok = j.filter(F.col("x") * F.col("m") * 20
+                  <= F.col("k") * 10000)
+    kmax = ok.groupBy("family").agg(F.max("k").alias("k_reject"))
+    out = (m.join(kmax, "family", "left")
+           .select("family", "m",
+                   F.coalesce("k_reject", F.lit(0)).alias("k_reject")))
+    thr = (r.join(out.select("family", "k_reject"), "family")
+           .filter(F.col("k") == F.col("k_reject"))
+           .select("family", F.col("x").alias("x_threshold")))
+    return (out.join(thr, "family", "left")
+            .select("family", "m", "k_reject",
+                    F.coalesce("x_threshold", F.lit(-1))
+                    .alias("x_threshold"))
+            .orderBy("family"))
+
+
 NOT_IN_NULL_TEXT = (
     "WITH sub_with_null AS (SELECT o_custkey AS k FROM orders "
     "WHERE o_orderkey % 3 = 0 UNION ALL SELECT NULL), "
@@ -8030,6 +8067,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ignore_nulls_window": q_ignore_nulls_window,
         "hodges_lehmann": q_hodges_lehmann,
         "runs_test": q_runs_test,
+        "benjamini_hochberg": q_benjamini_hochberg,
     }
 
 
@@ -10985,6 +11023,27 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(last_touch, 0) AS last_touch, linear_micro "
             "FROM lin LEFT JOIN ft USING (ch) LEFT JOIN lt USING (ch) "
             "ORDER BY ch"
+        ),
+        "benjamini_hochberg": (
+            "WITH t AS (SELECT doc_id % 4 AS family, "
+            "cast('0x' || substr(sha256('pv:' || cast(doc_id as "
+            "varchar)), 1, 8) as bigint) % 10000 AS x "
+            "FROM documents), "
+            "r AS (SELECT family, x, row_number() OVER (PARTITION BY "
+            "family ORDER BY x) AS k FROM t), "
+            "m AS (SELECT family, count(*) AS m FROM t "
+            "GROUP BY family), "
+            "ok AS (SELECT r.family, k FROM r JOIN m USING (family) "
+            "WHERE x * m * 20 <= k * 10000), "
+            "km AS (SELECT family, max(k) AS k_reject FROM ok "
+            "GROUP BY family), "
+            "o AS (SELECT m.family, m.m, coalesce(k_reject, 0) "
+            "AS k_reject FROM m LEFT JOIN km USING (family)), "
+            "thr AS (SELECT r.family, x AS x_threshold FROM r "
+            "JOIN o USING (family) WHERE r.k = o.k_reject) "
+            "SELECT o.family, m, k_reject, "
+            "coalesce(x_threshold, -1) AS x_threshold FROM o "
+            "LEFT JOIN thr USING (family) ORDER BY family"
         ),
         "hodges_lehmann": (
             "WITH daily AS (SELECT event_type, "
