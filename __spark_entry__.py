@@ -7770,6 +7770,142 @@ def q_ignore_nulls_window(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _daily_series(spark, sf_dir):
+    """Shared daily integer series per event_type: summed cents/day."""
+    return (load(spark, sf_dir, "events")
+            .select("event_type",
+                    (F.unix_timestamp("ts") / 86400).cast("long")
+                    .alias("day"),
+                    F.floor(F.col("value") * 100).cast("long")
+                    .alias("cents"))
+            .groupBy("event_type", "day")
+            .agg(F.sum("cents").alias("y")))
+
+
+_DAILY_SQL = (
+    "SELECT event_type, cast(floor(epoch(ts)) as bigint) // 86400 "
+    "AS day, sum(cast(floor(value * 100) as bigint)) AS y "
+    "FROM events GROUP BY 1, 2")
+
+
+def q_theil_sen(spark, sf_dir) -> DataFrame:
+    """Theil–Sen robust slope per series — the median of all pairwise
+    slopes (yⱼ−yᵢ)/(j−i), i<j over the day-indexed series. The engine
+    never sorts a float: the k-th smallest slope is selected by EXACT
+    cross-multiplied integer rank counting (slope_q < slope_p ⇔
+    dy_q·dx_p < dy_p·dx_q, both dx > 0), so the pick is decided purely
+    in int64 and only the final division runs in IEEE doubles. The
+    oracle instead sorts double slopes and indexes the lower median —
+    two mechanically different selection procedures that must agree
+    because equal rationals round to identical doubles."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = (_daily_series(spark, sf_dir)
+           .withColumn("i", F.row_number().over(w))
+           .filter(F.col("i") <= 60))
+    a = idx.select("event_type", F.col("i").alias("ia"),
+                   F.col("y").alias("ya"))
+    b = idx.select("event_type", F.col("i").alias("ib"),
+                   F.col("y").alias("yb"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("ia") < F.col("ib"))
+             .select("event_type",
+                     ((F.col("ia") * F.lit(1000)) + F.col("ib"))
+                     .alias("pid"),
+                     (F.col("yb") - F.col("ya")).alias("dy"),
+                     (F.col("ib") - F.col("ia")).alias("dx")))
+    p = pairs.select("event_type", "pid",
+                     F.col("dy").alias("dyp"), F.col("dx").alias("dxp"))
+    q = pairs.select("event_type",
+                     F.col("dy").alias("dyq"), F.col("dx").alias("dxq"))
+    ranks = (p.join(q, "event_type")
+             .groupBy("event_type", "pid", "dyp", "dxp")
+             .agg(F.sum((F.col("dyq") * F.col("dxp")
+                         < F.col("dyp") * F.col("dxq")).cast("long"))
+                  .alias("cnt_lt"),
+                  F.sum((F.col("dyq") * F.col("dxp")
+                         <= F.col("dyp") * F.col("dxq")).cast("long"))
+                  .alias("cnt_le")))
+    m = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("m_pairs"))
+    k = F.floor((F.col("m_pairs") + 1) / 2)
+    med = (ranks.join(F.broadcast(m), "event_type")
+           .filter((F.col("cnt_lt") <= k - 1) & (F.col("cnt_le") >= k)))
+    return (med.groupBy("event_type", "m_pairs")
+            .agg(F.count(F.lit(1)).alias("n_at_median"),
+                 F.min(F.col("dyp").cast("double") / F.col("dxp"))
+                 .alias("slope"))
+            .select("event_type", "m_pairs", "n_at_median", "slope")
+            .orderBy("event_type"))
+
+
+def q_mann_kendall(spark, sf_dir) -> DataFrame:
+    """Mann–Kendall trend test per series, S and the tie-corrected
+    18·Var(S), all exact integers. The engine never sums signs: it
+    counts ONLY the concordant pairs P (yⱼ > yᵢ, j later), takes the
+    tie census per value (T = Σ C(t,2)), and derives S = P − M with
+    M = C(n,2) − P − T — pure combinatorics. The oracle computes S the
+    definitional way, Σ_{i<j} sign(yⱼ−yᵢ), so agreement pins the
+    identity P + M + T = C(n,2) on real data."""
+    daily = _daily_series(spark, sf_dir)
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select("event_type", F.col("day").alias("da"),
+                     F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("day").alias("db"),
+                     F.col("y").alias("yb"))
+    p = (a.join(b, "event_type")
+         .filter(F.col("da") < F.col("db"))
+         .groupBy("event_type")
+         .agg(F.sum((F.col("yb") > F.col("ya")).cast("long"))
+              .alias("p_up")))
+    ties = (daily.groupBy("event_type", "y")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long")
+                 .alias("t_pairs"),
+                 F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_var")))
+    j = (n.join(p, "event_type").join(ties, "event_type"))
+    total = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    m_dn = total - F.col("p_up") - F.col("t_pairs")
+    return (j.select(
+        "event_type", "n",
+        (F.col("p_up") - m_dn).alias("s"),
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+         - F.col("tie_var")).alias("var18"))
+        .orderBy("event_type"))
+
+
+def q_max_drawdown(spark, sf_dir) -> DataFrame:
+    """Maximum drawdown of each series' cumulative daily total — the
+    risk metric: ddⱼ = max_{i≤j} cumᵢ − cumⱼ, reported as max and sum
+    over j, exact integers. The engine is the O(n) single-pass form
+    (running-max window over the running-sum window); the oracle is
+    the O(n²) definition (per-j max over an i≤j self-join) — the
+    classic quadratic-to-linear rewrite, proven equivalent on data.
+    The daily series is SIGNED (even event_ids credit, odd ones debit)
+    so the cumulative walk actually draws down — an all-positive
+    series would pin nothing but zeros."""
+    daily = (load(spark, sf_dir, "events")
+             .select("event_type",
+                     (F.unix_timestamp("ts") / 86400).cast("long")
+                     .alias("day"),
+                     (F.when(F.col("event_id") % 2 == 0, 1)
+                      .otherwise(-1)
+                      * F.floor(F.col("value") * 100).cast("long"))
+                     .alias("cents"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("cents").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t = (daily.withColumn("cum", F.sum("y").over(w))
+         .withColumn("peak", F.max("cum").over(w))
+         .withColumn("dd", F.col("peak") - F.col("cum")))
+    return (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.max("dd").alias("max_dd"),
+                 F.sum("dd").alias("sum_dd"))
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8068,6 +8204,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hodges_lehmann": q_hodges_lehmann,
         "runs_test": q_runs_test,
         "benjamini_hochberg": q_benjamini_hochberg,
+        "theil_sen": q_theil_sen,
+        "mann_kendall": q_mann_kendall,
+        "max_drawdown": q_max_drawdown,
     }
 
 
@@ -11044,6 +11183,71 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.family, m, k_reject, "
             "coalesce(x_threshold, -1) AS x_threshold FROM o "
             "LEFT JOIN thr USING (family) ORDER BY family"
+        ),
+        # Theil–Sen oracle: definitional double-sort median selection
+        # (the engine selects by integer cross-multiplied ranks).
+        "theil_sen": (
+            "WITH daily AS (" + _DAILY_SQL + "), "
+            "idx AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day) AS i FROM daily "
+            "QUALIFY i <= 60), "
+            "p AS (SELECT a.event_type, b.y - a.y AS dy, "
+            "b.i - a.i AS dx, "
+            "cast(b.y - a.y as double) / (b.i - a.i) AS sl "
+            "FROM idx a JOIN idx b ON a.event_type = b.event_type "
+            "AND a.i < b.i), "
+            "r AS (SELECT event_type, sl, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY sl) AS rn FROM p), "
+            "m AS (SELECT event_type, count(*) AS m_pairs FROM p "
+            "GROUP BY event_type), "
+            "med AS (SELECT r.event_type, m_pairs, sl AS slope "
+            "FROM r JOIN m USING (event_type) "
+            "WHERE rn = (m_pairs + 1) // 2), "
+            "eq AS (SELECT p.event_type, count(*) AS n_at_median "
+            "FROM p JOIN med ON p.event_type = med.event_type "
+            "AND p.sl = med.slope GROUP BY p.event_type) "
+            "SELECT event_type, m_pairs, n_at_median, slope "
+            "FROM med JOIN eq USING (event_type) ORDER BY event_type"
+        ),
+        # Mann–Kendall oracle: definitional signed pair sum (the
+        # engine derives S from P-up + tie census + C(n,2)).
+        "mann_kendall": (
+            "WITH daily AS (" + _DAILY_SQL + "), "
+            "n AS (SELECT event_type, count(*) AS n FROM daily "
+            "GROUP BY event_type), "
+            "s AS (SELECT a.event_type, "
+            "sum(cast(sign(b.y - a.y) as bigint)) AS s "
+            "FROM daily a JOIN daily b "
+            "ON a.event_type = b.event_type AND a.day < b.day "
+            "GROUP BY a.event_type), "
+            "ties AS (SELECT event_type, "
+            "sum(t * (t - 1) * (2 * t + 5)) AS tie_var FROM ("
+            "SELECT event_type, y, count(*) AS t FROM daily "
+            "GROUP BY event_type, y) GROUP BY event_type) "
+            "SELECT event_type, n, s, "
+            "n * (n - 1) * (2 * n + 5) - tie_var AS var18 "
+            "FROM n JOIN s USING (event_type) "
+            "JOIN ties USING (event_type) ORDER BY event_type"
+        ),
+        # Max-drawdown oracle: the O(n²) definition (per-j max over an
+        # i ≤ j self-join); the engine is the O(n) window pass.
+        "max_drawdown": (
+            "WITH daily AS (SELECT event_type, "
+            "cast(floor(epoch(ts)) as bigint) // 86400 AS day, "
+            "sum((CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END) "
+            "* cast(floor(value * 100) as bigint)) AS y "
+            "FROM events GROUP BY 1, 2), "
+            "c AS (SELECT event_type, day, sum(y) OVER ("
+            "PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum FROM daily), "
+            "dd AS (SELECT j.event_type, j.day, "
+            "max(i.cum) - j.cum AS dd FROM c j JOIN c i "
+            "ON i.event_type = j.event_type AND i.day <= j.day "
+            "GROUP BY j.event_type, j.day, j.cum) "
+            "SELECT event_type, count(*) AS n_days, "
+            "max(dd) AS max_dd, sum(dd) AS sum_dd "
+            "FROM dd GROUP BY event_type ORDER BY event_type"
         ),
         "hodges_lehmann": (
             "WITH daily AS (SELECT event_type, "
