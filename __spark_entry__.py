@@ -7906,6 +7906,115 @@ def q_max_drawdown(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _mst_hash(col):
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10) \
+        .cast("long")
+
+
+def q_mst_edges(spark, sf_dir) -> DataFrame:
+    """Minimum spanning tree of a deterministic 48-node weighted graph
+    (hash-derived extra edges over a connectivity spine; weights
+    carry the edge id in their low bits so they are pairwise DISTINCT
+    — the MST is therefore UNIQUE and both engines must produce the
+    identical edge set, pinned by sha). Engine: distributed Borůvka —
+    per-round min-edge-per-component window + component-graph
+    contraction via large-star/small-star, O(log n) rounds, nothing
+    collected. Oracle: sequential Prim inside a DuckDB recursive CTE
+    growing a visited list. Two classical algorithms from opposite
+    ends of the parallelism spectrum, agreeing edge-for-edge."""
+    from imagery_utils_spark.operators.graph import \
+        minimum_spanning_forest
+    V = 48
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400).select("doc_id"))
+    d = F.col("doc_id").cast("string")
+    ex = (docs.select(
+        (_mst_hash(F.concat(F.lit("mu:"), d)) % V).alias("a"),
+        (_mst_hash(F.concat(F.lit("mv:"), d)) % V).alias("b"))
+        .filter(F.col("a") != F.col("b")))
+    spine = spark.range(V - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    pairs = (ex.select(F.least("a", "b").alias("u"),
+                       F.greatest("a", "b").alias("v"))
+             .unionByName(spine).distinct())
+    w = (_mst_hash(F.concat(F.lit("mw:"), F.col("u").cast("string"),
+                            F.lit(":"), F.col("v").cast("string")))
+         % 100000) * 4096 + F.col("u") * 64 + F.col("v")
+    mst = minimum_spanning_forest(pairs.withColumn("w", w))
+    tag = F.concat_ws("-", "u", "v", "w")
+    return mst.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("w").alias("total_w"),
+        F.sha2(F.concat_ws(",", F.array_sort(
+            F.collect_list(tag))), 256).alias("edges_sha"))
+
+
+def q_lis_length(spark, sf_dir) -> DataFrame:
+    """Longest strictly-increasing subsequence of each daily series —
+    engine: patience sorting (O(n log n), one bisect per element) as a
+    per-group kernel behind ONE groupBy shuffle; oracle: the O(n²)
+    textbook DP (f_i = 1 + max f_j, j < i, a_j < a_i) replayed inside
+    a DuckDB recursive CTE that carries the value and DP arrays as
+    lists. Different algorithm, same theorem."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = (_daily_series(spark, sf_dir)
+           .withColumn("i", F.row_number().over(w))
+           .filter(F.col("i") <= 60))
+
+    def fn(pdf):
+        import pandas as pd
+
+        from imagery_utils_spark.operators.dp import lis_length_patience
+
+        pdf = pdf.sort_values("i")
+        seq = [int(x) for x in pdf["y"]]
+        return pd.DataFrame([{
+            "event_type": pdf["event_type"].iloc[0],
+            "n": len(seq),
+            "lis": lis_length_patience(seq)}])
+
+    return (idx.groupBy("event_type")
+            .applyInPandas(fn, "event_type string, n long, lis long")
+            .orderBy("event_type"))
+
+
+def q_interval_schedule(spark, sf_dir) -> DataFrame:
+    """Activity selection per series — the maximum number of pairwise
+    non-overlapping [s, e) intervals. Engine: the earliest-finish
+    GREEDY (optimal by the exchange argument) as a per-group kernel.
+    Oracle: the weighted-interval-scheduling DP at unit weights
+    (f_i = max(f_{i−1}, 1 + f_{p(i)}), p(i) = last interval ending ≤
+    sᵢ) in a DuckDB recursive CTE. Greedy optimality is the theorem
+    the parity check proves on data."""
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type", "event_id",
+                  F.unix_timestamp("ts").cast("long").alias("s"),
+                  ((F.floor(F.col("value") * 100).cast("long") % 7200)
+                   + 60).alias("dur")))
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    iv = (ev.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= 40)
+          .select("event_type", "s", (F.col("s") + F.col("dur"))
+                  .alias("e")))
+
+    def fn(pdf):
+        import pandas as pd
+
+        from imagery_utils_spark.operators.dp import \
+            max_nonoverlap_intervals
+
+        ivs = list(zip((int(x) for x in pdf["s"]),
+                       (int(x) for x in pdf["e"])))
+        return pd.DataFrame([{
+            "event_type": pdf["event_type"].iloc[0],
+            "n_iv": len(ivs),
+            "best": max_nonoverlap_intervals(ivs)}])
+
+    return (iv.groupBy("event_type")
+            .applyInPandas(fn, "event_type string, n_iv long, best long")
+            .orderBy("event_type"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8207,6 +8316,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
         "max_drawdown": q_max_drawdown,
+        "mst_edges": q_mst_edges,
+        "lis_length": q_lis_length,
+        "interval_schedule": q_interval_schedule,
     }
 
 
@@ -11183,6 +11295,92 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.family, m, k_reject, "
             "coalesce(x_threshold, -1) AS x_threshold FROM o "
             "LEFT JOIN thr USING (family) ORDER BY family"
+        ),
+        # MST oracle: sequential Prim in a recursive CTE (the engine
+        # is distributed Borůvka); distinct weights => unique MST.
+        "mst_edges": (
+            "WITH ex AS (SELECT "
+            "cast('0x' || substr(sha256('mu:' || cast(doc_id as "
+            "varchar)), 1, 8) as bigint) % 48 AS a, "
+            "cast('0x' || substr(sha256('mv:' || cast(doc_id as "
+            "varchar)), 1, 8) as bigint) % 48 AS b "
+            "FROM documents WHERE doc_id < 400), "
+            "pairs AS (SELECT DISTINCT least(a, b) AS u, "
+            "greatest(a, b) AS v FROM ex WHERE a <> b "
+            "UNION SELECT i AS u, i + 1 AS v FROM range(47) t(i)), "
+            "edges AS (SELECT u, v, "
+            "(cast('0x' || substr(sha256('mw:' || cast(u as varchar) "
+            "|| ':' || cast(v as varchar)), 1, 8) as bigint) "
+            "% 100000) * 4096 + u * 64 + v AS w FROM pairs), "
+            "prim AS (WITH RECURSIVE walk(n, visited, total, picked) "
+            "AS (SELECT 1, [0]::BIGINT[], 0::HUGEINT, []::VARCHAR[] "
+            "UNION ALL SELECT n + 1, "
+            "list_append(visited, e.nv), total + e.w, "
+            "list_append(picked, e.tag) FROM walk, LATERAL ("
+            "SELECT CASE WHEN list_contains(visited, u) THEN v "
+            "ELSE u END AS nv, w, "
+            "cast(u as varchar) || '-' || cast(v as varchar) || '-' "
+            "|| cast(w as varchar) AS tag FROM edges "
+            "WHERE list_contains(visited, u) <> "
+            "list_contains(visited, v) ORDER BY w LIMIT 1) e "
+            "WHERE n < 48) "
+            "SELECT total, picked FROM walk WHERE n = 48) "
+            "SELECT len(picked) AS n_edges, "
+            "cast(total as bigint) AS total_w, "
+            "sha256(array_to_string(list_sort(picked), ',')) "
+            "AS edges_sha FROM prim"
+        ),
+        # LIS oracle: O(n²) textbook DP in a recursive CTE carrying
+        # the value + DP arrays (the engine is patience sorting).
+        "lis_length": (
+            "WITH daily AS (" + _DAILY_SQL + "), "
+            "idx AS (SELECT event_type, y, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day) AS i FROM daily "
+            "QUALIFY i <= 60), "
+            "n AS (SELECT event_type, count(*) AS n FROM idx "
+            "GROUP BY event_type), "
+            "dp AS (WITH RECURSIVE r(event_type, i, avals, fvals) AS ("
+            "SELECT event_type, 0, []::BIGINT[], []::BIGINT[] FROM n "
+            "UNION ALL SELECT r.event_type, r.i + 1, "
+            "list_append(avals, s.y), "
+            "list_append(fvals, 1 + coalesce(list_max("
+            "[fvals[j] for j in range(1, r.i + 1) "
+            "if avals[j] < s.y]), 0)) "
+            "FROM r JOIN idx s ON s.event_type = r.event_type "
+            "AND s.i = r.i + 1) "
+            "SELECT r.event_type, list_max(fvals) AS lis FROM r "
+            "JOIN n USING (event_type) WHERE r.i = n.n) "
+            "SELECT dp.event_type, n, lis FROM dp JOIN n "
+            "USING (event_type) ORDER BY event_type"
+        ),
+        # Interval-scheduling oracle: unit-weight DP f_i =
+        # max(f_{i-1}, 1 + f_{p(i)}) (the engine is the greedy).
+        "interval_schedule": (
+            "WITH ev AS (SELECT event_type, event_id, "
+            "cast(floor(epoch(ts)) as bigint) AS s, "
+            "(cast(floor(value * 100) as bigint) % 7200) + 60 AS dur, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY cast(floor(epoch(ts)) as bigint), event_id) "
+            "AS rn FROM events QUALIFY rn <= 40), "
+            "iv AS (SELECT event_type, s, s + dur AS e, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY s + dur, s, event_id) AS i FROM ev), "
+            "n AS (SELECT event_type, count(*) AS n FROM iv "
+            "GROUP BY event_type), "
+            "p AS (SELECT a.event_type, a.i, "
+            "coalesce(max(b.i), 0) AS pi FROM iv a "
+            "LEFT JOIN iv b ON b.event_type = a.event_type "
+            "AND b.e <= a.s GROUP BY a.event_type, a.i), "
+            "dp AS (WITH RECURSIVE r(event_type, i, vals) AS ("
+            "SELECT event_type, 0, [0]::BIGINT[] FROM n "
+            "UNION ALL SELECT r.event_type, r.i + 1, "
+            "list_append(vals, greatest(vals[r.i + 1], "
+            "1 + vals[p.pi + 1])) FROM r JOIN p "
+            "ON p.event_type = r.event_type AND p.i = r.i + 1) "
+            "SELECT r.event_type, vals[n.n + 1] AS best FROM r "
+            "JOIN n USING (event_type) WHERE r.i = n.n) "
+            "SELECT dp.event_type, n AS n_iv, best FROM dp JOIN n "
+            "USING (event_type) ORDER BY event_type"
         ),
         # Theil–Sen oracle: definitional double-sort median selection
         # (the engine selects by integer cross-multiplied ranks).
