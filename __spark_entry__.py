@@ -8015,6 +8015,99 @@ def q_interval_schedule(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_suffix_array(spark, sf_dir) -> DataFrame:
+    """Per-document suffix arrays by DISTRIBUTED PREFIX DOUBLING
+    (Manber–Myers 1990): ⌈log₂ n⌉ rounds, each one equi-join + one
+    dense_rank window — the Spark-native O(log n)-shuffle-sorts
+    construction. The oracle materialises every suffix as a string and
+    comparison-sorts them (the O(n²·log n) definition) — agreement
+    byte-for-byte (sha over the SA order) across eight documents.
+    Byte order: both engines compare ASCII text binarily."""
+    from imagery_utils_spark.operators.suffix import suffix_array
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 8)
+            .select("doc_id", F.substring("text", 1, 256).alias("t")))
+    chars = (docs.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0), F.length("t") - 1)).alias("i"))
+        .select("doc_id", "i",
+                F.expr("substring(t, i + 1, 1)").alias("c")))
+    sa = suffix_array(chars, doc="doc_id", pos="i", ch="c",
+                      max_len=256)
+    return (sa.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sha2(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("rank", "i"))),
+                     lambda r: r["i"].cast("string"))), 256)
+                 .alias("sa_sha"))
+            .orderBy("doc_id"))
+
+
+def q_merkle_root(spark, sf_dir) -> DataFrame:
+    """Merkle tree root over the first 50 document hashes (Merkle
+    1987; the Bitcoin odd-node rule — duplicate the last hash — is
+    exercised on purpose: 50 → 25 → 13 → 7 → 4 → 2 → 1). Engine: a
+    log-depth loop of groupBy-pair reductions, each level ONE shuffle
+    on pair index (how a 10⁹-leaf commitment tree actually reduces on
+    a cluster). Oracle: a DuckDB recursive CTE folding the hex-string
+    list level by level. Hashing is sha256 over concatenated hex
+    strings in both engines."""
+    # doc_id is dense 0..49 here, so it IS the leaf index — no global
+    # row_number window (which would single-partition 10⁹ leaves).
+    leaves = (load(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") < 50)
+              .select(F.col("doc_id").alias("idx"),
+                      F.sha2("text", 256).alias("h")))
+    lvl = leaves.localCheckpoint(eager=True)
+    n_leaves = lvl.count()
+    n = n_leaves
+    levels = 0
+    while n > 1:
+        lvl = (lvl.groupBy(F.floor(F.col("idx") / 2).alias("j"))
+               .agg(F.max(F.when(F.col("idx") % 2 == 0, F.col("h")))
+                    .alias("l"),
+                    F.max(F.when(F.col("idx") % 2 == 1, F.col("h")))
+                    .alias("r"))
+               .select(F.col("j").alias("idx"), F.sha2(F.concat(
+                   "l", F.coalesce("r", "l")), 256).alias("h"))
+               .localCheckpoint(eager=True))
+        n = (n + 1) // 2
+        levels += 1
+    return lvl.select(F.lit(n_leaves).alias("n_leaves"),
+                      F.lit(levels).alias("n_levels"),
+                      F.col("h").alias("root"))
+
+
+def q_adler32(spark, sf_dir) -> DataFrame:
+    """Adler-32 (RFC 1950 §8.2) of each document prefix — but computed
+    ORDER-FREE: A = (1 + Σcᵢ) and B = (n + Σ(n−i+1)·cᵢ) mod 65521 are
+    position-weighted plain aggregates, so the engine needs no
+    sequential fold at all (explode + groupBy, partition-order
+    immune). The oracle replays the RFC's stepwise byte fold in a
+    recursive CTE. The closed form ≡ the fold is the identity under
+    test; pytest additionally pins the closed form to CPython's
+    zlib.adler32."""
+    d = (load(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 50)
+         .select("doc_id", F.substring("text", 1, 400).alias("t")))
+    d = d.withColumn("n", F.length("t"))
+    c = (d.select("doc_id", "n",
+                  F.explode(F.sequence(F.lit(1), F.col("n")))
+                  .alias("i"))
+         .join(d.select("doc_id", "t"), "doc_id")
+         .select("doc_id", "n", "i",
+                 F.ascii(F.expr("substring(t, i, 1)")).alias("ch")))
+    agg = (c.groupBy("doc_id", "n")
+           .agg(((F.lit(1) + F.sum("ch")) % 65521).alias("a"),
+                ((F.col("n").cast("long") + F.sum(
+                    (F.col("n") - F.col("i") + 1) * F.col("ch")))
+                 % 65521).alias("b")))
+    return (agg.select("doc_id", "n",
+                       (F.col("b") * 65536 + F.col("a")).alias("adler"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8319,6 +8412,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_edges": q_mst_edges,
         "lis_length": q_lis_length,
         "interval_schedule": q_interval_schedule,
+        "suffix_array": q_suffix_array,
+        "merkle_root": q_merkle_root,
+        "adler32": q_adler32,
     }
 
 
@@ -11295,6 +11391,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.family, m, k_reject, "
             "coalesce(x_threshold, -1) AS x_threshold FROM o "
             "LEFT JOIN thr USING (family) ORDER BY family"
+        ),
+        # Suffix-array oracle: materialise every suffix, comparison-
+        # sort the strings (the engine is prefix doubling).
+        "suffix_array": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 256) AS t "
+            "FROM documents WHERE doc_id < 8), "
+            "suf AS (SELECT doc_id, i, substr(t, "
+            "cast(i as integer) + 1) AS sfx FROM d "
+            "JOIN range(256) r(i) ON i < len(t)), "
+            "o AS (SELECT doc_id, i, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY sfx) AS rn FROM suf) "
+            "SELECT doc_id, count(*) AS n, "
+            "sha256(string_agg(cast(i as varchar), ',' ORDER BY rn)) "
+            "AS sa_sha FROM o GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # Merkle oracle: recursive-CTE list fold, level by level
+        # (the engine is a log-depth groupBy-pair reduction).
+        "merkle_root": (
+            "WITH lv AS (SELECT count(*) AS n_leaves, "
+            "list(sha256(text) ORDER BY doc_id) AS hs "
+            "FROM documents WHERE doc_id < 50), "
+            "m AS (WITH RECURSIVE f(lvl, hs) AS ("
+            "SELECT 0, hs FROM lv "
+            "UNION ALL SELECT lvl + 1, "
+            "[sha256(hs[2 * j - 1] || coalesce(hs[2 * j], "
+            "hs[2 * j - 1])) for j in range(1, "
+            "cast(ceil(len(hs) / 2.0) as bigint) + 1)] "
+            "FROM f WHERE len(hs) > 1) "
+            "SELECT lvl, hs FROM f WHERE len(hs) = 1) "
+            "SELECT lv.n_leaves, m.lvl AS n_levels, "
+            "m.hs[1] AS root FROM m, lv"
+        ),
+        # Adler-32 oracle: the RFC 1950 stepwise byte fold (the
+        # engine is the order-free position-weighted closed form).
+        "adler32": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 400) AS t, "
+            "len(substr(text, 1, 400)) AS n FROM documents "
+            "WHERE doc_id < 50), "
+            "r AS (WITH RECURSIVE f(doc_id, i, a, b) AS ("
+            "SELECT doc_id, 0, 1::BIGINT, 0::BIGINT FROM d "
+            "UNION ALL SELECT f.doc_id, f.i + 1, "
+            "(f.a + ord(substr(d.t, cast(f.i as integer) + 1, 1))) "
+            "% 65521, "
+            "(f.b + f.a + ord(substr(d.t, cast(f.i as integer) + 1, "
+            "1))) % 65521 "
+            "FROM f JOIN d USING (doc_id) WHERE f.i < d.n) "
+            "SELECT doc_id, a, b FROM f JOIN d USING (doc_id) "
+            "WHERE i = n) "
+            "SELECT doc_id, n, b * 65536 + a AS adler FROM r "
+            "JOIN d USING (doc_id) ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
