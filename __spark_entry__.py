@@ -8108,6 +8108,117 @@ def q_adler32(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_bwt_inverse(spark, sf_dir) -> DataFrame:
+    """Fully DISTRIBUTED BWT round-trip: forward transform via the
+    prefix-doubling suffix array (bwt[rank-1] = t[(i-1) mod n]), then
+    inversion WITHOUT the sequential LF walk — the walk index of every
+    row is recovered by Wyllie pointer doubling over the LF
+    permutation (list ranking, O(log n) equi-join rounds). The oracle
+    runs the textbook pipeline: rotation sort, then the O(n)
+    recursive-CTE LF walk. Both must reproduce the original text."""
+    from imagery_utils_spark.operators.bwt import SENTINEL, invert_bwt_df
+    from imagery_utils_spark.operators.suffix import suffix_array
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 6)
+            .select("doc_id",
+                    F.concat(F.substring("text", 1, 180),
+                             F.lit(SENTINEL)).alias("t")))
+    chars = (docs.select(
+        "doc_id", "t", F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(0), F.length("t") - 1)).alias("i"))
+        .select("doc_id", "i", "n",
+                F.expr("substring(t, i + 1, 1)").alias("c"),
+                F.expr("substring(t, ((i - 1 + n) % n) + 1, 1)")
+                .alias("cp")))
+    sa = suffix_array(chars, doc="doc_id", pos="i", ch="c",
+                      max_len=256)
+    bwt = (sa.join(chars.select("doc_id", "i", "cp"), ["doc_id", "i"])
+           .select("doc_id", (F.col("rank") - 1).alias("j"),
+                   F.col("cp").alias("c")))
+    inv = invert_bwt_df(bwt, doc="doc_id", pos="j", ch="c",
+                        max_len=256)
+    return (inv.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_chars"),
+                 F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("i", "out_c"))),
+                     lambda r: r["out_c"])).alias("recovered"))
+            .select(F.col("doc").alias("doc_id"), "n_chars",
+                    "recovered")
+            .orderBy("doc_id"))
+
+
+def q_discrete_log(spark, sf_dir) -> DataFrame:
+    """Discrete logarithm g^x ≡ h (mod p) for 24 hash-derived
+    instances over small primes — engine: baby-step/giant-step
+    (Shanks 1971) where the collision search is ONE equi-join on the
+    group element and h itself comes from JVM square-and-multiply
+    (O(√p) rows, O(log p) projections). Oracle: the O(p) brute walk —
+    a recursive CTE enumerating the whole power sequence, reading h
+    at k = x_true and taking the minimal matching k. Minimality
+    agrees because BSGS's i·m+j covers every x in [0, m²) uniquely."""
+    from imagery_utils_spark.operators.modmath import (
+        bsgs_discrete_log, with_modpow)
+    primes = [1997, 1999, 2003, 2011, 2017, 2027, 2029, 2039]
+    d = F.col("doc_id").cast("string")
+    inst = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 24)
+            .select("doc_id",
+                    F.element_at(
+                        F.array(*[F.lit(x) for x in primes]),
+                        (F.col("doc_id") % 8 + 1).cast("int"))
+                    .cast("long").alias("p")))
+    inst = inst.withColumn(
+        "g", F.lit(2) + _mst_hash(F.concat(F.lit("dlg:"), d))
+        % (F.col("p") - 3))
+    inst = inst.withColumn(
+        "xt", _mst_hash(F.concat(F.lit("dlx:"), d)) % (F.col("p") - 1))
+    inst = with_modpow(inst, "h", "g", "xt", "p", 11)
+    ans = bsgs_discrete_log(inst, key="doc_id", max_m=46)
+    return (inst.join(ans, "doc_id")
+            .select("doc_id", "p", "g", "h", "dlog")
+            .orderBy("doc_id"))
+
+
+def q_fib_matrix_power(spark, sf_dir) -> DataFrame:
+    """F(n) mod 1e9+7 for 24 hash-derived n in [1000, 9000) — engine:
+    fast matrix exponentiation of [[1,1],[1,0]] (14 square-and-multiply
+    rounds as pure column projections; symmetric matrices tracked as
+    (a,b,d) triples since powers of a symmetric matrix commute).
+    Oracle: the O(n) additive recurrence stepped one term at a time in
+    a recursive CTE. O(log n) vs O(n) for the same exact residues."""
+    M = 1_000_000_007
+    d = F.col("doc_id").cast("string")
+    df = (load(spark, sf_dir, "documents")
+          .filter(F.col("doc_id") < 24)
+          .select("doc_id",
+                  (F.lit(1000) + _mst_hash(F.concat(F.lit("fib:"), d))
+                   % 8000).alias("n"),
+                  F.lit(1).cast("long").alias("ra"),
+                  F.lit(0).cast("long").alias("rb"),
+                  F.lit(1).cast("long").alias("rd"),
+                  F.lit(1).cast("long").alias("ba"),
+                  F.lit(1).cast("long").alias("bb"),
+                  F.lit(0).cast("long").alias("bd")))
+    for b in range(14):
+        bit = (F.shiftright(F.col("n"), b) % 2) == 1
+        ra, rb, rd = F.col("ra"), F.col("rb"), F.col("rd")
+        ba, bb, bd = F.col("ba"), F.col("bb"), F.col("bd")
+        df = df.select(
+            "doc_id", "n",
+            F.when(bit, (ra * ba + rb * bb) % M).otherwise(ra)
+             .alias("ra"),
+            F.when(bit, (ra * bb + rb * bd) % M).otherwise(rb)
+             .alias("rb"),
+            F.when(bit, (rb * bb + rd * bd) % M).otherwise(rd)
+             .alias("rd"),
+            ((ba * ba + bb * bb) % M).alias("ba"),
+            ((ba * bb + bb * bd) % M).alias("bb"),
+            ((bb * bb + bd * bd) % M).alias("bd"))
+    return (df.select("doc_id", "n", F.col("rb").alias("fib_mod"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8415,6 +8526,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_array": q_suffix_array,
         "merkle_root": q_merkle_root,
         "adler32": q_adler32,
+        "bwt_inverse": q_bwt_inverse,
+        "discrete_log": q_discrete_log,
+        "fib_matrix_power": q_fib_matrix_power,
     }
 
 
@@ -11441,6 +11555,77 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i = n) "
             "SELECT doc_id, n, b * 65536 + a AS adler FROM r "
             "JOIN d USING (doc_id) ORDER BY doc_id"
+        ),
+        # BWT-inverse oracle: rotation sort + the textbook O(n)
+        # stepwise LF walk (engine: prefix-doubling SA forward +
+        # Wyllie list-ranking inverse).
+        "bwt_inverse": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 180) || chr(1) "
+            "AS t, len(substr(text, 1, 180)) + 1 AS n "
+            "FROM documents WHERE doc_id < 6), "
+            "rot AS (SELECT doc_id, n, r.i, "
+            "substr(t, cast(r.i as int) + 1) || "
+            "substr(t, 1, cast(r.i as int)) AS rt "
+            "FROM d JOIN range(256) r(i) ON r.i < n), "
+            "bw AS (SELECT doc_id, n, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY rt) - 1 AS j, "
+            "substr(rt, cast(n as int), 1) AS c FROM rot), "
+            "lf AS (SELECT b.doc_id, b.n, b.j, b.c, "
+            "(SELECT count(*) FROM bw x WHERE x.doc_id = b.doc_id "
+            "AND x.c < b.c) + row_number() OVER ("
+            "PARTITION BY b.doc_id, b.c ORDER BY b.j) - 1 AS lfv "
+            "FROM bw b), "
+            "w AS (WITH RECURSIVE wk(doc_id, n, k, rw, acc) AS ("
+            "SELECT doc_id, n, 0, j, '' FROM lf WHERE c = chr(1) "
+            "UNION ALL SELECT wk.doc_id, wk.n, wk.k + 1, l.lfv, "
+            "b.c || wk.acc "
+            "FROM wk JOIN lf l ON l.doc_id = wk.doc_id "
+            "AND l.j = wk.rw "
+            "JOIN bw b ON b.doc_id = wk.doc_id AND b.j = l.lfv "
+            "WHERE wk.k < wk.n - 1) "
+            "SELECT doc_id, n, acc FROM wk WHERE k = n - 1) "
+            "SELECT doc_id, n - 1 AS n_chars, acc AS recovered "
+            "FROM w ORDER BY doc_id"
+        ),
+        # Discrete-log oracle: brute O(p) power walk; h read at
+        # k = x_true, answer = minimal matching k (engine: BSGS join).
+        "discrete_log": (
+            "WITH i0 AS (SELECT doc_id, "
+            "([1997,1999,2003,2011,2017,2027,2029,2039])"
+            "[cast(doc_id % 8 as bigint) + 1]::BIGINT AS p "
+            "FROM documents WHERE doc_id < 24), "
+            "inst AS (SELECT doc_id, p, "
+            "2 + cast('0x' || substr(sha256('dlg:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % (p - 3) "
+            "AS g, "
+            "cast('0x' || substr(sha256('dlx:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % (p - 1) "
+            "AS xt FROM i0), "
+            "w AS (WITH RECURSIVE wk(doc_id, p, g, xt, k, y) AS ("
+            "SELECT doc_id, p, g, xt, 0, 1::BIGINT FROM inst "
+            "UNION ALL SELECT doc_id, p, g, xt, k + 1, (y * g) % p "
+            "FROM wk WHERE k < p - 2) SELECT * FROM wk), "
+            "hh AS (SELECT doc_id, y AS h FROM w WHERE k = xt), "
+            "ans AS (SELECT w.doc_id, min(w.k) AS dlog FROM w "
+            "JOIN hh USING (doc_id) WHERE w.y = hh.h "
+            "GROUP BY w.doc_id) "
+            "SELECT inst.doc_id, inst.p, inst.g, hh.h, ans.dlog "
+            "FROM inst JOIN hh USING (doc_id) "
+            "JOIN ans USING (doc_id) ORDER BY doc_id"
+        ),
+        # Fibonacci oracle: the O(n) additive recurrence, one term per
+        # recursion step (engine: O(log n) matrix squaring).
+        "fib_matrix_power": (
+            "WITH inst AS (SELECT doc_id, 1000 + "
+            "cast('0x' || substr(sha256('fib:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 8000 AS n "
+            "FROM documents WHERE doc_id < 24), "
+            "w AS (WITH RECURSIVE f(doc_id, n, k, a, b) AS ("
+            "SELECT doc_id, n, 1, 1::BIGINT, 0::BIGINT FROM inst "
+            "UNION ALL SELECT doc_id, n, k + 1, (a + b) % 1000000007, "
+            "a FROM f WHERE k < n) "
+            "SELECT doc_id, n, a FROM f WHERE k = n) "
+            "SELECT doc_id, n, a AS fib_mod FROM w ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
