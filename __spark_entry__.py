@@ -8219,6 +8219,294 @@ def q_fib_matrix_power(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_subset_sum_mitm(spark, sf_dir) -> DataFrame:
+    """Best subset sum ≤ target over 26 hash-weighted items, five
+    targets — engine: MEET IN THE MIDDLE (Horowitz–Sahni 1974). Each
+    half's 2^13 subset sums are generated by 13 union-doubling rounds
+    (S ∪ S+w, data-driven weights, nothing collected), and the
+    half-matching is the scalable as-of shape: union both sides and
+    take a running max over ONE window ordered by value — no
+    8192×8192 theta join. Oracle: level-wise 0/1 DP in a recursive
+    CTE (achievable-sum set after k items, deduped per level)."""
+    d = F.col("doc_id").cast("string")
+    items = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 26)
+             .select((F.col("doc_id") + 1).alias("idx"),
+                     (F.lit(1) + _mst_hash(F.concat(F.lit("ss:"), d))
+                      % 2000).alias("w")))
+    items = items.localCheckpoint(eager=True)
+    targets = (items.agg(F.sum("w").alias("tot"))
+               .crossJoin(spark.range(1, 6).select(
+                   F.col("id").alias("j")))
+               .select("j", F.expr("(j * tot) div 6").alias("target")))
+
+    def half_sums(lo: int, hi: int) -> DataFrame:
+        s = spark.range(1).select(F.lit(0).cast("long").alias("s"))
+        for k in range(lo, hi + 1):
+            it = items.filter(F.col("idx") == k).select("w")
+            # coalesce(1): the union would otherwise double the
+            # PARTITION count every round (2^13 empty-ish tasks by the
+            # end); 8192 longs belong in one partition.
+            s = s.unionByName(
+                s.crossJoin(F.broadcast(it))
+                 .select((F.col("s") + F.col("w")).alias("s"))
+            ).coalesce(1)
+            if k % 5 == 0:
+                s = s.localCheckpoint(eager=True)
+        return s.localCheckpoint(eager=True)
+
+    a = half_sums(1, 13)
+    b = half_sums(14, 26)
+    t_b = F.broadcast(targets)
+    arows = (a.crossJoin(t_b)
+             .filter(F.col("s") <= F.col("target"))
+             .select("j", (F.col("target") - F.col("s")).alias("v"),
+                     F.col("s").alias("a_s"), F.lit(1).alias("isq")))
+    brows = (b.crossJoin(t_b.select("j"))
+             .select("j", F.col("s").alias("v"),
+                     F.lit(None).cast("long").alias("a_s"),
+                     F.lit(0).alias("isq")))
+    w = (Window.partitionBy("j").orderBy("v", "isq")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    u = (arows.unionByName(brows)
+         .withColumn("best_b", F.max(F.when(F.col("isq") == 0,
+                                            F.col("v"))).over(w)))
+    ans = (u.filter(F.col("isq") == 1)
+           .groupBy("j")
+           .agg(F.max(F.col("a_s") + F.col("best_b")).alias("best")))
+    return (targets.join(ans, "j")
+            .select("j", "target", "best").orderBy("j"))
+
+
+def q_crt_reconstruct(spark, sf_dir) -> DataFrame:
+    """Chinese-remainder reconstruction mod 45045 = 5·7·9·11·13 for 30
+    hash-derived residue tuples — engine: the Garner/CRT linear
+    recombination x = Σ rⱼ·Mⱼ·Mⱼ⁻¹ mod M as one JVM column expression
+    (the per-modulus inverses are fixed by the coprime basis). Oracle:
+    direct brute search — join range(45045) and keep the unique x
+    satisfying all five congruences. Agreement pins both existence
+    and uniqueness of the CRT solution."""
+    mods = [5, 7, 9, 11, 13]
+    big = 1
+    for m in mods:
+        big *= m
+    mi = [big // m for m in mods]
+    inv = [pow(mi[j], -1, mods[j]) for j in range(len(mods))]
+    d = F.col("doc_id").cast("string")
+    df = (load(spark, sf_dir, "documents")
+          .filter(F.col("doc_id") < 30).select("doc_id"))
+    for j, m in enumerate(mods):
+        df = df.withColumn(
+            f"r{j}", _mst_hash(F.concat(F.lit(f"crt{j}:"), d)) % m)
+    x = sum((F.col(f"r{j}") * (mi[j] * inv[j]) for j in
+             range(len(mods))), F.lit(0)) % big
+    return (df.withColumn("crt_x", x.cast("long"))
+            .orderBy("doc_id"))
+
+
+def q_nim_grundy(spark, sf_dir) -> DataFrame:
+    """Sprague–Grundy numbers for 3-pile Nim, piles 0..7 (512 states)
+    — engine: EXPLICIT backward induction over the game DAG: 21
+    pile-sum levels, each one join to already-solved successors plus a
+    candidate⟕successor anti-join computing mex, never touching XOR.
+    Oracle: Bouton's theorem (1901) — grundy = a⊕b⊕c, a one-line SQL
+    closed form. A structural theorem checking a brute game search."""
+    r8 = spark.range(8)
+    states = (r8.select(F.col("id").alias("a"))
+              .crossJoin(r8.select(F.col("id").alias("b")))
+              .crossJoin(r8.select(F.col("id").alias("c")))
+              .localCheckpoint(eager=True))
+
+    def lower(col_name):
+        keep = [c for c in ("a", "b", "c") if c != col_name]
+        return (states.filter(F.col(col_name) > 0)
+                .select("a", "b", "c",
+                        F.explode(F.sequence(
+                            F.lit(0), F.col(col_name) - 1))
+                        .alias(f"{col_name}2"),
+                        *[F.col(c).alias(f"{c}2") for c in keep]))
+
+    mv = (lower("a").select("a", "b", "c", "a2", "b2", "c2")
+          .unionByName(lower("b").select("a", "b", "c",
+                                         "a2", "b2", "c2"))
+          .unionByName(lower("c").select("a", "b", "c",
+                                         "a2", "b2", "c2"))
+          .localCheckpoint(eager=True))
+    cand = spark.range(22).select(F.col("id").alias("t"))
+    g = (states.filter(F.col("a") + F.col("b") + F.col("c") == 0)
+         .select("a", "b", "c", F.lit(0).cast("long").alias("g"))
+         .localCheckpoint(eager=True))
+    for s in range(1, 22):
+        cur = states.filter(F.col("a") + F.col("b") + F.col("c") == s)
+        succ = (cur.join(mv, ["a", "b", "c"])
+                .join(g.select(F.col("a").alias("a2"),
+                               F.col("b").alias("b2"),
+                               F.col("c").alias("c2"),
+                               F.col("g").alias("t")),
+                      ["a2", "b2", "c2"])
+                .select("a", "b", "c", "t"))
+        mex = (cur.crossJoin(cand)
+               .join(succ, ["a", "b", "c", "t"], "left_anti")
+               .groupBy("a", "b", "c")
+               .agg(F.min("t").alias("g")))
+        # coalesce: the union accumulates 32 shuffle partitions per
+        # level; 512 rows belong in one partition
+        g = g.unionByName(mex).coalesce(1).localCheckpoint(eager=True)
+    return g.orderBy("a", "b", "c")
+
+
+def q_max_flow(spark, sf_dir) -> DataFrame:
+    """Max flow on 12 hash-derived 8-node DAGs — engine computes FLOW
+    (Edmonds–Karp augmenting paths, one applyInPandas kernel per
+    graph: millions of independent flow problems is the cluster
+    shape). Oracle computes the dual CUT: exhaustive minimum s-t cut
+    over all 2^6 interior bipartitions in SQL. Agreement is the
+    max-flow/min-cut theorem (Ford–Fulkerson 1956) checked end to
+    end — the two sides never run the same algorithm."""
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 12).select("doc_id"))
+    r8 = spark.range(8)
+    pairs = (r8.select(F.col("id").alias("u"))
+             .crossJoin(r8.select(F.col("id").alias("v")))
+             .filter(F.col("u") < F.col("v")))
+
+    def tag(p):
+        return F.concat(F.lit(p), F.col("doc_id").cast("string"),
+                        F.lit(":"), F.col("u").cast("string"),
+                        F.lit(":"), F.col("v").cast("string"))
+
+    edges = (docs.crossJoin(pairs)
+             .filter((F.col("v") == F.col("u") + 1)
+                     | (_mst_hash(tag("mf:")) % 3 == 0))
+             .withColumn("cap", F.lit(1) + _mst_hash(tag("mc:")) % 30)
+             .select("doc_id", "u", "v", "cap"))
+
+    def ek(pdf):
+        import collections
+
+        import pandas as pd
+        cap = collections.defaultdict(int)
+        adj = collections.defaultdict(set)
+        for u, v, c in zip(pdf["u"], pdf["v"], pdf["cap"]):
+            u, v = int(u), int(v)
+            cap[(u, v)] += int(c)
+            adj[u].add(v)
+            adj[v].add(u)
+        flow = 0
+        while True:
+            par = {0: -1}
+            q = [0]
+            while q and 7 not in par:
+                x = q.pop(0)
+                for y in sorted(adj[x]):
+                    if y not in par and cap[(x, y)] > 0:
+                        par[y] = x
+                        q.append(y)
+            if 7 not in par:
+                break
+            path, y = [], 7
+            while par[y] != -1:
+                path.append((par[y], y))
+                y = par[y]
+            b = min(cap[e] for e in path)
+            for x, y in path:
+                cap[(x, y)] -= b
+                cap[(y, x)] += b
+            flow += b
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
+                             "max_flow": [flow]})
+
+    return (edges.groupBy("doc_id")
+            .applyInPandas(ek, "doc_id long, max_flow long")
+            .orderBy("doc_id"))
+
+
+def q_scc_reach(spark, sf_dir) -> DataFrame:
+    """Strongly connected components of a 36-node, 2-out-degree
+    hash-derived digraph — engine: transitive closure by SQUARING
+    (R ← R∘R, 6 join+distinct rounds for paths up to 2^6), SCC id =
+    min mutually-reachable node. Oracle: the same closure grown ONE
+    edge per recursive-CTE step. O(log V) vs O(V) closure rounds
+    agreeing on every component id and size."""
+    V = 36
+    nodes = spark.range(V).select(F.col("id").alias("v"))
+    s = F.col("v").cast("string")
+    edges = (nodes.select(
+        "v", (_mst_hash(F.concat(F.lit("sc1:"), s)) % V).alias("t"))
+        .unionByName(nodes.select(
+            "v", (_mst_hash(F.concat(F.lit("sc2:"), s)) % V)
+            .alias("t")))
+        .distinct())
+    r = (edges.unionByName(nodes.select("v", F.col("v").alias("t")))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(6):
+        mid = r.select(F.col("v").alias("t"), F.col("t").alias("t2"))
+        r = (r.join(mid, "t").select("v", F.col("t2").alias("t"))
+             .distinct().localCheckpoint(eager=True))
+    rev = r.select(F.col("t").alias("v"), F.col("v").alias("t"))
+    scc = (r.join(rev, ["v", "t"])
+           .groupBy("v").agg(F.min("t").alias("scc_id")))
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1))
+                                      .alias("scc_size"))
+    return (scc.join(sizes, "scc_id")
+            .select("v", "scc_id", "scc_size").orderBy("v"))
+
+
+def q_rho_cycle(spark, sf_dir) -> DataFrame:
+    """Tail length, cycle minimum, and cycle length for every node of
+    a 64-node random functional graph f(v) = h(v) mod 64 — engine:
+    pure pointer doubling (6 rounds): f^64 lands every node on its
+    terminal cycle, a min-propagating doubling labels each cycle by
+    its minimum, and a cut-at-cycle distance doubling yields tails —
+    O(log n) joins, the parallel replacement for Floyd/Brent cycle
+    walking. Oracle: literal per-node walk in a recursive CTE
+    accumulating the visited list until the first repeat."""
+    V = 64
+    nodes = spark.range(V).select(F.col("id").alias("v"))
+    f = (nodes.select("v", (_mst_hash(F.concat(
+        F.lit("rho:"), F.col("v").cast("string"))) % V).alias("t"))
+        .localCheckpoint(eager=True))
+    p = f.select("v", F.col("t").alias("p"))
+    for _ in range(6):
+        nxt = p.select(F.col("v").alias("p"), F.col("p").alias("p2"))
+        p = (p.join(nxt, "p").select("v", F.col("p2").alias("p"))
+             .localCheckpoint(eager=True))
+    cyc = p.select(F.col("p").alias("v")).distinct()
+    cm = (cyc.join(f, "v")
+          .select("v", F.col("t").alias("p"), F.col("v").alias("m")))
+    for _ in range(6):
+        nxt = cm.select(F.col("v").alias("p"),
+                        F.col("p").alias("p2"), F.col("m").alias("m2"))
+        cm = (cm.join(nxt, "p")
+              .select("v", F.col("p2").alias("p"),
+                      F.least("m", "m2").alias("m"))
+              .localCheckpoint(eager=True))
+    cyc_info = cm.select("v", F.col("m").alias("cyc_min"))
+    sizes = cyc_info.groupBy("cyc_min").agg(F.count(F.lit(1))
+                                            .alias("cycle_len"))
+    iscyc = cyc_info.select("v", F.lit(1).alias("isc"))
+    t0 = (f.join(iscyc, "v", "left")
+          .select("v",
+                  F.when(F.col("isc") == 1, F.col("v"))
+                   .otherwise(F.col("t")).alias("p"),
+                  F.when(F.col("isc") == 1, F.lit(0)).otherwise(F.lit(1))
+                   .cast("long").alias("d")))
+    for _ in range(6):
+        nxt = t0.select(F.col("v").alias("p"),
+                        F.col("p").alias("p2"), F.col("d").alias("d2"))
+        t0 = (t0.join(nxt, "p")
+              .select("v", F.col("p2").alias("p"),
+                      (F.col("d") + F.col("d2")).alias("d"))
+              .localCheckpoint(eager=True))
+    return (t0.select("v", F.col("d").alias("tail"))
+            .join(p.select("v", F.col("p").alias("rep")), "v")
+            .join(cyc_info.select(F.col("v").alias("rep"), "cyc_min"),
+                  "rep")
+            .join(sizes, "cyc_min")
+            .select("v", "tail", "cyc_min", "cycle_len")
+            .orderBy("v"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8529,6 +8817,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bwt_inverse": q_bwt_inverse,
         "discrete_log": q_discrete_log,
         "fib_matrix_power": q_fib_matrix_power,
+        "subset_sum_mitm": q_subset_sum_mitm,
+        "crt_reconstruct": q_crt_reconstruct,
+        "nim_grundy": q_nim_grundy,
+        "max_flow": q_max_flow,
+        "scc_reach": q_scc_reach,
+        "rho_cycle": q_rho_cycle,
     }
 
 
@@ -11626,6 +11920,122 @@ def oracle_sql() -> dict[str, str]:
             "a FROM f WHERE k < n) "
             "SELECT doc_id, n, a FROM f WHERE k = n) "
             "SELECT doc_id, n, a AS fib_mod FROM w ORDER BY doc_id"
+        ),
+        # Subset-sum oracle: level-wise 0/1 DP (achievable sums after
+        # k items, deduped per level by recursive UNION); engine is
+        # Horowitz–Sahni meet-in-the-middle.
+        "subset_sum_mitm": (
+            "WITH it AS (SELECT cast(doc_id + 1 as bigint) AS idx, "
+            "1 + cast('0x' || substr(sha256('ss:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 2000 AS w "
+            "FROM documents WHERE doc_id < 26), "
+            "tot AS (SELECT sum(w) AS tot FROM it), "
+            "tg AS (SELECT r.j, (r.j * tot.tot) // 6 AS target "
+            "FROM tot, range(1, 6) r(j)), "
+            "dp AS (WITH RECURSIVE f(k, s) AS ("
+            "SELECT 0::BIGINT, 0::BIGINT "
+            "UNION "
+            "SELECT f.k + 1, f.s + v.pick * it.w "
+            "FROM f JOIN it ON it.idx = f.k + 1 "
+            "CROSS JOIN (VALUES (0), (1)) v(pick)) "
+            "SELECT s FROM f WHERE k = 26) "
+            "SELECT tg.j, tg.target, max(dp.s) AS best "
+            "FROM tg JOIN dp ON dp.s <= tg.target "
+            "GROUP BY tg.j, tg.target ORDER BY tg.j"
+        ),
+        # CRT oracle: brute residue search over the full ring Z/45045
+        # (engine: Garner linear recombination).
+        "crt_reconstruct": (
+            "WITH d AS (SELECT doc_id, "
+            + ", ".join(
+                f"cast('0x' || substr(sha256('crt{j}:' || "
+                f"cast(doc_id as varchar)), 1, 8) as bigint) % {m} "
+                f"AS r{j}"
+                for j, m in enumerate([5, 7, 9, 11, 13])) +
+            " FROM documents WHERE doc_id < 30) "
+            "SELECT d.doc_id, d.r0, d.r1, d.r2, d.r3, d.r4, "
+            "x.i AS crt_x FROM d JOIN range(45045) x(i) ON "
+            "x.i % 5 = d.r0 AND x.i % 7 = d.r1 AND x.i % 9 = d.r2 "
+            "AND x.i % 11 = d.r3 AND x.i % 13 = d.r4 "
+            "ORDER BY d.doc_id"
+        ),
+        # Nim oracle: Bouton's closed form grundy = a XOR b XOR c
+        # (engine: backward-induction mex over the explicit game DAG).
+        "nim_grundy": (
+            "SELECT ra.i AS a, rb.i AS b, rc.i AS c, "
+            "xor(xor(ra.i, rb.i), rc.i) AS g "
+            "FROM range(8) ra(i), range(8) rb(i), range(8) rc(i) "
+            "ORDER BY a, b, c"
+        ),
+        # Max-flow oracle: exhaustive MINIMUM CUT over all 2^6
+        # interior bipartitions (engine: Edmonds–Karp FLOW); agreement
+        # is the max-flow/min-cut theorem.
+        "max_flow": (
+            "WITH d AS (SELECT doc_id FROM documents "
+            "WHERE doc_id < 12), "
+            "pr AS (SELECT u.i AS u, v.i AS v FROM range(8) u(i), "
+            "range(8) v(i) WHERE u.i < v.i), "
+            "e AS (SELECT d.doc_id, pr.u, pr.v, "
+            "1 + cast('0x' || substr(sha256('mc:' || "
+            "cast(d.doc_id as varchar) || ':' || "
+            "cast(pr.u as varchar) || ':' || cast(pr.v as varchar)"
+            "), 1, 8) as bigint) % 30 AS cap "
+            "FROM d, pr WHERE pr.v = pr.u + 1 OR "
+            "cast('0x' || substr(sha256('mf:' || "
+            "cast(d.doc_id as varchar) || ':' || "
+            "cast(pr.u as varchar) || ':' || cast(pr.v as varchar)"
+            "), 1, 8) as bigint) % 3 = 0), "
+            "grid AS (SELECT d.doc_id, m.i AS m FROM d, "
+            "range(64) m(i)), "
+            "crossing AS (SELECT e.doc_id, g.m, sum(e.cap) AS cut "
+            "FROM grid g JOIN e ON e.doc_id = g.doc_id "
+            "WHERE (e.u = 0 OR ((g.m >> cast(e.u - 1 as int)) & 1) "
+            "= 1) AND (e.v = 7 OR ((g.m >> cast(e.v - 1 as int)) "
+            "& 1) = 0) GROUP BY e.doc_id, g.m), "
+            "cuts AS (SELECT g.doc_id, g.m, coalesce(c.cut, 0) AS "
+            "cut FROM grid g LEFT JOIN crossing c ON "
+            "c.doc_id = g.doc_id AND c.m = g.m) "
+            "SELECT doc_id, min(cut) AS max_flow FROM cuts "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # SCC oracle: one-edge-per-step recursive closure (engine:
+        # closure by squaring), SCC id = min mutually-reachable node.
+        "scc_reach": (
+            "WITH n AS (SELECT i AS v FROM range(36) r(i)), "
+            "e AS (SELECT v, cast('0x' || substr(sha256('sc1:' || "
+            "cast(v as varchar)), 1, 8) as bigint) % 36 AS t FROM n "
+            "UNION SELECT v, cast('0x' || substr(sha256('sc2:' || "
+            "cast(v as varchar)), 1, 8) as bigint) % 36 FROM n), "
+            "tc AS (WITH RECURSIVE r(s, t) AS ("
+            "SELECT v, v FROM n "
+            "UNION SELECT r.s, e.t FROM r JOIN e ON e.v = r.t) "
+            "SELECT s, t FROM r), "
+            "sc AS (SELECT a.s AS v, min(a.t) AS scc_id FROM tc a "
+            "JOIN tc b ON b.s = a.t AND b.t = a.s GROUP BY a.s) "
+            "SELECT sc.v, sc.scc_id, z.scc_size FROM sc JOIN ("
+            "SELECT scc_id, count(*) AS scc_size FROM sc "
+            "GROUP BY scc_id) z USING (scc_id) ORDER BY sc.v"
+        ),
+        # Rho-cycle oracle: literal per-node walk with a visited list
+        # until the first repeat (engine: pointer doubling).
+        "rho_cycle": (
+            "WITH n AS (SELECT i AS v, cast('0x' || substr(sha256("
+            "'rho:' || cast(i as varchar)), 1, 8) as bigint) % 64 "
+            "AS t FROM range(64) r(i)), "
+            "w AS (WITH RECURSIVE wk(v0, cur, acc) AS ("
+            "SELECT v, v, [v] FROM n "
+            "UNION ALL SELECT wk.v0, n.t, wk.acc || [n.t] "
+            "FROM wk JOIN n ON n.v = wk.cur "
+            "WHERE NOT list_contains(wk.acc, n.t)) "
+            "SELECT v0, acc FROM wk QUALIFY row_number() OVER ("
+            "PARTITION BY v0 ORDER BY len(acc) DESC) = 1), "
+            "fin AS (SELECT w.v0, w.acc, n.t AS nxt FROM w "
+            "JOIN n ON n.v = w.acc[-1]) "
+            "SELECT v0 AS v, list_position(acc, nxt) - 1 AS tail, "
+            "list_aggregate(acc[list_position(acc, nxt):], 'min') "
+            "AS cyc_min, "
+            "len(acc) - list_position(acc, nxt) + 1 AS cycle_len "
+            "FROM fin ORDER BY v"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
