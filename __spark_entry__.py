@@ -8507,6 +8507,133 @@ def q_rho_cycle(spark, sf_dir) -> DataFrame:
             .orderBy("v"))
 
 
+def q_manacher_palindrome(spark, sf_dir) -> DataFrame:
+    """Longest palindromic substring length + total palindromic
+    substring count per document — engine: Manacher's O(n) algorithm
+    (1975) as a mapInPandas kernel, one linear pass per doc (per-doc
+    local work, embarrassingly parallel at corpus scale). Oracle: the
+    O(n²) definition — every substring materialized and tested
+    against its reverse in SQL. Counts are occurrence counts
+    (Σ d1 + Σ d2 = number of palindromic (start,len) pairs)."""
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", F.substring("text", 1, 120).alias("t"))
+            .filter(F.length("t") > 0))
+
+    def kern(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for doc, s in zip(pdf["doc_id"], pdf["t"]):
+                n = len(s)
+                d1 = [0] * n
+                lo, hi = 0, -1
+                for i in range(n):
+                    k = 1 if i > hi else min(d1[lo + hi - i],
+                                             hi - i + 1)
+                    while i - k >= 0 and i + k < n \
+                            and s[i - k] == s[i + k]:
+                        k += 1
+                    d1[i] = k
+                    if i + k - 1 > hi:
+                        lo, hi = i - k + 1, i + k - 1
+                d2 = [0] * n
+                lo, hi = 0, -1
+                for i in range(n):
+                    k = 0 if i > hi else min(d2[lo + hi - i + 1],
+                                             hi - i + 1)
+                    while i - k - 1 >= 0 and i + k < n \
+                            and s[i - k - 1] == s[i + k]:
+                        k += 1
+                    d2[i] = k
+                    if i + k - 1 > hi:
+                        lo, hi = i - k, i + k - 1
+                mx = max(max(2 * x - 1 for x in d1),
+                         max((2 * x for x in d2), default=0))
+                out.append((int(doc), mx, sum(d1) + sum(d2)))
+            yield pd.DataFrame(out, columns=["doc_id", "max_pal",
+                                             "n_pal"])
+
+    return (docs.mapInPandas(
+        kern, "doc_id long, max_pal long, n_pal long")
+        .orderBy("doc_id"))
+
+
+_LCM30 = 2329089562800  # lcm(1..30): makes every block mean integral
+
+
+def q_isotonic_pav(spark, sf_dir) -> DataFrame:
+    """Isotonic (monotone nondecreasing) L2 regression over 10 series
+    of 30 hash-derived points, EXACT arithmetic: fits are reported as
+    mean·lcm(1..30), an integer for every possible block size. Engine:
+    pool-adjacent-violators (Ayer et al. 1955), the O(n) stack merge,
+    per series in applyInPandas. Oracle: the independent minimax
+    characterization fit_i = max_{l≤i} min_{u≥i} avg(y[l..u])
+    evaluated by brute segment enumeration in SQL. Two published
+    characterizations of the same unique minimizer."""
+    g10 = spark.range(10).select(F.col("id").alias("g"))
+    p30 = spark.range(30).select(F.col("id").alias("i"))
+    pts = (g10.crossJoin(p30)
+           .withColumn("y", _mst_hash(F.concat(
+               F.lit("iso:"), F.col("g").cast("string"), F.lit(":"),
+               F.col("i").cast("string"))) % 1000))
+
+    def pav(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("i")
+        blocks = []  # (sum, cnt)
+        for y in pdf["y"]:
+            blocks.append((int(y), 1))
+            while len(blocks) >= 2 and (
+                    blocks[-2][0] * blocks[-1][1]
+                    >= blocks[-1][0] * blocks[-2][1]):
+                s2, c2 = blocks.pop()
+                s1, c1 = blocks.pop()
+                blocks.append((s1 + s2, c1 + c2))
+        fits = []
+        for s, c in blocks:
+            fits.extend([s * (_LCM30 // c)] * c)
+        return pd.DataFrame({"g": pdf["g"], "i": pdf["i"],
+                             "fit_key": fits})
+
+    return (pts.groupBy("g")
+            .applyInPandas(pav, "g long, i long, fit_key long")
+            .orderBy("g", "i"))
+
+
+def q_bresenham_line(spark, sf_dir) -> DataFrame:
+    """First-octant Bresenham line rasterization for 40 hash-derived
+    (dx, dy) lines — engine: the ORDER-FREE closed form
+    y(x) = ⌊(2x·dy + dx − 1) / 2dx⌋ (midpoint rounding, half toward
+    zero), one explode + pure column arithmetic, no sequential state.
+    Oracle: the textbook stepwise error accumulator (D += 2dy or
+    2(dy−dx)) replayed in a recursive CTE. The closed form ≡ the
+    incremental loop is the identity under test (pinned point-wise in
+    pytest as well)."""
+    d = F.col("doc_id").cast("string")
+    inst = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id",
+                    (F.lit(20) + _mst_hash(F.concat(F.lit("bx:"), d))
+                     % 180).alias("dx")))
+    inst = inst.withColumn(
+        "dy", F.lit(1) + _mst_hash(F.concat(F.lit("by:"), d))
+        % F.col("dx"))
+    pts = (inst.select(
+        "doc_id", "dx", "dy",
+        F.explode(F.sequence(F.lit(0), F.col("dx"))).alias("x"))
+        .withColumn("y", F.expr(
+            "(2 * x * dy + dx - 1) div (2 * dx)")))
+    return (pts.groupBy("doc_id", "dx", "dy")
+            .agg(F.sum("y").alias("sum_y"),
+                 F.sha2(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("x", "y"))),
+                     lambda r: r["y"].cast("string"))), 256)
+                 .alias("y_sha"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8823,6 +8950,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_flow": q_max_flow,
         "scc_reach": q_scc_reach,
         "rho_cycle": q_rho_cycle,
+        "manacher_palindrome": q_manacher_palindrome,
+        "isotonic_pav": q_isotonic_pav,
+        "bresenham_line": q_bresenham_line,
     }
 
 
@@ -12036,6 +12166,63 @@ def oracle_sql() -> dict[str, str]:
             "AS cyc_min, "
             "len(acc) - list_position(acc, nxt) + 1 AS cycle_len "
             "FROM fin ORDER BY v"
+        ),
+        # Manacher oracle: the O(n²) definition — every substring
+        # tested against its reverse (engine: O(n) Manacher).
+        "manacher_palindrome": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 120) AS t, "
+            "len(substr(text, 1, 120)) AS n FROM documents "
+            "WHERE doc_id < 40 AND len(substr(text, 1, 120)) > 0), "
+            "subs AS (SELECT doc_id, substr(t, cast(s0.i as int) + 1, "
+            "cast(ln.l as int)) AS ss FROM d "
+            "JOIN range(120) s0(i) ON s0.i < n "
+            "JOIN range(1, 121) ln(l) ON s0.i + ln.l <= n), "
+            "pal AS (SELECT doc_id, len(ss) AS pl FROM subs "
+            "WHERE ss = reverse(ss)) "
+            "SELECT doc_id, max(pl) AS max_pal, count(*) AS n_pal "
+            "FROM pal GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # Isotonic oracle: the minimax characterization
+        # fit_i = max_{l<=i} min_{u>=i} avg(y[l..u]), brute segments,
+        # exact via the lcm(1..30) integer scaling (engine: PAV).
+        "isotonic_pav": (
+            "WITH pts AS (SELECT g.i AS g, p.i AS i, "
+            "cast('0x' || substr(sha256('iso:' || "
+            "cast(g.i as varchar) || ':' || cast(p.i as varchar)"
+            "), 1, 8) as bigint) % 1000 AS y "
+            "FROM range(10) g(i), range(30) p(i)), "
+            "pre AS (SELECT g, i, y, sum(y) OVER (PARTITION BY g "
+            "ORDER BY i) AS ps FROM pts), "
+            "seg AS (SELECT a.g, a.i AS l, b.i AS u, "
+            "(b.ps - a.ps + a.y) * (2329089562800 // "
+            "(b.i - a.i + 1)) AS v "
+            "FROM pre a JOIN pre b ON a.g = b.g AND a.i <= b.i), "
+            "mn AS (SELECT s.g, p.i, s.l, min(s.v) AS mnv "
+            "FROM seg s JOIN range(30) p(i) ON s.l <= p.i "
+            "AND s.u >= p.i GROUP BY s.g, p.i, s.l) "
+            "SELECT g, i, max(mnv) AS fit_key FROM mn "
+            "GROUP BY g, i ORDER BY g, i"
+        ),
+        # Bresenham oracle: the stepwise integer error accumulator
+        # replayed in a recursive CTE (engine: order-free closed form).
+        "bresenham_line": (
+            "WITH i0 AS (SELECT doc_id, 20 + cast('0x' || substr("
+            "sha256('bx:' || cast(doc_id as varchar)), 1, 8) "
+            "as bigint) % 180 AS dx FROM documents WHERE doc_id < 40),"
+            " inst AS (SELECT doc_id, dx, 1 + cast('0x' || substr("
+            "sha256('by:' || cast(doc_id as varchar)), 1, 8) "
+            "as bigint) % dx AS dy FROM i0), "
+            "w AS (WITH RECURSIVE b(doc_id, dx, dy, x, y, err) AS ("
+            "SELECT doc_id, dx, dy, 0::BIGINT, 0::BIGINT, "
+            "2 * dy - dx FROM inst "
+            "UNION ALL SELECT doc_id, dx, dy, x + 1, "
+            "CASE WHEN err > 0 THEN y + 1 ELSE y END, "
+            "CASE WHEN err > 0 THEN err + 2 * (dy - dx) "
+            "ELSE err + 2 * dy END FROM b WHERE x < dx) "
+            "SELECT * FROM b) "
+            "SELECT doc_id, dx, dy, sum(y) AS sum_y, "
+            "sha256(string_agg(cast(y as varchar), ',' ORDER BY x)) "
+            "AS y_sha FROM w GROUP BY doc_id, dx, dy ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
