@@ -8634,6 +8634,139 @@ def q_bresenham_line(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+_RS_GEN = [255, 11, 81, 54, 239, 173, 200, 24]  # g1..g8 of
+# Π_{i=0..7}(x − α^i) over GF(256)/0x11D (QR code generator, deg 8);
+# re-derived from first principles in tests/test_rs_hamming_zeck.py
+
+
+def q_reed_solomon_parity(spark, sf_dir) -> DataFrame:
+    """RS(24,16)-style Reed–Solomon parity over GF(256)/0x11D for the
+    first 16 bytes of each document — engine: log/antilog-table
+    polynomial long division in a mapInPandas kernel (per-message
+    local work). Oracle: the SAME division replayed in SQL, but its
+    field multiply is built independently — a 256×256 product table
+    generated by Russian-peasant carry-less doubling (8 recursive
+    xtime levels + bit_xor fold), no log tables anywhere. Two
+    implementations of GF(256) arithmetic agreeing byte-for-byte."""
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 12)
+            .select("doc_id",
+                    F.rpad(F.substring("text", 1, 16), 16, " ")
+                    .alias("m")))
+
+    def kern(batches):
+        import pandas as pd
+        exp = [0] * 512
+        log = [0] * 256
+        x = 1
+        for i in range(255):
+            exp[i] = x
+            log[x] = i
+            x <<= 1
+            if x & 0x100:
+                x ^= 0x11D
+        for i in range(255, 512):
+            exp[i] = exp[i - 255]
+
+        def mul(a, b):
+            if a == 0 or b == 0:
+                return 0
+            return exp[log[a] + log[b]]
+
+        for pdf in batches:
+            out = []
+            for doc, m in zip(pdf["doc_id"], pdf["m"]):
+                rem = [0] * 8
+                for ch in m:
+                    f = rem[0] ^ (ord(ch) % 256)
+                    rem = rem[1:] + [0]
+                    for j in range(8):
+                        rem[j] ^= mul(_RS_GEN[j], f)
+                out.append((int(doc),
+                            "".join(f"{b:02x}" for b in rem)))
+            yield pd.DataFrame(out, columns=["doc_id", "ecc_hex"])
+
+    return (docs.mapInPandas(kern, "doc_id long, ecc_hex string")
+            .orderBy("doc_id"))
+
+
+def q_hamming74(spark, sf_dir) -> DataFrame:
+    """Hamming(7,4) single-error round-trip for 50 hash-derived
+    nibbles with a hash-chosen flipped bit — engine decodes by
+    MINIMUM DISTANCE: broadcast all 16 codewords, bit_count(xor)
+    and argmin (unique because d_min = 3). Oracle decodes
+    ALGEBRAICALLY: the 3-bit syndrome IS the error position, flip and
+    re-extract. The two decoders share only the encoder."""
+    d = F.col("doc_id").cast("string")
+    inst = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id",
+                    (_mst_hash(F.concat(F.lit("hd:"), d)) % 16)
+                    .alias("data"),
+                    (F.lit(1) + _mst_hash(F.concat(F.lit("he:"), d))
+                     % 7).alias("epos")))
+
+    def encode(col):
+        d1, d2 = col % 2, F.shiftright(col, 1) % 2
+        d3, d4 = F.shiftright(col, 2) % 2, F.shiftright(col, 3) % 2
+        p1 = (d1 + d2 + d4) % 2
+        p2 = (d1 + d3 + d4) % 2
+        p3 = (d2 + d3 + d4) % 2
+        return (p1 + p2 * 2 + d1 * 4 + p3 * 8 + d2 * 16 + d3 * 32
+                + d4 * 64)
+
+    recv = (inst.withColumn("cw0", encode(F.col("data")))
+            .withColumn("received", F.expr(
+                "cw0 ^ shiftleft(1, cast(epos - 1 as int))"))
+            .drop("cw0"))
+    book = (spark.range(16).select(F.col("id").alias("nib"))
+            .withColumn("cw", encode(F.col("nib"))))
+    joined = (recv.crossJoin(F.broadcast(book))
+              .withColumn("dist", F.bit_count(
+                  F.col("received").bitwiseXOR(F.col("cw")))))
+    w = Window.partitionBy("doc_id").orderBy("dist", "nib")
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "data", "epos", "received",
+                    F.col("nib").alias("decoded"))
+            .orderBy("doc_id"))
+
+
+def q_zeckendorf(spark, sf_dir) -> DataFrame:
+    """Zeckendorf representation (unique sum of non-consecutive
+    Fibonacci numbers) of 40 hash-derived x < 100001 — engine: the
+    greedy algorithm as 24 pure column rewrites (largest Fibonacci
+    first; greedy is provably non-adjacent). Oracle: EXHAUSTIVE — a
+    recursive CTE generating all 121393 non-adjacent index subsets of
+    F2..F25 with their sums, joined on x; Zeckendorf's theorem says
+    exactly one matches, and it must be the greedy one."""
+    fibs = []
+    a, b = 1, 2
+    for i in range(2, 26):
+        fibs.append((i, a))
+        a, b = b, a + b
+    d = F.col("doc_id").cast("string")
+    df = (load(spark, sf_dir, "documents")
+          .filter(F.col("doc_id") < 40)
+          .select("doc_id",
+                  (F.lit(1) + _mst_hash(F.concat(F.lit("zk:"), d))
+                   % 100000).alias("x"))
+          .withColumn("rem", F.col("x"))
+          .withColumn("zmask", F.lit(0).cast("long")))
+    for i, v in sorted(fibs, key=lambda t: -t[1]):
+        take = F.col("rem") >= v
+        df = (df.withColumn("zmask",
+                            F.when(take, F.col("zmask")
+                                   + (1 << (i - 2)))
+                            .otherwise(F.col("zmask")))
+              .withColumn("rem", F.when(take, F.col("rem") - v)
+                          .otherwise(F.col("rem"))))
+    return (df.select("doc_id", "x", "zmask",
+                      F.bit_count("zmask").cast("long")
+                      .alias("n_terms"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -8953,6 +9086,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manacher_palindrome": q_manacher_palindrome,
         "isotonic_pav": q_isotonic_pav,
         "bresenham_line": q_bresenham_line,
+        "reed_solomon_parity": q_reed_solomon_parity,
+        "hamming74": q_hamming74,
+        "zeckendorf": q_zeckendorf,
     }
 
 
@@ -12223,6 +12359,121 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, dx, dy, sum(y) AS sum_y, "
             "sha256(string_agg(cast(y as varchar), ',' ORDER BY x)) "
             "AS y_sha FROM w GROUP BY doc_id, dx, dy ORDER BY doc_id"
+        ),
+        # Reed–Solomon oracle: GF(256) multiply built from scratch by
+        # Russian-peasant carry-less doubling (no log tables), then
+        # the long division replayed step by step.
+        "reed_solomon_parity": (
+            "WITH xt AS (WITH RECURSIVE x(i, a, v) AS ("
+            "SELECT 0, r.a, r.a FROM range(256) r(a) "
+            "UNION ALL SELECT i + 1, a, CASE WHEN v >= 128 THEN "
+            "xor((v * 2) % 256, 29) ELSE v * 2 END "
+            "FROM x WHERE i < 7) SELECT * FROM x), "
+            "mul AS (SELECT b.b AS b, x.a AS a, bit_xor(x.v) AS m "
+            "FROM range(256) b(b) JOIN xt x ON ((b.b >> x.i) & 1) = 1 "
+            "GROUP BY b.b, x.a), "
+            "msg AS (SELECT doc_id, k.i AS k, "
+            "ord(substr(rpad(substr(text, 1, 16), 16, ' '), "
+            "cast(k.i as int) + 1, 1)) % 256 AS mb "
+            "FROM documents JOIN range(16) k(i) ON true "
+            "WHERE doc_id < 12), "
+            "dv AS (WITH RECURSIVE s(doc_id, k, r) AS ("
+            "SELECT DISTINCT doc_id, 0, "
+            "[0, 0, 0, 0, 0, 0, 0, 0]::BIGINT[] FROM msg "
+            "UNION ALL SELECT s.doc_id, s.k + 1, "
+            "[xor(s.r[2], coalesce(m1.m, 0)), "
+            "xor(s.r[3], coalesce(m2.m, 0)), "
+            "xor(s.r[4], coalesce(m3.m, 0)), "
+            "xor(s.r[5], coalesce(m4.m, 0)), "
+            "xor(s.r[6], coalesce(m5.m, 0)), "
+            "xor(s.r[7], coalesce(m6.m, 0)), "
+            "xor(s.r[8], coalesce(m7.m, 0)), "
+            "coalesce(m8.m, 0)]::BIGINT[] "
+            "FROM s JOIN msg ON msg.doc_id = s.doc_id "
+            "AND msg.k = s.k "
+            "LEFT JOIN mul m1 ON m1.a = 255 "
+            "AND m1.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m2 ON m2.a = 11 "
+            "AND m2.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m3 ON m3.a = 81 "
+            "AND m3.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m4 ON m4.a = 54 "
+            "AND m4.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m5 ON m5.a = 239 "
+            "AND m5.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m6 ON m6.a = 173 "
+            "AND m6.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m7 ON m7.a = 200 "
+            "AND m7.b = xor(s.r[1], msg.mb) "
+            "LEFT JOIN mul m8 ON m8.a = 24 "
+            "AND m8.b = xor(s.r[1], msg.mb) "
+            "WHERE s.k < 16) "
+            "SELECT doc_id, r FROM s WHERE k = 16) "
+            "SELECT doc_id, array_to_string(list_transform(r, "
+            "z -> printf('%02x', z)), '') AS ecc_hex "
+            "FROM dv ORDER BY doc_id"
+        ),
+        # Hamming(7,4) oracle: algebraic syndrome decoding — the
+        # 3-bit syndrome IS the error position (engine decodes by
+        # brute minimum distance over all 16 codewords).
+        "hamming74": (
+            "WITH inst AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('hd:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 16 AS data, "
+            "1 + cast('0x' || substr(sha256('he:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 7 AS epos "
+            "FROM documents WHERE doc_id < 50), "
+            "enc AS (SELECT doc_id, data, epos, "
+            "data % 2 AS d1, (data // 2) % 2 AS d2, "
+            "(data // 4) % 2 AS d3, (data // 8) % 2 AS d4 FROM inst), "
+            "cw AS (SELECT doc_id, data, epos, "
+            "(d1 + d2 + d4) % 2 + ((d1 + d3 + d4) % 2) * 2 + d1 * 4 "
+            "+ ((d2 + d3 + d4) % 2) * 8 + d2 * 16 + d3 * 32 + d4 * 64 "
+            "AS c FROM enc), "
+            "rc AS (SELECT doc_id, data, epos, "
+            "xor(c, 1 << cast(epos - 1 as int)) AS received FROM cw), "
+            "syn AS (SELECT doc_id, data, epos, received, "
+            "(((received >> 0) & 1) + ((received >> 2) & 1) + "
+            "((received >> 4) & 1) + ((received >> 6) & 1)) % 2 AS s1,"
+            " (((received >> 1) & 1) + ((received >> 2) & 1) + "
+            "((received >> 5) & 1) + ((received >> 6) & 1)) % 2 AS s2,"
+            " (((received >> 3) & 1) + ((received >> 4) & 1) + "
+            "((received >> 5) & 1) + ((received >> 6) & 1)) % 2 AS s4 "
+            "FROM rc), "
+            "fx AS (SELECT doc_id, data, epos, received, "
+            "CASE WHEN s1 + 2 * s2 + 4 * s4 = 0 THEN received ELSE "
+            "xor(received, 1 << cast(s1 + 2 * s2 + 4 * s4 - 1 as int))"
+            " END AS c FROM syn) "
+            "SELECT doc_id, data, epos, received, "
+            "((c >> 2) & 1) + ((c >> 4) & 1) * 2 + ((c >> 5) & 1) * 4 "
+            "+ ((c >> 6) & 1) * 8 AS decoded FROM fx ORDER BY doc_id"
+        ),
+        # Zeckendorf oracle: exhaustive enumeration of ALL 121393
+        # non-adjacent Fibonacci index subsets; the theorem guarantees
+        # a unique sum match (engine: greedy column rewrites).
+        "zeckendorf": (
+            "WITH fib(idx, v) AS (SELECT * FROM (VALUES "
+            "(2,1),(3,2),(4,3),(5,5),(6,8),(7,13),(8,21),(9,34),"
+            "(10,55),(11,89),(12,144),(13,233),(14,377),(15,610),"
+            "(16,987),(17,1597),(18,2584),(19,4181),(20,6765),"
+            "(21,10946),(22,17711),(23,28657),(24,46368),(25,75025)"
+            ") t(idx, v)), "
+            "sets AS (WITH RECURSIVE s(i, prev, mask, sm) AS ("
+            "SELECT 1, 0, 0::BIGINT, 0::BIGINT "
+            "UNION ALL SELECT f.idx, ch.t, "
+            "CASE WHEN ch.t = 1 THEN s.mask + (1::BIGINT << "
+            "cast(f.idx - 2 as int)) ELSE s.mask END, "
+            "CASE WHEN ch.t = 1 THEN s.sm + f.v ELSE s.sm END "
+            "FROM s JOIN fib f ON f.idx = s.i + 1 "
+            "CROSS JOIN (VALUES (0), (1)) ch(t) "
+            "WHERE NOT (ch.t = 1 AND s.prev = 1)) "
+            "SELECT mask, sm FROM s WHERE i = 25), "
+            "d AS (SELECT doc_id, 1 + cast('0x' || substr(sha256("
+            "'zk:' || cast(doc_id as varchar)), 1, 8) as bigint) "
+            "% 100000 AS x FROM documents WHERE doc_id < 40) "
+            "SELECT d.doc_id, d.x, sets.mask AS zmask, "
+            "bit_count(sets.mask)::BIGINT AS n_terms "
+            "FROM d JOIN sets ON sets.sm = d.x ORDER BY d.doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
