@@ -8767,6 +8767,122 @@ def q_zeckendorf(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_fisher_exact(spark, sf_dir) -> DataFrame:
+    """Two-sided Fisher exact test as an EXACT RATIONAL (p_num/p_den,
+    both integers) for 25 hash-derived 2×2 tables with N = 40 —
+    engine: hypergeometric weights C(K,k)·C(N−K,n−k) via the
+    multiplicative binomial formula folded with F.aggregate (prefix
+    products are themselves binomials, so every intermediate division
+    is exact), denominator = Σ weights (Vandermonde). Oracle:
+    binomials built by the ADDITIVE Pascal recurrence in a recursive
+    CTE. Two classical binomial constructions, one exact p-value."""
+    d = F.col("doc_id").cast("string")
+    inst = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 25)
+            .select("doc_id", F.lit(40).alias("nn"),
+                    (F.lit(10) + _mst_hash(F.concat(F.lit("fk:"), d))
+                     % 21).alias("kk"),
+                    (F.lit(10) + _mst_hash(F.concat(F.lit("fn:"), d))
+                     % 21).alias("n")))
+    lo = F.greatest(F.lit(0), F.col("kk") + F.col("n") - F.col("nn"))
+    hi = F.least(F.col("kk"), F.col("n"))
+    inst = (inst.withColumn("lo", lo).withColumn("hi", hi)
+            .withColumn("k_obs", F.col("lo") + _mst_hash(
+                F.concat(F.lit("fo:"), d))
+                % (F.col("hi") - F.col("lo") + 1)))
+
+    def choose(n_col, k_col):
+        # Π_{i=1..k} (n-i+1)/i — every prefix product is itself a
+        # binomial, so each stepwise division is exact (and the
+        # double-precision quotient of exact ints < 2^53 is exact).
+        # Guard k=0: Spark's sequence(1, 0) would count DOWN.
+        return F.when(k_col <= 0, F.lit(1).cast("long")).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), k_col),
+                F.lit(1).cast("long"),
+                lambda acc, i: ((acc * (n_col - i + 1)) / i)
+                .cast("long")))
+
+    sup = inst.withColumn(
+        "k", F.explode(F.sequence(F.col("lo"), F.col("hi"))))
+    sup = sup.withColumn(
+        "w", choose(F.col("kk"), F.col("k"))
+        * choose(F.col("nn") - F.col("kk"), F.col("n") - F.col("k")))
+    obs = sup.filter(F.col("k") == F.col("k_obs")).select(
+        "doc_id", F.col("w").alias("w_obs"))
+    return (sup.join(obs, "doc_id")
+            .groupBy("doc_id", "kk", "n", "k_obs")
+            .agg(F.sum(F.when(F.col("w") <= F.col("w_obs"),
+                              F.col("w")).otherwise(F.lit(0)))
+                 .alias("p_num"),
+                 F.sum("w").alias("p_den"))
+            .orderBy("doc_id"))
+
+
+def q_inversion_count(spark, sf_dir) -> DataFrame:
+    """Inversion count of each event-type's value sequence (ordered
+    by event_id) — engine: the O(n log n) merge-sort divide-and-
+    conquer count as a per-group applyInPandas kernel. Oracle: the
+    O(n²) definition — a self-join over all index pairs i < j with
+    vᵢ > vⱼ. Pure comparisons on the stored doubles, no float
+    arithmetic, so both engines decide identically."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("event_type", "event_id", "value"))
+
+    def kern(pdf):
+        import pandas as pd
+        vals = list(pdf.sort_values("event_id")["value"])
+
+        def rec(a):
+            if len(a) <= 1:
+                return a, 0
+            m = len(a) // 2
+            left, il = rec(a[:m])
+            right, ir = rec(a[m:])
+            merged, i, j, inv = [], 0, 0, il + ir
+            while i < len(left) and j < len(right):
+                if right[j] < left[i]:
+                    merged.append(right[j])
+                    j += 1
+                    inv += len(left) - i
+                else:
+                    merged.append(left[i])
+                    i += 1
+            merged.extend(left[i:])
+            merged.extend(right[j:])
+            return merged, inv
+        _, inv = rec(vals)
+        return pd.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                             "n": [len(vals)], "inversions": [inv]})
+
+    return (ev.groupBy("event_type")
+            .applyInPandas(kern,
+                           "event_type string, n long, inversions long")
+            .orderBy("event_type"))
+
+
+def q_josephus(spark, sf_dir) -> DataFrame:
+    """Josephus survivor (k = 2) for 40 hash-derived circle sizes —
+    engine: the bitwise CLOSED FORM J(n) = 2L where n = 2^m + L,
+    highest power of two found by the shift-or fill trick (pure
+    column bit math, O(1) per row). Oracle: the textbook recurrence
+    J(1) = 0, J(m) = (J(m−1) + 2) mod m stepped m→n in a recursive
+    CTE. The classic 'cyclic left shift of n' identity, checked."""
+    d = F.col("doc_id").cast("string")
+    df = (load(spark, sf_dir, "documents")
+          .filter(F.col("doc_id") < 40)
+          .select("doc_id",
+                  (F.lit(1) + _mst_hash(F.concat(F.lit("jo:"), d))
+                   % 4000).alias("n")))
+    p = F.col("n")
+    for sh in (1, 2, 4, 8):
+        p = p.bitwiseOR(F.shiftright(p, sh))
+    hp = F.shiftright(p + 1, 1)  # highest power of two <= n
+    return (df.withColumn("survivor", 2 * (F.col("n") - hp))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9089,6 +9205,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reed_solomon_parity": q_reed_solomon_parity,
         "hamming74": q_hamming74,
         "zeckendorf": q_zeckendorf,
+        "fisher_exact": q_fisher_exact,
+        "inversion_count": q_inversion_count,
+        "josephus": q_josephus,
     }
 
 
@@ -12474,6 +12593,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.x, sets.mask AS zmask, "
             "bit_count(sets.mask)::BIGINT AS n_terms "
             "FROM d JOIN sets ON sets.sm = d.x ORDER BY d.doc_id"
+        ),
+        # Fisher oracle: binomials from the ADDITIVE Pascal triangle
+        # (list-state recursion), engine uses the multiplicative
+        # product formula; p-value compared as exact integers.
+        "fisher_exact": (
+            "WITH pas AS (WITH RECURSIVE pr(n, row) AS ("
+            "SELECT 0, [1::BIGINT] "
+            "UNION ALL SELECT n + 1, [1::BIGINT] || "
+            "[row[i] + row[i + 1] for i in range(1, n + 1)] || "
+            "[1::BIGINT] FROM pr WHERE n < 40) "
+            "SELECT n, k.i AS k, row[cast(k.i as int) + 1] AS c "
+            "FROM pr JOIN range(41) k(i) ON k.i <= n), "
+            "inst AS (SELECT doc_id, "
+            "10 + cast('0x' || substr(sha256('fk:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 AS kk, "
+            "10 + cast('0x' || substr(sha256('fn:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 AS n "
+            "FROM documents WHERE doc_id < 25), "
+            "i2 AS (SELECT doc_id, kk, n, "
+            "greatest(0, kk + n - 40) AS lo, least(kk, n) AS hi "
+            "FROM inst), "
+            "i3 AS (SELECT doc_id, kk, n, lo, hi, lo + "
+            "cast('0x' || substr(sha256('fo:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) "
+            "% (hi - lo + 1) AS k_obs FROM i2), "
+            "sup AS (SELECT i3.doc_id, i3.kk, i3.n, i3.k_obs, "
+            "kv.i AS k, a.c * b.c AS w "
+            "FROM i3 JOIN range(41) kv(i) ON kv.i BETWEEN i3.lo "
+            "AND i3.hi "
+            "JOIN pas a ON a.n = i3.kk AND a.k = kv.i "
+            "JOIN pas b ON b.n = 40 - i3.kk AND b.k = i3.n - kv.i), "
+            "ob AS (SELECT doc_id, w AS w_obs FROM sup "
+            "WHERE k = k_obs) "
+            "SELECT sup.doc_id, sup.kk, sup.n, sup.k_obs, "
+            "sum(CASE WHEN sup.w <= ob.w_obs THEN sup.w ELSE 0 END) "
+            "AS p_num, sum(sup.w) AS p_den "
+            "FROM sup JOIN ob USING (doc_id) "
+            "GROUP BY sup.doc_id, sup.kk, sup.n, sup.k_obs "
+            "ORDER BY sup.doc_id"
+        ),
+        # Inversion oracle: the O(n²) definition — all index pairs
+        # i < j with v_i > v_j (engine: merge-sort count).
+        "inversion_count": (
+            "WITH ev AS (SELECT event_type, event_id, value "
+            "FROM events WHERE event_id < 2000), "
+            "nn AS (SELECT event_type, count(*) AS n FROM ev "
+            "GROUP BY event_type), "
+            "inv AS (SELECT a.event_type, count(*) AS inversions "
+            "FROM ev a JOIN ev b ON a.event_type = b.event_type "
+            "AND a.event_id < b.event_id AND a.value > b.value "
+            "GROUP BY a.event_type) "
+            "SELECT nn.event_type, nn.n, "
+            "coalesce(inv.inversions, 0) AS inversions "
+            "FROM nn LEFT JOIN inv USING (event_type) "
+            "ORDER BY nn.event_type"
+        ),
+        # Josephus oracle: the textbook recurrence J(m)=(J(m−1)+2)%m
+        # stepped up in a recursive CTE (engine: bitwise closed form).
+        "josephus": (
+            "WITH d AS (SELECT doc_id, 1 + cast('0x' || substr("
+            "sha256('jo:' || cast(doc_id as varchar)), 1, 8) "
+            "as bigint) % 4000 AS n FROM documents WHERE doc_id < 40),"
+            " w AS (WITH RECURSIVE j(doc_id, n, m, s) AS ("
+            "SELECT doc_id, n, 1, 0::BIGINT FROM d "
+            "UNION ALL SELECT doc_id, n, m + 1, (s + 2) % (m + 1) "
+            "FROM j WHERE m < n) "
+            "SELECT doc_id, n, s FROM j WHERE m = n) "
+            "SELECT doc_id, n, s AS survivor FROM w ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
