@@ -8883,6 +8883,129 @@ def q_josephus(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_apsp_minplus(spark, sf_dir) -> DataFrame:
+    """All-pairs shortest paths on a 24-node weighted digraph —
+    engine: MIN-PLUS MATRIX SQUARING, D ← min(D, D⊗D), 5 join+min
+    rounds for paths up to 2^5 hops (the semiring view of APSP; the
+    diagonal zeros make each squaring monotone). Oracle: FLOYD–
+    WARSHALL, the pivot recurrence, replayed in a recursive CTE whose
+    state is the whole 24×24 matrix as one list. Two classical APSP
+    algorithms from different decompositions (path length vs pivot
+    set), agreeing on every finite distance."""
+    V = 24
+    inf = 10 ** 9
+    nodes = spark.range(V).select(F.col("id").alias("u"))
+    s = F.col("u").cast("string")
+    edges = (nodes.select(
+        "u", ((F.col("u") + 1) % V).alias("v"),
+        (F.lit(1) + _mst_hash(F.concat(F.lit("aw:"), s)) % 100)
+        .alias("d"))
+        .unionByName(nodes.select(
+            "u", (_mst_hash(F.concat(F.lit("at:"), s)) % V).alias("v"),
+            (F.lit(1) + _mst_hash(F.concat(F.lit("ax:"), s)) % 100)
+            .alias("d")))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.min("d").alias("d")))
+    dist = (edges.unionByName(
+        nodes.select("u", F.col("u").alias("v"),
+                     F.lit(0).cast("long").alias("d")))
+        .groupBy("u", "v").agg(F.min("d").alias("d"))
+        .localCheckpoint(eager=True))
+    for _ in range(5):
+        right = dist.select(F.col("u").alias("m"),
+                            F.col("v").alias("v2"),
+                            F.col("d").alias("d2"))
+        dist = (dist.withColumnRenamed("v", "m")
+                .join(right, "m")
+                .groupBy(F.col("u"), F.col("v2").alias("v"))
+                .agg(F.min(F.col("d") + F.col("d2")).alias("d"))
+                .localCheckpoint(eager=True))
+    return dist.filter(F.col("d") < inf).orderBy("u", "v")
+
+
+def q_determinant_bareiss(spark, sf_dir) -> DataFrame:
+    """Exact integer determinant of 20 hash-derived 6×6 matrices —
+    engine: Bareiss fraction-free Gaussian elimination (1968; every
+    intermediate division is exact, partial pivoting with sign
+    tracking) in an applyInPandas kernel. Oracle: the LEIBNIZ
+    definition — all 720 permutations enumerated by a recursive CTE,
+    sign from the inversion count, Σ sgn(σ)·Πaᵢσ(ᵢ). Definition vs
+    elimination, exact integers both ways."""
+    r6 = spark.range(6)
+    mat = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 20).select("doc_id")
+           .crossJoin(r6.select((F.col("id") + 1).alias("r")))
+           .crossJoin(r6.select((F.col("id") + 1).alias("c"))))
+    mat = mat.withColumn(
+        "val", _mst_hash(F.concat(
+            F.lit("dt:"), F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("r").cast("string"), F.lit(":"),
+            F.col("c").cast("string"))) % 19 - 9)
+
+    def bareiss(pdf):
+        import pandas as pd
+        a = [[0] * 6 for _ in range(6)]
+        for r, c, v in zip(pdf["r"], pdf["c"], pdf["val"]):
+            a[int(r) - 1][int(c) - 1] = int(v)
+        sign, prev = 1, 1
+        for k in range(5):
+            if a[k][k] == 0:
+                for i in range(k + 1, 6):
+                    if a[i][k] != 0:
+                        a[k], a[i] = a[i], a[k]
+                        sign = -sign
+                        break
+                else:
+                    return pd.DataFrame(
+                        {"doc_id": [int(pdf["doc_id"].iloc[0])],
+                         "det": [0]})
+            for i in range(k + 1, 6):
+                for j in range(k + 1, 6):
+                    num = a[i][j] * a[k][k] - a[i][k] * a[k][j]
+                    assert num % prev == 0
+                    a[i][j] = num // prev
+                a[i][k] = 0
+            prev = a[k][k]
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
+                             "det": [sign * a[5][5]]})
+
+    return (mat.groupBy("doc_id")
+            .applyInPandas(bareiss, "doc_id long, det long")
+            .orderBy("doc_id"))
+
+
+def q_easter_date(spark, sf_dir) -> DataFrame:
+    """Gregorian Easter for 1900–2299 — engine: GAUSS's algorithm
+    (1800, with both exception rules d=29/e=6 → Apr 19 and d=28/e=6/
+    (11M+11)%30<19 → Apr 18) as pure column arithmetic. Oracle: the
+    ANONYMOUS GREGORIAN algorithm (Meeus/Jones/Butcher 1876) — a
+    different published closed form with no exception cases. 400
+    years, two computus derivations, identical dates."""
+    yr = spark.range(1900, 2300).select(F.col("id").alias("year"))
+    a = F.col("year") % 19
+    b = F.col("year") % 4
+    c = F.col("year") % 7
+    k = F.floor(F.col("year") / 100).cast("long")
+    p = F.floor((13 + 8 * k) / 25).cast("long")
+    q = F.floor(k / 4).cast("long")
+    m = (15 - p + k - q) % 30
+    n = (4 + k - q) % 7
+    d = (19 * a + m) % 30
+    e = (2 * b + 4 * c + 6 * d + n) % 7
+    off = d + e  # days after March 22
+    day = F.when((d == 29) & (e == 6), F.lit(50 - 31)) \
+        .when((d == 28) & (e == 6) & ((11 * m + 11) % 30 < 19),
+              F.lit(49 - 31)) \
+        .otherwise(F.when(off <= 9, off + 22).otherwise(off - 9))
+    month = F.when((d == 29) & (e == 6), F.lit(4)) \
+        .when((d == 28) & (e == 6) & ((11 * m + 11) % 30 < 19),
+              F.lit(4)) \
+        .otherwise(F.when(off <= 9, F.lit(3)).otherwise(F.lit(4)))
+    return (yr.select("year", month.cast("long").alias("em"),
+                      day.cast("long").alias("ed"))
+            .orderBy("year"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9208,6 +9331,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_exact": q_fisher_exact,
         "inversion_count": q_inversion_count,
         "josephus": q_josephus,
+        "apsp_minplus": q_apsp_minplus,
+        "determinant_bareiss": q_determinant_bareiss,
+        "easter_date": q_easter_date,
     }
 
 
@@ -12661,6 +12787,90 @@ def oracle_sql() -> dict[str, str]:
             "FROM j WHERE m < n) "
             "SELECT doc_id, n, s FROM j WHERE m = n) "
             "SELECT doc_id, n, s AS survivor FROM w ORDER BY doc_id"
+        ),
+        # APSP oracle: Floyd–Warshall pivot recurrence, the whole
+        # 24×24 matrix carried as one list through 24 recursion
+        # levels (engine: min-plus matrix squaring).
+        "apsp_minplus": (
+            "WITH n AS (SELECT i AS u FROM range(24) r(i)), "
+            "e0 AS (SELECT u, (u + 1) % 24 AS v, 1 + cast('0x' || "
+            "substr(sha256('aw:' || cast(u as varchar)), 1, 8) "
+            "as bigint) % 100 AS d FROM n "
+            "UNION ALL SELECT u, cast('0x' || substr(sha256('at:' || "
+            "cast(u as varchar)), 1, 8) as bigint) % 24, "
+            "1 + cast('0x' || substr(sha256('ax:' || "
+            "cast(u as varchar)), 1, 8) as bigint) % 100 FROM n), "
+            "e AS (SELECT u, v, min(d) AS d FROM e0 WHERE u <> v "
+            "GROUP BY u, v), "
+            "pairs AS (SELECT a.i AS u, b.i AS v "
+            "FROM range(24) a(i), range(24) b(i)), "
+            "cells AS (SELECT p.u, p.v, coalesce("
+            "CASE WHEN p.u = p.v THEN 0 END, e.d, 1000000000) AS d "
+            "FROM pairs p LEFT JOIN e ON e.u = p.u AND e.v = p.v), "
+            "init AS (SELECT list(d ORDER BY u * 24 + v) AS m "
+            "FROM cells), "
+            "fw AS (WITH RECURSIVE f(k, m) AS ("
+            "SELECT 0, m FROM init "
+            "UNION ALL SELECT k + 1, "
+            "[least(m[idx], m[((idx - 1) // 24) * 24 + k + 1] + "
+            "m[k * 24 + ((idx - 1) % 24) + 1]) "
+            "for idx in range(1, 577)] "
+            "FROM f WHERE k < 24) SELECT m FROM f WHERE k = 24), "
+            "od AS (SELECT (g.i - 1) // 24 AS u, (g.i - 1) % 24 AS v,"
+            " m[cast(g.i as int)] AS d FROM fw, range(1, 577) g(i)) "
+            "SELECT u, v, d FROM od WHERE d < 1000000000 "
+            "ORDER BY u, v"
+        ),
+        # Determinant oracle: the Leibniz definition — all 720
+        # permutations from a recursive CTE, sign by inversion count
+        # (engine: Bareiss fraction-free elimination).
+        "determinant_bareiss": (
+            "WITH mat AS (SELECT doc_id, r.i + 1 AS r, c.i + 1 AS c, "
+            "cast('0x' || substr(sha256('dt:' || "
+            "cast(doc_id as varchar) || ':' || "
+            "cast(r.i + 1 as varchar) || ':' || "
+            "cast(c.i + 1 as varchar)), 1, 8) as bigint) % 19 - 9 "
+            "AS val FROM documents, range(6) r(i), range(6) c(i) "
+            "WHERE doc_id < 20), "
+            "perms AS (WITH RECURSIVE p(k, pm) AS ("
+            "SELECT 0, []::BIGINT[] "
+            "UNION ALL SELECT k + 1, pm || [e.i] FROM p "
+            "JOIN range(1, 7) e(i) ON NOT list_contains(pm, e.i) "
+            "WHERE k < 6) SELECT pm FROM p WHERE k = 6), "
+            "sgn AS (SELECT pm, CASE WHEN ((SELECT count(*) "
+            "FROM range(1, 7) x(i), range(1, 7) y(j) "
+            "WHERE x.i < y.j AND pm[cast(x.i as int)] > "
+            "pm[cast(y.j as int)]) % 2) = 0 THEN 1 ELSE -1 END AS s "
+            "FROM perms), "
+            "terms AS (SELECT m.doc_id, s.pm, s.s, "
+            "cast(product(m.val) as bigint) AS t "
+            "FROM sgn s JOIN range(6) rr(i) ON true "
+            "JOIN mat m ON m.r = rr.i + 1 "
+            "AND m.c = s.pm[cast(rr.i as int) + 1] "
+            "GROUP BY m.doc_id, s.pm, s.s) "
+            "SELECT doc_id, sum(s * t) AS det FROM terms "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # Easter oracle: the Anonymous Gregorian (Meeus/Jones/
+        # Butcher) closed form — no exception rules (engine: Gauss's
+        # algorithm with its two exceptions).
+        "easter_date": (
+            "WITH y AS (SELECT i AS year FROM range(1900, 2300) "
+            "r(i)), "
+            "c1 AS (SELECT year, year % 19 AS a, year // 100 AS b, "
+            "year % 100 AS c0 FROM y), "
+            "c2 AS (SELECT *, b // 4 AS d, b % 4 AS e, "
+            "(b + 8) // 25 AS f FROM c1), "
+            "c3 AS (SELECT *, (b - f + 1) // 3 AS g FROM c2), "
+            "c4 AS (SELECT *, (19 * a + b - d - g + 15) % 30 AS h, "
+            "c0 // 4 AS i2, c0 % 4 AS k FROM c3), "
+            "c5 AS (SELECT *, (32 + 2 * e + 2 * i2 - h - k) % 7 AS l "
+            "FROM c4), "
+            "c6 AS (SELECT *, (a + 11 * h + 22 * l) // 451 AS m2 "
+            "FROM c5) "
+            "SELECT year, (h + l - 7 * m2 + 114) // 31 AS em, "
+            "((h + l - 7 * m2 + 114) % 31) + 1 AS ed FROM c6 "
+            "ORDER BY year"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
