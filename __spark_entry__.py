@@ -9006,6 +9006,101 @@ def q_easter_date(spark, sf_dir) -> DataFrame:
             .orderBy("year"))
 
 
+def q_catalan_numbers(spark, sf_dir) -> DataFrame:
+    """Catalan numbers C_0..C_25 — engine: the CLOSED FORM
+    C_n = C(2n,n)/(n+1), the central binomial built as an exact
+    integer multiplicative fold Π(n+k)/k with stepwise-exact `div`
+    (each partial product is itself a binomial, so every division is
+    exact), one JVM higher-order aggregate per row. Oracle: the
+    CONVOLUTION RECURRENCE C_{n+1} = Σ C_i·C_{n−i} carried as a list
+    through a recursive CTE. Segner's recurrence vs the binomial
+    quotient — two classical derivations, exact integers both ways."""
+    return (spark.range(0, 26).select(F.col("id").alias("n"))
+            .select("n", F.expr(
+                "case when n = 0 then cast(1 as bigint) else "
+                "aggregate(sequence(1, n), cast(1 as bigint), "
+                "(acc, k) -> (acc * (n + k)) div k) div (n + 1) "
+                "end").alias("cat"))
+            .orderBy("n"))
+
+
+def q_gray_code(spark, sf_dir) -> DataFrame:
+    """Reflected binary Gray code for n = 0..1023 — engine: the
+    BITWISE CLOSED FORM g(n) = n XOR (n >> 1), one codegen
+    expression. Oracle: the REFLECTION CONSTRUCTION G(k+1) =
+    G(k) ++ reverse(G(k)) + 2^k grown as a list through 10 levels of
+    a recursive CTE. Construction-by-mirroring vs the xor identity —
+    the standard proof equivalence, checked value by value."""
+    return (spark.range(0, 1024).select(F.col("id").alias("n"))
+            .select("n", F.col("n").bitwiseXOR(
+                F.shiftright(F.col("n"), 1)).alias("gray"))
+            .orderBy("n"))
+
+
+def q_euler_totient(spark, sf_dir) -> DataFrame:
+    """Euler's totient φ(n) for n = 1..2000 — engine: TRIAL-DIVISION
+    FACTORIZATION in an Arrow mapInPandas kernel, φ = Π p^(k−1)(p−1)
+    over the prime-power decomposition. Oracle: the DEFINITION —
+    count of k ≤ n with gcd(n,k) = 1, a 4M-pair join over DuckDB's
+    builtin gcd. Multiplicative formula vs direct coprime census."""
+
+    def phi_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            ns, out = pdf["n"], []
+            for n0 in ns:
+                m, phi = int(n0), 1
+                d = 2
+                while d * d <= m:
+                    if m % d == 0:
+                        pk = 1
+                        while m % d == 0:
+                            m //= d
+                            pk *= d
+                        phi *= (pk // d) * (d - 1)
+                    d += 1
+                if m > 1:
+                    phi *= m - 1
+                out.append(phi)
+            yield pd.DataFrame({"n": ns, "phi": out})
+
+    return (spark.range(1, 2001).select(F.col("id").alias("n"))
+            .repartition(8)
+            .mapInPandas(phi_kernel, "n long, phi long")
+            .orderBy("n"))
+
+
+def q_mobius_function(spark, sf_dir) -> DataFrame:
+    """Möbius μ(n) for n = 1..1000 — engine: FACTORIZATION VIEW in
+    pure column algebra: primes sieved by a divisor anti-join, ω(n)
+    = count of prime divisors by a non-equi join, squarefree test
+    n mod p² — μ = 0 if not squarefree else (−1)^ω. Oracle: the
+    DIRICHLET-INVERSE RECURRENCE μ(1)=1, μ(n) = −Σ_{d|n, d<n} μ(d)
+    (from Σ_{d|n} μ(d) = [n=1]) stepped 1000 levels in a recursive
+    CTE. Local factor structure vs the global summatory identity."""
+    N = 1000
+    d = spark.range(2, N + 1).select(F.col("id").alias("p"))
+    e = spark.range(2, 33).select(F.col("id").alias("e"))
+    composite = d.join(
+        F.broadcast(e),
+        (F.col("e") < F.col("p")) & (F.col("p") % F.col("e") == 0),
+        "left_semi")
+    primes = d.join(composite, "p", "left_anti")
+    n_df = spark.range(1, N + 1).select(F.col("id").alias("n"))
+    fac = (n_df.join(F.broadcast(primes),
+                     F.col("n") % F.col("p") == 0, "left")
+           .groupBy("n")
+           .agg(F.count("p").alias("omega"),
+                F.max(F.when(
+                    F.col("n") % (F.col("p") * F.col("p")) == 0, 1)
+                    .otherwise(0)).alias("sq")))
+    mu = (F.when(F.col("sq") == 1, F.lit(0))
+          .otherwise(F.when(F.col("omega") % 2 == 0, 1)
+                     .otherwise(-1)))
+    return (fac.select("n", mu.cast("long").alias("mu"))
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9334,6 +9429,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_minplus": q_apsp_minplus,
         "determinant_bareiss": q_determinant_bareiss,
         "easter_date": q_easter_date,
+        "catalan_numbers": q_catalan_numbers,
+        "gray_code": q_gray_code,
+        "euler_totient": q_euler_totient,
+        "mobius_function": q_mobius_function,
     }
 
 
@@ -12871,6 +12970,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT year, (h + l - 7 * m2 + 114) // 31 AS em, "
             "((h + l - 7 * m2 + 114) % 31) + 1 AS ed FROM c6 "
             "ORDER BY year"
+        ),
+        # Catalan oracle: Segner's convolution recurrence
+        # C_{n+1} = Σ C_i·C_{n-i} as a list through a recursive CTE
+        # (engine: exact closed-form binomial fold C(2n,n)/(n+1)).
+        "catalan_numbers": (
+            "WITH RECURSIVE c(n, lst) AS ("
+            "SELECT 0, [CAST(1 AS BIGINT)] "
+            "UNION ALL SELECT n + 1, lst || [CAST(list_sum("
+            "[lst[i] * lst[n + 2 - i] for i in range(1, n + 2)]) "
+            "AS BIGINT)] FROM c WHERE n < 25) "
+            "SELECT i - 1 AS n, lst[cast(i as int)] AS cat "
+            "FROM c, range(1, 27) r(i) WHERE c.n = 25 ORDER BY n"
+        ),
+        # Gray oracle: the reflection construction G(k+1) =
+        # G(k) ++ reverse(G(k))+2^k grown 10 levels (engine:
+        # bitwise closed form n XOR n>>1).
+        "gray_code": (
+            "WITH RECURSIVE g(k, lst) AS ("
+            "SELECT 1, [CAST(0 AS BIGINT), CAST(1 AS BIGINT)] "
+            "UNION ALL SELECT k + 1, lst || "
+            "[lst[len(lst) - i + 1] + (CAST(1 AS BIGINT) << k) "
+            "for i in range(1, len(lst) + 1)] "
+            "FROM g WHERE k < 10) "
+            "SELECT i - 1 AS n, lst[cast(i as int)] AS gray "
+            "FROM g, range(1, 1025) r(i) WHERE k = 10 ORDER BY n"
+        ),
+        # Totient oracle: the definition — coprime census via
+        # DuckDB's builtin gcd over a 4M-pair join (engine:
+        # factorization product formula).
+        "euler_totient": (
+            "SELECT a.n AS n, count(*) AS phi "
+            "FROM range(1, 2001) a(n) JOIN range(1, 2001) b(k) "
+            "ON b.k <= a.n AND gcd(a.n, b.k) = 1 "
+            "GROUP BY a.n ORDER BY n"
+        ),
+        # Möbius oracle: the Dirichlet-inverse recurrence
+        # μ(n) = -Σ_{d|n, d<n} μ(d) stepped 1000 levels (engine:
+        # squarefree/ω factor view in column algebra).
+        "mobius_function": (
+            "WITH RECURSIVE m(n, lst) AS ("
+            "SELECT 1, [CAST(1 AS BIGINT)] "
+            "UNION ALL SELECT n + 1, lst || [CAST(-list_sum("
+            "[lst[d] for d in range(1, n + 1) if (n + 1) % d = 0]) "
+            "AS BIGINT)] FROM m WHERE n < 1000) "
+            "SELECT i AS n, lst[cast(i as int)] AS mu "
+            "FROM m, range(1, 1001) r(i) WHERE m.n = 1000 "
+            "ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
