@@ -9101,6 +9101,114 @@ def q_mobius_function(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_simpson_integrate(spark, sf_dir) -> DataFrame:
+    """Composite Simpson's rule on 30 hash-derived integer cubics
+    over [0,12], h=1 — engine: the QUADRATURE NODE SUM Σ wₖ·f(k)
+    with weights 1,4,2,…,4,1, distributed as a node explode +
+    groupBy (returns 3∫ so everything stays integer). Oracle: the
+    ANTIDERIVATIVE — 3∫ = 15552a + 1728b + 216c + 36d from
+    F(x) = ax⁴/4 + bx³/3 + cx²/2 + dx evaluated at 12. Simpson is
+    EXACT on cubics (its degree-3 exactness), so the two agree to
+    the integer."""
+    d = F.col("doc_id").cast("string")
+    coef = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 30)
+            .select(
+                "doc_id",
+                (_mst_hash(F.concat(F.lit("sa:"), d)) % 21 - 10)
+                .alias("a"),
+                (_mst_hash(F.concat(F.lit("sb:"), d)) % 21 - 10)
+                .alias("b"),
+                (_mst_hash(F.concat(F.lit("sc:"), d)) % 21 - 10)
+                .alias("c"),
+                (_mst_hash(F.concat(F.lit("sd:"), d)) % 21 - 10)
+                .alias("dd")))
+    nodes = spark.range(0, 13).select(F.col("id").alias("k"))
+    w = (F.when((F.col("k") == 0) | (F.col("k") == 12), 1)
+         .otherwise(F.when(F.col("k") % 2 == 1, 4).otherwise(2)))
+    x = F.col("k")
+    fx = (F.col("a") * x * x * x + F.col("b") * x * x
+          + F.col("c") * x + F.col("dd"))
+    return (coef.crossJoin(F.broadcast(nodes))
+            .groupBy("doc_id").agg(F.sum(w * fx).alias("i3"))
+            .orderBy("doc_id"))
+
+
+def q_farey_neighbors(spark, sf_dir) -> DataFrame:
+    """Successor pairs of the Farey sequence F_30 — engine: the
+    UNIMODULARITY THEOREM — a/b and c/d are F_n-adjacent iff
+    bc − ad = 1 and b + d > n — as a non-equi join over the reduced
+    fractions (reduced = divisor anti-join, no gcd needed). Oracle:
+    the DEFINITION — sort all reduced fractions by value and take
+    LEAD. The join discovers the ordering without ever sorting;
+    Cauchy's adjacency criterion vs the sorted walk."""
+    N = 30
+    fr = (spark.range(1, N + 1).select(F.col("id").alias("b"))
+          .crossJoin(spark.range(0, N + 1)
+                     .select(F.col("id").alias("a")))
+          .filter(F.col("a") <= F.col("b")))
+    g = spark.range(2, N + 1).select(F.col("id").alias("g"))
+    common = fr.join(
+        F.broadcast(g),
+        (F.col("a") % F.col("g") == 0)
+        & (F.col("b") % F.col("g") == 0), "left_semi")
+    red = fr.join(common, ["a", "b"], "left_anti")
+    right = red.select(F.col("a").alias("c"), F.col("b").alias("d2"))
+    adj = red.join(
+        F.broadcast(right),
+        (F.col("b") * F.col("c") - F.col("a") * F.col("d2") == 1)
+        & (F.col("b") + F.col("d2") > N))
+    return (adj.select("a", "b", "c", F.col("d2").alias("d"))
+            .orderBy("a", "b"))
+
+
+def q_stern_brocot(spark, sf_dir) -> DataFrame:
+    """Stern–Brocot tree paths for 40 hash-derived rationals —
+    engine: the CONTINUED-FRACTION rule — Euclid's quotients
+    [a₀;a₁,…,aₖ] become alternating R/L runs with the last run
+    shortened by one (the CF↔SB correspondence), an Arrow
+    mapInPandas kernel. Oracle: MEDIANT DESCENT — the binary-search
+    walk from (0/1, 1/0) through mediants replayed step by step in
+    a recursive CTE with exact cross-multiplied comparisons. Two
+    faces of the same tree: arithmetic of quotients vs navigation."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40)
+           .select(
+               "doc_id",
+               (1 + _mst_hash(F.concat(F.lit("sp:"), d)) % 99)
+               .alias("p0"),
+               (1 + _mst_hash(F.concat(F.lit("sq:"), d)) % 99)
+               .alias("q0")))
+
+    def sb_kernel(it):
+        import math
+
+        import pandas as pd
+        for pdf in it:
+            ps, qs, paths = [], [], []
+            for p0, q0 in zip(pdf["p0"], pdf["q0"]):
+                gg = math.gcd(int(p0), int(q0))
+                p, q = int(p0) // gg, int(q0) // gg
+                cf, a, b = [], p, q
+                while b:
+                    cf.append(a // b)
+                    a, b = b, a % b
+                cf[-1] -= 1
+                paths.append("".join(
+                    ("R" if i % 2 == 0 else "L") * c
+                    for i, c in enumerate(cf)))
+                ps.append(p)
+                qs.append(q)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "p": ps,
+                                "q": qs, "path": paths})
+
+    return (raw.repartition(4)
+            .mapInPandas(sb_kernel,
+                         "doc_id long, p long, q long, path string")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9433,6 +9541,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gray_code": q_gray_code,
         "euler_totient": q_euler_totient,
         "mobius_function": q_mobius_function,
+        "simpson_integrate": q_simpson_integrate,
+        "farey_neighbors": q_farey_neighbors,
+        "stern_brocot": q_stern_brocot,
     }
 
 
@@ -13017,6 +13128,68 @@ def oracle_sql() -> dict[str, str]:
             "SELECT i AS n, lst[cast(i as int)] AS mu "
             "FROM m, range(1, 1001) r(i) WHERE m.n = 1000 "
             "ORDER BY n"
+        ),
+        # Simpson oracle: the antiderivative closed form — 3*integral
+        # of ax^3+bx^2+cx+d over [0,12] (engine: weighted node sum;
+        # Simpson is degree-3 exact so they agree to the integer).
+        "simpson_integrate": (
+            "WITH coef AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('sa:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 - 10 "
+            "AS a, "
+            "cast('0x' || substr(sha256('sb:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 - 10 "
+            "AS b, "
+            "cast('0x' || substr(sha256('sc:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 - 10 "
+            "AS c, "
+            "cast('0x' || substr(sha256('sd:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 - 10 "
+            "AS d FROM documents WHERE doc_id < 30) "
+            "SELECT doc_id, 15552 * a + 1728 * b + 216 * c + 36 * d "
+            "AS i3 FROM coef ORDER BY doc_id"
+        ),
+        # Farey oracle: the definition — reduced fractions sorted by
+        # value, successor via LEAD (engine: Cauchy's unimodular
+        # adjacency join, no sort anywhere).
+        "farey_neighbors": (
+            "WITH fr AS (SELECT a.i AS a, b.i AS b "
+            "FROM range(0, 31) a(i), range(1, 31) b(i) "
+            "WHERE a.i <= b.i AND gcd(a.i, b.i) = 1), "
+            "ord AS (SELECT a, b, lead(a) OVER w AS c, "
+            "lead(b) OVER w AS d FROM fr "
+            "WINDOW w AS (ORDER BY a * 1.0 / b)) "
+            "SELECT a, b, c, d FROM ord WHERE c IS NOT NULL "
+            "ORDER BY a, b"
+        ),
+        # Stern-Brocot oracle: mediant descent from (0/1, 1/0)
+        # replayed in a recursive CTE with exact integer cross-
+        # multiplication (engine: Euclid CF quotients -> R/L runs).
+        "stern_brocot": (
+            "WITH f AS (SELECT doc_id, "
+            "1 + cast('0x' || substr(sha256('sp:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 99 AS p0, "
+            "1 + cast('0x' || substr(sha256('sq:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 99 AS q0 "
+            "FROM documents WHERE doc_id < 40), "
+            "r0 AS (SELECT doc_id, p0 // gcd(p0, q0) AS p, "
+            "q0 // gcd(p0, q0) AS q FROM f), "
+            "w AS (WITH RECURSIVE d(doc_id, p, q, lp, lq, hp, hq, "
+            "path, done) AS ("
+            "SELECT doc_id, p, q, 0, 1, 1, 0, '', "
+            "(p = 1 AND q = 1) FROM r0 "
+            "UNION ALL SELECT doc_id, p, q, "
+            "CASE WHEN p*(lq+hq) > q*(lp+hp) THEN lp+hp ELSE lp END,"
+            " CASE WHEN p*(lq+hq) > q*(lp+hp) THEN lq+hq ELSE lq "
+            "END, "
+            "CASE WHEN p*(lq+hq) < q*(lp+hp) THEN lp+hp ELSE hp END,"
+            " CASE WHEN p*(lq+hq) < q*(lp+hp) THEN lq+hq ELSE hq "
+            "END, "
+            "path || CASE WHEN p*(lq+hq) > q*(lp+hp) THEN 'R' "
+            "WHEN p*(lq+hq) < q*(lp+hp) THEN 'L' ELSE '' END, "
+            "p*(lq+hq) = q*(lp+hp) FROM d WHERE NOT done) "
+            "SELECT doc_id, p, q, path FROM d WHERE done) "
+            "SELECT doc_id, p, q, path FROM w ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
