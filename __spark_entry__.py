@@ -9209,6 +9209,257 @@ def q_stern_brocot(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_stirling2(spark, sf_dir) -> DataFrame:
+    """Stirling numbers of the second kind S(n,k), 1<=k<=n<=12 —
+    engine: the INCLUSION-EXCLUSION closed form — k!*S(n,k) =
+    sum_j (-1)^j C(k,j) (k-j)^n (the surjection count), evaluated
+    as a j-explode + groupBy with binomials from a factorial
+    lookup literal; everything stays in exact longs (12^12 < 2^53
+    so the pow round-trip is exact). Oracle: the TRIANGLE
+    RECURRENCE S(n,k) = k*S(n-1,k) + S(n-1,k-1) grown level by
+    level in a recursive CTE carrying the whole row as a list.
+    Multiplicative sieve vs additive recurrence."""
+    fact = [1] * 13
+    for i in range(1, 13):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    nk = (spark.range(1, 13).select(F.col("id").alias("n"))
+          .join(spark.range(1, 13).select(F.col("id").alias("k")),
+                F.col("k") <= F.col("n")))
+    j = spark.range(0, 13).select(F.col("id").alias("j"))
+    t = nk.join(F.broadcast(j), F.col("j") <= F.col("k"))
+    binom = (F.element_at(fl, F.col("k").cast("int") + 1)
+             / (F.element_at(fl, F.col("j").cast("int") + 1)
+                * F.element_at(fl, (F.col("k") - F.col("j"))
+                               .cast("int") + 1))).cast("long")
+    sign = F.when(F.col("j") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    powkj = F.pow((F.col("k") - F.col("j")).cast("double"),
+                  F.col("n").cast("double")).cast("long")
+    return (t.groupBy("n", "k")
+            .agg(((F.sum(sign * binom * powkj))
+                  / F.element_at(fl, F.col("k").cast("int") + 1))
+                 .cast("long").alias("s"))
+            .orderBy("n", "k"))
+
+
+def q_derangements(spark, sf_dir) -> DataFrame:
+    """Subfactorials !n for n=0..20 — engine: the ALTERNATING-SUM
+    closed form !n = sum_k (-1)^k n!/k!, an explode over k with
+    exact long partial quotients n!/k! built from a factorial
+    literal (20! = 2.43e18 fits int64). Oracle: the two-term
+    RECURRENCE D(n) = (n-1)(D(n-1) + D(n-2)) in a linear recursive
+    CTE. Inclusion-exclusion vs recurrence."""
+    fact = [1] * 21
+    for i in range(1, 21):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    n = spark.range(0, 21).select(F.col("id").alias("n"))
+    k = spark.range(0, 21).select(F.col("id").alias("k"))
+    t = n.join(F.broadcast(k), F.col("k") <= F.col("n"))
+    quot = (F.element_at(fl, F.col("n").cast("int") + 1)
+            / F.element_at(fl, F.col("k").cast("int") + 1)) \
+        .cast("long")
+    sign = F.when(F.col("k") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (t.groupBy("n").agg(F.sum(sign * quot).alias("d"))
+            .orderBy("n"))
+
+
+def q_lucas_binomial(spark, sf_dir) -> DataFrame:
+    """C(n,k) mod 13 for 40 hash-derived pairs with n < 500 —
+    engine: LUCAS' THEOREM — write n,k in base 13 and multiply the
+    per-digit small binomials C(n_i,k_i) mod 13 from a 13x13 table
+    literal (a digit pair with k_i > n_i zeroes the product), all
+    as one column expression over three base-13 digits. Oracle:
+    PASCAL'S RECURRENCE mod 13 — the triangle grown row by row in
+    a recursive CTE (list state), then the (n,k) pairs joined
+    against row n. Digit-product theorem vs additive triangle."""
+    P = 13
+    tab = [0] * (P * P)
+    for ni in range(P):
+        c = 1
+        for ki in range(ni + 1):
+            tab[ni * P + ki] = c % P
+            c = c * (ni - ki) // (ki + 1)
+    tl = F.array(*[F.lit(v) for v in tab])
+    d = F.col("doc_id").cast("string")
+    pairs = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 40)
+             .select(
+                 "doc_id",
+                 (_mst_hash(F.concat(F.lit("lb:"), d)) % 500)
+                 .alias("n")))
+    pairs = pairs.withColumn(
+        "k", _mst_hash(F.concat(F.lit("lk:"), d)) % (F.col("n") + 1))
+    prod = F.lit(1)
+    for i in range(3):
+        ni = (F.col("n") / (P ** i)).cast("long") % P
+        ki = (F.col("k") / (P ** i)).cast("long") % P
+        prod = prod * F.element_at(tl, (ni * P + ki).cast("int") + 1)
+    return (pairs.select("doc_id", "n", "k",
+                         (prod % P).alias("c_mod"))
+            .orderBy("doc_id"))
+
+
+def q_wythoff_cold(spark, sf_dir) -> DataFrame:
+    """The first 60 cold (P-)positions of Wythoff's game — engine:
+    the BEATTY closed form a_n = floor(n*phi), b_n = a_n + n, with
+    floor(n*phi) computed exactly as (n + isqrt(5n^2)) div 2 using
+    an integer-corrected sqrt (5n^2 is never a perfect square, and
+    two CASE correction steps pin the double sqrt to the true
+    isqrt). Oracle: the GREEDY MEX construction — a_n is the
+    smallest positive integer in no earlier pair and b_n = a_n + n,
+    replayed in a recursive CTE carrying the used-set as a list.
+    Closed form from the golden ratio vs the game-theoretic
+    definition."""
+    n = spark.range(1, 61).select(F.col("id").alias("n"))
+    x = F.col("n") * F.col("n") * 5
+    s0 = F.sqrt(x.cast("double")).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    s = F.when(s1 * s1 > x, s1 - 1).otherwise(s1)
+    a = ((F.col("n") + s) / 2).cast("long")
+    return (n.select("n", a.alias("a"), (a + F.col("n")).alias("b"))
+            .orderBy("n"))
+
+
+def q_r2_lattice(spark, sf_dir) -> DataFrame:
+    """r2(n) — number of representations of n as an ordered pair of
+    squares (signs included) for n=1..400 — engine: JACOBI'S
+    FORMULA r2(n) = 4*(d1(n) - d3(n)) where d1/d3 count divisors
+    congruent to 1/3 mod 4, computed as a divisor census join.
+    Oracle: the DEFINITION — count lattice points (a,b) with
+    a^2+b^2 = n over the full signed grid. A divisor-class theorem
+    vs brute lattice enumeration."""
+    n = spark.range(1, 401).select(F.col("id").alias("n"))
+    d = spark.range(1, 401).select(F.col("id").alias("d"))
+    divs = n.join(F.broadcast(d),
+                  (F.col("d") <= F.col("n"))
+                  & (F.col("n") % F.col("d") == 0))
+    return (divs.groupBy("n")
+            .agg((4 * (F.sum(F.when(F.col("d") % 4 == 1, 1)
+                             .otherwise(0))
+                       - F.sum(F.when(F.col("d") % 4 == 3, 1)
+                               .otherwise(0)))).alias("r2"))
+            .orderBy("n"))
+
+
+def q_sigma_classify(spark, sf_dir) -> DataFrame:
+    """sigma(n) and the perfect/abundant/deficient class for
+    n=1..600 — engine: the DIVISOR CENSUS — sigma = sum of divisors
+    found by an explicit divisibility join. Oracle: the
+    MULTIPLICATIVE closed form — factor each n into prime powers
+    (primes by non-existence of a smaller divisor, exponents by
+    maximal p^k | n) and take the product of geometric sums
+    (p^(e+1)-1)/(p-1). Census vs multiplicativity."""
+    n = spark.range(1, 601).select(F.col("id").alias("n"))
+    d = spark.range(1, 601).select(F.col("id").alias("d"))
+    divs = n.join(F.broadcast(d),
+                  (F.col("d") <= F.col("n"))
+                  & (F.col("n") % F.col("d") == 0))
+    sig = divs.groupBy("n").agg(F.sum("d").alias("sigma"))
+    cls = (F.when(F.col("sigma") == 2 * F.col("n"), "perfect")
+           .when(F.col("sigma") > 2 * F.col("n"), "abundant")
+           .otherwise("deficient"))
+    return sig.select("n", "sigma", cls.alias("cls")).orderBy("n")
+
+
+def q_pell_fundamental(spark, sf_dir) -> DataFrame:
+    """Fundamental solutions of Pell's equation x^2 - n*y^2 = 1 for
+    non-square n in 2..31 — engine: the CONTINUED-FRACTION method —
+    the standard (m,d,a) iteration for the CF of sqrt(n) with
+    convergent recurrences, stopping at the first convergent that
+    solves the equation (Lagrange's theorem guarantees it), as an
+    Arrow kernel in exact Python ints. Oracle: EXHAUSTIVE SEARCH —
+    the least x in 2..10^4+1 for which (x^2-1)/n is a perfect
+    square (all fundamental x for n<=31 are <=9801). Algebraic
+    number theory vs brute force."""
+    ns = (spark.range(2, 32).select(F.col("id").alias("n"))
+          .filter(F.sqrt(F.col("id").cast("double")).cast("long")
+                  * F.sqrt(F.col("id").cast("double")).cast("long")
+                  != F.col("id")))
+
+    def pell_kernel(it):
+        import math
+
+        import pandas as pd
+        for pdf in it:
+            xs, ys = [], []
+            for n in pdf["n"]:
+                n = int(n)
+                a0 = math.isqrt(n)
+                m, dd, a = 0, 1, a0
+                pm1, p = 1, a0
+                qm1, q = 0, 1
+                while p * p - n * q * q != 1:
+                    m = dd * a - m
+                    dd = (n - m * m) // dd
+                    a = (a0 + m) // dd
+                    pm1, p = p, a * p + pm1
+                    qm1, q = q, a * q + qm1
+                xs.append(p)
+                ys.append(q)
+            yield pd.DataFrame({"n": pdf["n"], "x": xs, "y": ys})
+
+    return (ns.repartition(4)
+            .mapInPandas(pell_kernel, "n long, x long, y long")
+            .orderBy("n"))
+
+
+def q_miller_rabin(spark, sf_dir) -> DataFrame:
+    """Primality of 60 hash-derived odd numbers below 10^6 —
+    engine: deterministic MILLER-RABIN with witness set {2,3,5,7}
+    (provably exact below 3,215,031,751), the strong-pseudoprime
+    test run as an Arrow kernel with exact modular exponentiation.
+    Oracle: the DEFINITION — a composite below 10^6 has a divisor
+    in 2..1000, so primality is the non-existence of one. Fermat
+    witnesses vs trial division."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select(
+               "doc_id",
+               (5 + 2 * (_mst_hash(F.concat(F.lit("mr:"), d))
+                         % 500000)).alias("n")))
+
+    def mr_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            flags = []
+            for n in pdf["n"]:
+                n = int(n)
+                if n < 2:
+                    flags.append(0)
+                    continue
+                for p in (2, 3, 5, 7):
+                    if n % p == 0:
+                        flags.append(1 if n == p else 0)
+                        break
+                else:
+                    dd, s = n - 1, 0
+                    while dd % 2 == 0:
+                        dd //= 2
+                        s += 1
+                    ok = True
+                    for a in (2, 3, 5, 7):
+                        x = pow(a, dd, n)
+                        if x in (1, n - 1):
+                            continue
+                        for _ in range(s - 1):
+                            x = x * x % n
+                            if x == n - 1:
+                                break
+                        else:
+                            ok = False
+                            break
+                    flags.append(1 if ok else 0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n": pdf["n"], "is_prime": flags})
+
+    return (raw.repartition(4)
+            .mapInPandas(mr_kernel,
+                         "doc_id long, n long, is_prime int")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9544,6 +9795,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_integrate": q_simpson_integrate,
         "farey_neighbors": q_farey_neighbors,
         "stern_brocot": q_stern_brocot,
+        "stirling2": q_stirling2,
+        "derangements": q_derangements,
+        "lucas_binomial": q_lucas_binomial,
+        "wythoff_cold": q_wythoff_cold,
+        "r2_lattice": q_r2_lattice,
+        "sigma_classify": q_sigma_classify,
+        "pell_fundamental": q_pell_fundamental,
+        "miller_rabin": q_miller_rabin,
     }
 
 
@@ -13190,6 +13449,146 @@ def oracle_sql() -> dict[str, str]:
             "p*(lq+hq) = q*(lp+hp) FROM d WHERE NOT done) "
             "SELECT doc_id, p, q, path FROM d WHERE done) "
             "SELECT doc_id, p, q, path FROM w ORDER BY doc_id"
+        ),
+        # Stirling-2 oracle: the additive triangle recurrence
+        # S(n,k) = k*S(n-1,k) + S(n-1,k-1), rows carried as lists
+        # (engine: inclusion-exclusion surjection closed form).
+        "stirling2": (
+            "WITH RECURSIVE tri(n, row) AS ("
+            "SELECT 1, [cast(1 as bigint)] "
+            "UNION ALL SELECT n + 1, "
+            "list_transform(generate_series(1, n + 1), k -> "
+            "k * coalesce(row[k], 0) + "
+            "CASE WHEN k = 1 THEN 0 ELSE coalesce(row[k-1], 0) END) "
+            "FROM tri WHERE n < 12) "
+            "SELECT n, u.k, row[u.k] AS s FROM tri, "
+            "(SELECT unnest(generate_series(1, 12)) AS k) u "
+            "WHERE u.k <= n ORDER BY n, u.k"
+        ),
+        # Derangement oracle: D(n) = (n-1)(D(n-1)+D(n-2)) linear
+        # recurrence (engine: alternating-sum closed form).
+        "derangements": (
+            "WITH RECURSIVE dr(n, d, dprev) AS ("
+            "SELECT 1, cast(0 as bigint), cast(1 as bigint) "
+            "UNION ALL SELECT n + 1, n * (d + dprev), d "
+            "FROM dr WHERE n < 20) "
+            "SELECT * FROM (SELECT 0 AS n, cast(1 as bigint) AS d "
+            "UNION ALL SELECT n, d FROM dr) ORDER BY n"
+        ),
+        # Lucas oracle: Pascal's triangle mod 13 grown row by row
+        # as a list-state recursive CTE, then the hash-derived
+        # (n,k) pairs joined against their row (engine: Lucas'
+        # digit-product theorem over base-13 digits).
+        "lucas_binomial": (
+            "WITH RECURSIVE tri(n, row) AS ("
+            "SELECT 0, [cast(1 as bigint)] "
+            "UNION ALL SELECT n + 1, "
+            "list_transform(generate_series(1, n + 2), k -> "
+            "(coalesce(row[k], 0) + CASE WHEN k = 1 THEN 0 "
+            "ELSE coalesce(row[k-1], 0) END) % 13) "
+            "FROM tri WHERE n < 499), "
+            "pairs AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('lb:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 500 AS n "
+            "FROM documents WHERE doc_id < 40), "
+            "pk AS (SELECT doc_id, n, "
+            "cast('0x' || substr(sha256('lk:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % (n + 1) "
+            "AS k FROM pairs) "
+            "SELECT pk.doc_id, pk.n, pk.k, "
+            "tri.row[cast(pk.k as int) + 1] AS c_mod "
+            "FROM pk JOIN tri ON tri.n = pk.n ORDER BY pk.doc_id"
+        ),
+        # Wythoff oracle: the greedy mex construction — a_n is the
+        # least positive integer not used by any earlier pair,
+        # b_n = a_n + n, used-set carried as a list (engine: Beatty
+        # closed form floor(n*phi) via exact integer sqrt).
+        "wythoff_cold": (
+            "WITH RECURSIVE w(n, a, b, used) AS ("
+            "SELECT 1, cast(1 as bigint), cast(2 as bigint), "
+            "[cast(1 as bigint), cast(2 as bigint)] "
+            "UNION ALL SELECT n + 1, na, na + n + 1, "
+            "list_append(list_append(used, na), na + n + 1) FROM ("
+            "SELECT n, used, (SELECT min(i) FROM "
+            "unnest(generate_series(1, 4 * n + 4)) AS t(i) "
+            "WHERE NOT list_contains(used, i)) AS na "
+            "FROM w WHERE n < 60) "
+            ") SELECT n, a, b FROM w ORDER BY n"
+        ),
+        # r2 oracle: the definition — signed lattice points on the
+        # circle of radius sqrt(n) counted by brute enumeration
+        # (engine: Jacobi's 4*(d1-d3) divisor-class formula).
+        "r2_lattice": (
+            "WITH grid AS (SELECT a.x * a.x + b.y * b.y AS n, "
+            "count(*) AS c FROM range(-20, 21) a(x), "
+            "range(-20, 21) b(y) "
+            "WHERE a.x * a.x + b.y * b.y BETWEEN 1 AND 400 "
+            "GROUP BY 1) "
+            "SELECT t.i AS n, coalesce(c, 0) AS r2 "
+            "FROM range(1, 401) t(i) LEFT JOIN grid ON grid.n = t.i "
+            "ORDER BY n"
+        ),
+        # sigma oracle: the multiplicative closed form — primes by
+        # non-existence of a smaller divisor, exponents by maximal
+        # p^k | n, sigma = product of geometric sums (engine:
+        # explicit divisor-census join).
+        "sigma_classify": (
+            "WITH pr AS (SELECT i AS p FROM range(2, 601) t(i) "
+            "WHERE NOT EXISTS (SELECT 1 FROM range(2, 25) d(j) "
+            "WHERE j * j <= i AND i % j = 0)), "
+            "pw AS (SELECT p, k.e AS e, "
+            "cast(power(p, k.e) as bigint) AS pk "
+            "FROM pr, range(1, 10) k(e) "
+            "WHERE power(p, k.e) <= 600.5), "
+            "pe AS (SELECT n.i AS n, p, max(e) AS e "
+            "FROM range(2, 601) n(i), pw "
+            "WHERE n.i % pk = 0 GROUP BY 1, 2), "
+            "sg AS (SELECT n, cast(product("
+            "(power(p, e + 1) - 1) / (p - 1)) as bigint) AS sigma "
+            "FROM pe GROUP BY n), "
+            "allv AS (SELECT 1 AS n, cast(1 as bigint) AS sigma "
+            "UNION ALL SELECT n, sigma FROM sg) "
+            "SELECT n, sigma, CASE WHEN sigma = 2 * n THEN 'perfect' "
+            "WHEN sigma > 2 * n THEN 'abundant' ELSE 'deficient' END "
+            "AS cls FROM allv ORDER BY n"
+        ),
+        # Pell oracle: exhaustive search for the least x with
+        # (x^2-1)/n a perfect square — IEEE sqrt is correctly
+        # rounded so floor(sqrt(v)) of an exact square v < 2^53 is
+        # exact; the s and s+1 probes make it airtight (engine:
+        # continued-fraction convergents of sqrt(n)).
+        "pell_fundamental": (
+            "WITH ns AS (SELECT i AS n FROM range(2, 32) t(i) "
+            "WHERE cast(floor(sqrt(i)) as bigint) * "
+            "cast(floor(sqrt(i)) as bigint) <> i), "
+            "cand AS (SELECT n, x, (x * x - 1) // n AS v "
+            "FROM ns, range(2, 10002) r(x) "
+            "WHERE (x * x - 1) % n = 0), "
+            "sol AS (SELECT n, x, v, "
+            "cast(floor(sqrt(v)) as bigint) AS s FROM cand "
+            "WHERE cast(floor(sqrt(v)) as bigint) * "
+            "cast(floor(sqrt(v)) as bigint) = v OR "
+            "(cast(floor(sqrt(v)) as bigint) + 1) * "
+            "(cast(floor(sqrt(v)) as bigint) + 1) = v), "
+            "best AS (SELECT n, x, "
+            "CASE WHEN s * s = v THEN s ELSE s + 1 END AS y, "
+            "row_number() OVER (PARTITION BY n ORDER BY x) AS rn "
+            "FROM sol) "
+            "SELECT n, x, y FROM best WHERE rn = 1 ORDER BY n"
+        ),
+        # Miller-Rabin oracle: trial division — a composite below
+        # 10^6 has a divisor in 2..1000, so primality is the
+        # non-existence of one (engine: strong-pseudoprime test
+        # with the deterministic witness set {2,3,5,7}).
+        "miller_rabin": (
+            "WITH t AS (SELECT doc_id, 5 + 2 * ("
+            "cast('0x' || substr(sha256('mr:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 500000) "
+            "AS n FROM documents WHERE doc_id < 60) "
+            "SELECT doc_id, n, CASE WHEN NOT EXISTS ("
+            "SELECT 1 FROM range(2, 1001) d(i) "
+            "WHERE i < n AND n % i = 0) THEN 1 ELSE 0 END "
+            "AS is_prime FROM t ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
