@@ -9460,6 +9460,140 @@ def q_miller_rabin(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _hash_series(prefix: str, n_groups: int, length: int, mod: int,
+                 shift: int = 0):
+    """(g, pos, v) grid with v = sha-hash(prefix:g:pos) % mod - shift,
+    shared by the sequence-shaped battery rows."""
+    return (
+        "SELECT g.i AS g, p.j AS pos, "
+        f"cast('0x' || substr(sha256('{prefix}:' || "
+        "cast(g.i as varchar) || ':' || cast(p.j as varchar)), "
+        f"1, 8) as bigint) % {mod} - {shift} AS v "
+        f"FROM range(0, {n_groups}) g(i), range(0, {length}) p(j)")
+
+
+def q_kadane_max_subarray(spark, sf_dir) -> DataFrame:
+    """Maximum non-empty contiguous subarray sum over 16 hash-derived
+    64-long integer sequences — engine: the PREFIX-MIN identity —
+    best = max_i (prefix_i - min(0, min_{j<i} prefix_j)), two
+    window functions and a groupBy (Kadane linearized for a
+    distributed engine: no sequential carry, just running
+    extremes). Oracle: the DEFINITION — enumerate every (i,j)
+    span, sum its elements through a range join, take the max.
+    O(n) windows vs O(n^3) enumeration."""
+    g = spark.range(0, 16).select(F.col("id").alias("g"))
+    p = spark.range(0, 64).select(F.col("id").alias("pos"))
+    gs = F.col("g").cast("string")
+    ps = F.col("pos").cast("string")
+    t = g.crossJoin(F.broadcast(p)).select(
+        "g", "pos",
+        (_mst_hash(F.concat(F.lit("ka:"), gs, F.lit(":"), ps))
+         % 41 - 20).alias("v"))
+    w = Window.partitionBy("g").orderBy("pos")
+    wprev = (Window.partitionBy("g").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    t = t.withColumn("prefix", F.sum("v").over(w))
+    t = t.withColumn(
+        "base", F.least(F.lit(0), F.coalesce(
+            F.min("prefix").over(wprev), F.lit(0))))
+    return (t.groupBy("g")
+            .agg(F.max(F.col("prefix") - F.col("base")).alias("best"))
+            .orderBy("g"))
+
+
+def q_water_trapping(spark, sf_dir) -> DataFrame:
+    """Trapped rain water over 16 hash-derived 64-long elevation
+    profiles — engine: the PER-CELL formulation — water_i =
+    max(0, min(runmax_left_i, runmax_right_i) - h_i) via two
+    opposing running-max windows, summed per group. Oracle: the
+    HORIZONTAL SLAB decomposition — for each water level l, count
+    the cells with h < l lying strictly between the first and last
+    columns reaching l; sum over levels. Vertical columns vs
+    horizontal slabs — same volume by Fubini."""
+    g = spark.range(0, 16).select(F.col("id").alias("g"))
+    p = spark.range(0, 64).select(F.col("id").alias("pos"))
+    gs = F.col("g").cast("string")
+    ps = F.col("pos").cast("string")
+    t = g.crossJoin(F.broadcast(p)).select(
+        "g", "pos",
+        (_mst_hash(F.concat(F.lit("wt:"), gs, F.lit(":"), ps))
+         % 16).alias("h"))
+    wl = (Window.partitionBy("g").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wr = (Window.partitionBy("g").orderBy(F.col("pos").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    t = (t.withColumn("ml", F.max("h").over(wl))
+         .withColumn("mr", F.max("h").over(wr)))
+    water = F.greatest(
+        F.lit(0), F.least(F.col("ml"), F.col("mr")) - F.col("h"))
+    return (t.groupBy("g").agg(F.sum(water).alias("water"))
+            .orderBy("g"))
+
+
+def q_string_period(spark, sf_dir) -> DataFrame:
+    """Smallest weak period of 40 constructed near-periodic strings
+    (a 4-char stem repeated 6x plus a partial tail) — engine:
+    KMP's PREFIX FUNCTION — the smallest period is n - fail[n],
+    the failure chain computed as an Arrow kernel. Oracle: the
+    BORDER characterization — the least p for which the string
+    equals its own p-shift, i.e. substr(s, p+1) = substr(s, 1,
+    n-p), found by direct comparison over all p. Failure links vs
+    the definition of a border."""
+    base = F.lower(F.substring(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""), 1, 4))
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40)
+           .select("doc_id",
+                   F.concat(
+                       F.repeat(base, 6),
+                       F.substring(base, 1,
+                                   (F.col("doc_id") % 4).cast("int")))
+                   .alias("s"))
+           .filter(F.length("s") >= 8))
+
+    def kmp_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            periods = []
+            for s in pdf["s"]:
+                n = len(s)
+                fail = [0] * (n + 1)
+                k = 0
+                for i in range(1, n):
+                    while k and s[i] != s[k]:
+                        k = fail[k]
+                    if s[i] == s[k]:
+                        k += 1
+                    fail[i + 1] = k
+                periods.append(n - fail[n])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "s": pdf["s"], "period": periods})
+
+    return (raw.repartition(4)
+            .mapInPandas(kmp_kernel,
+                         "doc_id long, s string, period int")
+            .orderBy("doc_id"))
+
+
+def q_gauss_circle(spark, sf_dir) -> DataFrame:
+    """Gauss circle problem N(r) — lattice points inside x^2+y^2 <=
+    r^2 for r=1..60 — engine: the 1-D REDUCTION — N(r) = sum_x
+    (2*isqrt(r^2-x^2) + 1) over x=-r..r, with the double sqrt
+    pinned to the true integer root by two CASE corrections.
+    Oracle: the 2-D CENSUS — count the (x,y) grid directly.
+    Dimension reduction vs brute enumeration."""
+    r = spark.range(1, 61).select(F.col("id").alias("r"))
+    x = spark.range(-60, 61).select(F.col("id").alias("x"))
+    t = r.join(F.broadcast(x),
+               F.col("x") * F.col("x") <= F.col("r") * F.col("r"))
+    v = F.col("r") * F.col("r") - F.col("x") * F.col("x")
+    s0 = F.sqrt(v.cast("double")).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= v, s0 + 1).otherwise(s0)
+    s = F.when(s1 * s1 > v, s1 - 1).otherwise(s1)
+    return (t.groupBy("r").agg(F.sum(2 * s + 1).alias("npoints"))
+            .orderBy("r"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9803,6 +9937,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_classify": q_sigma_classify,
         "pell_fundamental": q_pell_fundamental,
         "miller_rabin": q_miller_rabin,
+        "kadane_max_subarray": q_kadane_max_subarray,
+        "water_trapping": q_water_trapping,
+        "string_period": q_string_period,
+        "gauss_circle": q_gauss_circle,
     }
 
 
@@ -13589,6 +13727,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM range(2, 1001) d(i) "
             "WHERE i < n AND n % i = 0) THEN 1 ELSE 0 END "
             "AS is_prime FROM t ORDER BY doc_id"
+        ),
+        # Kadane oracle: the definition — enumerate every (i,j)
+        # span, sum its elements with a range join, take the max
+        # (engine: prefix-sum / running-min window identity).
+        "kadane_max_subarray": (
+            "WITH t AS (" + _hash_series("ka", 16, 64, 41, 20) + "), "
+            "spans AS (SELECT a.g, a.pos AS i, b.pos AS j "
+            "FROM t a JOIN t b ON a.g = b.g AND a.pos <= b.pos), "
+            "sums AS (SELECT s.g, s.i, s.j, sum(e.v) AS sv "
+            "FROM spans s JOIN t e ON e.g = s.g "
+            "AND e.pos BETWEEN s.i AND s.j GROUP BY 1, 2, 3) "
+            "SELECT g, max(sv) AS best FROM sums GROUP BY g "
+            "ORDER BY g"
+        ),
+        # Water-trapping oracle: horizontal slabs — per level l,
+        # cells below l strictly between the first and last columns
+        # reaching l (engine: per-cell min of two running maxima).
+        "water_trapping": (
+            "WITH t AS (SELECT g, pos, v AS h FROM ("
+            + _hash_series("wt", 16, 64, 16, 0) + ")), "
+            "lv AS (SELECT unnest(generate_series(1, 15)) AS l), "
+            "walls AS (SELECT g, l, min(pos) AS lo, max(pos) AS hi "
+            "FROM t, lv WHERE h >= l GROUP BY 1, 2), "
+            "slab AS (SELECT w.g, w.l, count(*) AS c FROM walls w "
+            "JOIN t ON t.g = w.g AND t.pos > w.lo AND t.pos < w.hi "
+            "AND t.h < w.l GROUP BY 1, 2), "
+            "tot AS (SELECT g, sum(c) AS water FROM slab GROUP BY g) "
+            "SELECT gg.i AS g, coalesce(water, 0) AS water "
+            "FROM range(0, 16) gg(i) LEFT JOIN tot ON tot.g = gg.i "
+            "ORDER BY g"
+        ),
+        # Period oracle: the border characterization — least p with
+        # substr(s, p+1) = substr(s, 1, n-p) (engine: KMP failure
+        # chain, period = n - fail[n]).
+        "string_period": (
+            "WITH raw AS (SELECT doc_id, "
+            "repeat(b, 6) || substr(b, 1, cast(doc_id % 4 as int)) "
+            "AS s FROM (SELECT doc_id, lower(substr("
+            "regexp_replace(text, '[^a-zA-Z]', '', 'g'), 1, 4)) AS b "
+            "FROM documents WHERE doc_id < 40)), "
+            "t AS (SELECT doc_id, s, length(s) AS n FROM raw "
+            "WHERE length(s) >= 8), "
+            "cand AS (SELECT doc_id, s, p.i AS p FROM t, "
+            "range(1, 29) p(i) WHERE p.i <= n "
+            "AND substr(s, p.i + 1) = substr(s, 1, n - p.i)) "
+            "SELECT doc_id, s, cast(min(p) as int) AS period "
+            "FROM cand GROUP BY doc_id, s ORDER BY doc_id"
+        ),
+        # Gauss-circle oracle: the 2-D census — count the (x,y)
+        # grid inside the disc directly (engine: 1-D isqrt
+        # reduction sum_x 2*isqrt(r^2-x^2)+1).
+        "gauss_circle": (
+            "SELECT r.i AS r, count(*) AS npoints "
+            "FROM range(1, 61) r(i), range(-60, 61) x(a), "
+            "range(-60, 61) y(b) "
+            "WHERE x.a * x.a + y.b * y.b <= r.i * r.i "
+            "GROUP BY r.i ORDER BY r"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
