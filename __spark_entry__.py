@@ -9594,6 +9594,137 @@ def q_gauss_circle(spark, sf_dir) -> DataFrame:
             .orderBy("r"))
 
 
+def q_assignment_min(spark, sf_dir) -> DataFrame:
+    """Minimum-cost perfect assignment of 6 workers to 6 tasks for
+    8 hash-derived cost matrices — engine: SUBSET DP (Held-Karp
+    shape) — states (mask, cost) grown one worker per round by a
+    join against the cost rows of the next worker (worker index =
+    popcount of the mask), min per new mask; 6 rounds of joins,
+    the frontier never exceeds C(6,k) masks. Oracle: BRUTE FORCE —
+    every one of the 720 assignment prefixes enumerated in a
+    recursive CTE, min total at depth 6. Memoized subsets vs the
+    full factorial tree."""
+    g = spark.range(0, 8).select(F.col("id").alias("g"))
+    w = spark.range(0, 6).select(F.col("id").alias("wk"))
+    tsk = spark.range(0, 6).select(F.col("id").alias("tk"))
+    gs = F.col("g").cast("string")
+    cost = (g.crossJoin(F.broadcast(w)).crossJoin(F.broadcast(tsk))
+            .select("g", "wk", "tk",
+                    (_mst_hash(F.concat(
+                        F.lit("as:"), gs, F.lit(":"),
+                        F.col("wk").cast("string"), F.lit(":"),
+                        F.col("tk").cast("string"))) % 50)
+                    .alias("c")))
+    cost.cache()
+    state = g.select("g", F.lit(0).alias("mask"),
+                     F.lit(0).cast("long").alias("cost"))
+    for step in range(6):
+        nxt = (state.join(cost.filter(F.col("wk") == step), ["g"])
+               .filter(F.col("mask")
+                       .bitwiseAND(F.pow(F.lit(2.0),
+                                         F.col("tk").cast("double"))
+                                   .cast("long")) == 0)
+               .select("g",
+                       (F.col("mask")
+                        + F.pow(F.lit(2.0), F.col("tk").cast("double"))
+                        .cast("long")).alias("mask"),
+                       (F.col("cost") + F.col("c")).alias("cost")))
+        state = nxt.groupBy("g", "mask").agg(F.min("cost").alias("cost"))
+    out = state.groupBy("g").agg(F.min("cost").alias("best"))
+    res = out.orderBy("g")
+    cost.unpersist()
+    return res
+
+
+def q_perm_rank(spark, sf_dir) -> DataFrame:
+    """Lexicographic rank of 30 hash-derived permutations of
+    {0..6} — engine: the LEHMER CODE — rank = sum over positions
+    of (#later elements smaller than this one) * (remaining)!,
+    computed as a self-join inversion census against a factorial
+    literal. Oracle: ENUMERATION — all 5040 permutations of S_7
+    generated by a recursive CTE, ordered as strings, rank =
+    dense_rank - 1, joined by the permutation string. Factoradic
+    arithmetic vs the definition of lexicographic order."""
+    fact = [1] * 8
+    for i in range(1, 8):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    g = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    p = spark.range(0, 7).select(F.col("id").alias("elem"))
+    keyed = (g.crossJoin(F.broadcast(p))
+             .select("doc_id", "elem",
+                     _mst_hash(F.concat(
+                         F.lit("pr:"), F.col("doc_id").cast("string"),
+                         F.lit(":"), F.col("elem").cast("string")))
+                     .alias("key")))
+    wno = Window.partitionBy("doc_id").orderBy("key", "elem")
+    perm = keyed.select(
+        "doc_id", "elem",
+        (F.row_number().over(wno) - 1).alias("pos"))
+    right = perm.select(F.col("doc_id").alias("doc_id2"),
+                        F.col("elem").alias("elem2"),
+                        F.col("pos").alias("pos2"))
+    inv = (perm.join(right,
+                     (F.col("doc_id") == F.col("doc_id2"))
+                     & (F.col("pos2") > F.col("pos"))
+                     & (F.col("elem2") < F.col("elem")), "left")
+           .groupBy("doc_id", "pos", "elem")
+           .agg(F.count("elem2").alias("smaller_after")))
+    term = (F.col("smaller_after")
+            * F.element_at(fl, (6 - F.col("pos")).cast("int") + 1))
+    ranks = inv.groupBy("doc_id").agg(F.sum(term).alias("rank"))
+    pstr = (perm.groupBy("doc_id")
+            .agg(F.concat_ws(
+                "", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "elem"))),
+                    lambda s: s["elem"].cast("string"))).alias("perm")))
+    return (ranks.join(pstr, "doc_id")
+            .select("doc_id", "perm", "rank").orderBy("doc_id"))
+
+
+def q_game_of_life(spark, sf_dir) -> DataFrame:
+    """Conway's Game of Life, 4 generations on a 16x16 torus, 12
+    hash-seeded boards — engine: the VECTORIZED STENCIL — each
+    board as a numpy array inside applyInPandas, neighbor counts
+    by eight np.roll shifts (toroidal by construction). Oracle:
+    the WEIGHTED-OFFSET relational trick — one recursive CTE pass
+    per generation expands each live cell over the 9 offsets with
+    weight 1 for neighbors and 10 for self, so a cell is alive
+    next generation iff its weighted sum is 3, 12, or 13 (B3/S23
+    in a single aggregate, one reference to the recursive table).
+    Array arithmetic vs relational algebra."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+    x = spark.range(0, 16).select(F.col("id").alias("x"))
+    y = spark.range(0, 16).select(F.col("id").alias("y"))
+    cells = (g.crossJoin(F.broadcast(x)).crossJoin(F.broadcast(y))
+             .filter(_mst_hash(F.concat(
+                 F.lit("gl:"), F.col("g").cast("string"), F.lit(":"),
+                 F.col("x").cast("string"), F.lit(":"),
+                 F.col("y").cast("string"))) % 5 == 0)
+             .select("g", "x", "y"))
+
+    def life_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+        gval = int(pdf["g"].iloc[0])
+        b = np.zeros((16, 16), dtype=np.int64)
+        b[pdf["x"].to_numpy(), pdf["y"].to_numpy()] = 1
+        for _ in range(4):
+            n = sum(np.roll(np.roll(b, dx, 0), dy, 1)
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0))
+            b = ((n == 3) | ((b == 1) & (n == 2))).astype(np.int64)
+        xs, ys = np.nonzero(b)
+        return pd.DataFrame({
+            "g": [gval], "pop": [int(b.sum())],
+            "checksum": [int((xs * 31 + ys).sum())]})
+
+    return (cells.groupBy("g")
+            .applyInPandas(life_kernel, "g long, pop long, checksum long")
+            .orderBy("g"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -9941,6 +10072,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "water_trapping": q_water_trapping,
         "string_period": q_string_period,
         "gauss_circle": q_gauss_circle,
+        "assignment_min": q_assignment_min,
+        "perm_rank": q_perm_rank,
+        "game_of_life": q_game_of_life,
     }
 
 
@@ -13784,6 +13918,72 @@ def oracle_sql() -> dict[str, str]:
             "range(-60, 61) y(b) "
             "WHERE x.a * x.a + y.b * y.b <= r.i * r.i "
             "GROUP BY r.i ORDER BY r"
+        ),
+        # Assignment oracle: brute force — all 720 assignment
+        # prefixes per instance enumerated in a recursive CTE, min
+        # at depth 6 (engine: subset DP by iterative joins).
+        "assignment_min": (
+            "WITH RECURSIVE cost AS (SELECT g.i AS g, w.a AS wk, "
+            "t.b AS tk, cast('0x' || substr(sha256('as:' || "
+            "cast(g.i as varchar) || ':' || cast(w.a as varchar) || "
+            "':' || cast(t.b as varchar)), 1, 8) as bigint) % 50 "
+            "AS c FROM range(0, 8) g(i), range(0, 6) w(a), "
+            "range(0, 6) t(b)), "
+            "rec(g, k, mask, total) AS ("
+            "SELECT i, 0, 0, cast(0 as bigint) FROM range(0, 8) t(i) "
+            "UNION ALL SELECT r.g, r.k + 1, "
+            "r.mask + cast(power(2, c.tk) as bigint), r.total + c.c "
+            "FROM rec r JOIN cost c ON c.g = r.g AND c.wk = r.k "
+            "AND (r.mask & cast(power(2, c.tk) as bigint)) = 0 "
+            "WHERE r.k < 6) "
+            "SELECT g, min(total) AS best FROM rec WHERE k = 6 "
+            "GROUP BY g ORDER BY g"
+        ),
+        # Permutation-rank oracle: generate all of S_7 as strings in
+        # a recursive CTE, lexicographic rank = row_number - 1, join
+        # by the permutation string (engine: Lehmer-code inversion
+        # census times factorials).
+        "perm_rank": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 7) t(i)) d "
+            "WHERE length(p) < 7 AND strpos(p, d.c) = 0), "
+            "ranked AS (SELECT p, row_number() OVER (ORDER BY p) - 1 "
+            "AS rank FROM perms WHERE length(p) = 7), "
+            "keyed AS (SELECT g.i AS doc_id, e.j AS elem, "
+            "cast('0x' || substr(sha256('pr:' || "
+            "cast(g.i as varchar) || ':' || cast(e.j as varchar)), "
+            "1, 8) as bigint) AS key "
+            "FROM range(0, 30) g(i), range(0, 7) e(j)), "
+            "built AS (SELECT doc_id, string_agg("
+            "cast(elem as varchar), '' ORDER BY key, elem) AS perm "
+            "FROM keyed GROUP BY doc_id) "
+            "SELECT doc_id, perm, rank FROM built "
+            "JOIN ranked ON ranked.p = built.perm ORDER BY doc_id"
+        ),
+        # Life oracle: the weighted-offset relational step — expand
+        # each live cell over 9 toroidal offsets with weight 10 for
+        # self and 1 for neighbors; alive next iff the weighted sum
+        # is 3, 12 or 13 (B3/S23 in one aggregate). Engine: numpy
+        # roll stencil in an Arrow kernel.
+        "game_of_life": (
+            "WITH RECURSIVE cells(gen, g, x, y) AS ("
+            "SELECT 0, g.i, x.a, y.b FROM range(0, 12) g(i), "
+            "range(0, 16) x(a), range(0, 16) y(b) "
+            "WHERE cast('0x' || substr(sha256('gl:' || "
+            "cast(g.i as varchar) || ':' || cast(x.a as varchar) || "
+            "':' || cast(y.b as varchar)), 1, 8) as bigint) % 5 = 0 "
+            "UNION ALL SELECT gen + 1, g, nx, ny FROM ("
+            "SELECT gen, g, (x + dx.v + 16) % 16 AS nx, "
+            "(y + dy.v + 16) % 16 AS ny, "
+            "CASE WHEN dx.v = 0 AND dy.v = 0 THEN 10 ELSE 1 END "
+            "AS wt FROM cells, (VALUES (-1), (0), (1)) dx(v), "
+            "(VALUES (-1), (0), (1)) dy(v) WHERE gen < 4) "
+            "GROUP BY gen, g, nx, ny "
+            "HAVING sum(wt) IN (3, 12, 13)) "
+            "SELECT g, count(*) AS pop, "
+            "sum(x * 31 + y) AS checksum FROM cells WHERE gen = 4 "
+            "GROUP BY g ORDER BY g"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
