@@ -9725,6 +9725,160 @@ def q_game_of_life(spark, sf_dir) -> DataFrame:
             .orderBy("g"))
 
 
+def q_bezier_eval(spark, sf_dir) -> DataFrame:
+    """Cubic Bezier curves with integer control points evaluated at
+    t = k/8, all in exact integers scaled by 8^3 — engine:
+    DE CASTELJAU'S ladder — three levels of lerps, each scaled by
+    8: L_i' = (8-k)L_i + k L_{i+1}. Oracle: the BERNSTEIN closed
+    form — 512*B(t) = sum_i C(3,i) k^i (8-k)^(3-i) P_i. Recursive
+    interpolation vs the expanded polynomial — equal by the
+    binomial theorem."""
+    g = spark.range(0, 20).select(F.col("id").alias("g"))
+    gs = F.col("g").cast("string")
+    pts = g.select("g", *[
+        (_mst_hash(F.concat(F.lit(f"bz{i}:"), gs)) % 101)
+        .alias(f"p{i}") for i in range(4)])
+    k = spark.range(0, 9).select(F.col("id").alias("k"))
+    t = pts.crossJoin(F.broadcast(k))
+    a, b = F.col("k"), 8 - F.col("k")
+    l0 = [F.col(f"p{i}") for i in range(4)]
+    l1 = [b * l0[i] + a * l0[i + 1] for i in range(3)]
+    l2 = [b * l1[i] + a * l1[i + 1] for i in range(2)]
+    val = b * l2[0] + a * l2[1]
+    return (t.select("g", "k", val.alias("v512"))
+            .orderBy("g", "k"))
+
+
+def q_collatz_steps(spark, sf_dir) -> DataFrame:
+    """Collatz total stopping time and trajectory peak for 50
+    hash-derived starts below 10^5 — engine: the hailstone loop as
+    an Arrow kernel in exact Python ints. Oracle: the same
+    dynamical system replayed step by step in a recursive CTE.
+    Imperative iteration vs relational fixpoint — both must walk
+    the identical orbit."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 50)
+           .select("doc_id",
+                   (2 + _mst_hash(F.concat(F.lit("cz:"), d))
+                    % 99998).alias("n0")))
+
+    def collatz_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            steps, peaks = [], []
+            for n0 in pdf["n0"]:
+                n, st, pk = int(n0), 0, int(n0)
+                while n != 1:
+                    n = n // 2 if n % 2 == 0 else 3 * n + 1
+                    st += 1
+                    pk = max(pk, n)
+                steps.append(st)
+                peaks.append(pk)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n0": pdf["n0"], "steps": steps,
+                                "peak": peaks})
+
+    return (raw.repartition(4)
+            .mapInPandas(collatz_kernel,
+                         "doc_id long, n0 long, steps int, peak long")
+            .orderBy("doc_id"))
+
+
+def q_happy_numbers(spark, sf_dir) -> DataFrame:
+    """Happy-number classification for n=1..500 — engine: CYCLE
+    DETECTION — iterate the digit-square-sum map with a visited
+    set in an Arrow kernel; happy iff the orbit hits 1 before
+    revisiting any value (no number theory assumed). Oracle: the
+    REACHES-4 theorem — every unhappy orbit passes through 4, so
+    the recursive CTE just iterates until n is 1 or 4. The
+    definition vs the classified-cycle characterization."""
+    n = spark.range(1, 501).select(F.col("id").alias("n"))
+
+    def happy_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            flags = []
+            for n0 in pdf["n"]:
+                seen, v = set(), int(n0)
+                while v != 1 and v not in seen:
+                    seen.add(v)
+                    v = sum(int(c) ** 2 for c in str(v))
+                flags.append(1 if v == 1 else 0)
+            yield pd.DataFrame({"n": pdf["n"], "happy": flags})
+
+    return (n.repartition(4)
+            .mapInPandas(happy_kernel, "n long, happy int")
+            .orderBy("n"))
+
+
+def q_ulam_spiral(spark, sf_dir) -> DataFrame:
+    """Square-spiral coordinates of n=1..400 (n=1 at the origin,
+    first step right, turns counter-clockwise) — engine: the RING
+    CLOSED FORM — ring k = floor((isqrt(n-1)+1)/2), offset j =
+    n - (2k-1)^2 placed on one of four sides by pure CASE algebra.
+    Oracle: the WALK — a recursive CTE stepping n=1..400 with
+    direction rotation and the 1,1,2,2,3,3,... run-length pattern.
+    O(1) arithmetic vs the generative definition."""
+    n = spark.range(1, 401).select(F.col("id").alias("n"))
+    v = F.col("n") - 1
+    s0 = F.sqrt(v.cast("double")).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= v, s0 + 1).otherwise(s0)
+    isq = F.when(s1 * s1 > v, s1 - 1).otherwise(s1)
+    # the exchange is a projection-collapse barrier: without it the
+    # isqrt-correction tree is textually inlined into every CASE arm
+    # below and codegen blows the 64 KB method limit
+    kj = (n.select("n", ((isq + 1) / 2).cast("long").alias("k"))
+          .repartition(4)
+          .withColumn("j", F.col("n")
+                      - (2 * F.col("k") - 1) * (2 * F.col("k") - 1)))
+    k, j = F.col("k"), F.col("j")
+    x = (F.when(F.col("n") == 1, 0)
+         .when(j <= 2 * k, k)
+         .when(j <= 4 * k, k - (j - 2 * k))
+         .when(j <= 6 * k, -k)
+         .otherwise(-k + (j - 6 * k)))
+    y = (F.when(F.col("n") == 1, 0)
+         .when(j <= 2 * k, -k + j)
+         .when(j <= 4 * k, k)
+         .when(j <= 6 * k, k - (j - 4 * k))
+         .otherwise(-k))
+    return kj.select("n", x.alias("x"), y.alias("y")).orderBy("n")
+
+
+def q_zeller_dow(spark, sf_dir) -> DataFrame:
+    """ISO day-of-week for 80 hash-derived Gregorian dates
+    (1900-2099) — engine: ZELLER'S CONGRUENCE — pure integer
+    arithmetic on (y, m, d) with the Jan/Feb year shift, no date
+    type anywhere. Oracle: DuckDB's ICU-backed civil calendar
+    (isodow over make_date). A closed-form congruence vs a
+    calendar library."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 80)
+           .select(
+               "doc_id",
+               (1900 + _mst_hash(F.concat(F.lit("zy:"), d)) % 200)
+               .alias("y"),
+               (1 + _mst_hash(F.concat(F.lit("zm:"), d)) % 12)
+               .alias("m"),
+               (1 + _mst_hash(F.concat(F.lit("zd:"), d)) % 28)
+               .alias("dd")))
+    # Jan/Feb count as months 13/14 of the previous year
+    mm = F.when(F.col("m") <= 2, F.col("m") + 12).otherwise(F.col("m"))
+    yy = F.when(F.col("m") <= 2, F.col("y") - 1).otherwise(F.col("y"))
+    kk = yy % 100
+    jj = (yy / 100).cast("long")
+    h = (F.col("dd") + ((13 * (mm + 1)) / 5).cast("long")
+         + kk + (kk / 4).cast("long") + (jj / 4).cast("long")
+         + 5 * jj) % 7
+    # Zeller: h=0 Saturday ... -> ISO Mon=1..Sun=7
+    iso = (h + 5) % 7 + 1
+    return (raw.select("doc_id", "y", "m", "dd",
+                       iso.cast("int").alias("isodow"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10075,6 +10229,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assignment_min": q_assignment_min,
         "perm_rank": q_perm_rank,
         "game_of_life": q_game_of_life,
+        "bezier_eval": q_bezier_eval,
+        "collatz_steps": q_collatz_steps,
+        "happy_numbers": q_happy_numbers,
+        "ulam_spiral": q_ulam_spiral,
+        "zeller_dow": q_zeller_dow,
     }
 
 
@@ -13984,6 +14143,86 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g, count(*) AS pop, "
             "sum(x * 31 + y) AS checksum FROM cells WHERE gen = 4 "
             "GROUP BY g ORDER BY g"
+        ),
+        # Bezier oracle: the Bernstein closed form 512*B(k/8) =
+        # sum_i C(3,i) k^i (8-k)^(3-i) P_i (engine: de Casteljau's
+        # scaled lerp ladder).
+        "bezier_eval": (
+            "WITH pts AS (SELECT g.i AS g, "
+            + ", ".join(
+                "cast('0x' || substr(sha256('bz" + str(i) + ":' || "
+                "cast(g.i as varchar)), 1, 8) as bigint) % 101 "
+                "AS p" + str(i) for i in range(4)) +
+            " FROM range(0, 20) g(i)) "
+            "SELECT g, k.v AS k, "
+            "(8-k.v)*(8-k.v)*(8-k.v) * p0 "
+            "+ 3 * k.v * (8-k.v)*(8-k.v) * p1 "
+            "+ 3 * k.v * k.v * (8-k.v) * p2 "
+            "+ k.v * k.v * k.v * p3 AS v512 "
+            "FROM pts, range(0, 9) k(v) ORDER BY g, k"
+        ),
+        # Collatz oracle: the orbit replayed in a recursive CTE
+        # (engine: imperative hailstone loop in an Arrow kernel).
+        "collatz_steps": (
+            "WITH RECURSIVE st AS (SELECT doc_id, 2 + "
+            "cast('0x' || substr(sha256('cz:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 99998 "
+            "AS n0 FROM documents WHERE doc_id < 50), "
+            "orb(doc_id, n0, n, s, pk) AS ("
+            "SELECT doc_id, n0, n0, 0, n0 FROM st "
+            "UNION ALL SELECT doc_id, n0, "
+            "CASE WHEN n % 2 = 0 THEN n // 2 ELSE 3 * n + 1 END, "
+            "s + 1, greatest(pk, CASE WHEN n % 2 = 0 THEN n // 2 "
+            "ELSE 3 * n + 1 END) FROM orb WHERE n <> 1) "
+            "SELECT doc_id, n0, cast(s as int) AS steps, pk AS peak "
+            "FROM orb WHERE n = 1 ORDER BY doc_id"
+        ),
+        # Happy oracle: the reaches-4 theorem — iterate the digit-
+        # square-sum map until 1 or 4 (engine: visited-set cycle
+        # detection with no theorem assumed).
+        "happy_numbers": (
+            "WITH RECURSIVE orb(n, v) AS ("
+            "SELECT i, i FROM range(1, 501) t(i) "
+            "UNION ALL SELECT n, "
+            "(v // 100 % 10) * (v // 100 % 10) + "
+            "(v // 10 % 10) * (v // 10 % 10) + "
+            "(v % 10) * (v % 10) FROM orb "
+            "WHERE v NOT IN (1, 4) AND v < 1000) "
+            "SELECT n, CASE WHEN v = 1 THEN 1 ELSE 0 END AS happy "
+            "FROM orb WHERE v IN (1, 4) ORDER BY n"
+        ),
+        # Ulam oracle: the generative walk — step n=1..400 turning
+        # counter-clockwise with run lengths 1,1,2,2,3,3,...
+        # (engine: ring closed form by CASE algebra).
+        "ulam_spiral": (
+            "WITH RECURSIVE w(n, x, y, dx, dy, run, rem, legs) AS ("
+            "SELECT 1, 0, 0, 1, 0, 1, 1, 0 "
+            "UNION ALL SELECT n + 1, x + dx, y + dy, "
+            "CASE WHEN rem = 1 THEN -dy ELSE dx END, "
+            "CASE WHEN rem = 1 THEN dx ELSE dy END, "
+            "CASE WHEN rem = 1 THEN (legs + 1) // 2 + 1 ELSE run "
+            "END, "
+            "CASE WHEN rem = 1 THEN (legs + 1) // 2 + 1 "
+            "ELSE rem - 1 END, "
+            "CASE WHEN rem = 1 THEN legs + 1 ELSE legs END "
+            "FROM w WHERE n < 400) "
+            "SELECT n, x, y FROM w ORDER BY n"
+        ),
+        # Zeller oracle: the civil-calendar library — DuckDB's
+        # isodow over make_date (engine: Zeller's congruence, no
+        # date type anywhere).
+        "zeller_dow": (
+            "WITH t AS (SELECT doc_id, "
+            "1900 + cast('0x' || substr(sha256('zy:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 200 AS y, "
+            "1 + cast('0x' || substr(sha256('zm:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 12 AS m, "
+            "1 + cast('0x' || substr(sha256('zd:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 28 AS dd "
+            "FROM documents WHERE doc_id < 80) "
+            "SELECT doc_id, y, m, dd, cast(isodow(make_date("
+            "cast(y as int), cast(m as int), cast(dd as int))) "
+            "as int) AS isodow FROM t ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
