@@ -9879,6 +9879,104 @@ def q_zeller_dow(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_wilson_primality(spark, sf_dir) -> DataFrame:
+    """Primality of n=2..250 by WILSON'S THEOREM — engine: (n-1)!
+    mod n computed as a JVM-side F.aggregate fold over
+    sequence(1, n-1) with a mod after every multiply (accumulator
+    < n^2, never leaves long range); n is prime iff the fold lands
+    on n-1. Oracle: trial division. A factorial congruence
+    characterization vs the definition by divisors."""
+    n = spark.range(2, 251).select(F.col("id").alias("n"))
+    fold = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("n") - 1),
+        F.lit(1).cast("long"),
+        lambda acc, x: (acc * x) % F.col("n"))
+    return (n.select(
+        "n",
+        F.when(fold == F.col("n") - 1, 1).otherwise(0)
+        .cast("int").alias("is_prime"))
+        .orderBy("n"))
+
+
+def q_faulhaber_sums(spark, sf_dir) -> DataFrame:
+    """Power sums S_k(m) = 1^k + ... + m^k for k=1..6 at 20
+    hash-derived m <= 300 — engine: the DEFINITION — explode
+    sequence(1, m), sum exact pow terms (300^6 < 2^53 so the
+    double pow round-trips losslessly). Oracle: FAULHABER'S closed
+    forms — the six classical polynomials in m, exact integer
+    division throughout. Brute summation vs Bernoulli-polynomial
+    algebra."""
+    d = F.col("doc_id").cast("string")
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id",
+                    (10 + _mst_hash(F.concat(F.lit("fh:"), d)) % 291)
+                    .alias("m")))
+    k = spark.range(1, 7).select(F.col("id").alias("k"))
+    t = (docs.crossJoin(F.broadcast(k))
+         .select("doc_id", "m", "k",
+                 F.explode(F.sequence(F.lit(1).cast("long"),
+                                      F.col("m"))).alias("i")))
+    term = F.pow(F.col("i").cast("double"),
+                 F.col("k").cast("double")).cast("long")
+    return (t.groupBy("doc_id", "m", "k")
+            .agg(F.sum(term).alias("s"))
+            .orderBy("doc_id", "k"))
+
+
+def q_sundaram_sieve(spark, sf_dir) -> DataFrame:
+    """Primes below 2002 — engine: the SIEVE OF SUNDARAM — from
+    k=1..1000 remove every k = i + j + 2ij (an anti-join against
+    the generated exclusion grid), keep 2k+1, prepend 2. Oracle:
+    trial division. Sundaram's index arithmetic — which never
+    mentions divisibility — vs the definition."""
+    N2 = 1000
+    k = spark.range(1, N2 + 1).select(F.col("id").alias("k"))
+    i = spark.range(1, 23).select(F.col("id").alias("i"))
+    j = spark.range(1, N2 + 1).select(F.col("id").alias("j"))
+    ex = (i.crossJoin(j)
+          .filter((F.col("i") <= F.col("j"))
+                  & (F.col("i") + F.col("j")
+                     + 2 * F.col("i") * F.col("j") <= N2))
+          .select((F.col("i") + F.col("j")
+                   + 2 * F.col("i") * F.col("j")).alias("k"))
+          .distinct())
+    odd = (k.join(ex, "k", "left_anti")
+           .select((2 * F.col("k") + 1).alias("p")))
+    two = spark.range(2, 3).select(F.col("id").alias("p"))
+    return two.unionAll(odd).orderBy("p")
+
+
+def q_reverse_add_palindrome(spark, sf_dir) -> DataFrame:
+    """Reverse-and-add palindrome convergence for n=1..180 (all
+    below the first Lychrel candidate 196): step count and the
+    palindrome reached — engine: exact Python int arithmetic in an
+    Arrow kernel (reverse by slicing digits of the integer).
+    Oracle: a recursive CTE reversing the DECIMAL STRING with
+    DuckDB's reverse() and casting back. Integer arithmetic vs
+    string manipulation — the same orbit through two
+    representations."""
+    n = spark.range(1, 181).select(F.col("id").alias("n"))
+
+    def ra_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            steps, finals = [], []
+            for n0 in pdf["n"]:
+                v, st = int(n0), 0
+                while str(v) != str(v)[::-1]:
+                    v += int(str(v)[::-1])
+                    st += 1
+                steps.append(st)
+                finals.append(v)
+            yield pd.DataFrame({"n": pdf["n"], "steps": steps,
+                                "pal": finals})
+
+    return (n.repartition(4)
+            .mapInPandas(ra_kernel, "n long, steps int, pal long")
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10234,6 +10332,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "happy_numbers": q_happy_numbers,
         "ulam_spiral": q_ulam_spiral,
         "zeller_dow": q_zeller_dow,
+        "wilson_primality": q_wilson_primality,
+        "faulhaber_sums": q_faulhaber_sums,
+        "sundaram_sieve": q_sundaram_sieve,
+        "reverse_add_palindrome": q_reverse_add_palindrome,
     }
 
 
@@ -14223,6 +14325,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, y, m, dd, cast(isodow(make_date("
             "cast(y as int), cast(m as int), cast(dd as int))) "
             "as int) AS isodow FROM t ORDER BY doc_id"
+        ),
+        # Wilson oracle: trial division (engine: the (n-1)! mod n
+        # congruence folded JVM-side).
+        "wilson_primality": (
+            "SELECT i AS n, CASE WHEN NOT EXISTS ("
+            "SELECT 1 FROM range(2, 17) d(j) "
+            "WHERE j * j <= i AND i % j = 0) THEN 1 ELSE 0 END "
+            "AS is_prime FROM range(2, 251) t(i) ORDER BY n"
+        ),
+        # Faulhaber oracle: the six classical closed-form
+        # polynomials, exact integer division (engine: explode +
+        # sum of the definition).
+        "faulhaber_sums": (
+            "WITH t AS (SELECT doc_id, 10 + "
+            "cast('0x' || substr(sha256('fh:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 291 AS m "
+            "FROM documents WHERE doc_id < 20), "
+            "g AS (SELECT doc_id, m, k.v AS k FROM t, "
+            "range(1, 7) k(v)) "
+            "SELECT doc_id, m, k, CASE k "
+            "WHEN 1 THEN m * (m + 1) // 2 "
+            "WHEN 2 THEN m * (m + 1) * (2 * m + 1) // 6 "
+            "WHEN 3 THEN (m * (m + 1) // 2) * (m * (m + 1) // 2) "
+            "WHEN 4 THEN m * (m + 1) * (2 * m + 1) * "
+            "(3 * m * m + 3 * m - 1) // 30 "
+            "WHEN 5 THEN m * m * (m + 1) * (m + 1) * "
+            "(2 * m * m + 2 * m - 1) // 12 "
+            "WHEN 6 THEN m * (m + 1) * (2 * m + 1) * "
+            "(3 * m * m * m * m + 6 * m * m * m - 3 * m + 1) // 42 "
+            "END AS s FROM g ORDER BY doc_id, k"
+        ),
+        # Sundaram oracle: trial division up to sqrt (engine:
+        # Sundaram's i+j+2ij exclusion anti-join, no divisibility).
+        "sundaram_sieve": (
+            "SELECT i AS p FROM range(2, 2002) t(i) "
+            "WHERE NOT EXISTS (SELECT 1 FROM range(2, 46) d(j) "
+            "WHERE j * j <= i AND i % j = 0) ORDER BY p"
+        ),
+        # Reverse-and-add oracle: the orbit through the decimal
+        # STRING representation — reverse() + cast in a recursive
+        # CTE (engine: integer slicing in an Arrow kernel).
+        "reverse_add_palindrome": (
+            "WITH RECURSIVE orb(n, v, s) AS ("
+            "SELECT i, i, 0 FROM range(1, 181) t(i) "
+            "UNION ALL SELECT n, "
+            "v + cast(reverse(cast(v as varchar)) as bigint), s + 1 "
+            "FROM orb WHERE cast(v as varchar) <> "
+            "reverse(cast(v as varchar))) "
+            "SELECT n, cast(s as int) AS steps, v AS pal FROM orb "
+            "WHERE cast(v as varchar) = reverse(cast(v as varchar)) "
+            "ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
