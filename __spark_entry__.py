@@ -9977,6 +9977,145 @@ def q_reverse_add_palindrome(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+_FF_PRIMES = (101, 103, 107, 109, 113, 127, 131, 137, 139, 149, 151,
+              157, 163, 167, 173, 179, 181, 191, 193, 197, 199)
+
+
+def q_fermat_factorization(spark, sf_dir) -> DataFrame:
+    """Factor 30 semiprimes with close prime factors (both drawn
+    from the primes in [101,199]) — engine: FERMAT'S METHOD — scan
+    a = ceil(sqrt(n)) + t for the first t with a^2 - n a perfect
+    square (t <= 16 suffices for this factor gap), all integer
+    column algebra with corrected isqrt, then (p,q) = (a-y, a+y).
+    Oracle: TRIAL DIVISION — the least divisor >= 2. Difference of
+    squares vs divisor search."""
+    pl = F.array(*[F.lit(v) for v in _FF_PRIMES])
+    d = F.col("doc_id").cast("string")
+    base = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 30)
+            .select(
+                "doc_id",
+                F.element_at(pl, (_mst_hash(F.concat(F.lit("fp:"), d))
+                                  % 21).cast("int") + 1).alias("p0"),
+                F.element_at(pl, (_mst_hash(F.concat(F.lit("fq:"), d))
+                                  % 21).cast("int") + 1).alias("q0")))
+    base = base.select(
+        "doc_id", (F.col("p0") * F.col("q0")).cast("long").alias("n"))
+    nv = F.col("n") - 1
+    r0 = F.sqrt(nv.cast("double")).cast("long")
+    r1 = F.when((r0 + 1) * (r0 + 1) <= nv, r0 + 1).otherwise(r0)
+    isq_nm1 = F.when(r1 * r1 > nv, r1 - 1).otherwise(r1)
+    base = (base.withColumn("a0", isq_nm1 + 1).repartition(4))
+    t = spark.range(0, 17).select(F.col("id").alias("t"))
+    cand = base.join(F.broadcast(t))
+    a = F.col("a0") + F.col("t")
+    y2 = a * a - F.col("n")
+    s0 = F.sqrt(y2.cast("double")).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= y2, s0 + 1).otherwise(s0)
+    y = F.when(s1 * s1 > y2, s1 - 1).otherwise(s1)
+    hits = (cand.filter(y * y == y2)
+            .select("doc_id", "n", "t", (a - y).alias("p"),
+                    (a + y).alias("q")))
+    w = Window.partitionBy("doc_id").orderBy("t")
+    return (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "n", "p", "q").orderBy("doc_id"))
+
+
+def q_binary_gcd(spark, sf_dir) -> DataFrame:
+    """gcd of 60 hash-derived pairs below 10^9 — engine: STEIN'S
+    BINARY ALGORITHM — shifts, subtractions, and a common power of
+    two, no division anywhere, as an Arrow kernel. Oracle: DuckDB's
+    gcd() builtin, an independent C++ Euclid. Two algorithms, two
+    engines."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select(
+               "doc_id",
+               (1 + _mst_hash(F.concat(F.lit("ga:"), d)) % 999999999)
+               .alias("a"),
+               (1 + _mst_hash(F.concat(F.lit("gb:"), d)) % 999999999)
+               .alias("b")))
+
+    def stein_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            gs = []
+            for a, b in zip(pdf["a"], pdf["b"]):
+                a, b = int(a), int(b)
+                shift = 0
+                while a % 2 == 0 and b % 2 == 0:
+                    a //= 2
+                    b //= 2
+                    shift += 1
+                while a % 2 == 0:
+                    a //= 2
+                while b:
+                    while b % 2 == 0:
+                        b //= 2
+                    if a > b:
+                        a, b = b, a
+                    b -= a
+                gs.append(a << shift)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "a": pdf["a"],
+                                "b": pdf["b"], "g": gs})
+
+    return (raw.repartition(4)
+            .mapInPandas(stein_kernel,
+                         "doc_id long, a long, b long, g long")
+            .orderBy("doc_id"))
+
+
+def q_ballot_paths(spark, sf_dir) -> DataFrame:
+    """Bertrand's ballot problem — for 20 hash-derived (a,b) with
+    a > b and a+b <= 24, the number of monotone lattice paths from
+    (0,0) to (a,b) keeping a strictly ahead at every prefix —
+    engine: the REFLECTION closed form (a-b)/(a+b) * C(a+b,a),
+    with the binomial built by a JVM F.aggregate multiplicative
+    fold (each prefix is itself a binomial, so the division is
+    exact at every step). Oracle: DP — grow the path-count table
+    one step per recursive-CTE iteration, states filtered to
+    x > y, counts merged by an aggregate in the recursive term.
+    A bijection-counting identity vs explicit dynamic programming."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 20)
+           .select(
+               "doc_id",
+               (1 + _mst_hash(F.concat(F.lit("ba:"), d)) % 12)
+               .alias("b")))
+    raw = raw.withColumn(
+        "a", F.col("b") + 1
+        + _mst_hash(F.concat(F.lit("bb:"), d)) % 12)
+    n, k = F.col("a") + F.col("b"), F.col("a")
+    binom = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), k),
+        F.lit(1).cast("long"),
+        lambda acc, i: F.floor(acc * (n - k + i) / i).cast("long"))
+    return (raw.select(
+        "doc_id", "a", "b",
+        ((F.col("a") - F.col("b")) * binom
+         / (F.col("a") + F.col("b"))).cast("long").alias("npaths"))
+        .orderBy("doc_id"))
+
+
+def q_dragon_turns(spark, sf_dir) -> DataFrame:
+    """Turn direction at fold n of the Heighway dragon curve,
+    n=1..512 — engine: the BIT CLOSED FORM — the turn is left iff
+    the bit above the lowest set bit of n is 0, i.e.
+    ((n & -n) << 1) & n == 0, pure JVM bit algebra. Oracle: the
+    L-SYSTEM — fold the strip: s' = s || 'L' || reverse(swap(s)),
+    grown in a recursive CTE, then read position n. Bit arithmetic
+    vs the paper-folding definition."""
+    nn = spark.range(1, 513).select(F.col("id").alias("n"))
+    low = F.col("n").bitwiseAND(-F.col("n"))
+    above = F.shiftleft(low, 1).bitwiseAND(F.col("n"))
+    return (nn.select(
+        "n", F.when(above == 0, "L").otherwise("R").alias("turn"))
+        .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10336,6 +10475,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "faulhaber_sums": q_faulhaber_sums,
         "sundaram_sieve": q_sundaram_sieve,
         "reverse_add_palindrome": q_reverse_add_palindrome,
+        "fermat_factorization": q_fermat_factorization,
+        "binary_gcd": q_binary_gcd,
+        "ballot_paths": q_ballot_paths,
+        "dragon_turns": q_dragon_turns,
     }
 
 
@@ -14376,6 +14519,77 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n, cast(s as int) AS steps, v AS pal FROM orb "
             "WHERE cast(v as varchar) = reverse(cast(v as varchar)) "
             "ORDER BY n"
+        ),
+        # Fermat oracle: trial division — least divisor and its
+        # cofactor (engine: difference-of-squares scan from
+        # ceil(sqrt(n))).
+        "fermat_factorization": (
+            "WITH t AS (SELECT doc_id, "
+            "([" + ", ".join(str(v) for v in _FF_PRIMES) + "])"
+            "[cast(cast('0x' || substr(sha256('fp:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 "
+            "as int) + 1] * "
+            "([" + ", ".join(str(v) for v in _FF_PRIMES) + "])"
+            "[cast(cast('0x' || substr(sha256('fq:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 21 "
+            "as int) + 1] AS n "
+            "FROM documents WHERE doc_id < 30), "
+            "f AS (SELECT doc_id, n, (SELECT min(i) FROM "
+            "range(2, 200) d(i) WHERE n % i = 0) AS p FROM t) "
+            "SELECT doc_id, n, p, n // p AS q FROM f "
+            "ORDER BY doc_id"
+        ),
+        # Stein oracle: DuckDB's gcd() builtin — an independent
+        # C++ Euclid (engine: binary shifts-and-subtract).
+        "binary_gcd": (
+            "WITH t AS (SELECT doc_id, "
+            "1 + cast('0x' || substr(sha256('ga:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 999999999 "
+            "AS a, "
+            "1 + cast('0x' || substr(sha256('gb:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 999999999 "
+            "AS b FROM documents WHERE doc_id < 60) "
+            "SELECT doc_id, a, b, gcd(a, b) AS g FROM t "
+            "ORDER BY doc_id"
+        ),
+        # Ballot oracle: explicit DP — one lattice step per
+        # recursive iteration, states kept strictly above the
+        # diagonal, counts merged by the in-term aggregate
+        # (engine: the (a-b)/(a+b)*C(a+b,a) reflection identity).
+        "ballot_paths": (
+            "WITH RECURSIVE inst AS (SELECT doc_id, "
+            "1 + cast('0x' || substr(sha256('ba:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 12 AS b0, "
+            "cast('0x' || substr(sha256('bb:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 12 AS a_x "
+            "FROM documents WHERE doc_id < 20), "
+            "inst2 AS (SELECT doc_id, b0, b0 + 1 + a_x AS a0 "
+            "FROM inst), "
+            "walk(doc_id, x, y, c) AS ("
+            "SELECT doc_id, 1, 0, cast(1 as bigint) FROM inst2 "
+            "UNION ALL SELECT doc_id, nx, ny, sum(c) FROM ("
+            "SELECT w.doc_id, w.x + s.dx AS nx, w.y + s.dy AS ny, "
+            "w.c FROM walk w, (VALUES (1, 0), (0, 1)) s(dx, dy), "
+            "inst2 i WHERE i.doc_id = w.doc_id "
+            "AND w.x + s.dx <= i.a0 AND w.y + s.dy <= i.b0 "
+            "AND w.x + s.dx > w.y + s.dy "
+            "AND NOT (w.x = i.a0 AND w.y = i.b0)) "
+            "GROUP BY doc_id, nx, ny) "
+            "SELECT w.doc_id, i.a0 AS a, i.b0 AS b, w.c AS npaths "
+            "FROM walk w JOIN inst2 i ON i.doc_id = w.doc_id "
+            "WHERE w.x = i.a0 AND w.y = i.b0 ORDER BY w.doc_id"
+        ),
+        # Dragon oracle: the paper-folding L-system — s' = s || 'L'
+        # || reverse(swap(s)) grown to 1023 turns, read position n
+        # (engine: the lowest-set-bit closed form).
+        "dragon_turns": (
+            "WITH RECURSIVE fold(k, s) AS (SELECT 1, 'L' "
+            "UNION ALL SELECT k + 1, s || 'L' || "
+            "reverse(translate(s, 'LR', 'RL')) "
+            "FROM fold WHERE k < 10) "
+            "SELECT n.i AS n, substr(s, cast(n.i as int), 1) AS turn "
+            "FROM (SELECT s FROM fold WHERE k = 10), "
+            "range(1, 513) n(i) ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
