@@ -10116,6 +10116,132 @@ def q_dragon_turns(spark, sf_dir) -> DataFrame:
         .orderBy("n"))
 
 
+def q_nqueens(spark, sf_dir) -> DataFrame:
+    """8-queens solution census grouped by first-row column —
+    engine: PREFIX-SPLIT backtracking — the search tree is split
+    on the first queen's column into 8 independent branches, one
+    Arrow kernel invocation each (how a cluster would shard an
+    exhaustive search), each branch returning its count and a
+    base-8 checksum of its solutions. Oracle: RELATIONAL GROWTH —
+    a recursive CTE extends placement strings one row at a time,
+    conflicts filtered by a correlated EXISTS over earlier rows.
+    Imperative backtracking vs declarative generate-and-test."""
+    c0 = spark.range(0, 8).select(F.col("id").alias("col0"))
+
+    def queens_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for col0 in pdf["col0"]:
+                col0 = int(col0)
+                count, checksum = 0, 0
+                stack = [(col0,)]
+                while stack:
+                    pos = stack.pop()
+                    k = len(pos)
+                    if k == 8:
+                        count += 1
+                        v = 0
+                        for c in pos:
+                            v = v * 8 + c
+                        checksum += v
+                        continue
+                    for c in range(8):
+                        if all(c != pc and abs(c - pc) != k - i
+                               for i, pc in enumerate(pos)):
+                            stack.append(pos + (c,))
+                outs.append((col0, count, checksum))
+            yield pd.DataFrame(
+                {"col0": [o[0] for o in outs],
+                 "n_solutions": [o[1] for o in outs],
+                 "checksum": [o[2] for o in outs]})
+
+    return (c0.repartition(8)
+            .mapInPandas(queens_kernel,
+                         "col0 long, n_solutions long, checksum long")
+            .orderBy("col0"))
+
+
+def q_josephus_k3(spark, sf_dir) -> DataFrame:
+    """Josephus survivor for k=3, circles n=1..60 — engine: the
+    O(n) RECURRENCE J(1)=0, J(n)=(J(n-1)+3) mod n in an Arrow
+    kernel. Oracle: the SIMULATION — the circle as a list in a
+    recursive CTE, removing every third person by slice
+    concatenation until one remains. Recurrence algebra vs acting
+    out the story."""
+    n = spark.range(1, 61).select(F.col("id").alias("n"))
+
+    def jos_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for n0 in pdf["n"]:
+                j = 0
+                for m in range(2, int(n0) + 1):
+                    j = (j + 3) % m
+                out.append(j + 1)
+            yield pd.DataFrame({"n": pdf["n"], "survivor": out})
+
+    return (n.repartition(4)
+            .mapInPandas(jos_kernel, "n long, survivor long")
+            .orderBy("n"))
+
+
+def q_stern_fusc(spark, sf_dir) -> DataFrame:
+    """Stern's diatomic sequence fusc(n), n=1..200 — engine:
+    DIJKSTRA'S BIT LOOP — scan the bits of n from the low end
+    keeping the pair (a,b); set bits do b+=a, clear bits a+=b; the
+    answer is b (O(log n) per value). Oracle: the HYPERBINARY
+    characterization — fusc(n) counts representations of n-1 as a
+    sum of powers of two each used at most twice, enumerated
+    digit-by-digit in a recursive CTE. Bit dynamics vs a counting
+    theorem."""
+    n = spark.range(1, 201).select(F.col("id").alias("n"))
+
+    def fusc_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            out = []
+            for n0 in pdf["n"]:
+                v, a, b = int(n0), 1, 0
+                while v:
+                    if v & 1:
+                        b += a
+                    else:
+                        a += b
+                    v >>= 1
+                out.append(b)
+            yield pd.DataFrame({"n": pdf["n"], "fusc": out})
+
+    return (n.repartition(4)
+            .mapInPandas(fusc_kernel, "n long, fusc long")
+            .orderBy("n"))
+
+
+def q_triangular_square(spark, sf_dir) -> DataFrame:
+    """The first seven square-triangular numbers — engine: the
+    PELL-DERIVED RECURRENCE N_{k+1} = 34*N_k - N_{k-1} + 2 from
+    (0, 1), an exact kernel. Oracle: INTERSECTION BY JOIN — all
+    triangular numbers m(m+1)/2 and all squares j^2 below 1.7e9
+    equi-joined, ranked by value. Recurrence from the Pell
+    structure vs the definition as a set intersection."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def st_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vals, a, b = [], 0, 1
+            for _ in range(7):
+                a, b = b, 34 * b - a + 2
+                vals.append(a)
+            yield pd.DataFrame({"k": list(range(1, 8)), "v": vals})
+
+    return (one.mapInPandas(st_kernel, "k long, v long")
+            .orderBy("k"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10479,6 +10605,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_gcd": q_binary_gcd,
         "ballot_paths": q_ballot_paths,
         "dragon_turns": q_dragon_turns,
+        "nqueens": q_nqueens,
+        "josephus_k3": q_josephus_k3,
+        "stern_fusc": q_stern_fusc,
+        "triangular_square": q_triangular_square,
     }
 
 
@@ -14590,6 +14720,71 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.i AS n, substr(s, cast(n.i as int), 1) AS turn "
             "FROM (SELECT s FROM fold WHERE k = 10), "
             "range(1, 513) n(i) ORDER BY n"
+        ),
+        # N-queens oracle: relational generate-and-test — placement
+        # strings extended one row per recursive iteration, conflict
+        # = correlated EXISTS over earlier rows; checksum = base-8
+        # value of each solution (engine: prefix-split imperative
+        # backtracking).
+        "nqueens": (
+            "WITH RECURSIVE q(p) AS ("
+            "SELECT cast(i as varchar) FROM range(0, 8) t(i) "
+            "UNION ALL SELECT p || cast(c.i as varchar) "
+            "FROM q, range(0, 8) c(i) WHERE length(p) < 8 "
+            "AND NOT EXISTS (SELECT 1 FROM range(1, 9) r(j) "
+            "WHERE j <= length(p) AND ("
+            "cast(substr(p, cast(j as int), 1) as bigint) = c.i OR "
+            "abs(cast(substr(p, cast(j as int), 1) as bigint) - c.i) "
+            "= length(p) + 1 - j))), "
+            "sols AS (SELECT p, (SELECT sum("
+            "cast(substr(p, cast(j as int), 1) as bigint) * "
+            "cast(power(8, 8 - j) as bigint)) "
+            "FROM range(1, 9) r(j)) AS v "
+            "FROM q WHERE length(p) = 8) "
+            "SELECT cast(substr(p, 1, 1) as bigint) AS col0, "
+            "count(*) AS n_solutions, sum(v) AS checksum "
+            "FROM sols GROUP BY 1 ORDER BY col0"
+        ),
+        # Josephus k=3 oracle: act out the story — the circle as a
+        # list, remove every third by slice concatenation (engine:
+        # the O(n) recurrence).
+        "josephus_k3": (
+            "WITH RECURSIVE sim(n0, lst, s) AS ("
+            "SELECT i, list_transform(generate_series(1, i), "
+            "x -> cast(x as bigint)), 0 FROM range(1, 61) t(i) "
+            "UNION ALL SELECT n0, "
+            "lst[1:idx-1] || lst[idx+1:len(lst)], "
+            "(idx - 1) % (len(lst) - 1) FROM ("
+            "SELECT n0, lst, ((s + 2) % len(lst)) + 1 AS idx "
+            "FROM sim WHERE len(lst) > 1)) "
+            "SELECT n0 AS n, lst[1] AS survivor FROM sim "
+            "WHERE len(lst) = 1 ORDER BY n"
+        ),
+        # Fusc oracle: the hyperbinary theorem — fusc(n) counts
+        # ways to write n-1 as a sum of powers of two each used at
+        # most twice, enumerated digit by digit (engine: Dijkstra's
+        # (a,b) bit loop).
+        "stern_fusc": (
+            "WITH RECURSIVE h(n0, rem, p) AS ("
+            "SELECT i, i - 1, 1 FROM range(1, 201) t(i) "
+            "UNION ALL SELECT n0, rem - d.v * p, p * 2 "
+            "FROM h, (VALUES (0), (1), (2)) d(v) "
+            "WHERE p <= 256 AND rem - d.v * p >= 0) "
+            "SELECT n0 AS n, count(*) AS fusc FROM h "
+            "WHERE p = 512 AND rem = 0 GROUP BY n0 ORDER BY n"
+        ),
+        # Square-triangular oracle: the definition — intersect the
+        # triangular and square sequences by an equi-join, rank by
+        # value (engine: the 34x recurrence from the Pell
+        # structure).
+        "triangular_square": (
+            "WITH tri AS (SELECT m.i * (m.i + 1) // 2 AS v "
+            "FROM range(1, 57200) m(i)), "
+            "sq AS (SELECT j.i * j.i AS v FROM range(1, 40500) j(i)), "
+            "hit AS (SELECT tri.v AS v FROM tri "
+            "JOIN sq ON tri.v = sq.v) "
+            "SELECT row_number() OVER (ORDER BY v) AS k, v "
+            "FROM hit ORDER BY k"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
