@@ -10242,6 +10242,140 @@ def q_triangular_square(spark, sf_dir) -> DataFrame:
             .orderBy("k"))
 
 
+def q_partition_pentagonal(spark, sf_dir) -> DataFrame:
+    """Integer partition counts p(0..40) — engine: EULER'S
+    PENTAGONAL NUMBER THEOREM — p(n) = sum_k (-1)^(k-1)
+    [p(n-k(3k-1)/2) + p(n-k(3k+1)/2)], the sparse O(n*sqrt(n))
+    recurrence in an exact kernel. Oracle: the BOUNDED-PARTS coin
+    DP — one part size per recursive iteration, the whole
+    p(*, parts<=k) row carried as a list and convolved by nested
+    list lambdas. A generating-function identity vs textbook DP."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def pent_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            N = 40
+            p = [0] * (N + 1)
+            p[0] = 1
+            for n in range(1, N + 1):
+                total, k = 0, 1
+                while True:
+                    g1 = k * (3 * k - 1) // 2
+                    g2 = k * (3 * k + 1) // 2
+                    if g1 > n and g2 > n:
+                        break
+                    sign = 1 if k % 2 == 1 else -1
+                    if g1 <= n:
+                        total += sign * p[n - g1]
+                    if g2 <= n:
+                        total += sign * p[n - g2]
+                    k += 1
+                p[n] = total
+            yield pd.DataFrame({"n": list(range(N + 1)), "p": p})
+
+    return (one.mapInPandas(pent_kernel, "n long, p long")
+            .orderBy("n"))
+
+
+def q_frobenius_coin(spark, sf_dir) -> DataFrame:
+    """Frobenius number and non-representable count for 24 coprime
+    coin pairs (consecutive and (a, 2a-1) families) — engine:
+    SYLVESTER'S closed forms — g = ab - a - b and
+    N = (a-1)(b-1)/2, pure column algebra. Oracle: the CENSUS —
+    build the representable set {xa + yb} by a bounded grid join
+    and count/max the gaps directly. The 1882 theorem vs brute
+    enumeration."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 24)
+           .select("doc_id",
+                   (3 + _mst_hash(F.concat(F.lit("fr:"), d)) % 18)
+                   .alias("a")))
+    b = (F.when(F.col("doc_id") % 2 == 0, F.col("a") + 1)
+         .otherwise(2 * F.col("a") - 1))
+    raw = raw.withColumn("b", b)
+    return (raw.select(
+        "doc_id", "a", "b",
+        (F.col("a") * F.col("b") - F.col("a") - F.col("b"))
+        .alias("frob"),
+        (((F.col("a") - 1) * (F.col("b") - 1)) / 2).cast("long")
+        .alias("n_nonrep"))
+        .orderBy("doc_id"))
+
+
+def q_mod_inverse(spark, sf_dir) -> DataFrame:
+    """Modular inverses mod the prime 1000003 for 40 hash-derived
+    residues — engine: the EXTENDED EUCLIDEAN algorithm (Bezout
+    coefficients) in an exact kernel. Oracle: FERMAT'S LITTLE
+    THEOREM — a^(p-2) mod p by square-and-multiply, one bit per
+    recursive-CTE iteration. Bezout identity vs the group-order
+    argument."""
+    P = 1000003
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40)
+           .select("doc_id",
+                   (2 + _mst_hash(F.concat(F.lit("mi:"), d))
+                    % (P - 3)).alias("a")))
+
+    def ext_euclid_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            invs = []
+            for a in pdf["a"]:
+                old_r, r = int(a), P
+                old_s, s = 1, 0
+                while r:
+                    q = old_r // r
+                    old_r, r = r, old_r - q * r
+                    old_s, s = s, old_s - q * s
+                invs.append(old_s % P)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "a": pdf["a"], "inv": invs})
+
+    return (raw.repartition(4)
+            .mapInPandas(ext_euclid_kernel,
+                         "doc_id long, a long, inv long")
+            .orderBy("doc_id"))
+
+
+def q_look_and_say(spark, sf_dir) -> DataFrame:
+    """The look-and-say sequence from '1', steps 1..12 — engine:
+    imperative run-length description in an exact kernel. Oracle:
+    RELATIONAL RLE — inside each recursive-CTE iteration a
+    correlated subquery explodes the string, groups runs with the
+    gaps-and-islands rank trick, and string_aggs the description
+    back together. A five-line loop vs window-function algebra."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def las_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            s = "1"
+            steps, lens, strs = [], [], []
+            for st in range(1, 13):
+                out, i = [], 0
+                while i < len(s):
+                    j = i
+                    while j < len(s) and s[j] == s[i]:
+                        j += 1
+                    out.append(str(j - i) + s[i])
+                    i = j
+                s = "".join(out)
+                steps.append(st)
+                lens.append(len(s))
+                strs.append(s)
+            yield pd.DataFrame({"step": steps, "len": lens, "s": strs})
+
+    return (one.mapInPandas(las_kernel, "step long, len long, s string")
+            .orderBy("step"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10609,6 +10743,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "josephus_k3": q_josephus_k3,
         "stern_fusc": q_stern_fusc,
         "triangular_square": q_triangular_square,
+        "partition_pentagonal": q_partition_pentagonal,
+        "frobenius_coin": q_frobenius_coin,
+        "mod_inverse": q_mod_inverse,
+        "look_and_say": q_look_and_say,
     }
 
 
@@ -14785,6 +14923,81 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sq ON tri.v = sq.v) "
             "SELECT row_number() OVER (ORDER BY v) AS k, v "
             "FROM hit ORDER BY k"
+        ),
+        # Partition oracle: bounded-parts coin DP — one part size
+        # per recursive iteration, the full row carried as a list
+        # and convolved by nested lambdas (engine: Euler's
+        # pentagonal recurrence).
+        "partition_pentagonal": (
+            "WITH RECURSIVE dp(k, row) AS ("
+            "SELECT 0, list_transform(generate_series(0, 40), "
+            "n -> CASE WHEN n = 0 THEN cast(1 as bigint) "
+            "ELSE cast(0 as bigint) END) "
+            "UNION ALL SELECT k + 1, "
+            "list_transform(generate_series(0, 40), n -> "
+            "list_sum(list_transform(generate_series(0, "
+            "n // (k + 1)), j -> row[n - j * (k + 1) + 1]))) "
+            "FROM dp WHERE k < 40) "
+            "SELECT n.i AS n, row[cast(n.i as int) + 1] AS p "
+            "FROM dp, range(0, 41) n(i) WHERE k = 40 ORDER BY n"
+        ),
+        # Frobenius oracle: the census — the representable set
+        # {xa+yb} built by a bounded grid, gaps counted and maxed
+        # directly (engine: Sylvester's ab-a-b and (a-1)(b-1)/2).
+        "frobenius_coin": (
+            "WITH pairs AS (SELECT doc_id, a, CASE WHEN doc_id % 2 "
+            "= 0 THEN a + 1 ELSE 2 * a - 1 END AS b FROM ("
+            "SELECT doc_id, 3 + cast('0x' || substr(sha256('fr:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 18 AS a "
+            "FROM documents WHERE doc_id < 24)), "
+            "rep AS (SELECT DISTINCT doc_id, x.i * a + y.j * b AS v "
+            "FROM pairs, range(0, 41) x(i), range(0, 22) y(j) "
+            "WHERE x.i * a + y.j * b <= a * b), "
+            "gaps AS (SELECT p.doc_id, c.i AS v FROM pairs p, "
+            "range(1, 781) c(i) WHERE c.i < a * b "
+            "AND NOT EXISTS (SELECT 1 FROM rep r "
+            "WHERE r.doc_id = p.doc_id AND r.v = c.i)) "
+            "SELECT p.doc_id, p.a, p.b, max(g.v) AS frob, "
+            "count(*) AS n_nonrep FROM pairs p "
+            "JOIN gaps g ON g.doc_id = p.doc_id "
+            "GROUP BY 1, 2, 3 ORDER BY p.doc_id"
+        ),
+        # Inverse oracle: Fermat's little theorem — a^(p-2) mod p
+        # by square-and-multiply, one bit per iteration (engine:
+        # extended Euclid / Bezout).
+        "mod_inverse": (
+            "WITH RECURSIVE t AS (SELECT doc_id, 2 + "
+            "cast('0x' || substr(sha256('mi:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 1000000 "
+            "AS a FROM documents WHERE doc_id < 40), "
+            "pw(doc_id, base, e, acc) AS ("
+            "SELECT doc_id, a, 1000001, cast(1 as bigint) FROM t "
+            "UNION ALL SELECT doc_id, base * base % 1000003, "
+            "e // 2, CASE WHEN e % 2 = 1 "
+            "THEN acc * base % 1000003 ELSE acc END "
+            "FROM pw WHERE e > 0) "
+            "SELECT pw.doc_id, t.a, pw.acc AS inv FROM pw "
+            "JOIN t ON t.doc_id = pw.doc_id "
+            "WHERE pw.e = 0 ORDER BY pw.doc_id"
+        ),
+        # Look-and-say oracle: relational RLE — explode the string,
+        # gaps-and-islands run grouping, string_agg back, one step
+        # per recursive iteration (engine: imperative RLE kernel).
+        "look_and_say": (
+            "WITH RECURSIVE las(step, s) AS (SELECT 0, '1' "
+            "UNION ALL SELECT step + 1, ("
+            "SELECT string_agg(cast("
+            "(SELECT coalesce(min(u.j), length(s) + 1) "
+            "FROM range(1, 200) u(j) WHERE u.j <= length(s) "
+            "AND u.j > t.i AND substr(s, cast(u.j as int), 1) <> "
+            "substr(s, cast(u.j as int) - 1, 1)) - t.i as varchar) "
+            "|| substr(s, cast(t.i as int), 1), '' ORDER BY t.i) "
+            "FROM range(1, 200) t(i) WHERE t.i <= length(s) "
+            "AND (t.i = 1 OR substr(s, cast(t.i as int), 1) <> "
+            "substr(s, cast(t.i as int) - 1, 1))) "
+            "FROM las WHERE step < 12) "
+            "SELECT step, length(s) AS len, s FROM las "
+            "WHERE step >= 1 ORDER BY step"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
