@@ -10376,6 +10376,134 @@ def q_look_and_say(spark, sf_dir) -> DataFrame:
             .orderBy("step"))
 
 
+def q_machin_pi(spark, sf_dir) -> DataFrame:
+    """Pi to 25 digits by MACHIN'S FORMULA pi = 16*atan(1/5) -
+    4*atan(1/239), all arithmetic on integers scaled by 10^30 with
+    identical floor-division truncation on both sides — engine:
+    Python bignums in a kernel. Oracle: DuckDB HUGEINT (128-bit)
+    — the power ladders grown in recursive CTEs. Two bignum
+    implementations, one Gregory series."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+    SCALE = 10 ** 30
+
+    def machin_kernel(it):
+        import pandas as pd
+
+        def atan_inv(x):
+            total, k, p = 0, 0, x
+            while p <= SCALE:
+                term = SCALE // ((2 * k + 1) * p)
+                total += -term if k % 2 else term
+                k += 1
+                p *= x * x
+            return total
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pi = 16 * atan_inv(5) - 4 * atan_inv(239)
+            yield pd.DataFrame({"pi_str": [str(pi)],
+                                "d25": [str(pi)[:25]]})
+
+    return one.mapInPandas(machin_kernel, "pi_str string, d25 string")
+
+
+def q_egyptian_fractions(spark, sf_dir) -> DataFrame:
+    """Sylvester-Fibonacci greedy egyptian-fraction expansions of
+    24 reduced fractions p/q (p<=4, q<=31) — engine: exact
+    Fraction arithmetic in a kernel, unit = ceil(q/p) each step,
+    gcd-reduced. Oracle: the same greedy replayed in a recursive
+    CTE with DuckDB's integer ceil-division and gcd(). One greedy
+    invariant, two exact-arithmetic engines."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 24)
+           .select("doc_id",
+                   (F.col("doc_id") % 3 + 2).alias("p"),
+                   (6 + _mst_hash(F.concat(F.lit("eg:"), d)) % 26)
+                   .alias("q")))
+
+    def eg_kernel(it):
+        import math
+
+        import pandas as pd
+        for pdf in it:
+            ids, ks, units = [], [], []
+            for doc, p, q in zip(pdf["doc_id"], pdf["p"], pdf["q"]):
+                g = math.gcd(int(p), int(q))
+                num, den = int(p) // g, int(q) // g
+                k = 1
+                while num > 0:
+                    u = (den + num - 1) // num
+                    ids.append(doc)
+                    ks.append(k)
+                    units.append(u)
+                    num, den = num * u - den, den * u
+                    g = math.gcd(num, den) if num else 1
+                    num, den = num // g, den // g
+                    k += 1
+            yield pd.DataFrame({"doc_id": ids, "k": ks, "unit": units})
+
+    return (raw.repartition(4)
+            .mapInPandas(eg_kernel, "doc_id long, k int, unit long")
+            .orderBy("doc_id", "k"))
+
+
+def q_pick_theorem(spark, sf_dir) -> DataFrame:
+    """Interior and boundary lattice counts of 12 hash-derived
+    staircase (orthogonal, simple) polygons — engine: PICK'S
+    THEOREM — twice-area by the shoelace over the closed vertex
+    cycle, boundary = perimeter (axis-parallel unit lattice), and
+    I = (2A - B + 2)/2, built entirely from window cumsums and a
+    modular-index edge self-join (no kernel, no enumeration).
+    Oracle: the CENSUS — every bounding-box lattice point tested
+    exactly: on-boundary by segment membership, interior by
+    half-open ray casting over vertical edges. A 1899 identity vs
+    counting points one by one."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+    i = spark.range(1, 7).select(F.col("id").alias("i"))
+    gs, istr = F.col("g").cast("string"), F.col("i").cast("string")
+    steps = (g.crossJoin(F.broadcast(i))
+             .select("g", "i",
+                     (1 + _mst_hash(F.concat(F.lit("pw:"), gs,
+                                             F.lit(":"), istr)) % 5)
+                     .alias("w"),
+                     (1 + _mst_hash(F.concat(F.lit("ph:"), gs,
+                                             F.lit(":"), istr)) % 5)
+                     .alias("h")))
+    wcum = Window.partitionBy("g").orderBy("i") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    steps = (steps.withColumn("cw", F.sum("w").over(wcum))
+             .withColumn("ch", F.sum("h").over(wcum)))
+    v_lo = steps.select("g", (2 * F.col("i") - 1).alias("idx"),
+                        F.col("cw").alias("x"),
+                        (F.col("ch") - F.col("h")).alias("y"))
+    v_hi = steps.select("g", (2 * F.col("i")).alias("idx"),
+                        F.col("cw").alias("x"), F.col("ch").alias("y"))
+    v_start = g.select("g", F.lit(0).cast("long").alias("idx"),
+                       F.lit(0).cast("long").alias("x"),
+                       F.lit(0).cast("long").alias("y"))
+    v_top = (steps.groupBy("g").agg(F.sum("h").alias("y"))
+             .select("g", F.lit(13).cast("long").alias("idx"),
+                     F.lit(0).cast("long").alias("x"), "y"))
+    verts = v_start.unionAll(v_lo).unionAll(v_hi).unionAll(v_top)
+    nxt = verts.select(F.col("g").alias("g2"),
+                       F.col("idx").alias("idx2"),
+                       F.col("x").alias("x2"), F.col("y").alias("y2"))
+    edges = verts.join(
+        nxt, (F.col("g") == F.col("g2"))
+        & (F.col("idx2") == (F.col("idx") + 1) % 14))
+    agg = edges.groupBy("g").agg(
+        F.sum(F.col("x") * F.col("y2")
+              - F.col("x2") * F.col("y")).alias("a2"),
+        F.sum(F.abs(F.col("x2") - F.col("x"))
+              + F.abs(F.col("y2") - F.col("y"))).alias("b"))
+    return (agg.select(
+        "g", "b",
+        ((F.col("a2") - F.col("b") + 2) / 2).cast("long").alias("i"))
+        .orderBy("g"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10747,6 +10875,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frobenius_coin": q_frobenius_coin,
         "mod_inverse": q_mod_inverse,
         "look_and_say": q_look_and_say,
+        "machin_pi": q_machin_pi,
+        "egyptian_fractions": q_egyptian_fractions,
+        "pick_theorem": q_pick_theorem,
     }
 
 
@@ -14998,6 +15129,102 @@ def oracle_sql() -> dict[str, str]:
             "FROM las WHERE step < 12) "
             "SELECT step, length(s) AS len, s FROM las "
             "WHERE step >= 1 ORDER BY step"
+        ),
+        # Machin oracle: the same Gregory series in DuckDB HUGEINT
+        # — power ladders in recursive CTEs, floor division
+        # identical to the engine's Python bignums.
+        "machin_pi": (
+            "WITH RECURSIVE p5(k, p) AS ("
+            "SELECT 0, cast(5 as hugeint) "
+            "UNION ALL SELECT k + 1, p * 25 FROM p5 "
+            "WHERE p * 25 <= 1000000000000000000000000000000), "
+            "p239(k, p) AS (SELECT 0, cast(239 as hugeint) "
+            "UNION ALL SELECT k + 1, p * 57121 FROM p239 "
+            "WHERE p * 57121 <= 1000000000000000000000000000000), "
+            "s5 AS (SELECT sum(CASE WHEN k % 2 = 0 THEN "
+            "1000000000000000000000000000000 // ((2*k+1) * p) ELSE "
+            "-(1000000000000000000000000000000 // ((2*k+1) * p)) "
+            "END) AS v FROM p5), "
+            "s239 AS (SELECT sum(CASE WHEN k % 2 = 0 THEN "
+            "1000000000000000000000000000000 // ((2*k+1) * p) ELSE "
+            "-(1000000000000000000000000000000 // ((2*k+1) * p)) "
+            "END) AS v FROM p239) "
+            "SELECT cast(16 * s5.v - 4 * s239.v as varchar) "
+            "AS pi_str, substr(cast(16 * s5.v - 4 * s239.v "
+            "as varchar), 1, 25) AS d25 FROM s5, s239"
+        ),
+        # Egyptian oracle: the greedy replayed with DuckDB integer
+        # ceil-division and gcd() in a recursive CTE (engine:
+        # Python Fraction arithmetic).
+        "egyptian_fractions": (
+            "WITH RECURSIVE t AS (SELECT doc_id, "
+            "doc_id % 3 + 2 AS p, 6 + cast('0x' || substr(sha256("
+            "'eg:' || cast(doc_id as varchar)), 1, 8) as bigint) "
+            "% 26 AS q FROM documents WHERE doc_id < 24), "
+            "r0 AS (SELECT doc_id, p // gcd(p, q) AS num, "
+            "q // gcd(p, q) AS den FROM t), "
+            "eg(doc_id, k, unit, num, den) AS ("
+            "SELECT doc_id, 1, u, nn // gg, nd // gg FROM ("
+            "SELECT doc_id, u, num * u - den AS nn, den * u AS nd, "
+            "CASE WHEN num * u - den = 0 THEN 1 "
+            "ELSE gcd(num * u - den, den * u) END AS gg FROM ("
+            "SELECT doc_id, num, den, (den + num - 1) // num AS u "
+            "FROM r0)) "
+            "UNION ALL SELECT doc_id, k + 1, u, nn // gg, nd // gg "
+            "FROM (SELECT doc_id, k, u, num * u - den AS nn, "
+            "den * u AS nd, CASE WHEN num * u - den = 0 THEN 1 "
+            "ELSE gcd(num * u - den, den * u) END AS gg FROM ("
+            "SELECT doc_id, k, num, den, "
+            "(den + num - 1) // num AS u FROM eg WHERE num > 0))) "
+            "SELECT doc_id, cast(k as int) AS k, unit FROM eg "
+            "ORDER BY doc_id, k"
+        ),
+        # Pick oracle: the census — boundary by exact segment
+        # membership, interior by half-open ray casting over the
+        # vertical edges, every bounding-grid point tested (engine:
+        # shoelace + perimeter + Pick's identity, no enumeration).
+        "pick_theorem": (
+            "WITH steps AS (SELECT g.a AS g, s.j AS i, "
+            "1 + cast('0x' || substr(sha256('pw:' || "
+            "cast(g.a as varchar) || ':' || cast(s.j as varchar)), "
+            "1, 8) as bigint) % 5 AS w, "
+            "1 + cast('0x' || substr(sha256('ph:' || "
+            "cast(g.a as varchar) || ':' || cast(s.j as varchar)), "
+            "1, 8) as bigint) % 5 AS h "
+            "FROM range(0, 12) g(a), range(1, 7) s(j)), "
+            "cum AS (SELECT g, i, w, h, "
+            "sum(w) OVER (PARTITION BY g ORDER BY i) AS cw, "
+            "sum(h) OVER (PARTITION BY g ORDER BY i) AS ch "
+            "FROM steps), "
+            "verts AS ("
+            "SELECT a AS g, 0 AS idx, cast(0 as bigint) AS x, "
+            "cast(0 as bigint) AS y FROM range(0, 12) t(a) "
+            "UNION ALL SELECT g, 2 * i - 1, cw, ch - h FROM cum "
+            "UNION ALL SELECT g, 2 * i, cw, ch FROM cum "
+            "UNION ALL SELECT g, 13, 0, sum(h) FROM steps GROUP BY g), "
+            "edges AS (SELECT a.g, a.x, a.y, b.x AS x2, b.y AS y2 "
+            "FROM verts a JOIN verts b ON a.g = b.g "
+            "AND b.idx = (a.idx + 1) % 14), "
+            "pts AS (SELECT g.a AS g, px.i AS px, py.j AS py "
+            "FROM range(0, 12) g(a), range(0, 31) px(i), "
+            "range(0, 31) py(j)), "
+            "onb AS (SELECT DISTINCT p.g, p.px, p.py FROM pts p "
+            "JOIN edges e ON e.g = p.g AND (("
+            "e.x = e.x2 AND p.px = e.x AND p.py BETWEEN "
+            "least(e.y, e.y2) AND greatest(e.y, e.y2)) OR ("
+            "e.y = e.y2 AND p.py = e.y AND p.px BETWEEN "
+            "least(e.x, e.x2) AND greatest(e.x, e.x2)))), "
+            "inner_pts AS (SELECT p.g, p.px, p.py FROM pts p "
+            "WHERE NOT EXISTS (SELECT 1 FROM onb o WHERE "
+            "o.g = p.g AND o.px = p.px AND o.py = p.py) "
+            "AND (SELECT count(*) FROM edges e WHERE e.g = p.g "
+            "AND e.x = e.x2 AND e.x > p.px "
+            "AND least(e.y, e.y2) <= p.py "
+            "AND p.py < greatest(e.y, e.y2)) % 2 = 1) "
+            "SELECT g.a AS g, "
+            "(SELECT count(*) FROM onb o WHERE o.g = g.a) AS b, "
+            "(SELECT count(*) FROM inner_pts q WHERE q.g = g.a) "
+            "AS i FROM range(0, 12) g(a) ORDER BY g"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
