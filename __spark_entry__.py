@@ -10504,6 +10504,225 @@ def q_pick_theorem(spark, sf_dir) -> DataFrame:
         .orderBy("g"))
 
 
+def q_perfect_power(spark, sf_dir) -> DataFrame:
+    """Perfect-power detection for 40 candidates (half constructed
+    b^e, half random) — engine: ROOT EXTRACTION — for every
+    exponent k=2..30 take the float k-th root, test the three
+    neighboring integers by an exact JVM fold (overflow-capped
+    repeated multiplication, no float equality anywhere); report
+    the largest exponent and its base via max_by. Oracle:
+    ENUMERATION — the exact power ladder b^e <= 2e9 grown by a
+    recursive CTE and joined against the candidates. Inverse
+    search vs forward generation."""
+    d = F.col("doc_id").cast("string")
+    h1 = _mst_hash(F.concat(F.lit("pp1:"), d))
+    h2 = _mst_hash(F.concat(F.lit("pp2:"), d))
+    b, e = 2 + h1 % 60, 2 + h2 % 4
+    # constructed powers built by exact multiplication (a float pow
+    # could truncate one off on cast and desync from the oracle)
+    bpow = (F.when(e == 2, b * b).when(e == 3, b * b * b)
+            .when(e == 4, b * b * b * b).otherwise(b * b * b * b * b))
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 2 == 0, bpow)
+                   .otherwise(2 + h1 % 999999999).alias("n")))
+    k = spark.range(2, 31).select(F.col("id").alias("k"))
+    dl = spark.range(-1, 2).select(F.col("id").alias("delta"))
+    cand = raw.join(F.broadcast(k)).join(F.broadcast(dl))
+    root = F.floor(F.pow(F.col("n").cast("double"),
+                         1.0 / F.col("k"))).cast("long")
+    c = root + F.col("delta")
+    fold = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("k")),
+        F.lit(1).cast("long"),
+        lambda acc, _: F.when((acc < 0) | (acc > 2000000000),
+                              F.lit(-1).cast("long"))
+        .otherwise(acc * c))
+    hits = (cand.withColumn("c", c)
+            .filter((F.col("c") >= 2) & (fold == F.col("n"))))
+    agg = (hits.groupBy("doc_id", "n")
+           .agg(F.max("k").alias("kmax"),
+                F.expr("max_by(c, k)").alias("bmin")))
+    return (raw.join(agg.select("doc_id", "kmax", "bmin"),
+                     "doc_id", "left")
+            .select("doc_id", "n",
+                    F.when(F.col("kmax").isNull(), 0).otherwise(1)
+                    .cast("int").alias("is_pp"),
+                    F.coalesce(F.col("kmax"), F.lit(0)).alias("kmax"),
+                    F.coalesce(F.col("bmin"), F.lit(0)).alias("bmin"))
+            .orderBy("doc_id"))
+
+
+def q_aliquot_sequence(spark, sf_dir) -> DataFrame:
+    """Aliquot sequences (iterated proper-divisor sums), 6 steps
+    from every n in 2..120 — engine: ITERATIVE RELATIONAL rounds —
+    each step is one divisor join (broadcast divisor range,
+    v % d = 0, d < v) plus a groupBy sum, values <= 1 pinned to 0.
+    Oracle: a recursive CTE computing the same dynamical system
+    with a correlated divisor-sum subquery per step. Driver-side
+    loop unrolling vs in-query recursion."""
+    cur = (spark.range(2, 121)
+           .select(F.col("id").alias("n"), F.lit(0).alias("step"),
+                   F.col("id").alias("v")))
+    dv = spark.range(1, 10001).select(F.col("id").alias("d"))
+    out = [cur]
+    for st in range(1, 7):
+        joined = (cur.join(F.broadcast(dv),
+                           (F.col("d") < F.col("v"))
+                           & (F.col("v") % F.col("d") == 0), "left")
+                  .groupBy("n")
+                  .agg(F.when(F.max("v") <= 1, F.lit(0))
+                       .otherwise(F.coalesce(F.sum("d"), F.lit(0)))
+                       .alias("v")))
+        cur = joined.select("n", F.lit(st).alias("step"), "v")
+        out.append(cur)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.orderBy("n", "step")
+
+
+def q_karatsuba_mul(spark, sf_dir) -> DataFrame:
+    """15x15-digit products for 30 hash-derived pairs — engine:
+    KARATSUBA on base-10 digit lists (three recursive half-size
+    products, explicit carry normalization — Python ints used only
+    digit-by-digit). Oracle: DuckDB HUGEINT native 128-bit
+    multiplication. A divide-and-conquer algorithm vs hardware
+    arithmetic."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select(
+               "doc_id",
+               (F.lit(10 ** 14)
+                + (_mst_hash(F.concat(F.lit("km1:"), d)) % 1000000000)
+                * 100000
+                + _mst_hash(F.concat(F.lit("km2:"), d)) % 100000)
+               .alias("a"),
+               (F.lit(10 ** 14)
+                + (_mst_hash(F.concat(F.lit("km3:"), d)) % 1000000000)
+                * 100000
+                + _mst_hash(F.concat(F.lit("km4:"), d)) % 100000)
+               .alias("b")))
+
+    def kara_kernel(it):
+        import pandas as pd
+
+        def to_digits(x):
+            return [int(ch) for ch in str(x)][::-1]
+
+        def add(a, b):
+            out, carry = [], 0
+            for i in range(max(len(a), len(b))):
+                s = (a[i] if i < len(a) else 0) \
+                    + (b[i] if i < len(b) else 0) + carry
+                out.append(s % 10)
+                carry = s // 10
+            if carry:
+                out.append(carry)
+            return out
+
+        def sub(a, b):
+            out, borrow = [], 0
+            for i in range(len(a)):
+                s = a[i] - (b[i] if i < len(b) else 0) - borrow
+                borrow = 1 if s < 0 else 0
+                out.append(s + 10 if s < 0 else s)
+            while len(out) > 1 and out[-1] == 0:
+                out.pop()
+            return out
+
+        def shift(a, m):
+            return ([0] * m + a) if a != [0] else [0]
+
+        def kara(a, b):
+            if len(a) <= 4 or len(b) <= 4:
+                out = [0] * (len(a) + len(b))
+                for i, da in enumerate(a):
+                    carry = 0
+                    for j, db in enumerate(b):
+                        s = out[i + j] + da * db + carry
+                        out[i + j] = s % 10
+                        carry = s // 10
+                    out[i + len(b)] += carry
+                while len(out) > 1 and out[-1] == 0:
+                    out.pop()
+                return out
+            m = min(len(a), len(b)) // 2
+            a0, a1 = a[:m], a[m:]
+            b0, b1 = b[:m], b[m:]
+            z0 = kara(a0, b0)
+            z2 = kara(a1, b1)
+            z1 = sub(sub(kara(add(a0, a1), add(b0, b1)), z0), z2)
+            return add(add(z0, shift(z1, m)), shift(z2, 2 * m))
+
+        for pdf in it:
+            prods = []
+            for a, b in zip(pdf["a"], pdf["b"]):
+                digs = kara(to_digits(int(a)), to_digits(int(b)))
+                prods.append("".join(str(x) for x in digs[::-1]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "a": pdf["a"],
+                                "b": pdf["b"], "prod": prods})
+
+    return (raw.repartition(4)
+            .mapInPandas(kara_kernel,
+                         "doc_id long, a long, b long, prod string")
+            .orderBy("doc_id"))
+
+
+def q_floyd_cycle(spark, sf_dir) -> DataFrame:
+    """Tail length mu and cycle length lambda of the orbit of
+    x -> (x^2 + c) mod 509 for 30 hash-derived (c, x0) — engine:
+    FLOYD'S TORTOISE-AND-HARE — O(1) memory, the classic
+    three-phase pointer dance in a kernel. Oracle: FULL HISTORY —
+    the orbit materialized as a list in a recursive CTE until the
+    first revisit, mu and lambda read off list_position. Constant
+    memory vs total recall."""
+    M = 509
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id",
+                   (_mst_hash(F.concat(F.lit("fc:"), d)) % M)
+                   .alias("c"),
+                   (_mst_hash(F.concat(F.lit("fx:"), d)) % M)
+                   .alias("x0")))
+
+    def floyd_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            mus, lams = [], []
+            for c, x0 in zip(pdf["c"], pdf["x0"]):
+                c, x0 = int(c), int(x0)
+
+                def f(x):
+                    return (x * x + c) % M
+
+                tort, hare = f(x0), f(f(x0))
+                while tort != hare:
+                    tort, hare = f(tort), f(f(hare))
+                mu, tort = 0, x0
+                while tort != hare:
+                    tort, hare = f(tort), f(hare)
+                    mu += 1
+                lam, hare = 1, f(tort)
+                while tort != hare:
+                    hare = f(hare)
+                    lam += 1
+                mus.append(mu)
+                lams.append(lam)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "c": pdf["c"],
+                                "x0": pdf["x0"], "mu": mus,
+                                "lam": lams})
+
+    return (raw.repartition(4)
+            .mapInPandas(floyd_kernel,
+                         "doc_id long, c long, x0 long, mu long, "
+                         "lam long")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -10878,6 +11097,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "machin_pi": q_machin_pi,
         "egyptian_fractions": q_egyptian_fractions,
         "pick_theorem": q_pick_theorem,
+        "perfect_power": q_perfect_power,
+        "aliquot_sequence": q_aliquot_sequence,
+        "karatsuba_mul": q_karatsuba_mul,
+        "floyd_cycle": q_floyd_cycle,
     }
 
 
@@ -15225,6 +15448,91 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM onb o WHERE o.g = g.a) AS b, "
             "(SELECT count(*) FROM inner_pts q WHERE q.g = g.a) "
             "AS i FROM range(0, 12) g(a) ORDER BY g"
+        ),
+        # Perfect-power oracle: forward generation — the exact
+        # power ladder b^e <= 2e9 in a recursive CTE, joined to the
+        # candidates, arg_max picks the base of the largest
+        # exponent (engine: k-th root extraction + exact fold).
+        "perfect_power": (
+            "WITH RECURSIVE src AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('pp1:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) AS h1, "
+            "cast('0x' || substr(sha256('pp2:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) AS h2 "
+            "FROM documents WHERE doc_id < 40), "
+            "cand AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+            "CASE 2 + h2 % 4 "
+            "WHEN 2 THEN (2+h1%60)*(2+h1%60) "
+            "WHEN 3 THEN (2+h1%60)*(2+h1%60)*(2+h1%60) "
+            "WHEN 4 THEN (2+h1%60)*(2+h1%60)*(2+h1%60)*(2+h1%60) "
+            "ELSE (2+h1%60)*(2+h1%60)*(2+h1%60)*(2+h1%60)*(2+h1%60) "
+            "END ELSE 2 + h1 % 999999999 END AS n FROM src), "
+            "pw(b, e, v) AS (SELECT i, 1, i "
+            "FROM range(2, 44722) t(i) "
+            "UNION ALL SELECT b, e + 1, v * b FROM pw "
+            "WHERE v * b <= 2000000000), "
+            "hit AS (SELECT c.doc_id, max(p.e) AS kmax, "
+            "arg_max(p.b, p.e) AS bmin FROM cand c "
+            "JOIN pw p ON p.v = c.n AND p.e >= 2 GROUP BY 1) "
+            "SELECT c.doc_id, c.n, CASE WHEN h.kmax IS NULL THEN 0 "
+            "ELSE 1 END AS is_pp, coalesce(h.kmax, 0) AS kmax, "
+            "coalesce(h.bmin, 0) AS bmin FROM cand c "
+            "LEFT JOIN hit h ON h.doc_id = c.doc_id "
+            "ORDER BY c.doc_id"
+        ),
+        # Aliquot oracle: the same dynamical system in a recursive
+        # CTE with a correlated divisor-sum subquery (engine:
+        # driver-unrolled divisor joins).
+        "aliquot_sequence": (
+            "WITH RECURSIVE al(n, step, v) AS ("
+            "SELECT i, 0, i FROM range(2, 121) t(i) "
+            "UNION ALL SELECT n, step + 1, "
+            "CASE WHEN v <= 1 THEN 0 ELSE ("
+            "SELECT coalesce(sum(d.i), 0) FROM range(1, 10001) d(i) "
+            "WHERE d.i < v AND v % d.i = 0) END "
+            "FROM al WHERE step < 6) "
+            "SELECT n, step, v FROM al ORDER BY n, step"
+        ),
+        # Karatsuba oracle: native 128-bit multiplication (engine:
+        # divide-and-conquer on digit lists).
+        "karatsuba_mul": (
+            "WITH t AS (SELECT doc_id, 100000000000000 + "
+            "(cast('0x' || substr(sha256('km1:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) "
+            "% 1000000000) * 100000 + "
+            "cast('0x' || substr(sha256('km2:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 100000 "
+            "AS a, 100000000000000 + "
+            "(cast('0x' || substr(sha256('km3:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) "
+            "% 1000000000) * 100000 + "
+            "cast('0x' || substr(sha256('km4:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 100000 "
+            "AS b FROM documents WHERE doc_id < 30) "
+            "SELECT doc_id, a, b, cast(cast(a as hugeint) * "
+            "cast(b as hugeint) as varchar) AS prod FROM t "
+            "ORDER BY doc_id"
+        ),
+        # Floyd oracle: total recall — the orbit as a growing list
+        # until the first revisit; mu and lambda read off
+        # list_position (engine: O(1)-memory tortoise and hare).
+        "floyd_cycle": (
+            "WITH RECURSIVE t AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('fc:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 509 AS c, "
+            "cast('0x' || substr(sha256('fx:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 509 "
+            "AS x0 FROM documents WHERE doc_id < 30), "
+            "orb(doc_id, c, x, lst) AS ("
+            "SELECT doc_id, c, x0, cast([] as bigint[]) FROM t "
+            "UNION ALL SELECT doc_id, c, (x * x + c) % 509, "
+            "list_append(lst, x) FROM orb "
+            "WHERE NOT list_contains(lst, x)) "
+            "SELECT o.doc_id, o.c, t.x0, "
+            "list_position(o.lst, o.x) - 1 AS mu, "
+            "len(o.lst) - list_position(o.lst, o.x) + 1 AS lam "
+            "FROM orb o JOIN t ON t.doc_id = o.doc_id "
+            "WHERE list_contains(o.lst, o.x) ORDER BY o.doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
