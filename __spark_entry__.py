@@ -10723,6 +10723,186 @@ def q_floyd_cycle(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_burnside_necklaces(spark, sf_dir) -> DataFrame:
+    """Binary necklaces of length n=1..16 under rotation — engine:
+    BURNSIDE'S LEMMA — (1/n) sum over d|n of phi(d)*2^(n/d), with
+    the totient itself computed relationally (a common-divisor
+    anti-join, no gcd function). Oracle: the ORBIT CENSUS — all
+    2^n bitstrings canonicalized to their minimal rotation by bit
+    shifts, distinct canonicals counted. Group-action averaging vs
+    listing the orbits."""
+    d16 = spark.range(1, 17)
+    dk = (d16.select(F.col("id").alias("d"))
+          .join(d16.select(F.col("id").alias("k")),
+                F.col("k") <= F.col("d")))
+    j = spark.range(2, 17).select(F.col("id").alias("j"))
+    common = dk.join(
+        F.broadcast(j),
+        (F.col("d") % F.col("j") == 0) & (F.col("k") % F.col("j") == 0),
+        "left_semi")
+    phi = (dk.join(common, ["d", "k"], "left_anti")
+           .groupBy("d").agg(F.count("k").alias("phi")))
+    nd = (d16.select(F.col("id").alias("n"))
+          .join(F.broadcast(phi),
+                F.col("n") % F.col("d") == 0))
+    term = F.col("phi") * F.pow(F.lit(2.0), (F.col("n") / F.col("d"))
+                                .cast("double")).cast("long")
+    return (nd.groupBy("n")
+            .agg((F.sum(term) / F.col("n")).cast("long")
+                 .alias("necklaces"))
+            .orderBy("n"))
+
+
+_MT_SPINE = 7          # edges 0..6 form the path 0-1-...-7
+_MT_EXTRA = 5          # hash-derived extra edges, eids 7..11
+
+
+def _mt_edges_df(spark):
+    spine = [(i, i, i + 1) for i in range(_MT_SPINE)]
+    df = spark.createDataFrame(spine, "eid long, u long, v long")
+    ex = (spark.range(_MT_SPINE, _MT_SPINE + _MT_EXTRA)
+          .select(F.col("id").alias("eid"),
+                  (_mst_hash(F.concat(F.lit("mtu:"),
+                                      F.col("id").cast("string")))
+                   % 8).alias("u0"),
+                  (_mst_hash(F.concat(F.lit("mtv:"),
+                                      F.col("id").cast("string")))
+                   % 8).alias("v0")))
+    ex = ex.select(
+        "eid", F.col("u0").alias("u"),
+        F.when(F.col("v0") == F.col("u0"), (F.col("u0") + 1) % 8)
+        .otherwise(F.col("v0")).alias("v"))
+    return df.unionAll(ex)
+
+
+def q_matrix_tree(spark, sf_dir) -> DataFrame:
+    """Spanning trees of a 12-edge multigraph on 8 nodes (7-edge
+    spine + 5 hash edges) — engine: KIRCHHOFF'S MATRIX-TREE
+    THEOREM — the 7x7 Laplacian minor determinant by fraction-free
+    Bareiss elimination, exact integers. Oracle: ENUMERATION —
+    every 7-edge subset (C(12,7)=792 masks) tested for
+    connectivity by bitmask closure in a recursive CTE. A
+    determinant identity vs counting the trees one by one."""
+
+    def kirchhoff_kernel(pdf):
+        import pandas as pd
+        L = [[0] * 8 for _ in range(8)]
+        for r in pdf.itertuples():
+            u, v = int(r.u), int(r.v)
+            L[u][u] += 1
+            L[v][v] += 1
+            L[u][v] -= 1
+            L[v][u] -= 1
+        # Bareiss on the (0,0)-minor
+        m = [[L[i][j] for j in range(1, 8)] for i in range(1, 8)]
+        n = 7
+        prev = 1
+        sign = 1
+        for k in range(n - 1):
+            if m[k][k] == 0:
+                swap = next((r for r in range(k + 1, n)
+                             if m[r][k] != 0), None)
+                if swap is None:
+                    return pd.DataFrame({"n_trees": [0]})
+                m[k], m[swap] = m[swap], m[k]
+                sign = -sign
+            for i in range(k + 1, n):
+                for j in range(k + 1, n):
+                    m[i][j] = (m[i][j] * m[k][k]
+                               - m[i][k] * m[k][j]) // prev
+            prev = m[k][k]
+        return pd.DataFrame({"n_trees": [sign * m[n - 1][n - 1]]})
+
+    return (_mt_edges_df(spark).withColumn("g", F.lit(0))
+            .groupBy("g")
+            .applyInPandas(lambda pdf: kirchhoff_kernel(pdf),
+                           "n_trees long"))
+
+
+def q_hook_length(spark, sf_dir) -> DataFrame:
+    """Standard Young tableaux counts for every partition of 8 —
+    engine: the HOOK LENGTH FORMULA — f = 8! / prod(hooks), hooks
+    from arm + leg + 1 with the conjugate shape, exact integers in
+    a kernel that also enumerates the 22 shapes. Oracle: the
+    DEFINITION — f counts the corner-removal orders, enumerated as
+    paths to the empty shape in a recursive CTE over list states.
+    A product formula vs walking the Young lattice."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def hook_kernel(it):
+        import math
+
+        import pandas as pd
+
+        def partitions(n, maxp):
+            if n == 0:
+                yield ()
+                return
+            for p in range(min(n, maxp), 0, -1):
+                for rest in partitions(n - p, p):
+                    yield (p,) + rest
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keys, fs = [], []
+            for shape in partitions(8, 8):
+                conj = [sum(1 for r in shape if r > j)
+                        for j in range(shape[0])]
+                prod = 1
+                for i, r in enumerate(shape):
+                    for j in range(r):
+                        prod *= (r - j - 1) + (conj[j] - i - 1) + 1
+                keys.append(",".join(str(x) for x in shape))
+                fs.append(math.factorial(8) // prod)
+            yield pd.DataFrame({"shape": keys, "f": fs})
+
+    return (one.mapInPandas(hook_kernel, "shape string, f long")
+            .orderBy("shape"))
+
+
+def q_debruijn_lyndon(spark, sf_dir) -> DataFrame:
+    """The lexicographically least binary de Bruijn sequence
+    B(2,n) for n=2..8 — engine: FKM — concatenate the Lyndon words
+    whose length divides n in lexicographic order (the
+    Fredricksen-Kessler-Maiorana construction) in a kernel.
+    Oracle: the PREFER-ONE GREEDY — grown bit by bit in a
+    recursive CTE with a seen-window list, then complemented and
+    canonicalized to its minimal rotation (the two constructions
+    provably meet there). Combinatorics-on-words vs a greedy walk
+    — agreeing only through the rotation quotient."""
+    n = spark.range(2, 9).select(F.col("id").alias("n"))
+
+    def fkm_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            ns, seqs = [], []
+            for n0 in pdf["n"]:
+                n0 = int(n0)
+                seq = []
+                a = [0] * (n0 + 1)
+
+                def db(t, p):
+                    if t > n0:
+                        if n0 % p == 0:
+                            seq.extend(a[1:p + 1])
+                    else:
+                        a[t] = a[t - p]
+                        db(t + 1, p)
+                        for jj in range(a[t - p] + 1, 2):
+                            a[t] = jj
+                            db(t + 1, t)
+
+                db(1, 1)
+                ns.append(n0)
+                seqs.append("".join(str(x) for x in seq))
+            yield pd.DataFrame({"n": ns, "seq": seqs})
+
+    return (n.repartition(4)
+            .mapInPandas(fkm_kernel, "n long, seq string")
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -11101,6 +11281,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aliquot_sequence": q_aliquot_sequence,
         "karatsuba_mul": q_karatsuba_mul,
         "floyd_cycle": q_floyd_cycle,
+        "burnside_necklaces": q_burnside_necklaces,
+        "matrix_tree": q_matrix_tree,
+        "hook_length": q_hook_length,
+        "debruijn_lyndon": q_debruijn_lyndon,
     }
 
 
@@ -15533,6 +15717,100 @@ def oracle_sql() -> dict[str, str]:
             "len(o.lst) - list_position(o.lst, o.x) + 1 AS lam "
             "FROM orb o JOIN t ON t.doc_id = o.doc_id "
             "WHERE list_contains(o.lst, o.x) ORDER BY o.doc_id"
+        ),
+        # Burnside oracle: the orbit census — canonicalize all 2^n
+        # strings to their minimal rotation via bit shifts, count
+        # distinct (engine: Burnside averaging with a relational
+        # totient).
+        "burnside_necklaces": (
+            "WITH ns AS (SELECT i AS n, "
+            "cast(power(2, i) as bigint) AS sz FROM range(1, 17) "
+            "t(i)), "
+            "allx AS (SELECT n, sz, x.v AS x FROM ns, "
+            "range(0, 65536) x(v) WHERE x.v < sz), "
+            "rot AS (SELECT n, x, min(((x >> r.i) | "
+            "(x << (n - r.i))) & (sz - 1)) AS c "
+            "FROM allx, range(0, 16) r(i) WHERE r.i < n "
+            "GROUP BY n, x) "
+            "SELECT n, count(DISTINCT c) AS necklaces FROM rot "
+            "GROUP BY n ORDER BY n"
+        ),
+        # Matrix-tree oracle: enumeration — all 7-edge subsets of
+        # the 12 edges, connectivity by bitmask closure with an
+        # in-term bit_or aggregate (engine: Bareiss determinant of
+        # the Laplacian minor).
+        "matrix_tree": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT i AS eid, i AS u, i + 1 AS v FROM range(0, 7) "
+            "t(i) UNION ALL SELECT i, u0, CASE WHEN v0 = u0 THEN "
+            "(u0 + 1) % 8 ELSE v0 END FROM ("
+            "SELECT i, cast('0x' || substr(sha256('mtu:' || "
+            "cast(i as varchar)), 1, 8) as bigint) % 8 AS u0, "
+            "cast('0x' || substr(sha256('mtv:' || "
+            "cast(i as varchar)), 1, 8) as bigint) % 8 AS v0 "
+            "FROM range(7, 12) t(i))), "
+            "masks AS (SELECT m.v AS mask FROM range(0, 4096) m(v) "
+            "WHERE bit_count(m.v) = 7), "
+            "conn(mask, reach, step) AS ("
+            "SELECT mask, 1, 0 FROM masks "
+            "UNION ALL SELECT mask, reach | coalesce(bit_or("
+            "CASE WHEN (mask >> eid) & 1 = 1 AND ("
+            "((reach >> u) & 1) = 1 OR ((reach >> v) & 1) = 1) "
+            "THEN (1 << u) | (1 << v) ELSE 0 END), 0), step + 1 "
+            "FROM conn, edges WHERE step < 8 "
+            "GROUP BY mask, reach, step) "
+            "SELECT count(*) AS n_trees FROM conn "
+            "WHERE step = 8 AND reach = 255"
+        ),
+        # Hook-length oracle: walk the Young lattice — every
+        # corner-removal order enumerated down to the empty shape
+        # (engine: the n!/prod(hooks) product formula).
+        "hook_length": (
+            "WITH RECURSIVE parts(rem, maxp, shape) AS ("
+            "SELECT 8, 8, cast([] as bigint[]) "
+            "UNION ALL SELECT rem - p.i, p.i, "
+            "list_append(shape, p.i) FROM parts, range(1, 9) p(i) "
+            "WHERE rem > 0 AND p.i <= least(rem, maxp)), "
+            "shapes AS (SELECT array_to_string(shape, ',') AS key, "
+            "shape FROM parts WHERE rem = 0), "
+            "walk(key, cur) AS ("
+            "SELECT key, shape FROM shapes "
+            "UNION ALL SELECT key, list_filter("
+            "cur[1:pos-1] || [cur[pos] - 1] || cur[pos+1:len(cur)], "
+            "x -> x > 0) FROM ("
+            "SELECT key, cur, cast(p.i as int) AS pos "
+            "FROM walk, range(1, 9) p(i) WHERE p.i <= len(cur) "
+            "AND (p.i = len(cur) OR cur[cast(p.i as int)] > "
+            "cur[cast(p.i as int) + 1]))) "
+            "SELECT key AS shape, count(*) AS f FROM walk "
+            "WHERE len(cur) = 0 GROUP BY key ORDER BY shape"
+        ),
+        # De Bruijn oracle: the prefer-one greedy grown bit by bit
+        # (seen-window list), complemented, canonicalized to the
+        # minimal rotation — where it provably equals the FKM
+        # Lyndon concatenation the engine builds.
+        "debruijn_lyndon": (
+            "WITH RECURSIVE ns AS (SELECT i AS n, "
+            "cast(power(2, i) as bigint) AS sz FROM range(2, 9) "
+            "t(i)), "
+            "greedy(n, sz, s, seen, cur, cnt) AS ("
+            "SELECT n, sz, repeat('0', cast(n as int)), "
+            "[cast(0 as bigint)], cast(0 as bigint), 0 FROM ns "
+            "UNION ALL SELECT n, sz, "
+            "s || CASE WHEN ok1 THEN '1' ELSE '0' END, "
+            "list_append(seen, CASE WHEN ok1 THEN cur * 2 + 1 "
+            "ELSE cur * 2 END), "
+            "(CASE WHEN ok1 THEN cur * 2 + 1 ELSE cur * 2 END) "
+            "% (sz // 2), cnt + 1 FROM ("
+            "SELECT n, sz, s, seen, cur, cnt, "
+            "NOT list_contains(seen, cur * 2 + 1) AS ok1 "
+            "FROM greedy WHERE cnt < sz - n)), "
+            "fin AS (SELECT n, sz, translate(s, '01', '10') AS c "
+            "FROM greedy WHERE cnt = sz - n) "
+            "SELECT n, min(substr(c, cast(r.i as int) + 1) || "
+            "substr(c, 1, cast(r.i as int))) AS seq "
+            "FROM fin, range(0, 256) r(i) WHERE r.i < sz "
+            "GROUP BY n ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
