@@ -10903,6 +10903,177 @@ def q_debruijn_lyndon(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_tonelli_shanks(spark, sf_dir) -> DataFrame:
+    """Square roots modulo the prime 1009 (where p-1 = 16*63, so
+    the 2-Sylow descent is nontrivial) for 30 constructed
+    quadratic residues — engine: TONELLI-SHANKS in an exact
+    kernel. Oracle: brute search for the least y with y^2 = a
+    (mod p). Sylow-subgroup descent vs exhaustion."""
+    P = 1009
+    d = F.col("doc_id").cast("string")
+    r0 = 2 + _mst_hash(F.concat(F.lit("ts:"), d)) % (P - 2)
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id", ((r0 * r0) % P).alias("a")))
+
+    def ts_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            roots = []
+            for a in pdf["a"]:
+                a = int(a)
+                # find a quadratic non-residue z
+                z = 2
+                while pow(z, (P - 1) // 2, P) != P - 1:
+                    z += 1
+                q, s = P - 1, 0
+                while q % 2 == 0:
+                    q //= 2
+                    s += 1
+                m, c = s, pow(z, q, P)
+                t, r = pow(a, q, P), pow(a, (q + 1) // 2, P)
+                while t != 1:
+                    i, t2 = 0, t
+                    while t2 != 1:
+                        t2 = t2 * t2 % P
+                        i += 1
+                    b = pow(c, 1 << (m - i - 1), P)
+                    m, c = i, b * b % P
+                    t, r = t * c % P, r * b % P
+                roots.append(min(r, P - r))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "a": pdf["a"], "root": roots})
+
+    return (raw.repartition(4)
+            .mapInPandas(ts_kernel, "doc_id long, a long, root long")
+            .orderBy("doc_id"))
+
+
+def q_elliptic_count(spark, sf_dir) -> DataFrame:
+    """Point counts of 12 non-singular elliptic curves
+    y^2 = x^3 + ax + b over F_211 — engine: the CHARACTER SUM —
+    N = p + 1 + sum_x chi(x^3+ax+b) with the Legendre symbol by
+    Euler's criterion, the (p-1)/2 = 105-fold modular power run as
+    a JVM aggregate fold per x (no kernel, no enumeration of y).
+    Oracle: the CENSUS — count (x,y) solutions plus the point at
+    infinity. Character theory vs counting points."""
+    P = 211
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 12)
+           .select("doc_id",
+                   (_mst_hash(F.concat(F.lit("ea:"), d)) % P)
+                   .alias("a"),
+                   (_mst_hash(F.concat(F.lit("eb:"), d)) % P)
+                   .alias("b")))
+    raw = raw.filter(
+        (4 * F.col("a") * F.col("a") * F.col("a")
+         + 27 * F.col("b") * F.col("b")) % P != 0)
+    x = spark.range(0, P).select(F.col("id").alias("x"))
+    t = raw.join(F.broadcast(x))
+    rhs = (F.col("x") * F.col("x") * F.col("x")
+           + F.col("a") * F.col("x") + F.col("b")) % P
+    t = t.withColumn("rhs", rhs).repartition(32)
+    eul = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.lit(105).cast("long")),
+        F.lit(1).cast("long"),
+        lambda acc, _: (acc * F.col("rhs")) % P)
+    chi = (F.when(F.col("rhs") == 0, 0)
+           .when(eul == 1, 1).otherwise(-1))
+    return (t.groupBy("doc_id", "a", "b")
+            .agg((F.lit(P + 1) + F.sum(chi)).alias("npoints"))
+            .orderBy("doc_id"))
+
+
+def q_newton_identities(spark, sf_dir) -> DataFrame:
+    """Elementary symmetric polynomials e_1..e_6 of 6 hash-derived
+    integer roots, 10 instances — engine: the COEFFICIENT DP —
+    absorb one root per driver-unrolled round via
+    e_k <- e_k + r*e_{k-1} (building prod(1 + r_i t) relationally).
+    Oracle: NEWTON'S IDENTITIES — power sums p_k aggregated
+    directly, then k*e_k = sum_i (-1)^(i-1) e_{k-i} p_i unwound in
+    a recursive CTE with exact division by k. Vieta vs Newton."""
+    g = spark.range(0, 10).select(F.col("id").alias("g"))
+    i = spark.range(1, 7).select(F.col("id").alias("i"))
+    gs, istr = F.col("g").cast("string"), F.col("i").cast("string")
+    roots = (g.crossJoin(F.broadcast(i))
+             .select("g", "i",
+                     (_mst_hash(F.concat(F.lit("nw:"), gs,
+                                         F.lit(":"), istr)) % 21 - 10)
+                     .alias("r")))
+    state = g.select("g", F.lit(0).alias("k"),
+                     F.lit(1).cast("long").alias("e"))
+    for step in range(1, 7):
+        ri = roots.filter(F.col("i") == step).select(
+            F.col("g").alias("g2"), "r")
+        shifted = (state.join(ri, F.col("g") == F.col("g2"))
+                   .select("g", (F.col("k") + 1).alias("k"),
+                           (F.col("r") * F.col("e")).alias("e")))
+        state = (state.unionAll(shifted)
+                 .groupBy("g", "k").agg(F.sum("e").alias("e")))
+    return (state.filter(F.col("k") >= 1)
+            .select("g", "k", "e").orderBy("g", "k"))
+
+
+def q_cubic_extrapolate(spark, sf_dir) -> DataFrame:
+    """Extrapolating 20 hash-derived integer cubics from their
+    values at 0..3 to x=4..10 — engine: LAGRANGE interpolation —
+    the four basis weights scaled by 6 so everything stays
+    integer: 6*f(x) = -f0*(x-1)(x-2)(x-3) + 3*f1*x(x-2)(x-3) -
+    3*f2*x(x-1)(x-3) + f3*x(x-1)(x-2). Oracle: the VANISHING
+    FOURTH DIFFERENCE — every cubic obeys f(n) = 4f(n-1) - 6f(n-2)
+    + 4f(n-3) - f(n-4), unwound from the seeds in a recursive CTE.
+    Basis polynomials vs the difference calculus."""
+    d = F.col("doc_id").cast("string")
+    coef = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", *[
+                (_mst_hash(F.concat(F.lit(f"cx{j}:"), d)) % 21 - 10)
+                .alias(f"c{j}") for j in range(4)]))
+    vals = [
+        (F.col("c3") * (i ** 3) + F.col("c2") * (i ** 2)
+         + F.col("c1") * i + F.col("c0")).alias(f"f{i}")
+        for i in range(4)]
+    seeds = coef.select("doc_id", *vals).repartition(4)
+    xs = spark.range(4, 11).select(F.col("id").alias("x"))
+    t = seeds.join(F.broadcast(xs))
+    X = F.col("x")
+    w0 = -(X - 1) * (X - 2) * (X - 3)
+    w1 = 3 * X * (X - 2) * (X - 3)
+    w2 = -3 * X * (X - 1) * (X - 3)
+    w3 = X * (X - 1) * (X - 2)
+    six_f = (F.col("f0") * w0 + F.col("f1") * w1
+             + F.col("f2") * w2 + F.col("f3") * w3)
+    return (t.select("doc_id", "x", (six_f / 6).cast("long")
+                     .alias("fx"))
+            .orderBy("doc_id", "x"))
+
+
+def q_horner_mod(spark, sf_dir) -> DataFrame:
+    """Degree-15 polynomial evaluation mod the NTT prime 998244353
+    for 20 hash instances — engine: HORNER'S RULE as one JVM
+    aggregate fold over the coefficient array (acc = acc*x + c mod
+    p, high degree first). Oracle: the MONOMIAL SUM — a power
+    ladder x^i grown in a recursive CTE, each term c_i * x^i added
+    mod p. O(n) with one running value vs explicit powers."""
+    P = 998244353
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 20)
+           .select("doc_id",
+                   (_mst_hash(F.concat(F.lit("hx:"), d)) % P)
+                   .alias("x"),
+                   F.array(*[
+                       (_mst_hash(F.concat(F.lit(f"hc{j}:"), d)) % P)
+                       for j in range(16)]).alias("cs")))
+    horner = F.aggregate(
+        F.reverse(F.col("cs")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.col("x") + c) % P)
+    return (raw.select("doc_id", "x", horner.alias("val"))
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -11285,6 +11456,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_tree": q_matrix_tree,
         "hook_length": q_hook_length,
         "debruijn_lyndon": q_debruijn_lyndon,
+        "tonelli_shanks": q_tonelli_shanks,
+        "elliptic_count": q_elliptic_count,
+        "newton_identities": q_newton_identities,
+        "cubic_extrapolate": q_cubic_extrapolate,
+        "horner_mod": q_horner_mod,
     }
 
 
@@ -15811,6 +15987,108 @@ def oracle_sql() -> dict[str, str]:
             "substr(c, 1, cast(r.i as int))) AS seq "
             "FROM fin, range(0, 256) r(i) WHERE r.i < sz "
             "GROUP BY n ORDER BY n"
+        ),
+        # Tonelli oracle: exhaustion — the least y with y^2 = a
+        # (mod 1009) (engine: 2-Sylow descent).
+        "tonelli_shanks": (
+            "WITH t AS (SELECT doc_id, ((2 + cast('0x' || "
+            "substr(sha256('ts:' || cast(doc_id as varchar)), 1, 8) "
+            "as bigint) % 1007) * (2 + cast('0x' || "
+            "substr(sha256('ts:' || cast(doc_id as varchar)), 1, 8) "
+            "as bigint) % 1007)) % 1009 AS a "
+            "FROM documents WHERE doc_id < 30) "
+            "SELECT doc_id, a, (SELECT min(y.i) FROM "
+            "range(1, 1009) y(i) WHERE (y.i * y.i) % 1009 = a) "
+            "AS root FROM t ORDER BY doc_id"
+        ),
+        # Elliptic oracle: the census — count (x,y) with
+        # y^2 = x^3+ax+b over F_211 plus the point at infinity
+        # (engine: Euler-criterion character sum).
+        "elliptic_count": (
+            "WITH c AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('ea:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 211 AS a, "
+            "cast('0x' || substr(sha256('eb:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 211 AS b "
+            "FROM documents WHERE doc_id < 12), "
+            "ns AS (SELECT * FROM c WHERE "
+            "(4 * a * a * a + 27 * b * b) % 211 <> 0), "
+            "pts AS (SELECT ns.doc_id, count(*) AS np FROM ns, "
+            "range(0, 211) x(i), range(0, 211) y(j) "
+            "WHERE (y.j * y.j) % 211 = "
+            "(x.i * x.i * x.i + a * x.i + b) % 211 GROUP BY 1) "
+            "SELECT ns.doc_id, a, b, 1 + coalesce(np, 0) "
+            "AS npoints FROM ns LEFT JOIN pts USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
+        # Newton oracle: power sums aggregated directly, then
+        # Newton's identities unwound with exact division (engine:
+        # one-root-at-a-time coefficient DP).
+        "newton_identities": (
+            "WITH RECURSIVE r AS (SELECT g.i AS g, s.j AS i, "
+            "cast('0x' || substr(sha256('nw:' || "
+            "cast(g.i as varchar) || ':' || cast(s.j as varchar)), "
+            "1, 8) as bigint) % 21 - 10 AS r "
+            "FROM range(0, 10) g(i), range(1, 7) s(j)), "
+            "p AS (SELECT g, k.v AS k, cast(sum("
+            "cast(power(r, k.v) as bigint)) as bigint) AS p "
+            "FROM r, range(1, 7) k(v) GROUP BY 1, 2), "
+            "pv AS (SELECT g, list(p ORDER BY k) AS pl FROM p "
+            "GROUP BY g), "
+            "nc(g, k, elist) AS ("
+            "SELECT g, 0, [cast(1 as bigint)] FROM pv "
+            "UNION ALL SELECT n.g, k + 1, list_append(elist, "
+            "list_sum(list_transform(generate_series(1, k + 1), "
+            "i -> CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END * "
+            "elist[k + 2 - i] * pl[i])) // (k + 1)) "
+            "FROM nc n JOIN pv ON pv.g = n.g WHERE k < 6) "
+            "SELECT g, kk.v AS k, elist[kk.v + 1] AS e "
+            "FROM nc, range(1, 7) kk(v) WHERE k = 6 "
+            "ORDER BY g, k"
+        ),
+        # Cubic oracle: the vanishing fourth difference — f(n) =
+        # 4f(n-1) - 6f(n-2) + 4f(n-3) - f(n-4) from the four seeds
+        # (engine: integer-scaled Lagrange basis weights).
+        "cubic_extrapolate": (
+            "WITH RECURSIVE c AS (SELECT doc_id, "
+            + ", ".join(
+                "cast('0x' || substr(sha256('cx" + str(j) + ":' || "
+                "cast(doc_id as varchar)), 1, 8) as bigint) % 21 "
+                "- 10 AS c" + str(j) for j in range(4)) +
+            " FROM documents WHERE doc_id < 20), "
+            "seeds AS (SELECT doc_id, "
+            "c3*27 + c2*9 + c1*3 + c0 AS f3, "
+            "c3*8 + c2*4 + c1*2 + c0 AS f2, "
+            "c3 + c2 + c1 + c0 AS f1, c0 AS f0 FROM c), "
+            "rec(doc_id, x, f3, f2, f1, f0) AS ("
+            "SELECT doc_id, 3, f3, f2, f1, f0 FROM seeds "
+            "UNION ALL SELECT doc_id, x + 1, "
+            "4*f3 - 6*f2 + 4*f1 - f0, f3, f2, f1 "
+            "FROM rec WHERE x < 10) "
+            "SELECT doc_id, x, f3 AS fx FROM rec WHERE x >= 4 "
+            "ORDER BY doc_id, x"
+        ),
+        # Horner oracle: the monomial sum — power ladder x^i in a
+        # recursive CTE, terms reduced mod p before summing
+        # (engine: one JVM Horner fold).
+        "horner_mod": (
+            "WITH RECURSIVE t AS (SELECT doc_id, "
+            "cast('0x' || substr(sha256('hx:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 998244353 "
+            "AS x FROM documents WHERE doc_id < 20), "
+            "pw(doc_id, i, xp) AS ("
+            "SELECT doc_id, 0, cast(1 as bigint) FROM t "
+            "UNION ALL SELECT pw.doc_id, i + 1, "
+            "(xp * t.x) % 998244353 FROM pw "
+            "JOIN t ON t.doc_id = pw.doc_id WHERE i < 15), "
+            "terms AS (SELECT doc_id, ((cast('0x' || substr(sha256("
+            "'hc' || cast(i as varchar) || ':' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) "
+            "% 998244353) * xp) % 998244353 AS tm FROM pw) "
+            "SELECT t.doc_id, t.x, "
+            "(SELECT sum(tm) FROM terms WHERE "
+            "terms.doc_id = t.doc_id) % 998244353 AS val "
+            "FROM t ORDER BY t.doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
