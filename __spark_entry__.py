@@ -11074,6 +11074,270 @@ def q_horner_mod(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _expr_operands(d):
+    return [(1 + _mst_hash(F.concat(F.lit(f"ex{j}:"), d)) % 99)
+            .cast("string") for j in range(4)]
+
+
+def q_expr_parser(spark, sf_dir) -> DataFrame:
+    """Integer arithmetic expressions built from four templates and
+    hash operands — engine: a GENERIC PARSER — tokenizer +
+    shunting-yard (precedence, parentheses) + RPN evaluation in a
+    kernel that never sees the template id. Oracle: the TEMPLATES
+    — each shape's value written directly as arithmetic over the
+    same operands, no parsing anywhere. The parser must rediscover
+    the structure the oracle knows by construction."""
+    d = F.col("doc_id").cast("string")
+    a, b, c, e = _expr_operands(d)
+    t0 = F.concat(a, F.lit("+"), b, F.lit("*"), c, F.lit("-"), e)
+    t1 = F.concat(F.lit("("), a, F.lit("+"), b, F.lit(")*("), c,
+                  F.lit("-"), e, F.lit(")"))
+    t2 = F.concat(a, F.lit("*("), b, F.lit("+"), c, F.lit("*"), e,
+                  F.lit(")"))
+    t3 = F.concat(a, F.lit("*"), b, F.lit("-("), c, F.lit("+"), e,
+                  F.lit(")*"), a)
+    expr = (F.when(F.col("doc_id") % 4 == 0, t0)
+            .when(F.col("doc_id") % 4 == 1, t1)
+            .when(F.col("doc_id") % 4 == 2, t2).otherwise(t3))
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select("doc_id", expr.alias("expr")))
+
+    def parse_kernel(it):
+        import pandas as pd
+
+        def tokenize(s):
+            toks, i = [], 0
+            while i < len(s):
+                if s[i].isdigit():
+                    j = i
+                    while j < len(s) and s[j].isdigit():
+                        j += 1
+                    toks.append(int(s[i:j]))
+                    i = j
+                else:
+                    toks.append(s[i])
+                    i += 1
+            return toks
+
+        PREC = {"+": 1, "-": 1, "*": 2}
+
+        def to_rpn(toks):
+            out, ops = [], []
+            for t in toks:
+                if isinstance(t, int):
+                    out.append(t)
+                elif t == "(":
+                    ops.append(t)
+                elif t == ")":
+                    while ops[-1] != "(":
+                        out.append(ops.pop())
+                    ops.pop()
+                else:
+                    while (ops and ops[-1] != "("
+                           and PREC[ops[-1]] >= PREC[t]):
+                        out.append(ops.pop())
+                    ops.append(t)
+            while ops:
+                out.append(ops.pop())
+            return out
+
+        def eval_rpn(rpn):
+            st = []
+            for t in rpn:
+                if isinstance(t, int):
+                    st.append(t)
+                else:
+                    y, x = st.pop(), st.pop()
+                    st.append(x + y if t == "+" else
+                              x - y if t == "-" else x * y)
+            return st[0]
+
+        for pdf in it:
+            vals = [eval_rpn(to_rpn(tokenize(s))) for s in pdf["expr"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "expr": pdf["expr"], "val": vals})
+
+    return (raw.repartition(4)
+            .mapInPandas(parse_kernel,
+                         "doc_id long, expr string, val long")
+            .orderBy("doc_id"))
+
+
+_BRZ_PATTERNS = ["(ab|a)*", "a*b(ab)*", "(a|b)*abb", "(aa|bb)*"]
+
+
+def q_brzozowski_regex(spark, sf_dir) -> DataFrame:
+    """Exact regex matching of 60 hash-derived 10-char {a,b}
+    strings against four patterns — engine: BRZOZOWSKI DERIVATIVES
+    — a symbolic regex AST differentiated one character at a time,
+    match = nullability of the final derivative (no automaton, no
+    backtracking). Oracle: DuckDB's RE2 engine via anchored
+    regexp_matches. Algebra of regular expressions vs a production
+    DFA engine."""
+    d = F.col("doc_id").cast("string")
+    chars = [
+        F.when(_mst_hash(F.concat(F.lit(f"bz{i}:"), d)) % 2 == 0,
+               "a").otherwise("b") for i in range(10)]
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select("doc_id", F.concat(*chars).alias("s"),
+                   (F.col("doc_id") % 4).alias("pid")))
+
+    def brz_kernel(it):
+        import pandas as pd
+
+        # regex AST: ('eps',), ('chr',c), ('cat',a,b), ('alt',a,b),
+        # ('star',a), ('nul',)
+        def parse(p):
+            pos = [0]
+
+            def atom():
+                ch = p[pos[0]]
+                if ch == "(":
+                    pos[0] += 1
+                    r = alt()
+                    pos[0] += 1  # ')'
+                else:
+                    pos[0] += 1
+                    r = ("chr", ch)
+                while pos[0] < len(p) and p[pos[0]] == "*":
+                    pos[0] += 1
+                    r = ("star", r)
+                return r
+
+            def cat():
+                r = atom()
+                while pos[0] < len(p) and p[pos[0]] not in "|)":
+                    r = ("cat", r, atom())
+                return r
+
+            def alt():
+                r = cat()
+                while pos[0] < len(p) and p[pos[0]] == "|":
+                    pos[0] += 1
+                    r = ("alt", r, cat())
+                return r
+
+            return alt()
+
+        def nullable(r):
+            k = r[0]
+            if k in ("eps", "star"):
+                return True
+            if k in ("chr", "nul"):
+                return False
+            if k == "cat":
+                return nullable(r[1]) and nullable(r[2])
+            return nullable(r[1]) or nullable(r[2])
+
+        def deriv(r, c):
+            k = r[0]
+            if k in ("eps", "nul"):
+                return ("nul",)
+            if k == "chr":
+                return ("eps",) if r[1] == c else ("nul",)
+            if k == "cat":
+                left = ("cat", deriv(r[1], c), r[2])
+                if nullable(r[1]):
+                    return ("alt", left, deriv(r[2], c))
+                return left
+            if k == "alt":
+                return ("alt", deriv(r[1], c), deriv(r[2], c))
+            return ("cat", deriv(r[1], c), r)
+
+        asts = [parse(p) for p in _BRZ_PATTERNS]
+        for pdf in it:
+            outs = []
+            for s, pid in zip(pdf["s"], pdf["pid"]):
+                r = asts[int(pid)]
+                for ch in s:
+                    r = deriv(r, ch)
+                outs.append(1 if nullable(r) else 0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": pdf["s"],
+                                "pid": pdf["pid"], "matched": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(brz_kernel,
+                         "doc_id long, s string, pid long, matched int")
+            .orderBy("doc_id"))
+
+
+def q_linear_extensions(spark, sf_dir) -> DataFrame:
+    """Linear extension counts of 8 hash-derived posets on 7
+    elements — engine: MEMOIZED DOWNSET DP — e(S) = sum over
+    maximal-addable elements of e(S - x), one bitmask table per
+    poset in a kernel. Oracle: PATH ENUMERATION — a recursive CTE
+    adds one admissible element per iteration, duplicate prefixes
+    kept as separate rows, extensions = rows reaching the full
+    mask. Counting with memoization vs walking every order."""
+    g = spark.range(0, 8).select(F.col("id").alias("g"))
+
+    def le_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                pred = [0] * 7
+                for i in range(7):
+                    for j in range(i + 1, 7):
+                        if h(f"le:{gv}:{i}:{j}") % 4 == 0:
+                            pred[j] |= 1 << i
+                memo = {0: 1}
+                for mask in range(1, 128):
+                    total = 0
+                    for x in range(7):
+                        # x can be placed last iff all its
+                        # predecessors were already placed
+                        if mask & (1 << x) and pred[x] & ~mask == 0:
+                            total += memo[mask ^ (1 << x)]
+                    memo[mask] = total
+                outs.append(memo[127])
+            yield pd.DataFrame({"g": pdf["g"], "n_ext": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(le_kernel, "g long, n_ext long")
+            .orderBy("g"))
+
+
+_ROMAN_H = ["", "C", "CC", "CCC", "CD", "D", "DC", "DCC", "DCCC", "CM"]
+_ROMAN_T = ["", "X", "XX", "XXX", "XL", "L", "LX", "LXX", "LXXX", "XC"]
+_ROMAN_O = ["", "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX"]
+
+
+def q_roman_numerals(spark, sf_dir) -> DataFrame:
+    """Roman numerals for 60 hash-derived n in 1..3999 — engine:
+    PLACE-VALUE tables — thousands by repeat, then one array
+    lookup per decimal digit, a single JVM projection. Oracle: the
+    GREEDY SUBTRACTIVE definition — repeatedly take the largest of
+    the 13 value-symbol pairs in a recursive CTE. Positional
+    decomposition vs the additive-subtractive grammar."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select("doc_id",
+                   (1 + _mst_hash(F.concat(F.lit("rn:"), d)) % 3999)
+                   .alias("n")))
+    hh = F.array(*[F.lit(v) for v in _ROMAN_H])
+    tt = F.array(*[F.lit(v) for v in _ROMAN_T])
+    oo = F.array(*[F.lit(v) for v in _ROMAN_O])
+    n = F.col("n")
+    roman = F.concat(
+        F.repeat(F.lit("M"), (n / 1000).cast("int")),
+        F.element_at(hh, ((n / 100) % 10).cast("int") + 1),
+        F.element_at(tt, ((n / 10) % 10).cast("int") + 1),
+        F.element_at(oo, (n % 10).cast("int") + 1))
+    return raw.select("doc_id", "n", roman.alias("roman")) \
+        .orderBy("doc_id")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -11461,6 +11725,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "newton_identities": q_newton_identities,
         "cubic_extrapolate": q_cubic_extrapolate,
         "horner_mod": q_horner_mod,
+        "expr_parser": q_expr_parser,
+        "brzozowski_regex": q_brzozowski_regex,
+        "linear_extensions": q_linear_extensions,
+        "roman_numerals": q_roman_numerals,
     }
 
 
@@ -16089,6 +16357,96 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT sum(tm) FROM terms WHERE "
             "terms.doc_id = t.doc_id) % 998244353 AS val "
             "FROM t ORDER BY t.doc_id"
+        ),
+        # Parser oracle: the templates — each shape's value written
+        # directly over the same operands, never parsed (engine:
+        # generic shunting-yard + RPN).
+        "expr_parser": (
+            "WITH t AS (SELECT doc_id, "
+            + ", ".join(
+                "cast(1 + cast('0x' || substr(sha256('ex" + str(j)
+                + ":' || cast(doc_id as varchar)), 1, 8) as bigint) "
+                "% 99 as bigint) AS v" + str(j) for j in range(4)) +
+            " FROM documents WHERE doc_id < 60), "
+            "s AS (SELECT doc_id, v0, v1, v2, v3, "
+            "cast(v0 as varchar) AS a, cast(v1 as varchar) AS b, "
+            "cast(v2 as varchar) AS c, cast(v3 as varchar) AS e "
+            "FROM t) "
+            "SELECT doc_id, CASE doc_id % 4 "
+            "WHEN 0 THEN a || '+' || b || '*' || c || '-' || e "
+            "WHEN 1 THEN '(' || a || '+' || b || ')*(' || c || '-' "
+            "|| e || ')' "
+            "WHEN 2 THEN a || '*(' || b || '+' || c || '*' || e "
+            "|| ')' "
+            "ELSE a || '*' || b || '-(' || c || '+' || e || ')*' "
+            "|| a END AS expr, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN v0 + v1 * v2 - v3 "
+            "WHEN 1 THEN (v0 + v1) * (v2 - v3) "
+            "WHEN 2 THEN v0 * (v1 + v2 * v3) "
+            "ELSE v0 * v1 - (v2 + v3) * v0 END AS val "
+            "FROM s ORDER BY doc_id"
+        ),
+        # Brzozowski oracle: RE2 via anchored full match (engine:
+        # symbolic derivatives of the regex AST).
+        "brzozowski_regex": (
+            "WITH t AS (SELECT doc_id, doc_id % 4 AS pid, "
+            + (" || ".join(
+                "CASE WHEN cast('0x' || substr(sha256('bz" + str(i)
+                + ":' || cast(doc_id as varchar)), 1, 8) as bigint) "
+                "% 2 = 0 THEN 'a' ELSE 'b' END" for i in range(10)))
+            + " AS s FROM documents WHERE doc_id < 60) "
+            "SELECT doc_id, s, pid, CASE WHEN regexp_full_match(s, "
+            "CASE pid " + " ".join(
+                f"WHEN {i} THEN '{p}'"
+                for i, p in enumerate(_BRZ_PATTERNS)) +
+            " END) THEN 1 ELSE 0 END AS matched FROM t "
+            "ORDER BY doc_id"
+        ),
+        # Linear-extension oracle: path enumeration — one
+        # admissible element per recursive iteration, duplicate
+        # prefixes kept, count rows at the full mask (engine:
+        # memoized downset DP).
+        "linear_extensions": (
+            "WITH RECURSIVE pm AS (SELECT g.a AS g, e.v AS e, "
+            "coalesce((SELECT sum(CASE WHEN cast('0x' || "
+            "substr(sha256('le:' || cast(g.a as varchar) || ':' || "
+            "cast(i.k as varchar) || ':' || cast(e.v as varchar)), "
+            "1, 8) as bigint) % 4 = 0 "
+            "THEN cast(power(2, i.k) as bigint) ELSE 0 END) "
+            "FROM range(0, 7) i(k) WHERE i.k < e.v), 0) AS pmask "
+            "FROM range(0, 8) g(a), range(0, 7) e(v)), "
+            "walk(g, mask) AS (SELECT a, 0 FROM range(0, 8) t(a) "
+            "UNION ALL SELECT w.g, "
+            "w.mask + cast(power(2, p.e) as bigint) "
+            "FROM walk w JOIN pm p ON p.g = w.g "
+            "WHERE (w.mask & cast(power(2, p.e) as bigint)) = 0 "
+            "AND (p.pmask & (127 - w.mask)) = 0) "
+            "SELECT g, count(*) AS n_ext FROM walk WHERE mask = 127 "
+            "GROUP BY g ORDER BY g"
+        ),
+        # Roman oracle: the greedy subtractive grammar — largest of
+        # the 13 value-symbol pairs per recursive step (engine:
+        # positional place-value tables).
+        "roman_numerals": (
+            "WITH RECURSIVE t AS (SELECT doc_id, 1 + "
+            "cast('0x' || substr(sha256('rn:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 3999 "
+            "AS n FROM documents WHERE doc_id < 60), "
+            "vals(v, sym) AS (SELECT * FROM (VALUES (1000, 'M'), "
+            "(900, 'CM'), (500, 'D'), (400, 'CD'), (100, 'C'), "
+            "(90, 'XC'), (50, 'L'), (40, 'XL'), (10, 'X'), "
+            "(9, 'IX'), (5, 'V'), (4, 'IV'), (1, 'I'))), "
+            "gr(doc_id, rem, roman) AS ("
+            "SELECT doc_id, n, '' FROM t "
+            "UNION ALL SELECT doc_id, "
+            "rem - (SELECT max(v) FROM vals WHERE v <= rem), "
+            "roman || (SELECT sym FROM vals WHERE v = "
+            "(SELECT max(v2.v) FROM vals v2 WHERE v2.v <= rem)) "
+            "FROM gr WHERE rem > 0) "
+            "SELECT g.doc_id, t.n, g.roman FROM gr g "
+            "JOIN t ON t.doc_id = g.doc_id WHERE g.rem = 0 "
+            "ORDER BY g.doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
