@@ -11338,6 +11338,123 @@ def q_roman_numerals(spark, sf_dir) -> DataFrame:
         .orderBy("doc_id")
 
 
+def q_negabinary(spark, sf_dir) -> DataFrame:
+    """Base -2 representations of 60 hash-derived n < 10^6 —
+    engine: the BIT TRICK — negabinary(n) = (n + M) XOR M with the
+    alternating mask M = 0xAAAAAAAAAA, then the bits read off as a
+    binary string, all JVM column algebra (conv + bit ops).
+    Oracle: the DEFINITION — repeated division by -2 with
+    nonnegative remainders in a recursive CTE. One XOR vs a
+    division loop."""
+    MASK = 0xAAAAAAAAAA
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select("doc_id",
+                   (_mst_hash(F.concat(F.lit("nb:"), d)) % 1000000)
+                   .alias("n")))
+    v = (F.col("n") + MASK).bitwiseXOR(F.lit(MASK).cast("long"))
+    # strip leading zeros of the binary expansion; n=0 -> "0"
+    digits = F.when(v == 0, F.lit("0")).otherwise(
+        F.regexp_replace(F.conv(v.cast("string"), 10, 2), "^0+", ""))
+    return (raw.select("doc_id", "n", digits.alias("negab"))
+            .orderBy("doc_id"))
+
+
+def q_gosper_combinations(spark, sf_dir) -> DataFrame:
+    """The first 100 4-subsets of a 12-set in ascending mask order
+    — engine: GOSPER'S HACK — the constant-time successor
+    u = v | (v-1); w = (u+1) | (((~u & -~u) - 1) >> (tz(v)+1))
+    iterated in a kernel. Oracle: DECLARATIVE — filter all 4096
+    masks to bit_count 4, ORDER BY, LIMIT 100 (Gosper provably
+    enumerates in increasing numeric order). Two's-complement
+    wizardry vs a sort."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def gosper_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = 0b1111
+            masks = []
+            for _ in range(100):
+                masks.append(v)
+                u = v | (v - 1)
+                tz = (v & -v).bit_length() - 1
+                v = (u + 1) | ((((~u) & -(~u)) - 1) >> (tz + 1))
+            yield pd.DataFrame({"rk": list(range(1, 101)),
+                                "mask": masks})
+
+    return (one.mapInPandas(gosper_kernel, "rk long, mask long")
+            .orderBy("rk"))
+
+
+def q_eulerian_numbers(spark, sf_dir) -> DataFrame:
+    """Eulerian numbers <7, k> for k=0..6 — engine: the CLOSED
+    FORM sum_j (-1)^j C(8,j) (k+1-j)^7 with binomials from a
+    factorial literal, exact longs. Oracle: the CENSUS — all 5040
+    permutations of S_7 generated in a recursive CTE, descents
+    counted per permutation, histogram taken. An alternating sum
+    vs counting descents one permutation at a time."""
+    fact = [1] * 9
+    for i in range(1, 9):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    k = spark.range(0, 7).select(F.col("id").alias("k"))
+    j = spark.range(0, 8).select(F.col("id").alias("j"))
+    t = k.join(F.broadcast(j), F.col("j") <= F.col("k"))
+    binom = (F.element_at(fl, F.lit(9))
+             / (F.element_at(fl, F.col("j").cast("int") + 1)
+                * F.element_at(fl, (F.lit(8) - F.col("j"))
+                               .cast("int") + 1))).cast("long")
+    sign = F.when(F.col("j") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    base = (F.col("k") + 1 - F.col("j")).cast("double")
+    powterm = F.pow(base, F.lit(7.0)).cast("long")
+    return (t.groupBy("k")
+            .agg(F.sum(sign * binom * powterm).alias("eulerian"))
+            .orderBy("k"))
+
+
+def q_langford_pairs(spark, sf_dir) -> DataFrame:
+    """Langford sequence counts for n=4..7 (raw, reflections not
+    merged; zero for n = 5, 6 by the n mod 4 obstruction) —
+    engine: MEMOIZED DP over occupancy masks — place values
+    largest-first, the completion count depends only on the mask,
+    so states merge. Oracle: PATH ENUMERATION — every partial
+    placement kept as its own recursive-CTE row, solutions = rows
+    with a full mask. Dynamic programming vs the raw search tree."""
+    ns = spark.range(4, 8).select(F.col("id").alias("n"))
+
+    def lang_kernel(it):
+        import pandas as pd
+        from functools import lru_cache
+        for pdf in it:
+            outs = []
+            for n0 in pdf["n"]:
+                n0 = int(n0)
+                full = (1 << (2 * n0)) - 1
+
+                @lru_cache(maxsize=None)
+                def count(k, mask):
+                    if k == 0:
+                        return 1
+                    total = 0
+                    for i in range(2 * n0 - k - 1):
+                        bits = (1 << i) | (1 << (i + k + 1))
+                        if mask & bits == 0:
+                            total += count(k - 1, mask | bits)
+                    return total
+
+                outs.append(count(n0, 0))
+                count.cache_clear()
+            yield pd.DataFrame({"n": pdf["n"], "n_seq": outs})
+
+    return (ns.repartition(4)
+            .mapInPandas(lang_kernel, "n long, n_seq long")
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -11729,6 +11846,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brzozowski_regex": q_brzozowski_regex,
         "linear_extensions": q_linear_extensions,
         "roman_numerals": q_roman_numerals,
+        "negabinary": q_negabinary,
+        "gosper_combinations": q_gosper_combinations,
+        "eulerian_numbers": q_eulerian_numbers,
+        "langford_pairs": q_langford_pairs,
     }
 
 
@@ -16447,6 +16568,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, t.n, g.roman FROM gr g "
             "JOIN t ON t.doc_id = g.doc_id WHERE g.rem = 0 "
             "ORDER BY g.doc_id"
+        ),
+        # Negabinary oracle: the definition — repeated division by
+        # -2 with nonnegative remainders, digits prepended in a
+        # recursive CTE (engine: the (n+M) XOR M alternating-mask
+        # trick).
+        "negabinary": (
+            "WITH RECURSIVE t AS (SELECT doc_id, cast('0x' || "
+            "substr(sha256('nb:' || cast(doc_id as varchar)), 1, 8) "
+            "as bigint) % 1000000 AS n FROM documents "
+            "WHERE doc_id < 60), "
+            "dv(doc_id, rem, s) AS (SELECT doc_id, n, '' FROM t "
+            "UNION ALL SELECT doc_id, "
+            "-((rem - (rem & 1)) // 2), "
+            "cast(rem & 1 as varchar) || s FROM dv WHERE rem <> 0) "
+            "SELECT d.doc_id, t.n, CASE WHEN t.n = 0 THEN '0' "
+            "ELSE d.s END AS negab FROM dv d "
+            "JOIN t ON t.doc_id = d.doc_id WHERE d.rem = 0 "
+            "ORDER BY d.doc_id"
+        ),
+        # Gosper oracle: declarative — all masks with bit_count 4
+        # sorted ascending, first 100 (Gosper's hack provably
+        # enumerates in increasing numeric order).
+        "gosper_combinations": (
+            "SELECT row_number() OVER (ORDER BY m.v) AS rk, "
+            "m.v AS mask FROM range(0, 4096) m(v) "
+            "WHERE bit_count(m.v) = 4 ORDER BY rk LIMIT 100"
+        ),
+        # Eulerian oracle: the census — descents counted over all
+        # 5040 permutations of S_7 (engine: the alternating-sum
+        # closed form).
+        "eulerian_numbers": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 7) t(i)) "
+            "d WHERE length(p) < 7 AND strpos(p, d.c) = 0), "
+            "fp AS (SELECT p FROM perms WHERE length(p) = 7), "
+            "dc AS (SELECT p, (SELECT count(*) FROM range(1, 7) "
+            "i(v) WHERE substr(p, cast(i.v as int), 1) > "
+            "substr(p, cast(i.v as int) + 1, 1)) AS k FROM fp) "
+            "SELECT k, count(*) AS eulerian FROM dc GROUP BY k "
+            "ORDER BY k"
+        ),
+        # Langford oracle: the raw search tree — every partial
+        # placement its own recursive-CTE row, solutions = rows
+        # with all values placed (engine: memoized mask DP).
+        "langford_pairs": (
+            "WITH RECURSIVE ns AS (SELECT i AS n FROM range(4, 8) "
+            "t(i)), "
+            "walk(n, k, mask) AS (SELECT n, n, 0 FROM ns "
+            "UNION ALL SELECT w.n, w.k - 1, w.mask + "
+            "cast(power(2, p.i) as bigint) + "
+            "cast(power(2, p.i + w.k + 1) as bigint) "
+            "FROM walk w, range(0, 14) p(i) WHERE w.k > 0 "
+            "AND p.i + w.k + 1 < 2 * w.n "
+            "AND (w.mask & cast(power(2, p.i) as bigint)) = 0 "
+            "AND (w.mask & cast(power(2, p.i + w.k + 1) "
+            "as bigint)) = 0), "
+            "cnt AS (SELECT n, count(*) AS n_seq FROM walk "
+            "WHERE k = 0 GROUP BY n) "
+            "SELECT ns.n, coalesce(n_seq, 0) AS n_seq FROM ns "
+            "LEFT JOIN cnt ON cnt.n = ns.n ORDER BY ns.n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
