@@ -11455,6 +11455,215 @@ def q_langford_pairs(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_two_sat(spark, sf_dir) -> DataFrame:
+    """Satisfiability of 12 random 2-CNF instances (8 variables,
+    12 clauses) — engine: the IMPLICATION-GRAPH criterion —
+    Kosaraju SCC over the 16-literal graph, satisfiable iff no
+    variable shares a component with its negation (Aspvall et al.
+    1979), in a kernel. Oracle: BRUTE FORCE — all 256 assignments
+    checked clause by clause. Poly-time structure vs exponential
+    truth tables."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def sat_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                clauses = []
+                for j in range(12):
+                    v1 = h(f"sa1:{gv}:{j}") % 8
+                    s1 = h(f"sb1:{gv}:{j}") % 2
+                    v2 = h(f"sa2:{gv}:{j}") % 8
+                    s2 = h(f"sb2:{gv}:{j}") % 2
+                    clauses.append((v1, s1, v2, s2))
+
+                # literal id: 2v (positive), 2v+1 (negated)
+                def lit(v, s):
+                    return 2 * v + s
+
+                def neg(x):
+                    return x ^ 1
+
+                adj = {i: [] for i in range(16)}
+                radj = {i: [] for i in range(16)}
+                for v1, s1, v2, s2 in clauses:
+                    a, b = lit(v1, s1), lit(v2, s2)
+                    for x, y in ((neg(a), b), (neg(b), a)):
+                        adj[x].append(y)
+                        radj[y].append(x)
+                order, seen = [], set()
+
+                def dfs1(u):
+                    stack = [(u, iter(adj[u]))]
+                    seen.add(u)
+                    while stack:
+                        node, itr = stack[-1]
+                        for w in itr:
+                            if w not in seen:
+                                seen.add(w)
+                                stack.append((w, iter(adj[w])))
+                                break
+                        else:
+                            order.append(node)
+                            stack.pop()
+
+                for u in range(16):
+                    if u not in seen:
+                        dfs1(u)
+                comp = {}
+                for u in reversed(order):
+                    if u in comp:
+                        continue
+                    stack, cid = [u], u
+                    comp[u] = cid
+                    while stack:
+                        node = stack.pop()
+                        for w in radj[node]:
+                            if w not in comp:
+                                comp[w] = cid
+                                stack.append(w)
+                sat = all(comp[2 * v] != comp[2 * v + 1]
+                          for v in range(8))
+                outs.append(1 if sat else 0)
+            yield pd.DataFrame({"g": pdf["g"], "sat": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(sat_kernel, "g long, sat int")
+            .orderBy("g"))
+
+
+def q_bipartite_check(spark, sf_dir) -> DataFrame:
+    """Bipartiteness of 12 hash graphs on 10 nodes — engine: BFS
+    2-COLORING per component in a kernel (constructive: a proper
+    coloring or a conflict). Oracle: the ODD-CYCLE criterion — a
+    parity-annotated reachability closure in a deduplicating
+    recursive UNION; non-bipartite iff some vertex reaches itself
+    with odd parity. Construction vs obstruction."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def bip_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                adj = {i: [] for i in range(10)}
+                for i in range(10):
+                    for j in range(i + 1, 10):
+                        if h(f"bp:{gv}:{i}:{j}") % 5 == 0:
+                            adj[i].append(j)
+                            adj[j].append(i)
+                color = {}
+                ok = True
+                for s in range(10):
+                    if s in color:
+                        continue
+                    color[s] = 0
+                    queue = [s]
+                    while queue and ok:
+                        u = queue.pop()
+                        for w in adj[u]:
+                            if w not in color:
+                                color[w] = color[u] ^ 1
+                                queue.append(w)
+                            elif color[w] == color[u]:
+                                ok = False
+                                break
+                outs.append(1 if ok else 0)
+            yield pd.DataFrame({"g": pdf["g"], "bipartite": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(bip_kernel, "g long, bipartite int")
+            .orderBy("g"))
+
+
+def q_move_to_front(spark, sf_dir) -> DataFrame:
+    """Move-to-front coding of 8 hash-derived 48-char strings over
+    a 6-letter alphabet — engine: the LIST SIMULATION in a kernel
+    (find index, pop, push front). Oracle: the WINDOW
+    characterization — after its previous occurrence a symbol's
+    index equals the number of distinct symbols seen since; before
+    its first it is the initial rank corrected by the distinct
+    prefix symbols, all window/censur algebra with no list state.
+    Simulation vs a closed-form window identity."""
+    g = spark.range(0, 8).select(F.col("id").alias("g"))
+    p = spark.range(0, 48).select(F.col("id").alias("pos"))
+    gs, ps = F.col("g").cast("string"), F.col("pos").cast("string")
+    sym = F.element_at(
+        F.array(*[F.lit(c) for c in "abcdef"]),
+        (_mst_hash(F.concat(F.lit("mt:"), gs, F.lit(":"), ps)) % 6)
+        .cast("int") + 1)
+    t = g.crossJoin(F.broadcast(p)).select("g", "pos", sym.alias("c"))
+    strs = (t.groupBy("g")
+            .agg(F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"])).alias("s")))
+
+    def mtf_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            gs_, poss, codes = [], [], []
+            for gv, s in zip(pdf["g"], pdf["s"]):
+                lst = list("abcdef")
+                for i, ch in enumerate(s):
+                    idx = lst.index(ch)
+                    gs_.append(gv)
+                    poss.append(i)
+                    codes.append(idx)
+                    lst.pop(idx)
+                    lst.insert(0, ch)
+            yield pd.DataFrame({"g": gs_, "pos": poss, "code": codes})
+
+    return (strs.repartition(4)
+            .mapInPandas(mtf_kernel, "g long, pos long, code int")
+            .orderBy("g", "pos"))
+
+
+def q_hanoi_moves(spark, sf_dir) -> DataFrame:
+    """All 255 moves of the 8-disk Tower of Hanoi (pegs 0,1,2,
+    tower travels 0 to 2) — engine: the BIT CLOSED FORM — at move
+    k the disk is tz(k)+1, its move count so far is k >> d, and
+    its pegs come from a 3-cycle whose direction depends on the
+    parity of n-d; pure JVM columns (lowest set bit, exact log2,
+    array lookups). Oracle: the ITERATIVE ALGORITHM — odd moves
+    shift the smallest disk cyclically, even moves make the only
+    other legal move, pegs as disk BITMASKS in a recursive CTE
+    (top of a peg = lowest set bit). Arithmetic oracle-free of
+    state vs a stateful simulation that never factors k."""
+    N = 8
+    k = spark.range(1, 2 ** N).select(F.col("id").alias("k"))
+    low = F.col("k").bitwiseAND(-F.col("k"))
+    d = (F.log2(low.cast("double")) + 1).cast("long")
+    q = (F.col("k") / (2 * low)).cast("long")
+    even_cyc = F.array(F.lit(0), F.lit(1), F.lit(2))   # n-d odd
+    odd_cyc = F.array(F.lit(0), F.lit(2), F.lit(1))    # n-d even
+    use_odd = (N - d) % 2 == 0
+    src = (F.when(use_odd, F.element_at(odd_cyc,
+                                        (q % 3).cast("int") + 1))
+           .otherwise(F.element_at(even_cyc, (q % 3).cast("int") + 1)))
+    dst = (F.when(use_odd, F.element_at(odd_cyc,
+                                        ((q + 1) % 3).cast("int") + 1))
+           .otherwise(F.element_at(even_cyc,
+                                   ((q + 1) % 3).cast("int") + 1)))
+    return (k.select("k", d.alias("disk"), src.alias("src"),
+                     dst.alias("dst"))
+            .orderBy("k"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -11850,6 +12059,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gosper_combinations": q_gosper_combinations,
         "eulerian_numbers": q_eulerian_numbers,
         "langford_pairs": q_langford_pairs,
+        "two_sat": q_two_sat,
+        "bipartite_check": q_bipartite_check,
+        "move_to_front": q_move_to_front,
+        "hanoi_moves": q_hanoi_moves,
     }
 
 
@@ -16629,6 +16842,119 @@ def oracle_sql() -> dict[str, str]:
             "WHERE k = 0 GROUP BY n) "
             "SELECT ns.n, coalesce(n_seq, 0) AS n_seq FROM ns "
             "LEFT JOIN cnt ON cnt.n = ns.n ORDER BY ns.n"
+        ),
+        # 2-SAT oracle: truth tables — all 256 assignments checked
+        # clause by clause, a literal (v,s) is true iff the v-th
+        # bit differs from s (engine: implication-graph SCC).
+        "two_sat": (
+            "WITH cl AS (SELECT g.a AS g, j.v AS j, "
+            "cast('0x' || substr(sha256('sa1:' || "
+            "cast(g.a as varchar) || ':' || cast(j.v as varchar)), "
+            "1, 8) as bigint) % 8 AS v1, "
+            "cast('0x' || substr(sha256('sb1:' || "
+            "cast(g.a as varchar) || ':' || cast(j.v as varchar)), "
+            "1, 8) as bigint) % 2 AS s1, "
+            "cast('0x' || substr(sha256('sa2:' || "
+            "cast(g.a as varchar) || ':' || cast(j.v as varchar)), "
+            "1, 8) as bigint) % 8 AS v2, "
+            "cast('0x' || substr(sha256('sb2:' || "
+            "cast(g.a as varchar) || ':' || cast(j.v as varchar)), "
+            "1, 8) as bigint) % 2 AS s2 "
+            "FROM range(0, 12) g(a), range(0, 12) j(v)), "
+            "good AS (SELECT c.g, m.v AS m FROM range(0, 256) m(v), "
+            "cl c GROUP BY c.g, m.v HAVING count(*) FILTER ("
+            "((m.v >> v1) & 1) <> s1 OR ((m.v >> v2) & 1) <> s2) "
+            "= 12) "
+            "SELECT g.a AS g, CASE WHEN EXISTS (SELECT 1 FROM good "
+            "WHERE good.g = g.a) THEN 1 ELSE 0 END AS sat "
+            "FROM range(0, 12) g(a) ORDER BY g"
+        ),
+        # Bipartite oracle: the odd-cycle obstruction — parity
+        # reachability closure in a deduplicating recursive UNION;
+        # non-bipartite iff some vertex reaches itself oddly
+        # (engine: constructive BFS 2-coloring).
+        "bipartite_check": (
+            "WITH RECURSIVE e AS (SELECT g.a AS g, i.x AS u, "
+            "j.y AS v FROM range(0, 12) g(a), range(0, 10) i(x), "
+            "range(0, 10) j(y) WHERE i.x < j.y AND "
+            "cast('0x' || substr(sha256('bp:' || "
+            "cast(g.a as varchar) || ':' || cast(i.x as varchar) || "
+            "':' || cast(j.y as varchar)), 1, 8) as bigint) % 5 "
+            "= 0), "
+            "walk(g, s, v, par) AS ("
+            "SELECT a, n.x, n.x, 0 FROM range(0, 12) t(a), "
+            "range(0, 10) n(x) "
+            "UNION SELECT w.g, w.s, "
+            "CASE WHEN e.u = w.v THEN e.v ELSE e.u END, 1 - w.par "
+            "FROM walk w JOIN e ON e.g = w.g "
+            "AND (e.u = w.v OR e.v = w.v)) "
+            "SELECT g.a AS g, CASE WHEN EXISTS (SELECT 1 FROM walk "
+            "WHERE walk.g = g.a AND s = v AND par = 1) THEN 0 "
+            "ELSE 1 END AS bipartite FROM range(0, 12) g(a) "
+            "ORDER BY g"
+        ),
+        # MTF oracle: the window identity — after a repeat the code
+        # is the distinct count since the previous occurrence;
+        # before the first it is the initial rank shifted by the
+        # distinct prefix (engine: explicit list simulation).
+        "move_to_front": (
+            "WITH t AS (SELECT g.a AS g, p.v AS pos, "
+            "(['a','b','c','d','e','f'])[cast(cast('0x' || "
+            "substr(sha256('mt:' || cast(g.a as varchar) || ':' || "
+            "cast(p.v as varchar)), 1, 8) as bigint) % 6 as int) "
+            "+ 1] AS c FROM range(0, 8) g(a), range(0, 48) p(v)), "
+            "w AS (SELECT g, pos, c, lag(pos) OVER ("
+            "PARTITION BY g, c ORDER BY pos) AS prev FROM t) "
+            "SELECT w.g, w.pos, cast(CASE WHEN prev IS NOT NULL "
+            "THEN (SELECT count(DISTINCT t2.c) FROM t t2 "
+            "WHERE t2.g = w.g AND t2.pos > w.prev "
+            "AND t2.pos < w.pos) "
+            "ELSE (SELECT count(DISTINCT t2.c) FROM t t2 "
+            "WHERE t2.g = w.g AND t2.pos < w.pos) "
+            "+ (ascii(w.c) - ascii('a')) "
+            "- (SELECT count(DISTINCT t2.c) FROM t t2 "
+            "WHERE t2.g = w.g AND t2.pos < w.pos AND t2.c < w.c) "
+            "END as int) AS code FROM w ORDER BY g, pos"
+        ),
+        # Hanoi oracle: the iterative simulation — odd moves cycle
+        # the smallest disk, even moves make the only other legal
+        # move; pegs as disk bitmasks, top = lowest set bit
+        # (engine: the tz(k) closed form, no state).
+        "hanoi_moves": (
+            "WITH RECURSIVE sim(k, b0, b1, b2, disk, src, dst) AS ("
+            "SELECT 0, 255, 0, 0, 0, 0, 0 "
+            "UNION ALL SELECT k + 1, "
+            "b0 - CASE WHEN src = 0 THEN mv ELSE 0 END "
+            "+ CASE WHEN dst = 0 THEN mv ELSE 0 END, "
+            "b1 - CASE WHEN src = 1 THEN mv ELSE 0 END "
+            "+ CASE WHEN dst = 1 THEN mv ELSE 0 END, "
+            "b2 - CASE WHEN src = 2 THEN mv ELSE 0 END "
+            "+ CASE WHEN dst = 2 THEN mv ELSE 0 END, "
+            "cast(log2(mv) as bigint) + 1, src, dst FROM ("
+            "SELECT k, b0, b1, b2, src, dst, "
+            "CASE src WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 END "
+            "AS mv FROM ("
+            "SELECT k, b0, b1, b2, t0, t1, t2, "
+            "CASE WHEN (k + 1) % 2 = 1 THEN d1 "
+            "WHEN (CASE px WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 "
+            "END) < (CASE py WHEN 0 THEN t0 WHEN 1 THEN t1 "
+            "ELSE t2 END) THEN px ELSE py END AS src, "
+            "CASE WHEN (k + 1) % 2 = 1 THEN (d1 + 1) % 3 "
+            "WHEN (CASE px WHEN 0 THEN t0 WHEN 1 THEN t1 ELSE t2 "
+            "END) < (CASE py WHEN 0 THEN t0 WHEN 1 THEN t1 "
+            "ELSE t2 END) THEN py ELSE px END AS dst FROM ("
+            "SELECT k, b0, b1, b2, "
+            "CASE WHEN (b0 & 1) = 1 THEN 0 "
+            "WHEN (b1 & 1) = 1 THEN 1 ELSE 2 END AS d1, "
+            "CASE WHEN (b0 & 1) = 1 THEN 1 ELSE 0 END AS px, "
+            "CASE WHEN (b2 & 1) = 1 THEN 1 ELSE 2 END AS py, "
+            "CASE WHEN b0 = 0 THEN 1024 ELSE b0 & (-b0) END AS t0, "
+            "CASE WHEN b1 = 0 THEN 1024 ELSE b1 & (-b1) END AS t1, "
+            "CASE WHEN b2 = 0 THEN 1024 ELSE b2 & (-b2) END AS t2 "
+            "FROM sim WHERE k < 255))) "
+            ") SELECT k, disk, cast(src as int) AS src, "
+            "cast(dst as int) AS dst FROM sim WHERE k >= 1 "
+            "ORDER BY k"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
