@@ -11664,6 +11664,197 @@ def q_hanoi_moves(spark, sf_dir) -> DataFrame:
             .orderBy("k"))
 
 
+def _clean_text(n_chars: int):
+    return F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""),
+        1, n_chars)
+
+
+def q_z_occurrences(spark, sf_dir) -> DataFrame:
+    """Occurrences of a 3-char pattern drawn from each document in
+    its own cleaned 120-char text — engine: the Z-ALGORITHM over
+    pattern#text in a kernel (linear time, the Z-box invariant).
+    Oracle: the DECLARATIVE SCAN — count positions where
+    substr(t,i,3) equals the pattern. O(n) cleverness vs O(n*m)
+    obviousness."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id", _clean_text(120).alias("t"))
+           .filter(F.length("t") >= 20)
+           .withColumn("p", F.substring(F.col("t"), 7, 3)))
+
+    def z_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            cnts, firsts = [], []
+            for t, p in zip(pdf["t"], pdf["p"]):
+                s = p + "#" + t
+                n = len(s)
+                z = [0] * n
+                l = r = 0
+                for i in range(1, n):
+                    if i < r:
+                        z[i] = min(r - i, z[i - l])
+                    while i + z[i] < n and s[z[i]] == s[i + z[i]]:
+                        z[i] += 1
+                    if i + z[i] > r:
+                        l, r = i, i + z[i]
+                hits = [i - len(p) - 1 for i in range(len(p) + 1, n)
+                        if z[i] >= len(p)]
+                cnts.append(len(hits))
+                firsts.append(hits[0] + 1 if hits else 0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "p": pdf["p"],
+                                "n_occ": cnts, "first_pos": firsts})
+
+    return (raw.repartition(4)
+            .mapInPandas(z_kernel,
+                         "doc_id long, p string, n_occ int, "
+                         "first_pos int")
+            .orderBy("doc_id"))
+
+
+def q_distinct_substrings(spark, sf_dir) -> DataFrame:
+    """Distinct-substring counts of 20 cleaned 60-char document
+    prefixes — engine: a SUFFIX AUTOMATON built online in a kernel,
+    count = sum over states of len(v) - len(link(v)) (each state's
+    endpos class contributes exactly that many substrings). Oracle:
+    brute DISTINCT over every (i, l) substring. Automaton theory
+    vs enumeration."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 20)
+           .select("doc_id", _clean_text(60).alias("s"))
+           .filter(F.length("s") >= 20))
+
+    def sam_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for s in pdf["s"]:
+                # suffix automaton
+                maxlen = [0]
+                link = [-1]
+                trans = [{}]
+                last = 0
+                for ch in s:
+                    cur = len(maxlen)
+                    maxlen.append(maxlen[last] + 1)
+                    link.append(-1)
+                    trans.append({})
+                    p = last
+                    while p != -1 and ch not in trans[p]:
+                        trans[p][ch] = cur
+                        p = link[p]
+                    if p == -1:
+                        link[cur] = 0
+                    else:
+                        q = trans[p][ch]
+                        if maxlen[p] + 1 == maxlen[q]:
+                            link[cur] = q
+                        else:
+                            clone = len(maxlen)
+                            maxlen.append(maxlen[p] + 1)
+                            link.append(link[q])
+                            trans.append(dict(trans[q]))
+                            while p != -1 and trans[p].get(ch) == q:
+                                trans[p][ch] = clone
+                                p = link[p]
+                            link[q] = clone
+                            link[cur] = clone
+                    last = cur
+                total = sum(maxlen[v] - maxlen[link[v]]
+                            for v in range(1, len(maxlen)))
+                outs.append(total)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n_distinct": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(sam_kernel, "doc_id long, n_distinct long")
+            .orderBy("doc_id"))
+
+
+def q_lyndon_factorization(spark, sf_dir) -> DataFrame:
+    """Chen-Fox-Lyndon factorization of 20 cleaned 40-char document
+    prefixes — engine: DUVAL'S streaming algorithm (three-pointer,
+    O(n), never compares suffixes). Oracle: the SMALLEST-SUFFIX
+    characterization — the last factor of the unique
+    non-increasing Lyndon factorization is the lexicographically
+    least suffix; strip it and recurse in a CTE. Streaming
+    invariant vs the order-theoretic definition."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 20)
+           .select("doc_id", _clean_text(40).alias("s"))
+           .filter(F.length("s") >= 10))
+
+    def duval_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            ids, ks, facs = [], [], []
+            for doc, s in zip(pdf["doc_id"], pdf["s"]):
+                n, i, k = len(s), 0, 1
+                while i < n:
+                    j, m = i + 1, i
+                    while j < n and s[m] <= s[j]:
+                        m = i if s[m] < s[j] else m + 1
+                        j += 1
+                    while i <= m:
+                        ids.append(doc)
+                        ks.append(k)
+                        facs.append(s[i:i + j - m])
+                        i += j - m
+                        k += 1
+            yield pd.DataFrame({"doc_id": ids, "k": ks,
+                                "factor": facs})
+
+    return (raw.repartition(4)
+            .mapInPandas(duval_kernel,
+                         "doc_id long, k int, factor string")
+            .orderBy("doc_id", "k"))
+
+
+def q_booth_rotation(spark, sf_dir) -> DataFrame:
+    """Least rotation (string and least starting index) of 20
+    cleaned 40-char document prefixes — engine: BOOTH'S ALGORITHM
+    — the failure-function scan over the doubled string, O(n), in
+    a kernel. Oracle: generate all rotations, take the minimum
+    string and its least index. One pass vs all rotations."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 20)
+           .select("doc_id", _clean_text(40).alias("s"))
+           .filter(F.length("s") >= 10))
+
+    def booth_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            idxs, rots = [], []
+            for s in pdf["s"]:
+                s2 = s + s
+                f = [-1] * len(s2)
+                k = 0
+                for j in range(1, len(s2)):
+                    sj = s2[j]
+                    i = f[j - k - 1]
+                    while i != -1 and sj != s2[k + i + 1]:
+                        if sj < s2[k + i + 1]:
+                            k = j - i - 1
+                        i = f[i]
+                    if sj != s2[k + i + 1]:
+                        if sj < s2[k]:
+                            k = j
+                        f[j - k] = -1
+                    else:
+                        f[j - k] = i + 1
+                idxs.append(k)
+                rots.append(s[k:] + s[:k])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": pdf["s"],
+                                "rot_idx": idxs, "rot": rots})
+
+    return (raw.repartition(4)
+            .mapInPandas(booth_kernel,
+                         "doc_id long, s string, rot_idx int, "
+                         "rot string")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -12063,6 +12254,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": q_bipartite_check,
         "move_to_front": q_move_to_front,
         "hanoi_moves": q_hanoi_moves,
+        "z_occurrences": q_z_occurrences,
+        "distinct_substrings": q_distinct_substrings,
+        "lyndon_factorization": q_lyndon_factorization,
+        "booth_rotation": q_booth_rotation,
     }
 
 
@@ -16955,6 +17150,76 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT k, disk, cast(src as int) AS src, "
             "cast(dst as int) AS dst FROM sim WHERE k >= 1 "
             "ORDER BY k"
+        ),
+        # Z oracle: the declarative scan — count positions whose
+        # 3-gram equals the pattern (engine: Z-boxes over
+        # pattern#text).
+        "z_occurrences": (
+            "WITH t0 AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 120) AS t "
+            "FROM documents WHERE doc_id < 30), "
+            "f AS (SELECT doc_id, t, substr(t, 7, 3) AS p FROM t0 "
+            "WHERE length(t) >= 20) "
+            "SELECT doc_id, p, cast((SELECT count(*) FROM "
+            "range(1, 121) i(v) WHERE i.v + 2 <= length(t) AND "
+            "substr(t, cast(i.v as int), 3) = p) as int) AS n_occ, "
+            "cast(coalesce((SELECT min(i.v) FROM range(1, 121) i(v) "
+            "WHERE i.v + 2 <= length(t) AND "
+            "substr(t, cast(i.v as int), 3) = p), 0) as int) "
+            "AS first_pos FROM f ORDER BY doc_id"
+        ),
+        # Distinct-substring oracle: enumeration — DISTINCT over
+        # every (start, length) window (engine: suffix automaton
+        # endpos-class sum).
+        "distinct_substrings": (
+            "WITH t AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 60) AS s "
+            "FROM documents WHERE doc_id < 20) "
+            "SELECT doc_id, (SELECT count(DISTINCT "
+            "substr(s, cast(i.v as int), cast(l.w as int))) "
+            "FROM range(1, 61) i(v), range(1, 61) l(w) "
+            "WHERE i.v + l.w - 1 <= length(s)) AS n_distinct "
+            "FROM t WHERE length(s) >= 20 ORDER BY doc_id"
+        ),
+        # Lyndon oracle: the smallest-suffix characterization — the
+        # last CFL factor is the lexicographically least suffix;
+        # strip and recurse (engine: Duval's streaming algorithm).
+        "lyndon_factorization": (
+            "WITH RECURSIVE t AS (SELECT doc_id, substr("
+            "regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 40) "
+            "AS s FROM documents WHERE doc_id < 20), "
+            "t2 AS (SELECT doc_id, s FROM t WHERE length(s) >= 10), "
+            "strip(doc_id, rem, rk, factor) AS ("
+            "SELECT doc_id, s, 0, '' FROM t2 "
+            "UNION ALL SELECT doc_id, "
+            "substr(rem, 1, length(rem) - length(mf)), rk + 1, mf "
+            "FROM (SELECT doc_id, rem, rk, (SELECT min(substr(rem, "
+            "cast(i.v as int))) FROM range(1, 41) i(v) "
+            "WHERE i.v <= length(rem)) AS mf FROM strip "
+            "WHERE length(rem) > 0)), "
+            "tot AS (SELECT doc_id, max(rk) AS nf FROM strip "
+            "GROUP BY doc_id) "
+            "SELECT s.doc_id, cast(tt.nf - s.rk + 1 as int) AS k, "
+            "s.factor FROM strip s JOIN tot tt "
+            "ON tt.doc_id = s.doc_id WHERE s.rk >= 1 "
+            "ORDER BY s.doc_id, k"
+        ),
+        # Booth oracle: all rotations generated, minimum string
+        # then least index (engine: Booth's doubled-string failure
+        # scan).
+        "booth_rotation": (
+            "WITH t AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 40) AS s "
+            "FROM documents WHERE doc_id < 20), "
+            "t2 AS (SELECT doc_id, s FROM t WHERE length(s) >= 10), "
+            "r AS (SELECT doc_id, s, i.v AS ri, "
+            "substr(s, cast(i.v as int) + 1) || "
+            "substr(s, 1, cast(i.v as int)) AS rot FROM t2, "
+            "range(0, 40) i(v) WHERE i.v < length(s)), "
+            "best AS (SELECT doc_id, s, rot, ri, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY rot, ri) AS rn FROM r) "
+            "SELECT doc_id, s, cast(ri as int) AS rot_idx, rot "
+            "FROM best WHERE rn = 1 ORDER BY doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
