@@ -11855,6 +11855,127 @@ def q_booth_rotation(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_multiplicative_order(spark, sf_dir) -> DataFrame:
+    """Multiplicative order of 40 hash residues mod the prime 1013
+    — engine: the GROUP-THEORY algorithm — start from p-1 = 2^2 *
+    11 * 23 and divide out each prime factor while the power stays
+    1 (O(log) modpows, never walks the cycle). Oracle: BRUTE
+    FORCE — the power ladder a^k in a recursive CTE, order = least
+    k with a^k = 1. Lagrange's theorem vs walking the orbit."""
+    P = 1013
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40)
+           .select("doc_id",
+                   (2 + _mst_hash(F.concat(F.lit("mo:"), d))
+                    % (P - 2)).alias("a")))
+
+    def order_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for a in pdf["a"]:
+                a = int(a)
+                order = P - 1
+                for q in (2, 2, 11, 23):
+                    if order % q == 0 \
+                            and pow(a, order // q, P) == 1:
+                        order //= q
+                outs.append(order)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "a": pdf["a"], "ord": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(order_kernel, "doc_id long, a long, ord long")
+            .orderBy("doc_id"))
+
+
+def q_primitive_root_orders(spark, sf_dir) -> DataFrame:
+    """The order histogram of (Z/61)* — engine: the THEOREM — a
+    cyclic group of order 60 has exactly phi(d) elements of order
+    d for each divisor d, with the totient computed relationally
+    (common-divisor anti-join). Oracle: the CENSUS — every
+    element's order found by walking its power ladder. Structure
+    theory vs exhaustive observation."""
+    n60 = spark.range(1, 61)
+    dv = (n60.select(F.col("id").alias("d"))
+          .filter(F.lit(60) % F.col("id") == 0))
+    k = n60.select(F.col("id").alias("k"))
+    dk = dv.join(F.broadcast(k), F.col("k") <= F.col("d"))
+    j = spark.range(2, 61).select(F.col("id").alias("j"))
+    common = dk.join(
+        F.broadcast(j),
+        (F.col("d") % F.col("j") == 0) & (F.col("k") % F.col("j") == 0),
+        "left_semi")
+    return (dk.join(common, ["d", "k"], "left_anti")
+            .groupBy("d").agg(F.count("k").alias("n_elems"))
+            .orderBy("d"))
+
+
+def q_carmichael_korselt(spark, sf_dir) -> DataFrame:
+    """Carmichael numbers in 500..1200 (561 and 1105) — engine:
+    KORSELT'S CRITERION — n composite, squarefree, and p-1 | n-1
+    for every prime p | n, by a factorization kernel that never
+    computes a single Fermat power. Oracle: the DEFINITION —
+    composite n with a^(n-1) = 1 (mod n) for EVERY coprime a,
+    checked by square-and-multiply over all ~840k (n, a) pairs in
+    a recursive CTE. An 1899 characterization vs the raw
+    congruence."""
+    n = spark.range(500, 1201).select(F.col("id").alias("n"))
+
+    def korselt_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for n0 in pdf["n"]:
+                n0 = int(n0)
+                m, fac = n0, []
+                p = 2
+                while p * p <= m:
+                    if m % p == 0:
+                        e = 0
+                        while m % p == 0:
+                            m //= p
+                            e += 1
+                        fac.append((p, e))
+                    p += 1
+                if m > 1:
+                    fac.append((m, 1))
+                is_car = (len(fac) > 1
+                          and all(e == 1 for _, e in fac)
+                          and all((n0 - 1) % (q - 1) == 0
+                                  for q, _ in fac))
+                outs.append(1 if is_car else 0)
+            yield pd.DataFrame({"n": pdf["n"], "carmichael": outs})
+
+    return (n.repartition(8)
+            .mapInPandas(korselt_kernel, "n long, carmichael int")
+            .filter(F.col("carmichael") == 1)
+            .select("n").orderBy("n"))
+
+
+def q_stirling_first(spark, sf_dir) -> DataFrame:
+    """Unsigned Stirling numbers of the first kind c(7,k) —
+    engine: the RISING FACTORIAL — expand x(x+1)...(x+6) one
+    factor per driver-unrolled relational round (coefficient DP:
+    c <- c*m + shift). Oracle: the CYCLE CENSUS — all 5040
+    permutations of S_7 enumerated, cycles counted as orbit
+    minima through a fixed-point closure, histogram by cycle
+    count. Generating function vs the combinatorial meaning."""
+    state = (spark.range(0, 1)
+             .select(F.lit(0).alias("k"),
+                     F.lit(1).cast("long").alias("c")))
+    for m in range(0, 7):
+        shifted = state.select((F.col("k") + 1).alias("k"),
+                               F.col("c").alias("c"))
+        scaled = state.select("k", (F.col("c") * m).alias("c"))
+        state = (shifted.unionAll(scaled)
+                 .groupBy("k").agg(F.sum("c").alias("c")))
+    return (state.filter(F.col("c") > 0)
+            .select("k", F.col("c").alias("stirling1"))
+            .orderBy("k"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -12258,6 +12379,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_substrings": q_distinct_substrings,
         "lyndon_factorization": q_lyndon_factorization,
         "booth_rotation": q_booth_rotation,
+        "multiplicative_order": q_multiplicative_order,
+        "primitive_root_orders": q_primitive_root_orders,
+        "carmichael_korselt": q_carmichael_korselt,
+        "stirling_first": q_stirling_first,
     }
 
 
@@ -17220,6 +17345,77 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY doc_id ORDER BY rot, ri) AS rn FROM r) "
             "SELECT doc_id, s, cast(ri as int) AS rot_idx, rot "
             "FROM best WHERE rn = 1 ORDER BY doc_id"
+        ),
+        # Order oracle: walk the orbit — the power ladder until the
+        # first 1 (engine: divide p-1 by its prime factors while
+        # the power stays 1).
+        "multiplicative_order": (
+            "WITH RECURSIVE t AS (SELECT doc_id, 2 + "
+            "cast('0x' || substr(sha256('mo:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 1011 "
+            "AS a FROM documents WHERE doc_id < 40), "
+            "pw(doc_id, a, k, v) AS ("
+            "SELECT doc_id, a, 1, a % 1013 FROM t "
+            "UNION ALL SELECT doc_id, a, k + 1, v * a % 1013 "
+            "FROM pw WHERE v <> 1 AND k < 1013) "
+            "SELECT doc_id, a, cast(k as bigint) AS ord FROM pw "
+            "WHERE v = 1 ORDER BY doc_id"
+        ),
+        # Order-histogram oracle: the census — every element's
+        # order by its power ladder (engine: phi(d) per divisor by
+        # the cyclic structure theorem).
+        "primitive_root_orders": (
+            "WITH RECURSIVE pw(g, k, v) AS ("
+            "SELECT i, 1, i % 61 FROM range(1, 61) t(i) "
+            "UNION ALL SELECT g, k + 1, v * g % 61 FROM pw "
+            "WHERE v <> 1 AND k < 61) "
+            "SELECT cast(k as bigint) AS d, count(*) AS n_elems "
+            "FROM pw WHERE v = 1 GROUP BY k ORDER BY d"
+        ),
+        # Carmichael oracle: the definition — composite n passing
+        # the Fermat congruence for every coprime base, all ~840k
+        # (n,a) pairs through square-and-multiply (engine:
+        # Korselt's squarefree + (p-1 | n-1) criterion).
+        "carmichael_korselt": (
+            "WITH RECURSIVE ns AS (SELECT i AS n FROM "
+            "range(500, 1201) t(i)), "
+            "pairs AS (SELECT n, a.v AS a FROM ns, "
+            "range(2, 1200) a(v) WHERE a.v < n "
+            "AND gcd(a.v, n) = 1), "
+            "mp(n, a, base, e, acc) AS ("
+            "SELECT n, a, a, n - 1, cast(1 as bigint) FROM pairs "
+            "UNION ALL SELECT n, a, base * base % n, e // 2, "
+            "CASE WHEN e % 2 = 1 THEN acc * base % n ELSE acc END "
+            "FROM mp WHERE e > 0), "
+            "fails AS (SELECT DISTINCT n FROM mp "
+            "WHERE e = 0 AND acc <> 1), "
+            "comp AS (SELECT n FROM ns WHERE EXISTS ("
+            "SELECT 1 FROM range(2, 40) d(j) WHERE j * j <= n "
+            "AND n % j = 0)) "
+            "SELECT n FROM comp WHERE n NOT IN "
+            "(SELECT n FROM fails) ORDER BY n"
+        ),
+        # Stirling-1 oracle: the combinatorial meaning — cycles of
+        # every S_7 permutation counted as orbit minima via a
+        # 7-step closure, histogram by cycle count (engine: rising
+        # factorial coefficient DP).
+        "stirling_first": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 7) t(i)) "
+            "d WHERE length(p) < 7 AND strpos(p, d.c) = 0), "
+            "fp AS (SELECT p FROM perms WHERE length(p) = 7), "
+            "reach(p, start, cur, step) AS ("
+            "SELECT p, s.i, s.i, 0 FROM fp, range(0, 7) s(i) "
+            "UNION ALL SELECT p, start, cast(substr(p, "
+            "cast(cur as int) + 1, 1) as bigint), step + 1 "
+            "FROM reach WHERE step < 7), "
+            "mins AS (SELECT p, start, min(cur) AS mn FROM reach "
+            "GROUP BY p, start), "
+            "ncyc AS (SELECT p, count(*) FILTER (mn = start) AS k "
+            "FROM mins GROUP BY p) "
+            "SELECT k, count(*) AS stirling1 FROM ncyc GROUP BY k "
+            "ORDER BY k"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
