@@ -11976,6 +11976,120 @@ def q_stirling_first(spark, sf_dir) -> DataFrame:
             .orderBy("k"))
 
 
+def q_harmonic_exact(spark, sf_dir) -> DataFrame:
+    """Harmonic numbers H_1..H_20 as exact reduced fractions —
+    engine: INCREMENTAL fraction addition with a gcd reduction
+    after every step (Fraction arithmetic in a kernel). Oracle:
+    the COMMON-DENOMINATOR construction — L_n = lcm(1..n) by the
+    gcd recurrence, numerator = sum of L_n/k, one final reduction.
+    Uniqueness of the reduced form makes two different arithmetic
+    paths land on the same pair."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def harm_kernel(it):
+        from fractions import Fraction
+
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            h = Fraction(0)
+            ns, nums, dens = [], [], []
+            for n in range(1, 21):
+                h += Fraction(1, n)
+                ns.append(n)
+                nums.append(h.numerator)
+                dens.append(h.denominator)
+            yield pd.DataFrame({"n": ns, "num": nums, "den": dens})
+
+    return (one.mapInPandas(harm_kernel, "n long, num long, den long")
+            .orderBy("n"))
+
+
+def q_lcm_range(spark, sf_dir) -> DataFrame:
+    """lcm(1..n) for n=1..40 — engine: the PRIME-POWER formula —
+    lcm(1..n) = prod over primes p <= n of the largest p^e <= n,
+    with primes by a divisor anti-join, the dominant powers by a
+    max per (n,p), and the product by a JVM fold over the
+    collected factors. Oracle: the RECURRENCE l(n) =
+    l(n-1)*n/gcd(l(n-1),n). Structure of the lattice of divisors
+    vs one gcd per step."""
+    n = spark.range(1, 41).select(F.col("id").alias("n"))
+    p = spark.range(2, 41).select(F.col("id").alias("p"))
+    j = spark.range(2, 41).select(F.col("id").alias("j"))
+    primes = p.join(
+        F.broadcast(j),
+        (F.col("j") < F.col("p")) & (F.col("p") % F.col("j") == 0),
+        "left_anti")
+    e = spark.range(1, 7).select(F.col("id").alias("e"))
+    pw = (primes.join(F.broadcast(e))
+          .select("p", F.pow(F.col("p").cast("double"),
+                             F.col("e").cast("double"))
+                  .cast("long").alias("v"))
+          .filter(F.col("v") <= 40))
+    dom = (n.join(F.broadcast(pw), F.col("v") <= F.col("n"))
+           .groupBy("n", "p").agg(F.max("v").alias("pp")))
+    agg = (dom.groupBy("n")
+           .agg(F.aggregate(F.collect_list("pp"),
+                            F.lit(1).cast("long"),
+                            lambda acc, x: acc * x).alias("l")))
+    # n = 1 has no prime factors: the empty product is 1
+    return (n.join(agg, "n", "left")
+            .select("n", F.coalesce(F.col("l"), F.lit(1)).alias("l"))
+            .orderBy("n"))
+
+
+def q_pythagorean_primitive(spark, sf_dir) -> DataFrame:
+    """Primitive Pythagorean triples with hypotenuse <= 100 —
+    engine: EUCLID'S PARAMETRIZATION — (m,n) coprime of opposite
+    parity generate (m^2-n^2, 2mn, m^2+n^2), coprimality by a
+    common-divisor anti-join; the parametrization's completeness
+    theorem says nothing is missed. Oracle: the CENSUS — every
+    a < b < c <= 100 with a^2+b^2 = c^2 and gcd(a,b) = 1. A 2300-
+    year-old bijection vs brute force."""
+    m = spark.range(2, 11).select(F.col("id").alias("m"))
+    nn = spark.range(1, 11).select(F.col("id").alias("nv"))
+    pairs = m.join(F.broadcast(nn),
+                   (F.col("nv") < F.col("m"))
+                   & ((F.col("m") - F.col("nv")) % 2 == 1))
+    j = spark.range(2, 11).select(F.col("id").alias("j"))
+    common = pairs.join(
+        F.broadcast(j),
+        (F.col("m") % F.col("j") == 0) & (F.col("nv") % F.col("j") == 0),
+        "left_semi")
+    cop = pairs.join(common, ["m", "nv"], "left_anti")
+    a0 = F.col("m") * F.col("m") - F.col("nv") * F.col("nv")
+    b0 = 2 * F.col("m") * F.col("nv")
+    c = F.col("m") * F.col("m") + F.col("nv") * F.col("nv")
+    return (cop.filter(c <= 100)
+            .select(F.least(a0, b0).alias("a"),
+                    F.greatest(a0, b0).alias("b"), c.alias("c"))
+            .orderBy("c", "a"))
+
+
+def q_farey_length(spark, sf_dir) -> DataFrame:
+    """Farey sequence lengths |F_n| for n=1..30 — engine: the
+    TOTIENT-SUM theorem — |F_n| = 1 + sum of phi(k), the totients
+    by a common-divisor anti-join and the sum by a running window.
+    Oracle: the DEFINITION — count the reduced fractions directly
+    with gcd(). The Euler connection vs counting fractions."""
+    n30 = spark.range(1, 31)
+    dk = (n30.select(F.col("id").alias("d"))
+          .join(n30.select(F.col("id").alias("k")),
+                F.col("k") <= F.col("d")))
+    j = spark.range(2, 31).select(F.col("id").alias("j"))
+    common = dk.join(
+        F.broadcast(j),
+        (F.col("d") % F.col("j") == 0) & (F.col("k") % F.col("j") == 0),
+        "left_semi")
+    phi = (dk.join(common, ["d", "k"], "left_anti")
+           .groupBy("d").agg(F.count("k").alias("phi")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (phi.select(F.col("d").alias("n"),
+                       (1 + F.sum("phi").over(w)).alias("farey_len"))
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -12383,6 +12497,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "primitive_root_orders": q_primitive_root_orders,
         "carmichael_korselt": q_carmichael_korselt,
         "stirling_first": q_stirling_first,
+        "harmonic_exact": q_harmonic_exact,
+        "lcm_range": q_lcm_range,
+        "pythagorean_primitive": q_pythagorean_primitive,
+        "farey_length": q_farey_length,
     }
 
 
@@ -17416,6 +17534,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM mins GROUP BY p) "
             "SELECT k, count(*) AS stirling1 FROM ncyc GROUP BY k "
             "ORDER BY k"
+        ),
+        # Harmonic oracle: common denominator — L_n = lcm(1..n) by
+        # the gcd recurrence, numerator = sum L_n/k, one final
+        # reduction (engine: stepwise Fraction arithmetic).
+        "harmonic_exact": (
+            "WITH RECURSIVE lc(n, l) AS ("
+            "SELECT 1, cast(1 as bigint) "
+            "UNION ALL SELECT n + 1, l * (n + 1) / gcd(l, n + 1) "
+            "FROM lc WHERE n < 20), "
+            "s AS (SELECT n, l, (SELECT sum(l // k.v) FROM "
+            "range(1, 21) k(v) WHERE k.v <= n) AS sm FROM lc) "
+            "SELECT n, sm // gcd(sm, l) AS num, "
+            "l // gcd(sm, l) AS den FROM s ORDER BY n"
+        ),
+        # lcm oracle: the recurrence l(n) = l(n-1)*n/gcd (engine:
+        # product of dominant prime powers).
+        "lcm_range": (
+            "WITH RECURSIVE lc(n, l) AS ("
+            "SELECT 1, cast(1 as bigint) "
+            "UNION ALL SELECT n + 1, l * (n + 1) / gcd(l, n + 1) "
+            "FROM lc WHERE n < 40) "
+            "SELECT n, l FROM lc ORDER BY n"
+        ),
+        # Pythagorean oracle: the census — all a < b < c <= 100
+        # with a^2+b^2 = c^2 and gcd(a,b) = 1 (engine: Euclid's
+        # (m,n) parametrization).
+        "pythagorean_primitive": (
+            "SELECT a.x AS a, b.y AS b, c.z AS c "
+            "FROM range(1, 101) a(x), range(1, 101) b(y), "
+            "range(1, 101) c(z) WHERE a.x < b.y AND b.y < c.z "
+            "AND a.x * a.x + b.y * b.y = c.z * c.z "
+            "AND gcd(a.x, b.y) = 1 ORDER BY c, a"
+        ),
+        # Farey-length oracle: count reduced fractions directly
+        # with gcd() (engine: 1 + running totient sum).
+        "farey_length": (
+            "SELECT n.i AS n, 1 + (SELECT count(*) FROM "
+            "range(1, 31) a(x), range(1, 31) b(y) "
+            "WHERE a.x <= b.y AND b.y <= n.i "
+            "AND gcd(a.x, b.y) = 1) AS farey_len "
+            "FROM range(1, 31) n(i) ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
