@@ -12090,6 +12090,124 @@ def q_farey_length(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_binomial_transform(spark, sf_dir) -> DataFrame:
+    """Binomial transform b_n = sum_k C(n,k) a_k of a 17-term hash
+    sequence — engine: the WEIGHTED SUM — binomials from a
+    factorial literal, one explode + groupBy. Oracle: the
+    ADJACENT-SUMS TRIANGLE — T_0 = a, T_i[k] = T_{i-1}[k] +
+    T_{i-1}[k+1], b_n = the head after n foldings, list state in a
+    recursive CTE that never forms a binomial. Closed weights vs
+    Pascal dynamics."""
+    fact = [1] * 17
+    for i in range(1, 17):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    n = spark.range(0, 17).select(F.col("id").alias("n"))
+    k = spark.range(0, 17).select(F.col("id").alias("k"))
+    t = n.join(F.broadcast(k), F.col("k") <= F.col("n"))
+    ak = _mst_hash(F.concat(F.lit("bt:"), F.col("k").cast("string"))) \
+        % 19 - 9
+    binom = (F.element_at(fl, F.col("n").cast("int") + 1)
+             / (F.element_at(fl, F.col("k").cast("int") + 1)
+                * F.element_at(fl, (F.col("n") - F.col("k"))
+                               .cast("int") + 1))).cast("long")
+    return (t.groupBy("n").agg(F.sum(binom * ak).alias("b"))
+            .orderBy("n"))
+
+
+def q_pisano_period(spark, sf_dir) -> DataFrame:
+    """Pisano periods pi(m) of the Fibonacci sequence mod m for
+    m=2..40 — engine: the pair iteration (F_k, F_{k+1}) mod m in a
+    kernel until (0,1) recurs. Oracle: the same dynamical system
+    replayed in a recursive CTE. One orbit, two machines."""
+    m = spark.range(2, 41).select(F.col("id").alias("m"))
+
+    def pisano_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for mv in pdf["m"]:
+                mv = int(mv)
+                a, b, k = 0, 1, 0
+                while True:
+                    a, b = b, (a + b) % mv
+                    k += 1
+                    if (a, b) == (0, 1):
+                        break
+                outs.append(k)
+            yield pd.DataFrame({"m": pdf["m"], "period": outs})
+
+    return (m.repartition(4)
+            .mapInPandas(pisano_kernel, "m long, period long")
+            .orderBy("m"))
+
+
+def q_square_by_tau(spark, sf_dir) -> DataFrame:
+    """Perfect-square detection for n=1..400 — engine: the
+    corrected integer square root (s^2 = n). Oracle: the
+    DIVISOR-PARITY theorem — n is a square iff its divisor count
+    is odd (divisors pair up except the root). Arithmetic vs a
+    pairing argument."""
+    n = spark.range(1, 401).select(F.col("id").alias("n"))
+    v = F.col("n")
+    s0 = F.sqrt(v.cast("double")).cast("long")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= v, s0 + 1).otherwise(s0)
+    s = F.when(s1 * s1 > v, s1 - 1).otherwise(s1)
+    return (n.select("n", F.when(s * s == v, 1).otherwise(0)
+                     .cast("int").alias("is_square"))
+            .orderBy("n"))
+
+
+def q_min_squares(spark, sf_dir) -> DataFrame:
+    """Minimal number of squares summing to n for n=1..300 —
+    engine: the THEOREM STACK — 1 iff square; 2 iff every prime
+    = 3 mod 4 divides to an even power (Fermat); 4 iff n =
+    4^a(8b+7) (Legendre); else 3 (Lagrange caps at 4), decided by
+    a factorization kernel that never searches. Oracle: the
+    CENSUS — brute-force least k with an explicit representation.
+    Three classical theorems vs trying every decomposition."""
+    n = spark.range(1, 301).select(F.col("id").alias("n"))
+
+    def minsq_kernel(it):
+        import math
+
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for n0 in pdf["n"]:
+                n0 = int(n0)
+                if math.isqrt(n0) ** 2 == n0:
+                    outs.append(1)
+                    continue
+                m = n0
+                while m % 4 == 0:
+                    m //= 4
+                if m % 8 == 7:
+                    outs.append(4)
+                    continue
+                # Fermat two-square criterion
+                m, ok2 = n0, True
+                p = 2
+                while p * p <= m:
+                    if m % p == 0:
+                        e = 0
+                        while m % p == 0:
+                            m //= p
+                            e += 1
+                        if p % 4 == 3 and e % 2 == 1:
+                            ok2 = False
+                            break
+                    p += 1
+                if ok2 and m > 1 and m % 4 == 3:
+                    ok2 = False
+                outs.append(2 if ok2 else 3)
+            yield pd.DataFrame({"n": pdf["n"], "min_squares": outs})
+
+    return (n.repartition(4)
+            .mapInPandas(minsq_kernel, "n long, min_squares int")
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -12501,6 +12619,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcm_range": q_lcm_range,
         "pythagorean_primitive": q_pythagorean_primitive,
         "farey_length": q_farey_length,
+        "binomial_transform": q_binomial_transform,
+        "pisano_period": q_pisano_period,
+        "square_by_tau": q_square_by_tau,
+        "min_squares": q_min_squares,
     }
 
 
@@ -17575,6 +17697,58 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.x <= b.y AND b.y <= n.i "
             "AND gcd(a.x, b.y) = 1) AS farey_len "
             "FROM range(1, 31) n(i) ORDER BY n"
+        ),
+        # Binomial-transform oracle: Pascal dynamics — fold the
+        # sequence by adjacent sums n times, b_n = the head; list
+        # state, no binomial ever formed (engine: C(n,k)-weighted
+        # sum).
+        "binomial_transform": (
+            "WITH RECURSIVE a0 AS (SELECT list_transform("
+            "generate_series(0, 16), k -> cast('0x' || substr("
+            "sha256('bt:' || cast(k as varchar)), 1, 8) as bigint) "
+            "% 19 - 9) AS row), "
+            "tri(i, row) AS (SELECT 0, row FROM a0 "
+            "UNION ALL SELECT i + 1, list_transform("
+            "generate_series(1, 16 - i), k -> row[k] + row[k + 1]) "
+            "FROM tri WHERE i < 16) "
+            "SELECT i AS n, row[1] AS b FROM tri ORDER BY n"
+        ),
+        # Pisano oracle: the same pair orbit in a recursive CTE
+        # (engine: imperative iteration).
+        "pisano_period": (
+            "WITH RECURSIVE orb(m, a, b, k) AS ("
+            "SELECT i, 0, 1, 0 FROM range(2, 41) t(i) "
+            "UNION ALL SELECT m, b, (a + b) % m, k + 1 FROM orb "
+            "WHERE NOT (a = 0 AND b = 1 AND k > 0)) "
+            "SELECT m, k AS period FROM orb "
+            "WHERE a = 0 AND b = 1 AND k > 0 ORDER BY m"
+        ),
+        # Square oracle: the divisor-parity theorem — odd tau(n)
+        # iff square (engine: corrected isqrt).
+        "square_by_tau": (
+            "SELECT n.i AS n, CASE WHEN (SELECT count(*) FROM "
+            "range(1, 401) d(j) WHERE d.j <= n.i "
+            "AND n.i % d.j = 0) % 2 = 1 THEN 1 ELSE 0 END "
+            "AS is_square FROM range(1, 401) n(i) ORDER BY n"
+        ),
+        # Min-squares oracle: the census — least k in 1..4 with an
+        # explicit decomposition (engine: Legendre/Fermat
+        # closed-form classification).
+        "min_squares": (
+            "WITH sq AS (SELECT i * i AS v FROM range(1, 18) t(i)), "
+            "one AS (SELECT v AS n FROM sq), "
+            "two AS (SELECT DISTINCT a.v + b.v AS n FROM sq a, "
+            "sq b), "
+            "three AS (SELECT DISTINCT t.n + c.v AS n FROM "
+            "(SELECT n FROM two) t, sq c) "
+            "SELECT n.i AS n, CASE "
+            "WHEN EXISTS (SELECT 1 FROM one WHERE one.n = n.i) "
+            "THEN 1 "
+            "WHEN EXISTS (SELECT 1 FROM two WHERE two.n = n.i) "
+            "THEN 2 "
+            "WHEN EXISTS (SELECT 1 FROM three WHERE three.n = n.i) "
+            "THEN 3 ELSE 4 END AS min_squares "
+            "FROM range(1, 301) n(i) ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
