@@ -12208,6 +12208,220 @@ def q_min_squares(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_kasai_lcp(spark, sf_dir) -> DataFrame:
+    """Suffix array + LCP array of 15 cleaned 50-char document
+    prefixes — engine: KASAI'S ALGORITHM — the h-decrement
+    invariant (lcp of consecutive ranks computed in text order,
+    reusing h-1 of the previous position) in a kernel. Oracle:
+    DECLARATIVE — suffixes sorted by ORDER BY, the LCP probed as
+    the max equal-prefix length against the lag suffix. An O(n)
+    amortized invariant vs quadratic probing."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 15)
+           .select("doc_id", _clean_text(50).alias("s"))
+           .filter(F.length("s") >= 20))
+
+    def kasai_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            ids, rks, poss, lcps = [], [], [], []
+            for doc, s in zip(pdf["doc_id"], pdf["s"]):
+                n = len(s)
+                sa = sorted(range(n), key=lambda i: s[i:])
+                rank = [0] * n
+                for r, i in enumerate(sa):
+                    rank[i] = r
+                lcp = [0] * n
+                h = 0
+                for i in range(n):
+                    if rank[i] > 0:
+                        j = sa[rank[i] - 1]
+                        while i + h < n and j + h < n \
+                                and s[i + h] == s[j + h]:
+                            h += 1
+                        lcp[rank[i]] = h
+                        if h:
+                            h -= 1
+                    else:
+                        h = 0
+                for r, i in enumerate(sa):
+                    ids.append(doc)
+                    rks.append(r + 1)
+                    poss.append(i + 1)
+                    lcps.append(lcp[r])
+            yield pd.DataFrame({"doc_id": ids, "rank": rks,
+                                "sa_pos": poss, "lcp": lcps})
+
+    return (raw.repartition(4)
+            .mapInPandas(kasai_kernel,
+                         "doc_id long, rank int, sa_pos int, lcp int")
+            .orderBy("doc_id", "rank"))
+
+
+def q_fm_count(spark, sf_dir) -> DataFrame:
+    """Pattern occurrence counts by FM-INDEX backward search — 15
+    cleaned 80-char document prefixes, pattern = a 3-gram of each
+    text — engine: build the BWT of t+'$' from sorted rotations,
+    then count via the LF-mapping interval [lo, hi) narrowed one
+    pattern character at a time (C table + occ ranks), never
+    scanning the text. Oracle: the NAIVE SCAN — count positions
+    whose 3-gram equals the pattern. Compressed-index mechanics vs
+    looking."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 15)
+           .select("doc_id", _clean_text(80).alias("t"))
+           .filter(F.length("t") >= 30)
+           .withColumn("p", F.substring(F.col("t"), 11, 3)))
+
+    def fm_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for t, p in zip(pdf["t"], pdf["p"]):
+                s = t + "$"
+                n = len(s)
+                sa = sorted(range(n), key=lambda i: s[i:] + s[:i])
+                bwt = [s[(i - 1) % n] for i in sa]
+                chars = sorted(set(s))
+                C = {}
+                tot = 0
+                for ch in chars:
+                    C[ch] = tot
+                    tot += s.count(ch)
+
+                def occ(ch, i):
+                    return sum(1 for x in bwt[:i] if x == ch)
+
+                lo, hi = 0, n
+                for ch in reversed(p):
+                    if ch not in C:
+                        lo = hi = 0
+                        break
+                    lo = C[ch] + occ(ch, lo)
+                    hi = C[ch] + occ(ch, hi)
+                    if lo >= hi:
+                        break
+                outs.append(hi - lo)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "p": pdf["p"],
+                                "n_occ": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(fm_kernel, "doc_id long, p string, n_occ int")
+            .orderBy("doc_id"))
+
+
+def q_ukkonen_distance(spark, sf_dir) -> DataFrame:
+    """Edit distance between each cleaned 30-char prefix and a
+    deterministically mutated copy (one delete, one substitution,
+    one double insert) — engine: UKKONEN'S BANDED DIAGONAL method
+    — for increasing thresholds, extend furthest-reaching points
+    per diagonal (O(nd), never fills the DP table). Oracle:
+    DuckDB's levenshtein(), an independent C++ Wagner-Fischer.
+    Diagonal frontiers vs the full matrix."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id", _clean_text(30).alias("a"))
+           .filter(F.length("a") >= 15))
+    # one delete at p1 = 1 + doc%10, then 'zz' inserted at
+    # p2 = 1 + doc%7 — rebuilt identically by the oracle
+    p1 = (1 + F.col("doc_id") % 10).cast("int")
+    p2 = (1 + F.col("doc_id") % 7).cast("int")
+    b0 = F.concat(F.substring(F.col("a"), 1, p1 - 1),
+                  F.substring(F.col("a"), p1 + 1, F.lit(100)))
+    raw = raw.withColumn("b0", b0)
+    b2 = F.concat(F.substring(F.col("b0"), 1, p2), F.lit("zz"),
+                  F.substring(F.col("b0"), p2 + 1, F.lit(100)))
+    raw = raw.withColumn("b", b2).drop("b0")
+
+    def ukk_kernel(it):
+        import pandas as pd
+
+        def edist2(a, b):
+            # classic O(nd) greedy with substitutions: f[k] =
+            # furthest i on diagonal k (j = i - k) using edits <= t
+            la, lb = len(a), len(b)
+
+            def snake(i, j):
+                while i < la and j < lb and a[i] == b[j]:
+                    i += 1
+                    j += 1
+                return i
+
+            f = {0: snake(0, 0)}
+            if f[0] >= la and f[0] - 0 >= lb:
+                return 0
+            for t in range(1, la + lb + 1):
+                nf = {}
+                for k in range(-t, t + 1):
+                    best = -1
+                    # delete from a (come from k-1), insert
+                    # (k+1), substitute (k)
+                    if k - 1 in f:
+                        best = max(best, f[k - 1] + 1)
+                    if k + 1 in f:
+                        best = max(best, f[k + 1])
+                    if k in f:
+                        best = max(best, f[k] + 1)
+                    if best < 0:
+                        continue
+                    i = min(best, la)
+                    j = i - k
+                    if j < 0 or j > lb:
+                        continue
+                    nf[k] = snake(i, j) if i <= la and j <= lb \
+                        else i
+                f = nf
+                k0 = la - lb
+                if k0 in f and f[k0] >= la:
+                    return t
+            return la + lb
+
+        for pdf in it:
+            ds = [edist2(a, b)
+                  for a, b in zip(pdf["a"], pdf["b"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "a": pdf["a"],
+                                "b": pdf["b"], "dist": ds})
+
+    return (raw.repartition(4)
+            .mapInPandas(ukk_kernel,
+                         "doc_id long, a string, b string, dist int")
+            .orderBy("doc_id"))
+
+
+def q_ruffini_division(spark, sf_dir) -> DataFrame:
+    """Synthetic division of 20 hash-derived degree-10 integer
+    polynomials by (x - c) — engine: the CLOSED FORM — quotient
+    coefficient b_k = sum_{j>k} a_j c^(j-k-1) and remainder P(c),
+    one explode + groupBy with exact powers. Oracle: RUFFINI'S
+    RECURRENCE — b_{k-1} = a_k + c*b_k walked down in a recursive
+    CTE. Expanded power sums vs the telescoped rule."""
+    d = F.col("doc_id").cast("string")
+    coef = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id",
+                    (1 + _mst_hash(F.concat(F.lit("rc:"), d)) % 4)
+                    .alias("c"),
+                    *[(_mst_hash(F.concat(F.lit(f"ra{j}:"), d))
+                       % 21 - 10).alias(f"a{j}") for j in range(11)]))
+    aj = F.array(*[F.col(f"a{j}") for j in range(11)])
+    kk = spark.range(-1, 10).select(F.col("id").alias("k"))
+    jj = spark.range(0, 11).select(F.col("id").alias("j"))
+    t = (coef.select("doc_id", "c", aj.alias("aj"))
+         .join(F.broadcast(kk))
+         .join(F.broadcast(jj), F.col("j") >= F.col("k") + 1))
+    a_j = F.element_at(F.col("aj"), F.col("j").cast("int") + 1)
+    cpow = F.pow(F.col("c").cast("double"),
+                 (F.col("j") - F.col("k") - 1).cast("double")) \
+        .cast("long")
+    # k = -1 row accumulates sum a_j c^j = P(c), the remainder
+    term = F.when(F.col("k") == -1,
+                  a_j * F.pow(F.col("c").cast("double"),
+                              F.col("j").cast("double")).cast("long")) \
+        .otherwise(a_j * cpow)
+    return (t.groupBy("doc_id", "k").agg(F.sum(term).alias("coef"))
+            .orderBy("doc_id", "k"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -12623,6 +12837,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pisano_period": q_pisano_period,
         "square_by_tau": q_square_by_tau,
         "min_squares": q_min_squares,
+        "kasai_lcp": q_kasai_lcp,
+        "fm_count": q_fm_count,
+        "ukkonen_distance": q_ukkonen_distance,
+        "ruffini_division": q_ruffini_division,
     }
 
 
@@ -17749,6 +17967,78 @@ def oracle_sql() -> dict[str, str]:
             "WHEN EXISTS (SELECT 1 FROM three WHERE three.n = n.i) "
             "THEN 3 ELSE 4 END AS min_squares "
             "FROM range(1, 301) n(i) ORDER BY n"
+        ),
+        # Kasai oracle: declarative — suffixes sorted by ORDER BY,
+        # LCP probed as the max equal-prefix length vs the lag
+        # suffix (engine: Kasai's h-decrement invariant).
+        "kasai_lcp": (
+            "WITH t AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 50) AS s "
+            "FROM documents WHERE doc_id < 15), "
+            "t2 AS (SELECT doc_id, s FROM t WHERE length(s) >= 20), "
+            "suf AS (SELECT doc_id, i.v AS pos, "
+            "substr(s, cast(i.v as int)) AS sx FROM t2, "
+            "range(1, 51) i(v) WHERE i.v <= length(s)), "
+            "rk AS (SELECT doc_id, pos, sx, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY sx) AS rank, "
+            "lag(sx) OVER (PARTITION BY doc_id ORDER BY sx) AS prev "
+            "FROM suf) "
+            "SELECT doc_id, cast(rank as int) AS rank, "
+            "cast(pos as int) AS sa_pos, cast(coalesce(("
+            "SELECT max(l.v) FROM range(0, 51) l(v) "
+            "WHERE substr(sx, 1, cast(l.v as int)) = "
+            "substr(prev, 1, cast(l.v as int))), 0) as int) AS lcp "
+            "FROM rk ORDER BY doc_id, rank"
+        ),
+        # FM oracle: the naive scan (engine: LF-mapping interval
+        # narrowing over the BWT).
+        "fm_count": (
+            "WITH t0 AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 80) AS t "
+            "FROM documents WHERE doc_id < 15), "
+            "f AS (SELECT doc_id, t, substr(t, 11, 3) AS p FROM t0 "
+            "WHERE length(t) >= 30) "
+            "SELECT doc_id, p, cast((SELECT count(*) FROM "
+            "range(1, 81) i(v) WHERE i.v + 2 <= length(t) "
+            "AND substr(t, cast(i.v as int), 3) = p) as int) "
+            "AS n_occ FROM f ORDER BY doc_id"
+        ),
+        # Ukkonen oracle: DuckDB's C++ levenshtein() over the same
+        # deterministically mutated pair (engine: O(nd) diagonal
+        # frontiers).
+        "ukkonen_distance": (
+            "WITH t AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 30) AS a "
+            "FROM documents WHERE doc_id < 30), "
+            "t2 AS (SELECT doc_id, a FROM t WHERE length(a) >= 15), "
+            "m AS (SELECT doc_id, a, substr(a, 1, "
+            "cast(1 + doc_id % 10 as int) - 1) || substr(a, "
+            "cast(1 + doc_id % 10 as int) + 1) AS b0 FROM t2), "
+            "m2 AS (SELECT doc_id, a, substr(b0, 1, "
+            "cast(1 + doc_id % 7 as int)) || 'zz' || substr(b0, "
+            "cast(1 + doc_id % 7 as int) + 1) AS b FROM m) "
+            "SELECT doc_id, a, b, cast(levenshtein(a, b) as int) "
+            "AS dist FROM m2 ORDER BY doc_id"
+        ),
+        # Ruffini oracle: the telescoped recurrence b_{k-1} =
+        # a_k + c*b_k walked down in a recursive CTE (engine: the
+        # expanded power sums).
+        "ruffini_division": (
+            "WITH RECURSIVE cf AS (SELECT doc_id, 1 + "
+            "cast('0x' || substr(sha256('rc:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 4 AS c, ["
+            + ", ".join(
+                "cast('0x' || substr(sha256('ra" + str(j) + ":' || "
+                "cast(doc_id as varchar)), 1, 8) as bigint) % 21 "
+                "- 10" for j in range(11)) +
+            "] AS aj FROM documents WHERE doc_id < 20), "
+            "rec(doc_id, k, b) AS ("
+            "SELECT doc_id, 9, aj[11] FROM cf "
+            "UNION ALL SELECT r.doc_id, r.k - 1, "
+            "cf.aj[r.k + 1] + cf.c * r.b FROM rec r "
+            "JOIN cf ON cf.doc_id = r.doc_id WHERE r.k > -1) "
+            "SELECT doc_id, cast(k as bigint) AS k, b AS coef "
+            "FROM rec ORDER BY doc_id, k"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
