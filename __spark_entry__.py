@@ -12422,6 +12422,234 @@ def q_ruffini_division(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id", "k"))
 
 
+def q_misra_gries(spark, sf_dir) -> DataFrame:
+    """Heavy hitters (frequency > n/5) in 12 skewed 200-item
+    streams — engine: MISRA-GRIES with 4 counters plus the exact
+    verification pass (the summary provably contains every heavy
+    hitter; the second pass trims false positives). Oracle: the
+    CENSUS — count everything, keep counts > 40. A streaming
+    summary with a coverage guarantee vs counting."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def mg_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            gs_, vs_, cs_ = [], [], []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                stream = []
+                for i in range(200):
+                    if h(f"mgs:{gv}:{i}") % 3 > 0:
+                        stream.append(h(f"mgh:{gv}:{i}") % 4)
+                    else:
+                        stream.append(4 + h(f"mgc:{gv}:{i}") % 36)
+                # Misra-Gries, k-1 = 4 counters
+                counters = {}
+                for v in stream:
+                    if v in counters:
+                        counters[v] += 1
+                    elif len(counters) < 4:
+                        counters[v] = 1
+                    else:
+                        for key in list(counters):
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                del counters[key]
+                # exact verification pass over the candidates only
+                for v in sorted(counters):
+                    exact = sum(1 for x in stream if x == v)
+                    if exact > 40:
+                        gs_.append(gv)
+                        vs_.append(v)
+                        cs_.append(exact)
+            yield pd.DataFrame({"g": gs_, "v": vs_, "cnt": cs_})
+
+    return (g.repartition(4)
+            .mapInPandas(mg_kernel, "g long, v long, cnt long")
+            .orderBy("g", "v"))
+
+
+def q_bitap_match(spark, sf_dir) -> DataFrame:
+    """5-char pattern occurrences by BITAP (Shift-And) — the
+    pattern compiled to per-character bitmasks, the NFA state a
+    single integer updated as state = ((state << 1) | 1) & mask[c]
+    — in a kernel; the engine never compares substrings. Oracle:
+    the substring scan. A bit-parallel NFA vs string compare."""
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id", _clean_text(80).alias("t"))
+           .filter(F.length("t") >= 30)
+           .withColumn("p", F.substring(F.col("t"), 5, 5)))
+
+    def bitap_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for t, p in zip(pdf["t"], pdf["p"]):
+                m = len(p)
+                mask = {}
+                for i, ch in enumerate(p):
+                    mask[ch] = mask.get(ch, 0) | (1 << i)
+                state, cnt = 0, 0
+                hit = 1 << (m - 1)
+                for ch in t:
+                    state = ((state << 1) | 1) & mask.get(ch, 0)
+                    if state & hit:
+                        cnt += 1
+                outs.append(cnt)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "p": pdf["p"],
+                                "n_occ": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(bitap_kernel,
+                         "doc_id long, p string, n_occ int")
+            .orderBy("doc_id"))
+
+
+def q_min_max_partition(spark, sf_dir) -> DataFrame:
+    """Split a 16-value array into 4 contiguous parts minimizing
+    the maximum part sum, 12 instances — engine: BINARY SEARCH ON
+    THE ANSWER — feasibility of a cap S by the greedy packer,
+    bisected in a kernel. Oracle: ENUMERATION — all C(15,3) = 455
+    cut triples scored via prefix sums, min of maxes. Parametric
+    search vs exhaustion."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def bs_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                arr = [1 + h(f"mm:{gv}:{i}") % 30 for i in range(16)]
+
+                def feasible(cap):
+                    parts, cur = 1, 0
+                    for v in arr:
+                        if v > cap:
+                            return False
+                        if cur + v > cap:
+                            parts += 1
+                            cur = v
+                        else:
+                            cur += v
+                    return parts <= 4
+
+                lo, hi = max(arr), sum(arr)
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if feasible(mid):
+                        hi = mid
+                    else:
+                        lo = mid + 1
+                outs.append(lo)
+            yield pd.DataFrame({"g": pdf["g"], "best": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(bs_kernel, "g long, best long")
+            .orderBy("g"))
+
+
+def q_circular_tour(spark, sf_dir) -> DataFrame:
+    """Smallest feasible start of a 24-station circular gas tour,
+    12 instances — engine: the RESET GREEDY — on tank failure jump
+    past the failure point (every start in between is provably
+    infeasible, so the survivor is the minimum), one pass plus the
+    total-surplus check. Oracle: BRUTE FORCE — every start
+    simulated all the way round. An elimination argument vs trying
+    them all (-1 when the tour is impossible, on both sides)."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def tour_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                gas = [h(f"cg:{gv}:{i}") % 15 for i in range(24)]
+                cost = [h(f"cc:{gv}:{i}") % 15 for i in range(24)]
+                if sum(gas) < sum(cost):
+                    outs.append(-1)
+                    continue
+                start, tank = 0, 0
+                for i in range(24):
+                    tank += gas[i] - cost[i]
+                    if tank < 0:
+                        start, tank = i + 1, 0
+                outs.append(start if start < 24 else -1)
+            yield pd.DataFrame({"g": pdf["g"], "start": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(tour_kernel, "g long, start long")
+            .orderBy("g"))
+
+
+def q_sparse_table_rmq(spark, sf_dir) -> DataFrame:
+    """Range-minimum queries over 10 hash arrays of 64 values, 20
+    half-open ranges each — engine: a SPARSE TABLE (binary-lifting
+    doubling, O(1) per query as min of two overlapping power-of-
+    two blocks) in a kernel. Oracle: the direct min over the range
+    by a correlated subquery. Preprocessing cleverness vs just
+    looking at the range."""
+    g = spark.range(0, 10).select(F.col("id").alias("g"))
+
+    def rmq_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            gs_, qs_, ls_, rs_, ms_ = [], [], [], [], []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                arr = [h(f"rm:{gv}:{i}") % 1000 for i in range(64)]
+                st = [arr[:]]
+                j = 1
+                while (1 << j) <= 64:
+                    prev = st[-1]
+                    st.append([min(prev[i], prev[i + (1 << (j - 1))])
+                               for i in range(64 - (1 << j) + 1)])
+                    j += 1
+                for q in range(20):
+                    l = h(f"rq:{gv}:{q}") % 63
+                    r = l + 1 + h(f"rr:{gv}:{q}") % (64 - l)
+                    k = (r - l).bit_length() - 1
+                    mn = min(st[k][l], st[k][r - (1 << k)])
+                    gs_.append(gv)
+                    qs_.append(q)
+                    ls_.append(l)
+                    rs_.append(r)
+                    ms_.append(mn)
+            yield pd.DataFrame({"g": gs_, "qid": qs_, "l": ls_,
+                                "r": rs_, "mn": ms_})
+
+    return (g.repartition(4)
+            .mapInPandas(rmq_kernel,
+                         "g long, qid int, l int, r int, mn long")
+            .orderBy("g", "qid"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -12841,6 +13069,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fm_count": q_fm_count,
         "ukkonen_distance": q_ukkonen_distance,
         "ruffini_division": q_ruffini_division,
+        "misra_gries": q_misra_gries,
+        "bitap_match": q_bitap_match,
+        "min_max_partition": q_min_max_partition,
+        "circular_tour": q_circular_tour,
+        "sparse_table_rmq": q_sparse_table_rmq,
     }
 
 
@@ -18039,6 +18272,102 @@ def oracle_sql() -> dict[str, str]:
             "JOIN cf ON cf.doc_id = r.doc_id WHERE r.k > -1) "
             "SELECT doc_id, cast(k as bigint) AS k, b AS coef "
             "FROM rec ORDER BY doc_id, k"
+        ),
+        # Misra-Gries oracle: the census — count everything, keep
+        # counts > n/5 (engine: 4-counter summary + verify pass).
+        "misra_gries": (
+            "WITH st AS (SELECT g.a AS g, i.v AS i, "
+            "CASE WHEN cast('0x' || substr(sha256('mgs:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 3 > 0 THEN "
+            "cast('0x' || substr(sha256('mgh:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 4 ELSE 4 + "
+            "cast('0x' || substr(sha256('mgc:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 36 END AS v "
+            "FROM range(0, 12) g(a), range(0, 200) i(v)) "
+            "SELECT g, v, count(*) AS cnt FROM st GROUP BY g, v "
+            "HAVING count(*) > 40 ORDER BY g, v"
+        ),
+        # Bitap oracle: the substring scan (engine: Shift-And NFA
+        # in one integer).
+        "bitap_match": (
+            "WITH t0 AS (SELECT doc_id, substr(regexp_replace("
+            "lower(text), '[^a-z]', '', 'g'), 1, 80) AS t "
+            "FROM documents WHERE doc_id < 30), "
+            "f AS (SELECT doc_id, t, substr(t, 5, 5) AS p FROM t0 "
+            "WHERE length(t) >= 30) "
+            "SELECT doc_id, p, cast((SELECT count(*) FROM "
+            "range(1, 81) i(v) WHERE i.v + 4 <= length(t) "
+            "AND substr(t, cast(i.v as int), 5) = p) as int) "
+            "AS n_occ FROM f ORDER BY doc_id"
+        ),
+        # Min-max-partition oracle: enumerate all 455 cut triples
+        # over prefix sums (engine: binary search on the answer
+        # with a greedy feasibility check).
+        "min_max_partition": (
+            "WITH arr AS (SELECT g.a AS g, i.v AS i, 1 + "
+            "cast('0x' || substr(sha256('mm:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 30 AS x "
+            "FROM range(0, 12) g(a), range(0, 16) i(v)), "
+            "pre AS (SELECT g, i, sum(x) OVER (PARTITION BY g "
+            "ORDER BY i) AS p FROM arr), "
+            "tot AS (SELECT g, max(p) AS ptot FROM pre GROUP BY g) "
+            "SELECT s.g, min(greatest(s1, s2, s3, s4)) AS best "
+            "FROM (SELECT pa.g, pa.p AS s1, pb.p - pa.p AS s2, "
+            "pc.p - pb.p AS s3, t.ptot - pc.p AS s4 "
+            "FROM pre pa JOIN pre pb ON pb.g = pa.g "
+            "AND pb.i > pa.i JOIN pre pc ON pc.g = pb.g "
+            "AND pc.i > pb.i AND pc.i < 15 "
+            "JOIN tot t ON t.g = pa.g) s GROUP BY s.g ORDER BY g"
+        ),
+        # Circular-tour oracle: brute force — every start simulated
+        # all the way round with exact partial sums (engine: the
+        # reset-greedy elimination argument).
+        "circular_tour": (
+            "WITH s AS (SELECT g.a AS g, i.v AS i, "
+            "cast('0x' || substr(sha256('cg:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 15 AS gas, "
+            "cast('0x' || substr(sha256('cc:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 15 AS cost "
+            "FROM range(0, 12) g(a), range(0, 24) i(v)), "
+            "starts AS (SELECT g.a AS g, st.v AS st FROM "
+            "range(0, 12) g(a), range(0, 24) st(v)), "
+            "feas AS (SELECT st.g, st.st FROM starts st "
+            "WHERE NOT EXISTS (SELECT 1 FROM range(0, 24) k(v) "
+            "WHERE (SELECT sum(gas - cost) FROM s "
+            "WHERE s.g = st.g AND ((s.i - st.st + 24) % 24) <= k.v) "
+            "< 0)) "
+            "SELECT g.a AS g, coalesce(min(f.st), -1) AS start "
+            "FROM range(0, 12) g(a) LEFT JOIN feas f ON f.g = g.a "
+            "GROUP BY g.a ORDER BY g"
+        ),
+        # RMQ oracle: the direct min over each half-open range
+        # (engine: sparse-table doubling).
+        "sparse_table_rmq": (
+            "WITH arr AS (SELECT g.a AS g, i.v AS i, "
+            "cast('0x' || substr(sha256('rm:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 1000 AS x "
+            "FROM range(0, 10) g(a), range(0, 64) i(v)), "
+            "q AS (SELECT g.a AS g, q.v AS qid, "
+            "cast('0x' || substr(sha256('rq:' || "
+            "cast(g.a as varchar) || ':' || cast(q.v as varchar)), "
+            "1, 8) as bigint) % 63 AS l "
+            "FROM range(0, 10) g(a), range(0, 20) q(v)), "
+            "q2 AS (SELECT g, qid, l, l + 1 + "
+            "cast('0x' || substr(sha256('rr:' || "
+            "cast(g as varchar) || ':' || cast(qid as varchar)), "
+            "1, 8) as bigint) % (64 - l) AS r FROM q) "
+            "SELECT q2.g, cast(qid as int) AS qid, "
+            "cast(l as int) AS l, cast(r as int) AS r, "
+            "(SELECT min(x) FROM arr WHERE arr.g = q2.g "
+            "AND arr.i >= q2.l AND arr.i < q2.r) AS mn "
+            "FROM q2 ORDER BY g, qid"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
