@@ -12650,6 +12650,112 @@ def q_sparse_table_rmq(spark, sf_dir) -> DataFrame:
             .orderBy("g", "qid"))
 
 
+def q_knight_walks(spark, sf_dir) -> DataFrame:
+    """Knight walks of length 6 from the corner of a 5x5 board,
+    counted per end cell — engine: MATRIX POWER — six rounds of
+    relational adjacency joins with map-side combined counts (the
+    A^6 e_0 product as DataFrames). Oracle: RAW EXPANSION — every
+    walk its own recursive-CTE row, counts by final grouping.
+    Aggregated linear algebra vs the unrolled tree."""
+    cells = spark.range(0, 25).select(F.col("id").alias("c"))
+    offs = spark.createDataFrame(
+        [(1, 2), (2, 1), (-1, 2), (-2, 1),
+         (1, -2), (2, -1), (-1, -2), (-2, -1)], "dr long, dc long")
+    r, c = F.col("c") / 5, F.col("c") % 5
+    moves = (cells.join(F.broadcast(offs))
+             .withColumn("nr", (F.col("c") / 5).cast("long")
+                         + F.col("dr"))
+             .withColumn("nc", F.col("c") % 5 + F.col("dc"))
+             .filter((F.col("nr") >= 0) & (F.col("nr") < 5)
+                     & (F.col("nc") >= 0) & (F.col("nc") < 5))
+             .select(F.col("c").alias("src"),
+                     (F.col("nr") * 5 + F.col("nc")).alias("dst")))
+    state = (spark.range(0, 1)
+             .select(F.lit(0).cast("long").alias("cell"),
+                     F.lit(1).cast("long").alias("cnt")))
+    for _ in range(6):
+        state = (state.join(F.broadcast(moves),
+                            F.col("cell") == F.col("src"))
+                 .groupBy(F.col("dst").alias("newcell"))
+                 .agg(F.sum("cnt").alias("cnt"))
+                 .select(F.col("newcell").alias("cell"), "cnt"))
+    return state.select(F.col("cell"), F.col("cnt")).orderBy("cell")
+
+
+def q_menage_numbers(spark, sf_dir) -> DataFrame:
+    """Menage numbers U_n for n=3..7 — engine: TOUCHARD'S closed
+    form sum_k (-1)^k 2n/(2n-k) C(2n-k,k) (n-k)!, every term an
+    exact integer (the division is taken before the factorial
+    multiply on a provably divisible product). Oracle: the CENSUS
+    — permutations avoiding both forbidden diagonals pi(i) != i
+    and pi(i) != i+1 (mod n), enumerated per n in a recursive CTE.
+    A 1934 identity vs seating the couples."""
+    fact = [1] * 15
+    for i in range(1, 15):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    n = spark.range(3, 8).select(F.col("id").alias("n"))
+    k = spark.range(0, 8).select(F.col("id").alias("k"))
+    t = n.join(F.broadcast(k), F.col("k") <= F.col("n"))
+    two_n = 2 * F.col("n")
+    # C(2n-k, k)
+    binom = (F.element_at(fl, (two_n - F.col("k")).cast("int") + 1)
+             / (F.element_at(fl, F.col("k").cast("int") + 1)
+                * F.element_at(fl, (two_n - 2 * F.col("k"))
+                               .cast("int") + 1))).cast("long")
+    sign = F.when(F.col("k") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    term = (sign * ((two_n * binom / (two_n - F.col("k")))
+                    .cast("long"))
+            * F.element_at(fl, (F.col("n") - F.col("k"))
+                           .cast("int") + 1))
+    return (t.groupBy("n").agg(F.sum(term).alias("menage"))
+            .orderBy("n"))
+
+
+def q_euler_partition_identity(spark, sf_dir) -> DataFrame:
+    """Partitions of n=0..40 into ODD parts — engine: the
+    unbounded-coin DP over odd part sizes, one relational
+    multiples-join per coin (driver-unrolled, 20 tiny shuffles).
+    Oracle: partitions into DISTINCT parts — the binary-choice DP
+    in a list-state recursive CTE. Equal for every n by EULER'S
+    IDENTITY — the two sides never compute the same object."""
+    state = (spark.range(0, 41)
+             .select(F.col("id").alias("n"),
+                     F.when(F.col("id") == 0, 1).otherwise(0)
+                     .cast("long").alias("c")))
+    jr = spark.range(0, 41).select(F.col("id").alias("j"))
+    for kpart in range(1, 41, 2):
+        contrib = (state.join(
+            F.broadcast(jr),
+            F.col("n") + F.lit(kpart) * F.col("j") <= 40)
+            .select((F.col("n") + F.lit(kpart) * F.col("j"))
+                    .alias("n"), "c"))
+        state = contrib.groupBy("n").agg(F.sum("c").alias("c"))
+    return (state.select("n", F.col("c").alias("q"))
+            .orderBy("n"))
+
+
+def q_walk2d_returns(spark, sf_dir) -> DataFrame:
+    """Returns to the origin of the 2D simple random walk after
+    2n steps, n=1..8 — engine: the DIAGONAL DECOUPLING theorem —
+    rotating 45 degrees splits the walk into two independent 1D
+    walks, so the count is C(2n,n)^2, pure column algebra. Oracle:
+    the LATTICE DP — step counts aggregated over (x,y) states in a
+    recursive CTE, read off at the origin. A bijection that
+    squares a binomial vs brute dynamics."""
+    fact = [1] * 17
+    for i in range(1, 17):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    n = spark.range(1, 9).select(F.col("id").alias("n"))
+    binom = (F.element_at(fl, (2 * F.col("n")).cast("int") + 1)
+             / (F.element_at(fl, F.col("n").cast("int") + 1)
+                * F.element_at(fl, F.col("n").cast("int") + 1))) \
+        .cast("long")
+    return (n.select("n", (binom * binom).alias("returns"))
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13074,6 +13180,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_max_partition": q_min_max_partition,
         "circular_tour": q_circular_tour,
         "sparse_table_rmq": q_sparse_table_rmq,
+        "knight_walks": q_knight_walks,
+        "menage_numbers": q_menage_numbers,
+        "euler_partition_identity": q_euler_partition_identity,
+        "walk2d_returns": q_walk2d_returns,
     }
 
 
@@ -18368,6 +18478,71 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT min(x) FROM arr WHERE arr.g = q2.g "
             "AND arr.i >= q2.l AND arr.i < q2.r) AS mn "
             "FROM q2 ORDER BY g, qid"
+        ),
+        # Knight-walks oracle: raw expansion — every walk its own
+        # recursive-CTE row, grouped at the end (engine: aggregated
+        # adjacency-matrix power).
+        "knight_walks": (
+            "WITH RECURSIVE mv AS (SELECT c.v AS src, "
+            "(c.v // 5 + o.dr) * 5 + (c.v % 5 + o.dc) AS dst "
+            "FROM range(0, 25) c(v), (VALUES (1, 2), (2, 1), "
+            "(-1, 2), (-2, 1), (1, -2), (2, -1), (-1, -2), "
+            "(-2, -1)) o(dr, dc) "
+            "WHERE c.v // 5 + o.dr BETWEEN 0 AND 4 "
+            "AND c.v % 5 + o.dc BETWEEN 0 AND 4), "
+            "walk(step, cell) AS (SELECT 0, 0 "
+            "UNION ALL SELECT step + 1, mv.dst FROM walk "
+            "JOIN mv ON mv.src = walk.cell WHERE step < 6) "
+            "SELECT cell, count(*) AS cnt FROM walk WHERE step = 6 "
+            "GROUP BY cell ORDER BY cell"
+        ),
+        # Menage oracle: the census — permutations avoiding both
+        # forbidden diagonals, per n (engine: Touchard's closed
+        # form).
+        "menage_numbers": (
+            "WITH RECURSIVE perms(n, p) AS ("
+            "SELECT n.v, '' FROM range(3, 8) n(v) "
+            "UNION ALL SELECT n, p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c, i FROM range(0, 7) "
+            "t(i)) d WHERE length(p) < n AND d.i < n "
+            "AND strpos(p, d.c) = 0) "
+            "SELECT n, count(*) AS menage FROM perms "
+            "WHERE length(p) = n AND NOT EXISTS ("
+            "SELECT 1 FROM range(0, 7) i(v) WHERE i.v < n AND ("
+            "cast(substr(p, cast(i.v as int) + 1, 1) as bigint) "
+            "= i.v OR "
+            "cast(substr(p, cast(i.v as int) + 1, 1) as bigint) "
+            "= (i.v + 1) % n)) GROUP BY n ORDER BY n"
+        ),
+        # Euler-identity oracle: DISTINCT-parts binary DP in a
+        # list-state CTE (engine: ODD-parts unbounded-coin DP) —
+        # equal by Euler's partition identity.
+        "euler_partition_identity": (
+            "WITH RECURSIVE dp(k, row) AS ("
+            "SELECT 0, list_transform(generate_series(0, 40), "
+            "n -> CASE WHEN n = 0 THEN cast(1 as bigint) "
+            "ELSE cast(0 as bigint) END) "
+            "UNION ALL SELECT k + 1, "
+            "list_transform(generate_series(0, 40), n -> "
+            "row[n + 1] + CASE WHEN n - (k + 1) >= 0 "
+            "THEN row[n - (k + 1) + 1] ELSE 0 END) "
+            "FROM dp WHERE k < 40) "
+            "SELECT n.i AS n, row[cast(n.i as int) + 1] AS q "
+            "FROM dp, range(0, 41) n(i) WHERE k = 40 ORDER BY n"
+        ),
+        # 2D-walk oracle: lattice DP — step counts aggregated over
+        # (x,y) in a recursive CTE, read at the origin (engine:
+        # C(2n,n)^2 by the 45-degree decoupling).
+        "walk2d_returns": (
+            "WITH RECURSIVE w(step, x, y, c) AS ("
+            "SELECT 0, 0, 0, cast(1 as bigint) "
+            "UNION ALL SELECT step + 1, nx, ny, sum(c) FROM ("
+            "SELECT step, x + d.dx AS nx, y + d.dy AS ny, c "
+            "FROM w, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) "
+            "d(dx, dy) WHERE step < 16) GROUP BY step, nx, ny) "
+            "SELECT step // 2 AS n, c AS returns FROM w "
+            "WHERE x = 0 AND y = 0 AND step > 0 AND step % 2 = 0 "
+            "ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
