@@ -12756,6 +12756,107 @@ def q_walk2d_returns(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_demoivre_chebyshev(spark, sf_dir) -> DataFrame:
+    """5^n * cos(n*theta) for the 3-4-5 angle (cos theta = 3/5),
+    n=0..20, exact integers — engine: DE MOIVRE — the real part of
+    (3+4i)^n by exact Gaussian-integer multiplication in a kernel.
+    Oracle: the CHEBYSHEV recurrence — T_n = 2x T_{n-1} - T_{n-2}
+    scaled to a_n = 6a_{n-1} - 25a_{n-2}. Complex powers vs
+    orthogonal polynomials."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def dm_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            re, im = 1, 0
+            ns, res = [0], [1]
+            for n in range(1, 21):
+                re, im = re * 3 - im * 4, re * 4 + im * 3
+                ns.append(n)
+                res.append(re)
+            yield pd.DataFrame({"n": ns, "a": res})
+
+    return (one.mapInPandas(dm_kernel, "n long, a long")
+            .orderBy("n"))
+
+
+def q_long_cycle_perms(spark, sf_dir) -> DataFrame:
+    """Permutations of S_7 whose longest cycle has length k, for
+    k=4..7 — engine: the n!/k IDENTITY — a cycle longer than n/2
+    is unique, so the count is exactly 7!/k, one projection.
+    Oracle: the CENSUS — max orbit length per permutation through
+    a 7-step closure, histogram. The 100-prisoners identity vs
+    checking every permutation."""
+    fact7 = 5040
+    k = spark.range(4, 8).select(F.col("id").alias("k"))
+    return (k.select("k", (F.lit(fact7) / F.col("k")).cast("long")
+                     .alias("n_perms"))
+            .orderBy("k"))
+
+
+def q_bracelet_count(spark, sf_dir) -> DataFrame:
+    """Binary bracelets (necklaces under the dihedral group) of
+    length n=1..14 — engine: the DIHEDRAL BURNSIDE closed form —
+    half the necklace count plus the reflection terms
+    (3/4 * 2^(n/2) even, 2^((n-1)/2) odd), the necklace half from
+    the relational-totient phi-sum. Oracle: the ORBIT CENSUS —
+    canonical form = min over all rotations of both the string and
+    its bit-reversal. Averaging over D_n vs listing its orbits."""
+    d14 = spark.range(1, 15)
+    dk = (d14.select(F.col("id").alias("d"))
+          .join(d14.select(F.col("id").alias("k")),
+                F.col("k") <= F.col("d")))
+    j = spark.range(2, 15).select(F.col("id").alias("j"))
+    common = dk.join(
+        F.broadcast(j),
+        (F.col("d") % F.col("j") == 0) & (F.col("k") % F.col("j") == 0),
+        "left_semi")
+    phi = (dk.join(common, ["d", "k"], "left_anti")
+           .groupBy("d").agg(F.count("k").alias("phi")))
+    nd = (d14.select(F.col("id").alias("n"))
+          .join(F.broadcast(phi), F.col("n") % F.col("d") == 0))
+    term = F.col("phi") * F.pow(F.lit(2.0), (F.col("n") / F.col("d"))
+                                .cast("double")).cast("long")
+    neck = nd.groupBy("n").agg((F.sum(term) / F.col("n"))
+                               .cast("long").alias("neckl"))
+    half = F.col("n") / 2
+    refl = F.when(
+        F.col("n") % 2 == 0,
+        (3 * F.pow(F.lit(2.0), half.cast("double")).cast("long"))
+        / 4).otherwise(
+        F.pow(F.lit(2.0), ((F.col("n") - 1) / 2).cast("double"))
+        .cast("long"))
+    return (neck.select(
+        "n", ((F.col("neckl") / 2) + refl).cast("long")
+        .alias("bracelets"))
+        .orderBy("n"))
+
+
+def q_narayana_numbers(spark, sf_dir) -> DataFrame:
+    """Narayana numbers N(7,k) = (1/7) C(7,k) C(7,k-1), k=1..7 —
+    engine: the CLOSED FORM from a factorial literal (the division
+    by 7 is exact on the product). Oracle: the MEANING — all 429
+    Dyck paths of semilength 7 built in a recursive CTE, peaks
+    ('UD' occurrences) counted and histogrammed. A product formula
+    vs walking every path."""
+    fact = [1] * 8
+    for i in range(1, 8):
+        fact[i] = fact[i - 1] * i
+    fl = F.array(*[F.lit(v) for v in fact])
+    k = spark.range(1, 8).select(F.col("id").alias("k"))
+
+    def c7(kk):
+        return (F.element_at(fl, F.lit(8))
+                / (F.element_at(fl, kk.cast("int") + 1)
+                   * F.element_at(fl, (7 - kk).cast("int") + 1))) \
+            .cast("long")
+
+    nar = (c7(F.col("k")) * c7(F.col("k") - 1) / 7).cast("long")
+    return k.select("k", nar.alias("narayana")).orderBy("k")
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13184,6 +13285,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "menage_numbers": q_menage_numbers,
         "euler_partition_identity": q_euler_partition_identity,
         "walk2d_returns": q_walk2d_returns,
+        "demoivre_chebyshev": q_demoivre_chebyshev,
+        "long_cycle_perms": q_long_cycle_perms,
+        "bracelet_count": q_bracelet_count,
+        "narayana_numbers": q_narayana_numbers,
     }
 
 
@@ -18543,6 +18648,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT step // 2 AS n, c AS returns FROM w "
             "WHERE x = 0 AND y = 0 AND step > 0 AND step % 2 = 0 "
             "ORDER BY n"
+        ),
+        # De Moivre oracle: the scaled Chebyshev recurrence
+        # a_n = 6a_{n-1} - 25a_{n-2} (engine: Re((3+4i)^n) by exact
+        # Gaussian-integer powers).
+        "demoivre_chebyshev": (
+            "WITH RECURSIVE ch(n, a, ap) AS ("
+            "SELECT 1, cast(3 as bigint), cast(1 as bigint) "
+            "UNION ALL SELECT n + 1, 6 * a - 25 * ap, a FROM ch "
+            "WHERE n < 20) "
+            "SELECT * FROM (SELECT 0 AS n, cast(1 as bigint) AS a "
+            "UNION ALL SELECT n, a FROM ch) ORDER BY n"
+        ),
+        # Long-cycle oracle: the census — max orbit length per
+        # permutation via the 7-step closure, histogram for k >= 4
+        # (engine: the n!/k uniqueness identity).
+        "long_cycle_perms": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 7) t(i)) "
+            "d WHERE length(p) < 7 AND strpos(p, d.c) = 0), "
+            "fp AS (SELECT p FROM perms WHERE length(p) = 7), "
+            "reach(p, start, cur, step) AS ("
+            "SELECT p, s.i, s.i, 0 FROM fp, range(0, 7) s(i) "
+            "UNION ALL SELECT p, start, cast(substr(p, "
+            "cast(cur as int) + 1, 1) as bigint), step + 1 "
+            "FROM reach WHERE step < 7), "
+            "orblen AS (SELECT p, start, count(DISTINCT cur) "
+            "AS olen FROM reach GROUP BY p, start), "
+            "mx AS (SELECT p, max(olen) AS k FROM orblen "
+            "GROUP BY p) "
+            "SELECT k, count(*) AS n_perms FROM mx WHERE k >= 4 "
+            "GROUP BY k ORDER BY k"
+        ),
+        # Bracelet oracle: the orbit census under the dihedral
+        # group — canonical = min over rotations of the string AND
+        # its bit-reversal (engine: dihedral Burnside closed form).
+        "bracelet_count": (
+            "WITH ns AS (SELECT i AS n, "
+            "cast(power(2, i) as bigint) AS sz FROM range(1, 15) "
+            "t(i)), "
+            "allx AS (SELECT n, sz, x.v AS x FROM ns, "
+            "range(0, 16384) x(v) WHERE x.v < sz), "
+            "rv AS (SELECT n, sz, x, (SELECT sum(((x >> i.v) & 1) "
+            "* cast(power(2, n - 1 - i.v) as bigint)) "
+            "FROM range(0, 14) i(v) WHERE i.v < n) AS xr "
+            "FROM allx), "
+            "can AS (SELECT n, x, least("
+            "(SELECT min(((x >> r.i) | (x << (n - r.i))) "
+            "& (sz - 1)) FROM range(0, 14) r(i) WHERE r.i < n), "
+            "(SELECT min(((xr >> r.i) | (xr << (n - r.i))) "
+            "& (sz - 1)) FROM range(0, 14) r(i) WHERE r.i < n)) "
+            "AS c FROM rv) "
+            "SELECT n, count(DISTINCT c) AS bracelets FROM can "
+            "GROUP BY n ORDER BY n"
+        ),
+        # Narayana oracle: the meaning — Dyck paths of semilength
+        # 7 enumerated, peaks ('UD') histogrammed (engine: the
+        # (1/7)C(7,k)C(7,k-1) product formula).
+        "narayana_numbers": (
+            "WITH RECURSIVE dyck(s, o, c) AS (SELECT '', 0, 0 "
+            "UNION ALL SELECT s || u.ch, "
+            "o + CASE WHEN u.ch = 'U' THEN 1 ELSE 0 END, "
+            "c + CASE WHEN u.ch = 'D' THEN 1 ELSE 0 END "
+            "FROM dyck, (VALUES ('U'), ('D')) u(ch) "
+            "WHERE length(s) < 14 "
+            "AND (CASE WHEN u.ch = 'U' THEN o + 1 ELSE o END) <= 7 "
+            "AND (CASE WHEN u.ch = 'D' THEN c + 1 ELSE c END) <= "
+            "(CASE WHEN u.ch = 'U' THEN o + 1 ELSE o END)), "
+            "fp AS (SELECT s FROM dyck WHERE length(s) = 14), "
+            "pk AS (SELECT s, (SELECT count(*) FROM range(1, 14) "
+            "i(v) WHERE substr(s, cast(i.v as int), 2) = 'UD') "
+            "AS k FROM fp) "
+            "SELECT cast(k as bigint) AS k, count(*) AS narayana "
+            "FROM pk GROUP BY k ORDER BY k"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
