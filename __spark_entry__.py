@@ -12857,6 +12857,152 @@ def q_narayana_numbers(spark, sf_dir) -> DataFrame:
     return k.select("k", nar.alias("narayana")).orderBy("k")
 
 
+def q_balanced_ternary(spark, sf_dir) -> DataFrame:
+    """Balanced-ternary representations (digits T/0/1 for -1/0/1)
+    of 60 hash numbers below 20000 — engine: the ALL-ONES OFFSET
+    trick — bt(n) is the ordinary base-3 expansion of
+    n + (3^10-1)/2 with every digit decremented, i.e. one conv()
+    plus one translate('012' -> 'T01'), pure JVM string algebra.
+    Oracle: the DEFINITION — divmod with carry (digit =
+    ((n+1) mod 3) - 1) in a recursive CTE. A bijection trick vs
+    the carrying loop."""
+    OFFSET = (3 ** 10 - 1) // 2  # 29524
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 60)
+           .select("doc_id",
+                   (_mst_hash(F.concat(F.lit("bt3:"), d)) % 20000)
+                   .alias("n")))
+    t3 = F.conv((F.col("n") + OFFSET).cast("string"), 10, 3)
+    bt = F.regexp_replace(
+        F.translate(t3, "012", "T01"), "^0+", "")
+    bt = F.when(F.col("n") == 0, F.lit("0")).otherwise(bt)
+    return raw.select("doc_id", "n", bt.alias("bt")).orderBy("doc_id")
+
+
+def q_fib_gcd(spark, sf_dir) -> DataFrame:
+    """gcd(F_m, F_n) = F_gcd(m,n) for 30 hash pairs with m,n <= 80
+    — engine: the IDENTITY side — compute gcd(m,n) by Euclid, then
+    F of it by fast doubling, never touching F_m or F_n. Oracle:
+    the DIRECT side — build F_m and F_n by the linear recurrence
+    (they fit int64 up to F_80) and take DuckDB's gcd. A divisor
+    lattice homomorphism vs raw computation."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id",
+                   (1 + _mst_hash(F.concat(F.lit("fg1:"), d)) % 80)
+                   .alias("m"),
+                   (1 + _mst_hash(F.concat(F.lit("fg2:"), d)) % 80)
+                   .alias("n")))
+
+    def fg_kernel(it):
+        import math
+
+        import pandas as pd
+
+        def fib_fast(k):
+            # fast doubling: returns (F(k), F(k+1))
+            if k == 0:
+                return (0, 1)
+            a, b = fib_fast(k >> 1)
+            c = a * (2 * b - a)
+            d2 = a * a + b * b
+            if k & 1:
+                return (d2, c + d2)
+            return (c, d2)
+
+        for pdf in it:
+            outs = []
+            for m, n in zip(pdf["m"], pdf["n"]):
+                g = math.gcd(int(m), int(n))
+                outs.append(fib_fast(g)[0])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "m": pdf["m"],
+                                "n": pdf["n"], "g": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(fg_kernel,
+                         "doc_id long, m long, n long, g long")
+            .orderBy("doc_id"))
+
+
+def q_kaprekar_6174(spark, sf_dir) -> DataFrame:
+    """Kaprekar's routine (desc digits minus asc digits) on 40
+    four-digit numbers with unequal digits: steps to reach 6174 —
+    engine: the imperative loop in a kernel. Oracle: the same
+    dynamical system with the digit SORT done relationally
+    (unnest + string_agg ORDER BY) inside a recursive CTE.
+    Imperative digits vs relational sorting."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 40)
+           .select("doc_id",
+                   (1000 + _mst_hash(F.concat(F.lit("kp:"), d))
+                    % 9000).alias("n0")))
+    # exclude repdigits (they collapse to 0, not 6174)
+    dd = F.col("n0")
+    d1, d2 = (dd / 1000).cast("long") % 10, (dd / 100).cast("long") % 10
+    d3, d4 = (dd / 10).cast("long") % 10, dd % 10
+    raw = raw.filter(~((d1 == d2) & (d2 == d3) & (d3 == d4)))
+
+    def kap_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for n0 in pdf["n0"]:
+                v, st = int(n0), 0
+                while v != 6174:
+                    digs = sorted(f"{v:04d}")
+                    asc = int("".join(digs))
+                    desc = int("".join(reversed(digs)))
+                    v = desc - asc
+                    st += 1
+                outs.append(st)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "n0": pdf["n0"], "steps": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(kap_kernel,
+                         "doc_id long, n0 long, steps int")
+            .orderBy("doc_id"))
+
+
+def q_squarefree_count(spark, sf_dir) -> DataFrame:
+    """Squarefree counts Q(n) for n = 50, 100, ..., 500 — engine:
+    MOBIUS INCLUSION-EXCLUSION — Q(n) = sum_{d <= sqrt(n)} mu(d) *
+    floor(n/d^2), with mu built relationally (squarefree check +
+    prime-divisor parity, no kernel). Oracle: the CENSUS — count
+    m <= n with no square divisor >= 4. Sieve algebra vs the
+    definition."""
+    n = (spark.range(1, 11)
+         .select((F.col("id") * 50).alias("n")))
+    dv = spark.range(1, 23).select(F.col("id").alias("d"))
+    p = spark.range(2, 23).select(F.col("id").alias("p"))
+    j = spark.range(2, 23).select(F.col("id").alias("j"))
+    primes = p.join(
+        F.broadcast(j),
+        (F.col("j") < F.col("p")) & (F.col("p") % F.col("j") == 0),
+        "left_anti")
+    # mu(d): 0 if p^2 | d for some prime, else (-1)^(#prime divisors)
+    pd_pairs = dv.join(F.broadcast(primes),
+                       F.col("d") % F.col("p") == 0, "left")
+    mu = (pd_pairs.groupBy("d")
+          .agg(F.max(F.when(F.col("d")
+                            % (F.col("p") * F.col("p")) == 0, 1)
+                     .otherwise(0)).alias("sq"),
+               F.count("p").alias("npf")))
+    mu = mu.select(
+        "d", F.when(F.col("sq") == 1, 0)
+        .otherwise(F.when(F.col("npf") % 2 == 0, 1).otherwise(-1))
+        .alias("mu"))
+    t = n.join(F.broadcast(mu),
+               F.col("d") * F.col("d") <= F.col("n"))
+    term = F.col("mu") * (F.col("n") / (F.col("d") * F.col("d"))) \
+        .cast("long")
+    return (t.groupBy("n").agg(F.sum(term).alias("q"))
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13289,6 +13435,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_cycle_perms": q_long_cycle_perms,
         "bracelet_count": q_bracelet_count,
         "narayana_numbers": q_narayana_numbers,
+        "balanced_ternary": q_balanced_ternary,
+        "fib_gcd": q_fib_gcd,
+        "kaprekar_6174": q_kaprekar_6174,
+        "squarefree_count": q_squarefree_count,
     }
 
 
@@ -18722,6 +18872,77 @@ def oracle_sql() -> dict[str, str]:
             "AS k FROM fp) "
             "SELECT cast(k as bigint) AS k, count(*) AS narayana "
             "FROM pk GROUP BY k ORDER BY k"
+        ),
+        # Balanced-ternary oracle: divmod with carry — digit =
+        # ((n+1) mod 3) - 1, prepended in a recursive CTE (engine:
+        # the all-ones-offset conv + translate trick).
+        "balanced_ternary": (
+            "WITH RECURSIVE t AS (SELECT doc_id, cast('0x' || "
+            "substr(sha256('bt3:' || cast(doc_id as varchar)), 1, "
+            "8) as bigint) % 20000 AS n FROM documents "
+            "WHERE doc_id < 60), "
+            "dv(doc_id, rem, s) AS (SELECT doc_id, n, '' FROM t "
+            "UNION ALL SELECT doc_id, "
+            "(rem - (((rem + 1) % 3) - 1)) // 3, "
+            "CASE ((rem + 1) % 3) - 1 WHEN -1 THEN 'T' "
+            "WHEN 0 THEN '0' ELSE '1' END || s "
+            "FROM dv WHERE rem <> 0) "
+            "SELECT d.doc_id, t.n, CASE WHEN t.n = 0 THEN '0' "
+            "ELSE d.s END AS bt FROM dv d "
+            "JOIN t ON t.doc_id = d.doc_id WHERE d.rem = 0 "
+            "ORDER BY d.doc_id"
+        ),
+        # Fibonacci-gcd oracle: the direct side — F_m and F_n by
+        # the linear recurrence, then gcd() (engine: F of
+        # gcd(m,n) by fast doubling — equal by the strong
+        # divisibility identity).
+        "fib_gcd": (
+            "WITH RECURSIVE t AS (SELECT doc_id, 1 + "
+            "cast('0x' || substr(sha256('fg1:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 80 AS m, "
+            "1 + cast('0x' || substr(sha256('fg2:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 80 AS n "
+            "FROM documents WHERE doc_id < 30), "
+            "fib(k, a, b) AS (SELECT 0, cast(0 as bigint), "
+            "cast(1 as bigint) UNION ALL SELECT k + 1, b, a + b "
+            "FROM fib WHERE k < 80) "
+            "SELECT t.doc_id, t.m, t.n, gcd(fm.a, fn.a) AS g "
+            "FROM t JOIN fib fm ON fm.k = t.m "
+            "JOIN fib fn ON fn.k = t.n ORDER BY t.doc_id"
+        ),
+        # Kaprekar oracle: the same routine with the digit sort
+        # done relationally — string_agg ORDER BY asc/desc inside
+        # the recursive step (engine: imperative digit loop).
+        "kaprekar_6174": (
+            "WITH RECURSIVE t AS (SELECT doc_id, 1000 + "
+            "cast('0x' || substr(sha256('kp:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 9000 "
+            "AS n0 FROM documents WHERE doc_id < 40), "
+            "t2 AS (SELECT * FROM t WHERE NOT ("
+            "n0 // 1000 % 10 = n0 // 100 % 10 AND "
+            "n0 // 100 % 10 = n0 // 10 % 10 AND "
+            "n0 // 10 % 10 = n0 % 10)), "
+            "orb(doc_id, v, st) AS (SELECT doc_id, n0, 0 FROM t2 "
+            "UNION ALL SELECT doc_id, "
+            "(SELECT cast(string_agg(ch, '' ORDER BY ch DESC) "
+            "as bigint) - cast(string_agg(ch, '' ORDER BY ch ASC) "
+            "as bigint) FROM (SELECT substr(lpad("
+            "cast(v as varchar), 4, '0'), cast(i.x as int), 1) "
+            "AS ch FROM range(1, 5) i(x))), st + 1 "
+            "FROM orb WHERE v <> 6174) "
+            "SELECT o.doc_id, t2.n0, cast(o.st as int) AS steps "
+            "FROM orb o JOIN t2 ON t2.doc_id = o.doc_id "
+            "WHERE o.v = 6174 ORDER BY o.doc_id"
+        ),
+        # Squarefree oracle: the census — no square divisor >= 4
+        # (engine: Mobius inclusion-exclusion with a relational
+        # mu).
+        "squarefree_count": (
+            "SELECT n.v * 50 AS n, (SELECT count(*) FROM "
+            "range(1, 501) m(x) WHERE m.x <= n.v * 50 "
+            "AND NOT EXISTS (SELECT 1 FROM range(2, 23) d(y) "
+            "WHERE d.y * d.y <= m.x AND m.x % (d.y * d.y) = 0)) "
+            "AS q FROM range(1, 11) n(v) ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
