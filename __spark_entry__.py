@@ -13003,6 +13003,224 @@ def q_squarefree_count(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_legendre_pi(spark, sf_dir) -> DataFrame:
+    """pi(n) for n = 1000, 2000, ..., 10000 — engine: LEGENDRE'S
+    FORMULA — pi(n) = phi(n, a) + a - 1 with phi(x, a) = counts
+    untouched by the first a primes, the memoized two-argument
+    recursion phi(x,a) = phi(x,a-1) - phi(x/p_a, a-1) in a kernel
+    (never tests a single candidate above sqrt(n)). Oracle: the
+    CENSUS — trial-division primality for every m <= n. The first
+    nontrivial prime-counting algorithm (1808) vs the sieve-less
+    definition."""
+    n = (spark.range(1, 11)
+         .select((F.col("id") * 1000).alias("n")))
+
+    def leg_kernel(it):
+        import math
+        from functools import lru_cache
+
+        import pandas as pd
+        for pdf in it:
+            outs = []
+            for nv in pdf["n"]:
+                nv = int(nv)
+                lim = math.isqrt(nv)
+                sieve = [True] * (lim + 1)
+                primes = []
+                for i in range(2, lim + 1):
+                    if sieve[i]:
+                        primes.append(i)
+                        for k in range(i * i, lim + 1, i):
+                            sieve[k] = False
+                a = len(primes)
+
+                @lru_cache(maxsize=None)
+                def phi(x, i):
+                    if i == 0:
+                        return x
+                    return phi(x, i - 1) - phi(x // primes[i - 1],
+                                               i - 1)
+
+                outs.append(phi(nv, a) + a - 1)
+                phi.cache_clear()
+            yield pd.DataFrame({"n": pdf["n"], "pi": outs})
+
+    return (n.repartition(4)
+            .mapInPandas(leg_kernel, "n long, pi long")
+            .orderBy("n"))
+
+
+def q_rotating_calipers(spark, sf_dir) -> DataFrame:
+    """Squared diameter of 12 hash point sets (20 points in
+    [0,100]^2) — engine: ROTATING CALIPERS — monotone-chain hull,
+    then antipodal pairs swept by the calipers (O(h) after the
+    hull; only hull pairs examined). Oracle: BRUTE FORCE — max
+    squared distance over all 190 pairs. Convexity doing the
+    pruning vs no pruning at all."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def cal_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                pts = sorted({(h(f"rx:{gv}:{i}") % 101,
+                               h(f"ry:{gv}:{i}") % 101)
+                              for i in range(20)})
+
+                def cross(o, a, b):
+                    return ((a[0] - o[0]) * (b[1] - o[1])
+                            - (a[1] - o[1]) * (b[0] - o[0]))
+
+                lower, upper = [], []
+                for p in pts:
+                    while len(lower) > 1 \
+                            and cross(lower[-2], lower[-1], p) <= 0:
+                        lower.pop()
+                    lower.append(p)
+                for p in reversed(pts):
+                    while len(upper) > 1 \
+                            and cross(upper[-2], upper[-1], p) <= 0:
+                        upper.pop()
+                    upper.append(p)
+                hull = lower[:-1] + upper[:-1]
+                m = len(hull)
+                if m == 1:
+                    outs.append(0)
+                    continue
+                if m == 2:
+                    dx = hull[0][0] - hull[1][0]
+                    dy = hull[0][1] - hull[1][1]
+                    outs.append(dx * dx + dy * dy)
+                    continue
+                # rotating calipers over antipodal pairs
+                best = 0
+                k = 1
+                for i in range(m):
+                    ni = (i + 1) % m
+                    while True:
+                        nk = (k + 1) % m
+                        c1 = abs(cross(hull[i], hull[ni], hull[nk]))
+                        c0 = abs(cross(hull[i], hull[ni], hull[k]))
+                        if c1 > c0:
+                            k = nk
+                        else:
+                            break
+                    for q in (hull[k], hull[(k + 1) % m]):
+                        for p in (hull[i], hull[ni]):
+                            d2 = ((p[0] - q[0]) ** 2
+                                  + (p[1] - q[1]) ** 2)
+                            best = max(best, d2)
+                outs.append(best)
+            yield pd.DataFrame({"g": pdf["g"], "diam2": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(cal_kernel, "g long, diam2 long")
+            .orderBy("g"))
+
+
+def q_rect_union_area(spark, sf_dir) -> DataFrame:
+    """Area of the union of 6 hash rectangles on a 40x40 integer
+    grid, 12 instances — engine: INCLUSION-EXCLUSION — all 63
+    nonempty subsets (a broadcast mask table), the intersection of
+    a subset is a rectangle whose area is a product of interval
+    overlaps, signs by popcount; pure column algebra. Oracle: the
+    CENSUS — count unit cells covered by at least one rectangle.
+    The alternating-sum lattice identity vs pixel counting."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+    r = spark.range(0, 6).select(F.col("id").alias("ri"))
+    gs, rs = F.col("g").cast("string"), F.col("ri").cast("string")
+    rects = (g.crossJoin(F.broadcast(r))
+             .select("g", "ri",
+                     (_mst_hash(F.concat(F.lit("rxa:"), gs,
+                                         F.lit(":"), rs)) % 30)
+                     .alias("x1"),
+                     (_mst_hash(F.concat(F.lit("rya:"), gs,
+                                         F.lit(":"), rs)) % 30)
+                     .alias("y1")))
+    rects = (rects
+             .withColumn("x2", F.col("x1") + 2 + _mst_hash(
+                 F.concat(F.lit("rxw:"), gs, F.lit(":"), rs)) % 10)
+             .withColumn("y2", F.col("y1") + 2 + _mst_hash(
+                 F.concat(F.lit("ryw:"), gs, F.lit(":"), rs)) % 10))
+    masks = (spark.range(1, 64).select(F.col("id").alias("mask"))
+             .withColumn("sign", F.when(
+                 F.bit_count("mask") % 2 == 1, 1).otherwise(-1)))
+    sel = rects.join(
+        F.broadcast(masks),
+        F.col("mask").bitwiseAND(
+            F.pow(F.lit(2.0), F.col("ri").cast("double"))
+            .cast("long")) != 0)
+    inter = (sel.groupBy("g", "mask", "sign")
+             .agg(F.max("x1").alias("ax"), F.min("x2").alias("bx"),
+                  F.max("y1").alias("ay"), F.min("y2").alias("by")))
+    area = (F.greatest(F.lit(0), F.col("bx") - F.col("ax"))
+            * F.greatest(F.lit(0), F.col("by") - F.col("ay")))
+    return (inter.groupBy("g")
+            .agg(F.sum(F.col("sign") * area).alias("area"))
+            .orderBy("g"))
+
+
+def q_power_tower_mod(spark, sf_dir) -> DataFrame:
+    """2^^6 = 2^(2^65536) (the exponent alone has 65537 binary
+    digits) modulo 30 hash moduli below 10^6 — engine:
+    the GENERALIZED EULER descent — reduce level by level through
+    the totient chain via a^b = a^(phi + b mod phi), valid because
+    every actual exponent from height 5 up is >= 2^16 >= log2 m;
+    height 4 is the exact base case (2^^4 = 65536). Oracle: the
+    SQUARING LADDER — 2 squared 65536 times mod m is exactly
+    2^(2^65536) = 2^^6, one squaring per recursive-CTE iteration.
+    Totient descent in four steps vs sixty-five thousand
+    squarings."""
+    d = F.col("doc_id").cast("string")
+    raw = (load(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 30)
+           .select("doc_id",
+                   (2 + _mst_hash(F.concat(F.lit("pt:"), d))
+                    % 999998).alias("m")))
+
+    def tower_kernel(it):
+        import pandas as pd
+
+        def phi(m):
+            res, p, mm = m, 2, m
+            while p * p <= mm:
+                if mm % p == 0:
+                    while mm % p == 0:
+                        mm //= p
+                    res -= res // p
+                p += 1
+            if mm > 1:
+                res -= res // mm
+            return res
+
+        def tower(height, m):
+            # exact small base case: 2^^4 = 65536
+            if m == 1:
+                return 0
+            if height == 4:
+                return 65536 % m
+            ph = phi(m)
+            e = tower(height - 1, ph) + ph
+            return pow(2, e, m)
+
+        for pdf in it:
+            outs = [tower(6, int(m)) for m in pdf["m"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "m": pdf["m"],
+                                "t": outs})
+
+    return (raw.repartition(4)
+            .mapInPandas(tower_kernel, "doc_id long, m long, t long")
+            .orderBy("doc_id"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13439,6 +13657,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fib_gcd": q_fib_gcd,
         "kaprekar_6174": q_kaprekar_6174,
         "squarefree_count": q_squarefree_count,
+        "legendre_pi": q_legendre_pi,
+        "rotating_calipers": q_rotating_calipers,
+        "rect_union_area": q_rect_union_area,
+        "power_tower_mod": q_power_tower_mod,
     }
 
 
@@ -18943,6 +19165,76 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM range(2, 23) d(y) "
             "WHERE d.y * d.y <= m.x AND m.x % (d.y * d.y) = 0)) "
             "AS q FROM range(1, 11) n(v) ORDER BY n"
+        ),
+        # Legendre-pi oracle: the census — trial-division primality
+        # for every candidate (engine: the phi(x,a) two-argument
+        # recursion).
+        "legendre_pi": (
+            "SELECT n.v * 1000 AS n, (SELECT count(*) FROM "
+            "range(2, 10001) m(x) WHERE m.x <= n.v * 1000 "
+            "AND NOT EXISTS (SELECT 1 FROM range(2, 101) d(y) "
+            "WHERE d.y * d.y <= m.x AND m.x % d.y = 0)) AS pi "
+            "FROM range(1, 11) n(v) ORDER BY n"
+        ),
+        # Calipers oracle: brute force — max squared distance over
+        # every pair (engine: hull + antipodal sweep).
+        "rotating_calipers": (
+            "WITH pts AS (SELECT DISTINCT g.a AS g, "
+            "cast('0x' || substr(sha256('rx:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 101 AS x, "
+            "cast('0x' || substr(sha256('ry:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 101 AS y "
+            "FROM range(0, 12) g(a), range(0, 20) i(v)) "
+            "SELECT a.g AS g, max((a.x - b.x) * (a.x - b.x) + "
+            "(a.y - b.y) * (a.y - b.y)) AS diam2 "
+            "FROM pts a JOIN pts b ON a.g = b.g GROUP BY a.g "
+            "ORDER BY a.g"
+        ),
+        # Rect-union oracle: pixel counting — unit cells covered by
+        # at least one rectangle (engine: inclusion-exclusion over
+        # the 63 subsets).
+        "rect_union_area": (
+            "WITH rects AS (SELECT g.a AS g, r.v AS ri, "
+            "cast('0x' || substr(sha256('rxa:' || "
+            "cast(g.a as varchar) || ':' || cast(r.v as varchar)), "
+            "1, 8) as bigint) % 30 AS x1, "
+            "cast('0x' || substr(sha256('rya:' || "
+            "cast(g.a as varchar) || ':' || cast(r.v as varchar)), "
+            "1, 8) as bigint) % 30 AS y1 "
+            "FROM range(0, 12) g(a), range(0, 6) r(v)), "
+            "r2 AS (SELECT g, ri, x1, y1, x1 + 2 + "
+            "cast('0x' || substr(sha256('rxw:' || "
+            "cast(g as varchar) || ':' || cast(ri as varchar)), "
+            "1, 8) as bigint) % 10 AS x2, y1 + 2 + "
+            "cast('0x' || substr(sha256('ryw:' || "
+            "cast(g as varchar) || ':' || cast(ri as varchar)), "
+            "1, 8) as bigint) % 10 AS y2 FROM rects) "
+            "SELECT g.a AS g, (SELECT count(*) FROM "
+            "range(0, 42) cx(i), range(0, 42) cy(j) "
+            "WHERE EXISTS (SELECT 1 FROM r2 WHERE r2.g = g.a "
+            "AND cx.i >= x1 AND cx.i < x2 AND cy.j >= y1 "
+            "AND cy.j < y2)) AS area "
+            "FROM range(0, 12) g(a) ORDER BY g"
+        ),
+        # Tower oracle: the squaring ladder — 2 squared 65536 times
+        # is exactly 2^(2^65536) = 2^^6, one squaring per
+        # recursive-CTE iteration (engine: generalized-Euler
+        # totient descent, four steps).
+        "power_tower_mod": (
+            "WITH RECURSIVE t AS (SELECT doc_id, 2 + "
+            "cast('0x' || substr(sha256('pt:' || "
+            "cast(doc_id as varchar)), 1, 8) as bigint) % 999998 "
+            "AS m FROM documents WHERE doc_id < 30), "
+            "sq(doc_id, k, x) AS ("
+            "SELECT doc_id, 0, 2 % m FROM t "
+            "UNION ALL SELECT sq.doc_id, k + 1, x * x % t.m "
+            "FROM sq JOIN t ON t.doc_id = sq.doc_id "
+            "WHERE k < 65536) "
+            "SELECT s.doc_id, t.m, s.x AS t FROM sq s "
+            "JOIN t ON t.doc_id = s.doc_id WHERE s.k = 65536 "
+            "ORDER BY s.doc_id"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
