@@ -13221,6 +13221,183 @@ def q_power_tower_mod(spark, sf_dir) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_det_mod2(spark, sf_dir) -> DataFrame:
+    """Determinants of 12 hash 7x7 matrices over F_2 — engine:
+    BITSET GAUSSIAN ELIMINATION — rows as integers, elimination by
+    XOR, det = full rank; O(n^2) words. Oracle: the PERMUTATION
+    EXPANSION — over F_2 signs vanish, so det = permanent = the
+    parity of all-ones permutation selections, censused over S_7.
+    Row reduction vs the Leibniz sum with its signs frozen out."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def gf2_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                rows = []
+                for i in range(7):
+                    r = 0
+                    for jx in range(7):
+                        if h(f"dm:{gv}:{i}:{jx}") % 2:
+                            r |= 1 << jx
+                    rows.append(r)
+                rank = 0
+                for col in range(7):
+                    piv = next((k for k in range(rank, 7)
+                                if rows[k] >> col & 1), None)
+                    if piv is None:
+                        continue
+                    rows[rank], rows[piv] = rows[piv], rows[rank]
+                    for k in range(7):
+                        if k != rank and rows[k] >> col & 1:
+                            rows[k] ^= rows[rank]
+                    rank += 1
+                outs.append(1 if rank == 7 else 0)
+            yield pd.DataFrame({"g": pdf["g"], "det2": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(gf2_kernel, "g long, det2 int")
+            .orderBy("g"))
+
+
+def q_continuant_det(spark, sf_dir) -> DataFrame:
+    """Determinants of 12 hash 7x7 TRIDIAGONAL integer matrices —
+    engine: the CONTINUANT three-term recurrence D_k = a_k D_{k-1}
+    - b_{k-1} c_{k-1} D_{k-2} in a kernel (O(n), never touches a
+    matrix). Oracle: the full LEIBNIZ expansion over S_7 — signs
+    from relational inversion parity, products over the hash
+    entries (zero off the three diagonals kills the term).
+    A recurrence that knows the structure vs a sum that
+    rediscovers it."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def cont_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                a = [h(f"ca:{gv}:{i}") % 9 - 4 for i in range(7)]
+                b = [h(f"cb:{gv}:{i}") % 9 - 4 for i in range(6)]
+                c = [h(f"cc:{gv}:{i}") % 9 - 4 for i in range(6)]
+                d2, d1 = 1, a[0]
+                for k in range(1, 7):
+                    d2, d1 = d1, a[k] * d1 - b[k - 1] * c[k - 1] * d2
+                outs.append(d1)
+            yield pd.DataFrame({"g": pdf["g"], "det": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(cont_kernel, "g long, det long")
+            .orderBy("g"))
+
+
+def q_ryser_permanent(spark, sf_dir) -> DataFrame:
+    """Permanents of 10 hash 6x6 matrices — engine: RYSER'S
+    FORMULA — per = (-1)^n sum over column subsets S of (-1)^|S|
+    prod_i (row sums restricted to S), O(2^n n^2) in a kernel.
+    Oracle: the DEFINITION — all 720 permutation products summed
+    relationally. Inclusion-exclusion beating the factorial vs the
+    factorial."""
+    g = spark.range(0, 10).select(F.col("id").alias("g"))
+
+    def ryser_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                a = [[h(f"py:{gv}:{i}:{jx}") % 5 for jx in range(6)]
+                     for i in range(6)]
+                total = 0
+                for mask in range(1, 64):
+                    prod = 1
+                    for i in range(6):
+                        rs = sum(a[i][jx] for jx in range(6)
+                                 if mask >> jx & 1)
+                        prod *= rs
+                        if prod == 0:
+                            break
+                    bits = bin(mask).count("1")
+                    total += (-1) ** bits * prod
+                outs.append((-1) ** 6 * total)
+            yield pd.DataFrame({"g": pdf["g"], "perm": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(ryser_kernel, "g long, perm long")
+            .orderBy("g"))
+
+
+def q_bipartite_matching(spark, sf_dir) -> DataFrame:
+    """Maximum matching size in 12 hash bipartite graphs (6+6,
+    edge iff hash % 3 = 0) — engine: KUHN'S augmenting paths (the
+    Hungarian-style alternating DFS) in a kernel; Berge's theorem
+    certifies maximality when no augmenting path remains. Oracle:
+    ENUMERATION — every partial injection of the left side built
+    digit by digit in a recursive CTE (sentinel for unmatched),
+    max matched count. A certificate of optimality vs trying every
+    assignment."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def kuhn_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                adj = {i: [jx for jx in range(6)
+                           if h(f"bm:{gv}:{i}:{jx}") % 3 == 0]
+                       for i in range(6)}
+                match_r = [-1] * 6
+
+                def try_kuhn(u, seen):
+                    for v in adj[u]:
+                        if v in seen:
+                            continue
+                        seen.add(v)
+                        if match_r[v] == -1 \
+                                or try_kuhn(match_r[v], seen):
+                            match_r[v] = u
+                            return True
+                    return False
+
+                size = 0
+                for u in range(6):
+                    if try_kuhn(u, set()):
+                        size += 1
+                outs.append(size)
+            yield pd.DataFrame({"g": pdf["g"], "msize": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(kuhn_kernel, "g long, msize int")
+            .orderBy("g"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13661,6 +13838,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rotating_calipers": q_rotating_calipers,
         "rect_union_area": q_rect_union_area,
         "power_tower_mod": q_power_tower_mod,
+        "det_mod2": q_det_mod2,
+        "continuant_det": q_continuant_det,
+        "ryser_permanent": q_ryser_permanent,
+        "bipartite_matching": q_bipartite_matching,
     }
 
 
@@ -19235,6 +19416,96 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.doc_id, t.m, s.x AS t FROM sq s "
             "JOIN t ON t.doc_id = s.doc_id WHERE s.k = 65536 "
             "ORDER BY s.doc_id"
+        ),
+        # det-mod-2 oracle: the sign-free Leibniz sum — parity of
+        # all-ones permutation selections over S_7 (engine: XOR
+        # Gaussian elimination on bitset rows).
+        "det_mod2": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 7) t(i)) "
+            "d WHERE length(p) < 7 AND strpos(p, d.c) = 0), "
+            "fp AS (SELECT p FROM perms WHERE length(p) = 7), "
+            "good AS (SELECT g.a AS g, p FROM range(0, 12) g(a), "
+            "fp WHERE NOT EXISTS (SELECT 1 FROM range(0, 7) i(v) "
+            "WHERE cast('0x' || substr(sha256('dm:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar) "
+            "|| ':' || substr(p, cast(i.v as int) + 1, 1)), 1, 8) "
+            "as bigint) % 2 = 0)) "
+            "SELECT g.a AS g, cast((SELECT count(*) FROM good "
+            "WHERE good.g = g.a) % 2 as int) AS det2 "
+            "FROM range(0, 12) g(a) ORDER BY g"
+        ),
+        # Continuant oracle: the full Leibniz expansion — inversion
+        # parity for the sign, tridiagonal entries by offset CASE
+        # (engine: the three-term continuant recurrence).
+        "continuant_det": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 7) t(i)) "
+            "d WHERE length(p) < 7 AND strpos(p, d.c) = 0), "
+            "fp AS (SELECT p FROM perms WHERE length(p) = 7), "
+            "sg AS (SELECT p, (SELECT count(*) FROM range(0, 7) "
+            "u(a2), range(0, 7) w(b2) WHERE u.a2 < w.b2 AND "
+            "substr(p, cast(u.a2 as int) + 1, 1) > "
+            "substr(p, cast(w.b2 as int) + 1, 1)) % 2 AS inv "
+            "FROM fp), "
+            "ev AS (SELECT g.a AS g, fp.p, i.v AS i, "
+            "cast(substr(fp.p, cast(i.v as int) + 1, 1) as bigint) "
+            "AS j FROM range(0, 12) g(a), fp, range(0, 7) i(v)), "
+            "e2 AS (SELECT g, p, CASE j - i "
+            "WHEN 0 THEN cast('0x' || substr(sha256('ca:' || "
+            "cast(g as varchar) || ':' || cast(i as varchar)), 1, "
+            "8) as bigint) % 9 - 4 "
+            "WHEN 1 THEN cast('0x' || substr(sha256('cc:' || "
+            "cast(g as varchar) || ':' || cast(i as varchar)), 1, "
+            "8) as bigint) % 9 - 4 "
+            "WHEN -1 THEN cast('0x' || substr(sha256('cb:' || "
+            "cast(g as varchar) || ':' || cast(i - 1 as varchar)), "
+            "1, 8) as bigint) % 9 - 4 "
+            "ELSE 0 END AS e FROM ev), "
+            "pr AS (SELECT g, p, cast(product(e) as bigint) "
+            "AS prod FROM e2 GROUP BY g, p) "
+            "SELECT pr.g, sum(CASE WHEN sg.inv = 0 THEN prod "
+            "ELSE -prod END) AS det FROM pr "
+            "JOIN sg ON sg.p = pr.p GROUP BY pr.g ORDER BY pr.g"
+        ),
+        # Ryser oracle: the definition — all 720 permutation
+        # products summed (engine: Ryser's subset
+        # inclusion-exclusion).
+        "ryser_permanent": (
+            "WITH RECURSIVE perms(p) AS (SELECT '' "
+            "UNION ALL SELECT p || d.c FROM perms, "
+            "(SELECT cast(i as varchar) AS c FROM range(0, 6) t(i)) "
+            "d WHERE length(p) < 6 AND strpos(p, d.c) = 0), "
+            "fp AS (SELECT p FROM perms WHERE length(p) = 6), "
+            "ev AS (SELECT g.a AS g, fp.p, i.v AS i, "
+            "cast('0x' || substr(sha256('py:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar) "
+            "|| ':' || substr(fp.p, cast(i.v as int) + 1, 1)), 1, "
+            "8) as bigint) % 5 AS e "
+            "FROM range(0, 10) g(a), fp, range(0, 6) i(v)), "
+            "pr AS (SELECT g, p, cast(product(e) as bigint) "
+            "AS prod FROM ev GROUP BY g, p) "
+            "SELECT g, sum(prod) AS perm FROM pr GROUP BY g "
+            "ORDER BY g"
+        ),
+        # Matching oracle: enumeration — every partial injection
+        # built digit by digit with a '6' unmatched sentinel, max
+        # matched count (engine: Kuhn's augmenting paths).
+        "bipartite_matching": (
+            "WITH RECURSIVE asg(g, p) AS ("
+            "SELECT a, '' FROM range(0, 12) t(a) "
+            "UNION ALL SELECT a.g, a.p || d.c FROM asg a, "
+            "(SELECT cast(i as varchar) AS c, i FROM range(0, 7) "
+            "t(i)) d WHERE length(a.p) < 6 AND (d.i = 6 OR ("
+            "strpos(a.p, d.c) = 0 AND cast('0x' || substr(sha256("
+            "'bm:' || cast(a.g as varchar) || ':' || "
+            "cast(length(a.p) as varchar) || ':' || "
+            "cast(d.i as varchar)), 1, 8) as bigint) % 3 = 0))) "
+            "SELECT g, cast(max(6 - (length(p) - "
+            "length(replace(p, '6', '')))) as int) AS msize "
+            "FROM asg WHERE length(p) = 6 GROUP BY g ORDER BY g"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
