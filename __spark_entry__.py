@@ -13398,6 +13398,153 @@ def q_bipartite_matching(spark, sf_dir) -> DataFrame:
             .orderBy("g"))
 
 
+def q_weighted_intervals(spark, sf_dir) -> DataFrame:
+    """Maximum-weight compatible subset of 14 hash intervals, 10
+    instances — engine: the PREDECESSOR DP — sort by end, p(i) by
+    bisection, M_i = max(M_{i-1}, w_i + M_{p(i)}), O(n log n) in a
+    kernel. Oracle: SUBSET ENUMERATION — all 16384 masks checked
+    for pairwise compatibility against the precomputed conflict
+    pairs, max weight. The scheduling recurrence vs exhaustion."""
+    g = spark.range(0, 10).select(F.col("id").alias("g"))
+
+    def wi_kernel(it):
+        import bisect
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                ivs = []
+                for i in range(14):
+                    s0 = h(f"wis:{gv}:{i}") % 50
+                    e0 = s0 + 1 + h(f"wil:{gv}:{i}") % 15
+                    w0 = 1 + h(f"wiw:{gv}:{i}") % 20
+                    ivs.append((e0, s0, w0))
+                ivs.sort()
+                ends = [e for e, _, _ in ivs]
+                M = [0] * (len(ivs) + 1)
+                for i, (e0, s0, w0) in enumerate(ivs, 1):
+                    p = bisect.bisect_right(ends, s0, 0, i - 1)
+                    M[i] = max(M[i - 1], w0 + M[p])
+                outs.append(M[-1])
+            yield pd.DataFrame({"g": pdf["g"], "best": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(wi_kernel, "g long, best long")
+            .orderBy("g"))
+
+
+def q_koenig_cover(spark, sf_dir) -> DataFrame:
+    """Minimum vertex cover size of 12 bipartite hash graphs (6+6)
+    — engine: KONIG'S THEOREM — the minimum cover equals the
+    maximum matching, so run Kuhn's augmenting paths and output
+    the matching size; no cover is ever constructed. Oracle: BRUTE
+    FORCE — all 4096 vertex subsets checked to cover every edge,
+    min popcount. A min-max duality vs searching covers."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def koenig_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                adj = {i: [jx for jx in range(6)
+                           if h(f"kc:{gv}:{i}:{jx}") % 3 == 0]
+                       for i in range(6)}
+                match_r = [-1] * 6
+
+                def try_kuhn(u, seen):
+                    for v in adj[u]:
+                        if v in seen:
+                            continue
+                        seen.add(v)
+                        if match_r[v] == -1 \
+                                or try_kuhn(match_r[v], seen):
+                            match_r[v] = u
+                            return True
+                    return False
+
+                size = sum(1 for u in range(6) if try_kuhn(u, set()))
+                outs.append(size)
+            yield pd.DataFrame({"g": pdf["g"], "cover_size": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(koenig_kernel, "g long, cover_size int")
+            .orderBy("g"))
+
+
+def q_bell_numbers(spark, sf_dir) -> DataFrame:
+    """Bell numbers B_1..B_8 — engine: the AITKEN (Bell) TRIANGLE
+    — each row starts with the previous row's last entry, each
+    entry is left neighbor plus the entry above it, in a kernel.
+    Oracle: RESTRICTED GROWTH STRINGS — every canonical set-
+    partition code enumerated in a recursive CTE (digit <= running
+    max + 1), count per length. A Pascal-like triangle vs the
+    canonical-code bijection."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def bell_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = [[1]]
+            for _ in range(8):
+                prev = rows[-1]
+                nxt = [prev[-1]]
+                for v in prev:
+                    nxt.append(nxt[-1] + v)
+                rows.append(nxt)
+            # first element of row n+1 is B_n (Aitken convention)
+            bells = [(n, rows[n][0]) for n in range(1, 9)]
+            yield pd.DataFrame({"n": [b[0] for b in bells],
+                                "bell": [b[1] for b in bells]})
+
+    return (one.mapInPandas(bell_kernel, "n long, bell long")
+            .orderBy("n"))
+
+
+def q_fubini_numbers(spark, sf_dir) -> DataFrame:
+    """Fubini (ordered Bell) numbers a(1)..a(6) — engine: the
+    BINOMIAL RECURRENCE a(n) = sum_k C(n,k) a(n-k) (choose the
+    first block, order the rest), exact kernel. Oracle: the CENSUS
+    — every function [n] -> [1..6] with a gap-free image counted
+    in a recursive CTE (ordered set partitions = surjections onto
+    initial segments). A recurrence on blocks vs counting the
+    functions themselves."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def fub_kernel(it):
+        import math
+
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = [1]
+            for n in range(1, 7):
+                a.append(sum(math.comb(n, k) * a[n - k]
+                             for k in range(1, n + 1)))
+            yield pd.DataFrame({"n": list(range(1, 7)),
+                                "fubini": a[1:]})
+
+    return (one.mapInPandas(fub_kernel, "n long, fubini long")
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13842,6 +13989,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuant_det": q_continuant_det,
         "ryser_permanent": q_ryser_permanent,
         "bipartite_matching": q_bipartite_matching,
+        "weighted_intervals": q_weighted_intervals,
+        "koenig_cover": q_koenig_cover,
+        "bell_numbers": q_bell_numbers,
+        "fubini_numbers": q_fubini_numbers,
     }
 
 
@@ -19506,6 +19657,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g, cast(max(6 - (length(p) - "
             "length(replace(p, '6', '')))) as int) AS msize "
             "FROM asg WHERE length(p) = 6 GROUP BY g ORDER BY g"
+        ),
+        # Weighted-interval oracle: all 16384 masks checked against
+        # the precomputed conflict pairs, max weight (engine:
+        # predecessor DP with bisection).
+        "weighted_intervals": (
+            "WITH iv AS (SELECT g.a AS g, i.v AS i, "
+            "cast('0x' || substr(sha256('wis:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 50 AS s, "
+            "1 + cast('0x' || substr(sha256('wil:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 15 AS len, "
+            "1 + cast('0x' || substr(sha256('wiw:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 20 AS w "
+            "FROM range(0, 10) g(a), range(0, 14) i(v)), "
+            "iv2 AS (SELECT g, i, s, s + len AS e, w FROM iv), "
+            "confl AS (SELECT a.g, a.i AS i1, b.i AS i2 "
+            "FROM iv2 a JOIN iv2 b ON a.g = b.g AND a.i < b.i "
+            "AND a.s < b.e AND b.s < a.e), "
+            "mw AS (SELECT g.a AS g, m.v AS mask FROM "
+            "range(0, 10) g(a), range(0, 16384) m(v) "
+            "WHERE NOT EXISTS (SELECT 1 FROM confl c "
+            "WHERE c.g = g.a AND (m.v >> c.i1) & 1 = 1 "
+            "AND (m.v >> c.i2) & 1 = 1)), "
+            "ws AS (SELECT mw.g, mw.mask, sum(iv2.w) AS tw "
+            "FROM mw JOIN iv2 ON iv2.g = mw.g "
+            "AND (mw.mask >> iv2.i) & 1 = 1 GROUP BY 1, 2) "
+            "SELECT g.a AS g, coalesce((SELECT max(tw) FROM ws "
+            "WHERE ws.g = g.a), 0) AS best "
+            "FROM range(0, 10) g(a) ORDER BY g"
+        ),
+        # Koenig oracle: brute minimum cover — all 4096 vertex
+        # subsets (left bits 0-5, right bits 6-11) checked to
+        # cover every edge, min popcount (engine: max matching =
+        # min cover by Koenig's theorem).
+        "koenig_cover": (
+            "WITH e AS (SELECT g.a AS g, i.v AS u, j.w AS v "
+            "FROM range(0, 12) g(a), range(0, 6) i(v), "
+            "range(0, 6) j(w) WHERE cast('0x' || substr(sha256("
+            "'kc:' || cast(g.a as varchar) || ':' || "
+            "cast(i.v as varchar) || ':' || cast(j.w as varchar)), "
+            "1, 8) as bigint) % 3 = 0) "
+            "SELECT g.a AS g, cast((SELECT min(bit_count(m.v)) "
+            "FROM range(0, 4096) m(v) WHERE NOT EXISTS ("
+            "SELECT 1 FROM e WHERE e.g = g.a "
+            "AND (m.v >> e.u) & 1 = 0 "
+            "AND (m.v >> (6 + e.v)) & 1 = 0)) as int) "
+            "AS cover_size FROM range(0, 12) g(a) ORDER BY g"
+        ),
+        # Bell oracle: restricted growth strings — digit <= running
+        # max + 1, count per length (engine: the Aitken triangle).
+        "bell_numbers": (
+            "WITH RECURSIVE rgs(s, mx) AS (SELECT '0', 0 "
+            "UNION ALL SELECT s || cast(d.v as varchar), "
+            "greatest(mx, d.v) FROM rgs, range(0, 8) d(v) "
+            "WHERE length(s) < 8 AND d.v <= mx + 1) "
+            "SELECT length(s) AS n, count(*) AS bell FROM rgs "
+            "GROUP BY length(s) ORDER BY n"
+        ),
+        # Fubini oracle: the census — functions with gap-free image
+        # (ordered set partitions), counted per length (engine: the
+        # first-block binomial recurrence).
+        "fubini_numbers": (
+            "WITH RECURSIVE fn(s, mx) AS (SELECT '', 0 "
+            "UNION ALL SELECT s || cast(d.v as varchar), "
+            "greatest(mx, d.v) FROM fn, range(1, 7) d(v) "
+            "WHERE length(s) < 6), "
+            "ok AS (SELECT s, mx FROM fn WHERE length(s) >= 1 "
+            "AND NOT EXISTS (SELECT 1 FROM range(1, 7) x(v) "
+            "WHERE x.v <= mx AND strpos(s, cast(x.v as varchar)) "
+            "= 0)) "
+            "SELECT length(s) AS n, count(*) AS fubini FROM ok "
+            "GROUP BY length(s) ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
