@@ -13545,6 +13545,101 @@ def q_fubini_numbers(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_catalan_parity(spark, sf_dir) -> DataFrame:
+    """Parity of the Catalan numbers C_0..C_60 — engine: the
+    KUMMER/carry characterization — C_n is odd iff n = 2^k - 1,
+    i.e. the single bit test (n+1) & n = 0, one JVM projection.
+    Oracle: SEGNER'S CONVOLUTION mod 2 — the full quadratic
+    recurrence C_{k+1} = sum C_i C_{k-i} carried as a list in a
+    recursive CTE. A carries-in-binomials theorem vs grinding the
+    recurrence."""
+    n = spark.range(0, 61).select(F.col("id").alias("n"))
+    odd = F.when((F.col("n") + 1).bitwiseAND(F.col("n")) == 0, 1) \
+        .otherwise(0)
+    return n.select("n", odd.cast("int").alias("odd")).orderBy("n")
+
+
+def q_factorial_zeros(spark, sf_dir) -> DataFrame:
+    """Trailing zeros of n! for n=1..33 — engine: LEGENDRE'S
+    FORMULA — sum of floor(n/5^i), the factorial never computed.
+    Oracle: COMPUTE THE FACTORIAL — a HUGEINT running product in a
+    recursive CTE, zeros counted by divisibility against powers of
+    ten built as strings. Valuation arithmetic vs actually looking
+    at the digits."""
+    n = spark.range(1, 34).select(F.col("id").alias("n"))
+    i = spark.range(1, 4).select(F.col("id").alias("i"))
+    t = n.join(F.broadcast(i))
+    p5 = F.pow(F.lit(5.0), F.col("i").cast("double")).cast("long")
+    return (t.groupBy("n")
+            .agg(F.sum((F.col("n") / p5).cast("long")).alias("tz"))
+            .orderBy("n"))
+
+
+def q_calkin_wilf(spark, sf_dir) -> DataFrame:
+    """The first 63 entries of the Calkin-Wilf sequence (every
+    positive rational exactly once) — engine: NEWMAN'S RECURRENCE
+    — q' = 1/(2*floor(q) + 1 - q), iterated with exact Fractions
+    in a kernel; the theorem says this single recurrence walks the
+    tree in breadth-first order. Oracle: the TREE ITSELF — node k
+    has children 2k (a/(a+b)) and 2k+1 ((a+b)/b), built directly
+    by index in a recursive CTE. A one-line recurrence vs the
+    structure it secretly traverses."""
+    one = spark.range(0, 1).select(F.col("id").alias("seed"))
+
+    def cw_kernel(it):
+        from fractions import Fraction
+
+        import pandas as pd
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            q = Fraction(1, 1)
+            ks, nums, dens = [], [], []
+            for k in range(1, 64):
+                ks.append(k)
+                nums.append(q.numerator)
+                dens.append(q.denominator)
+                q = 1 / (2 * Fraction(int(q)) + 1 - q)
+            yield pd.DataFrame({"k": ks, "num": nums, "den": dens})
+
+    return (one.mapInPandas(cw_kernel, "k long, num long, den long")
+            .orderBy("k"))
+
+
+def q_perrin_test(spark, sf_dir) -> DataFrame:
+    """The Perrin divisibility test for n=2..120 — P(0)=3, P(1)=0,
+    P(2)=2, P(k) = P(k-2) + P(k-3); primes always divide P(n)
+    (composites usually do not — the first Perrin pseudoprime is
+    271441). Engine: the recurrence mod n in a kernel plus
+    trial-division primality. Oracle: the same dynamical system in
+    a recursive CTE with the divisor-existence check. Both columns
+    exposed so the Lucas-family correlation is visible in the
+    data."""
+    n = spark.range(2, 121).select(F.col("id").alias("n"))
+
+    def perrin_kernel(it):
+        import pandas as pd
+        for pdf in it:
+            pmods, primes = [], []
+            for nv in pdf["n"]:
+                nv = int(nv)
+                p0, p1, p2 = 3 % nv, 0, 2 % nv
+                for _ in range(3, nv + 1):
+                    p0, p1, p2 = p1, p2, (p0 + p1) % nv
+                pn = p2 if nv >= 2 else p0
+                pmods.append(pn)
+                primes.append(1 if nv > 1 and all(
+                    nv % d for d in range(2, int(nv ** 0.5) + 1))
+                    else 0)
+            yield pd.DataFrame({"n": pdf["n"], "pn_mod": pmods,
+                                "is_prime": primes})
+
+    return (n.repartition(4)
+            .mapInPandas(perrin_kernel,
+                         "n long, pn_mod long, is_prime int")
+            .orderBy("n"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -13993,6 +14088,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "koenig_cover": q_koenig_cover,
         "bell_numbers": q_bell_numbers,
         "fubini_numbers": q_fubini_numbers,
+        "catalan_parity": q_catalan_parity,
+        "factorial_zeros": q_factorial_zeros,
+        "calkin_wilf": q_calkin_wilf,
+        "perrin_test": q_perrin_test,
     }
 
 
@@ -19731,6 +19830,56 @@ def oracle_sql() -> dict[str, str]:
             "= 0)) "
             "SELECT length(s) AS n, count(*) AS fubini FROM ok "
             "GROUP BY length(s) ORDER BY n"
+        ),
+        # Catalan-parity oracle: Segner's convolution mod 2, the
+        # row carried as a list (engine: the (n+1)&n bit test).
+        "catalan_parity": (
+            "WITH RECURSIVE seg(k, lst) AS ("
+            "SELECT 0, [cast(1 as bigint)] "
+            "UNION ALL SELECT k + 1, list_append(lst, "
+            "list_sum(list_transform(generate_series(0, k), "
+            "i -> lst[i + 1] * lst[k - i + 1])) % 2) "
+            "FROM seg WHERE k < 60) "
+            "SELECT n.i AS n, cast(lst[cast(n.i as int) + 1] "
+            "as int) AS odd FROM seg, range(0, 61) n(i) "
+            "WHERE k = 60 ORDER BY n"
+        ),
+        # Factorial-zeros oracle: compute the factorial in HUGEINT,
+        # count zeros by divisibility against string-built powers
+        # of ten (engine: Legendre's base-5 valuation).
+        "factorial_zeros": (
+            "WITH RECURSIVE fc(n, f) AS ("
+            "SELECT 1, cast(1 as hugeint) "
+            "UNION ALL SELECT n + 1, f * (n + 1) FROM fc "
+            "WHERE n < 33) "
+            "SELECT n, (SELECT max(k.v) FROM range(0, 16) k(v) "
+            "WHERE f % cast('1' || repeat('0', cast(k.v as int)) "
+            "as hugeint) = 0) AS tz FROM fc ORDER BY n"
+        ),
+        # Calkin-Wilf oracle: the tree built directly by index —
+        # children 2k and 2k+1 (engine: Newman's single recurrence
+        # walking the tree breadth-first).
+        "calkin_wilf": (
+            "WITH RECURSIVE cw(k, num, den) AS ("
+            "SELECT 1, cast(1 as bigint), cast(1 as bigint) "
+            "UNION ALL SELECT c.k * 2 + s.b, "
+            "CASE WHEN s.b = 0 THEN c.num ELSE c.num + c.den END, "
+            "CASE WHEN s.b = 0 THEN c.num + c.den ELSE c.den END "
+            "FROM cw c, (VALUES (0), (1)) s(b) WHERE c.k < 32) "
+            "SELECT k, num, den FROM cw WHERE k <= 63 ORDER BY k"
+        ),
+        # Perrin oracle: the same plate-spinning recurrence in a
+        # recursive CTE with a divisor-existence primality column
+        # (engine: imperative loop + trial division).
+        "perrin_test": (
+            "WITH RECURSIVE pr(n, k, p0, p1, p2) AS ("
+            "SELECT i, 2, 3 % i, 0, 2 % i FROM range(2, 121) t(i) "
+            "UNION ALL SELECT n, k + 1, p1, p2, (p0 + p1) % n "
+            "FROM pr WHERE k < n) "
+            "SELECT n, p2 AS pn_mod, CASE WHEN NOT EXISTS ("
+            "SELECT 1 FROM range(2, 12) d(j) WHERE j * j <= n "
+            "AND n % j = 0) THEN 1 ELSE 0 END AS is_prime "
+            "FROM pr WHERE k = n ORDER BY n"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
