@@ -13640,6 +13640,146 @@ def q_perrin_test(spark, sf_dir) -> DataFrame:
             .orderBy("n"))
 
 
+def q_erdos_gallai(spark, sf_dir) -> DataFrame:
+    """Graphicality of 20 hash degree sequences on 8 vertices
+    (parity-corrected) — engine: the ERDOS-GALLAI inequalities —
+    sort descending, check sum_{i<=k} d_i <= k(k-1) +
+    sum_{i>k} min(d_i, k) for every k, all relational (windows +
+    a broadcast k-join), no graph ever built. Oracle:
+    HAVEL-HAKIMI — the constructive reduction (strip the max
+    degree, decrement the next d_1 entries, re-sort, repeat) on a
+    list state in a recursive CTE. A checkable criterion vs an
+    algorithm that builds the witness."""
+    g = spark.range(0, 20).select(F.col("id").alias("g"))
+    i = spark.range(0, 8).select(F.col("id").alias("i"))
+    gs, istr = F.col("g").cast("string"), F.col("i").cast("string")
+    degs = (g.crossJoin(F.broadcast(i))
+            .select("g", "i",
+                    (_mst_hash(F.concat(F.lit("eg:"), gs,
+                                        F.lit(":"), istr)) % 8)
+                    .alias("d0")))
+    tot = degs.groupBy("g").agg(F.sum("d0").alias("tot"))
+    degs = degs.join(tot, "g").withColumn(
+        "d", F.when((F.col("tot") % 2 == 1) & (F.col("i") == 0),
+                    F.when(F.col("d0") < 7, F.col("d0") + 1)
+                    .otherwise(F.col("d0") - 1))
+        .otherwise(F.col("d0"))).drop("d0", "tot")
+    w = Window.partitionBy("g").orderBy(F.col("d").desc(), "i")
+    ranked = degs.withColumn("r", F.row_number().over(w))
+    left = ranked.select(F.col("g").alias("g2"),
+                         F.col("r").alias("r2"),
+                         F.col("d").alias("d2"))
+    k = spark.range(1, 9).select(F.col("id").alias("k"))
+    kk = ranked.join(F.broadcast(k)).join(
+        left, (F.col("g") == F.col("g2")))
+    lhs_terms = F.when((F.col("r2") <= F.col("k"))
+                       & (F.col("r") == 1), F.col("d2")).otherwise(0)
+    rhs_terms = F.when((F.col("r2") > F.col("k"))
+                       & (F.col("r") == 1),
+                       F.least(F.col("d2"), F.col("k"))).otherwise(0)
+    ineq = (kk.groupBy("g", "k")
+            .agg(F.sum(lhs_terms).alias("lhs"),
+                 F.sum(rhs_terms).alias("rhs")))
+    ok_k = (ineq.withColumn(
+        "ok", (F.col("lhs")
+               <= F.col("k") * (F.col("k") - 1) + F.col("rhs"))
+        .cast("int"))
+        .groupBy("g").agg(F.min("ok").alias("graphical")))
+    return ok_k.select("g", "graphical").orderBy("g")
+
+
+def q_prufer_decode(spark, sf_dir) -> DataFrame:
+    """Trees on 8 nodes decoded from 12 hash Prufer sequences —
+    engine: the classic LEAF-MATCHING decoder in a kernel (degree
+    = 1 + occurrences; repeatedly join the smallest leaf to the
+    sequence head). Oracle: the SAME bijection replayed
+    relationally — list states for the sequence and the degree
+    vector in a recursive CTE. One bijection, two machines, edge
+    by edge."""
+    g = spark.range(0, 12).select(F.col("id").alias("g"))
+
+    def prufer_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            gs_, ks_, us_, vs_ = [], [], [], []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                seq = [h(f"pf:{gv}:{i}") % 8 for i in range(6)]
+                deg = [1] * 8
+                for v in seq:
+                    deg[v] += 1
+                edges = []
+                for v in seq:
+                    leaf = min(u for u in range(8) if deg[u] == 1)
+                    edges.append((min(leaf, v), max(leaf, v)))
+                    deg[leaf] -= 1
+                    deg[v] -= 1
+                last = [u for u in range(8) if deg[u] == 1]
+                edges.append((min(last), max(last)))
+                for kx, (u, v) in enumerate(edges, 1):
+                    gs_.append(gv)
+                    ks_.append(kx)
+                    us_.append(u)
+                    vs_.append(v)
+            yield pd.DataFrame({"g": gs_, "k": ks_, "u": us_,
+                                "v": vs_})
+
+    return (g.repartition(4)
+            .mapInPandas(prufer_kernel,
+                         "g long, k int, u int, v int")
+            .orderBy("g", "k"))
+
+
+def q_max_submatrix(spark, sf_dir) -> DataFrame:
+    """Maximum-sum submatrix of 10 hash 8x8 integer matrices —
+    engine: 2D KADANE — for every row pair, collapse to a column
+    vector and run the 1D prefix-min scan, O(n^3) in a kernel.
+    Oracle: ENUMERATION — all 1296 rectangles scored by the 2D
+    prefix-sum identity. Dimensional reduction vs four-corner
+    lookups on every rectangle."""
+    g = spark.range(0, 10).select(F.col("id").alias("g"))
+
+    def kad2_kernel(it):
+        import hashlib
+
+        import pandas as pd
+
+        def h(s):
+            return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+        for pdf in it:
+            outs = []
+            for gv in pdf["g"]:
+                gv = int(gv)
+                a = [[h(f"k2:{gv}:{i}:{jx}") % 21 - 10
+                      for jx in range(8)] for i in range(8)]
+                best = None
+                for r1 in range(8):
+                    col = [0] * 8
+                    for r2 in range(r1, 8):
+                        for jx in range(8):
+                            col[jx] += a[r2][jx]
+                        # 1D Kadane on col
+                        cur = best1 = col[0]
+                        for v in col[1:]:
+                            cur = max(v, cur + v)
+                            best1 = max(best1, cur)
+                        best = best1 if best is None \
+                            else max(best, best1)
+                outs.append(best)
+            yield pd.DataFrame({"g": pdf["g"], "best": outs})
+
+    return (g.repartition(4)
+            .mapInPandas(kad2_kernel, "g long, best long")
+            .orderBy("g"))
+
+
 def _with_worker_imports(fn):
     def wrapped(spark, sf_dir):
         from imagery_utils_spark.session import ensure_worker_imports
@@ -14092,6 +14232,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "factorial_zeros": q_factorial_zeros,
         "calkin_wilf": q_calkin_wilf,
         "perrin_test": q_perrin_test,
+        "erdos_gallai": q_erdos_gallai,
+        "prufer_decode": q_prufer_decode,
+        "max_submatrix": q_max_submatrix,
     }
 
 
@@ -19880,6 +20023,95 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM range(2, 12) d(j) WHERE j * j <= n "
             "AND n % j = 0) THEN 1 ELSE 0 END AS is_prime "
             "FROM pr WHERE k = n ORDER BY n"
+        ),
+        # Erdos-Gallai oracle: Havel-Hakimi — strip the max degree,
+        # decrement the next d1 entries, re-sort, repeat on a list
+        # state; fail on a negative (engine: the Erdos-Gallai
+        # inequality battery, no construction).
+        "erdos_gallai": (
+            "WITH RECURSIVE degs AS (SELECT g.a AS g, i.v AS i, "
+            "cast('0x' || substr(sha256('eg:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 8 AS d0 "
+            "FROM range(0, 20) g(a), range(0, 8) i(v)), "
+            "tot AS (SELECT g, sum(d0) AS tot FROM degs GROUP BY g), "
+            "fixed AS (SELECT d.g, d.i, CASE WHEN t.tot % 2 = 1 "
+            "AND d.i = 0 THEN CASE WHEN d.d0 < 7 THEN d.d0 + 1 "
+            "ELSE d.d0 - 1 END ELSE d.d0 END AS d "
+            "FROM degs d JOIN tot t ON t.g = d.g), "
+            "lst0 AS (SELECT g, list_reverse_sort(list(d)) AS lst "
+            "FROM fixed GROUP BY g), "
+            "hh(g, lst, state) AS (SELECT g, lst, 0 FROM lst0 "
+            "UNION ALL SELECT g, "
+            "CASE WHEN h1 = 0 OR h1 > len(lst) - 1 THEN lst "
+            "ELSE list_reverse_sort(list_transform("
+            "lst[2:cast(h1 as int)+1], x -> x - 1) || "
+            "lst[cast(h1 as int)+2:len(lst)]) END, "
+            "CASE WHEN h1 = 0 THEN 1 "
+            "WHEN h1 > len(lst) - 1 THEN 2 "
+            "WHEN list_min(list_transform("
+            "lst[2:cast(h1 as int)+1], x -> x - 1)) < 0 THEN 2 "
+            "ELSE 0 END "
+            "FROM (SELECT g, lst, lst[1] AS h1 FROM hh "
+            "WHERE state = 0)) "
+            "SELECT g, cast(CASE WHEN state = 1 THEN 1 ELSE 0 END "
+            "as int) AS graphical FROM hh WHERE state > 0 "
+            "ORDER BY g"
+        ),
+        # Prufer oracle: the same leaf-matching bijection replayed
+        # relationally — sequence and degree vector as list states
+        # (engine: kernel decoder).
+        "prufer_decode": (
+            "WITH RECURSIVE sq AS (SELECT g.a AS g, "
+            "list(cast('0x' || substr(sha256('pf:' || "
+            "cast(g.a as varchar) || ':' || cast(i.v as varchar)), "
+            "1, 8) as bigint) % 8 ORDER BY i.v) AS seq "
+            "FROM range(0, 12) g(a), range(0, 6) i(v) "
+            "GROUP BY g.a), "
+            "dg AS (SELECT g, seq, "
+            "list_transform(generate_series(0, 7), w -> 1 + "
+            "len(list_filter(seq, x -> x = w))) AS deg FROM sq), "
+            "st(g, seq, deg, k, u, v) AS ("
+            "SELECT g, seq, deg, 0, 0, 0 FROM dg "
+            "UNION ALL SELECT g, seq[2:len(seq)], "
+            "list_transform(generate_series(0, 7), w -> "
+            "deg[cast(w as int) + 1] - CASE WHEN w = leaf THEN 1 "
+            "WHEN w = hd THEN 1 ELSE 0 END), "
+            "k + 1, cast(least(leaf, hd) as int), "
+            "cast(greatest(leaf, hd) as int) FROM ("
+            "SELECT g, seq, deg, k, seq[1] AS hd, "
+            "(SELECT min(w.v) FROM range(0, 8) w(v) "
+            "WHERE deg[cast(w.v as int) + 1] = 1) AS leaf "
+            "FROM st WHERE len(seq) > 0)), "
+            "fin AS (SELECT g, k + 1 AS k, "
+            "cast((SELECT min(w.v) FROM range(0, 8) w(v) "
+            "WHERE deg[cast(w.v as int) + 1] = 1) as int) AS u, "
+            "cast((SELECT max(w.v) FROM range(0, 8) w(v) "
+            "WHERE deg[cast(w.v as int) + 1] = 1) as int) AS v "
+            "FROM st WHERE len(seq) = 0 AND k = 6) "
+            "SELECT g, cast(k as int) AS k, u, v FROM ("
+            "SELECT g, k, u, v FROM st WHERE k >= 1 "
+            "UNION ALL SELECT g, k, u, v FROM fin) "
+            "ORDER BY g, k"
+        ),
+        # Max-submatrix oracle: every rectangle scored by a range
+        # join + group (engine: 2D Kadane row-pair collapse).
+        "max_submatrix": (
+            "WITH a AS (SELECT g.a AS g, r.v AS r, c.w AS c, "
+            "cast('0x' || substr(sha256('k2:' || "
+            "cast(g.a as varchar) || ':' || cast(r.v as varchar) "
+            "|| ':' || cast(c.w as varchar)), 1, 8) as bigint) "
+            "% 21 - 10 AS x FROM range(0, 10) g(a), "
+            "range(0, 8) r(v), range(0, 8) c(w)), "
+            "rects AS (SELECT r1.v AS r1, r2.v AS r2, c1.v AS c1, "
+            "c2.v AS c2 FROM range(0, 8) r1(v), range(0, 8) r2(v), "
+            "range(0, 8) c1(v), range(0, 8) c2(v) "
+            "WHERE r1.v <= r2.v AND c1.v <= c2.v), "
+            "sums AS (SELECT a.g, r1, r2, c1, c2, sum(a.x) AS s "
+            "FROM rects JOIN a ON a.r BETWEEN r1 AND r2 "
+            "AND a.c BETWEEN c1 AND c2 GROUP BY 1, 2, 3, 4, 5) "
+            "SELECT g, max(s) AS best FROM sums GROUP BY g "
+            "ORDER BY g"
         ),
         # MST oracle: sequential Prim in a recursive CTE (the engine
         # is distributed Borůvka); distinct weights => unique MST.
