@@ -3370,10 +3370,15 @@ def q_intersect_extent(spark, sf_dir) -> DataFrame:
 
 
 def _lineage_base(sf_dir: str, tag: str) -> str:
+    # the pid suffix keeps CONCURRENT harness processes (e.g. the
+    # parity suite and the invariance sweep running side by side)
+    # from racing on the rmtree+rewrite of the same scratch dir —
+    # observed once as a spurious schema_evolution failure
     import tempfile
 
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"iuspark_{tag}_{sf}")
+    return os.path.join(tempfile.gettempdir(),
+                        f"iuspark_{tag}_{sf}_{os.getpid()}")
 
 
 def q_lineage_resume(spark, sf_dir) -> DataFrame:
