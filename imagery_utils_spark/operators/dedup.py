@@ -374,45 +374,64 @@ def ngram_jaccard_pairs(
 
 
 def simhash_udf(n_bits: int = 64):
-    """Vectorized simhash over whitespace tokens: per-token 64-bit hash
-    (splitmix-style numpy), +1/-1 vote per bit, sign -> fingerprint."""
+    """Vectorized simhash over whitespace tokens: per-token FNV-1a 64
+    hash, +1/-1 vote per bit, sign -> fingerprint.
 
-    # Per-worker token-hash memo: web text is Zipf — the same tokens recur
-    # across documents constantly, and the per-char python FNV loop is the
-    # UDF's hot spot. Bounded so a pathological vocabulary can't grow the
-    # python worker unbounded at 100-TB scale.
-    _memo: dict[str, int] = {}
-    _MEMO_CAP = 1_000_000
+    Whole-batch vectorization (r6, guide §4.2): the old per-document
+    python loop (set/dict per row, per-char FNV) was the battery's
+    hottest UDF. Now one Arrow batch is processed as flat arrays —
+    factorize all tokens, FNV-hash each DISTINCT token once with a
+    per-byte-position numpy sweep (uint64 wraparound IS the mod), dedup
+    (doc, token) pairs with one np.unique, and accumulate per-bit votes
+    with 64 bincounts. Bit-identical fingerprints to the per-row
+    formulation (pytest-pinned)."""
+
+    _FNV_INIT = np.uint64(0xCBF29CE484222325)
+    _FNV_PRIME = np.uint64(0x100000001B3)
+    _BITPOS = np.arange(n_bits, dtype=np.uint64)
+
+    def _fnv_vec(uniq) -> np.ndarray:
+        """FNV-1a 64 of each python string in ``uniq`` (vectorized over
+        byte positions; loop length = longest token, not token count)."""
+        bufs = [t.encode("utf-8") for t in uniq]
+        lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+        if len(bufs) == 0 or int(lens.max()) == 0:
+            return np.full(len(bufs), _FNV_INIT, dtype=np.uint64)
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        h = np.full(len(bufs), _FNV_INIT, dtype=np.uint64)
+        for j in range(int(lens.max())):
+            m = lens > j
+            h[m] = (h[m] ^ flat[offs[m] + j].astype(np.uint64)) * _FNV_PRIME
+        return h
 
     @F.pandas_udf("long")
     def _simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            if not t:
-                continue
-            toks = np.array([hash_token(w) for w in set(t.lower().split())],
-                            dtype=np.uint64)
-            if toks.size == 0:
-                continue
-            bits = ((toks[:, None] >> np.arange(n_bits, dtype=np.uint64)) & np.uint64(1))
-            votes = bits.astype(np.int64).sum(axis=0) * 2 - toks.size
-            fp = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+        from itertools import chain
 
-    def hash_token(w: str) -> int:
-        # FNV-1a 64 (deterministic across processes, unlike Python's hash)
-        h = _memo.get(w)
-        if h is None:
-            h = 0xCBF29CE484222325
-            for ch in w.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            if len(_memo) >= _MEMO_CAP:
-                _memo.clear()
-            _memo[w] = h
-        return h
+        n = len(text)
+        tok_lists = [t.lower().split() if t else [] for t in text]
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+        flat = np.array(list(chain.from_iterable(tok_lists)), dtype=object)
+        if flat.size == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        codes, uniques = pd.factorize(flat)
+        n_u = len(uniques)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # per-doc DISTINCT tokens (the set() of the row form): one sort
+        pair = np.unique(doc_idx * n_u + codes)
+        doc_i, code_i = pair // n_u, pair % n_u
+        uh = _fnv_vec(uniques)[code_i]
+        n_tok = np.bincount(doc_i, minlength=n).astype(np.int64)
+        # votes: bit b set iff 2 * popcount_b > n_distinct_tokens
+        fp = np.zeros(n, dtype=np.uint64)
+        for b in range(n_bits):
+            ones = np.bincount(
+                doc_i, weights=((uh >> _BITPOS[b]) & np.uint64(1)
+                                ).astype(np.float64), minlength=n)
+            fp |= (2 * ones.astype(np.int64) > n_tok).astype(
+                np.uint64) << _BITPOS[b]
+        return pd.Series(fp.astype(np.int64))
 
     return _simhash
 
@@ -439,6 +458,61 @@ def simhash_near_dup_pairs(
     max_bucket = auto_bucket_cap(max_bucket, est_rows)
     sh = spread_small_input(df).select(
         F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
+    if max_bucket >= UNCAPPED_BUCKET:
+        # Complete-recall regime, FINGERPRINT-level banding (r6, guide
+        # §2.3 "shuffle keys instead of payloads"): docs sharing an exact
+        # fingerprint are interchangeable for candidate generation, so the
+        # chunk self-join runs over DISTINCT fingerprints (measured sf1.0:
+        # 32.5k fps for 50k docs, candidate volume 53M vs 556M doc-level)
+        # and doc pairs are emitted by expanding each qualifying fp pair
+        # through two broadcast fp->keys maps. A doc pair materializes in
+        # exactly one fp pair (within-fp pairs come from the separate
+        # hamming-0 self-join), so the final 35M-row dropDuplicates
+        # exchange disappears outright (guide §2.4). Output identical:
+        # pigeonhole over 4 chunks keeps ham<=3 recall complete.
+        hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        # Materialize the tiny (key, fp) frame once: it fans out to five
+        # consumers (fps, both broadcast maps, both within-join sides), and
+        # a downstream orderBy's range-partitioner sampling pass would
+        # otherwise re-run the fingerprint UDF ~10x (guide §1.2/§5 —
+        # it is n_docs x 16 bytes, vocabulary-independent).
+        sh = sh.localCheckpoint()
+        fps = sh.groupBy("_fp").agg(F.count("*").alias("_g"))
+        fpc = fps.select(
+            "_fp",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("_fp"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+                for c in range(4)
+            ])).alias("_c"),
+        ).select("_fp", "_c.chunk", "_c.val")
+        l = fpc.select("chunk", "val", F.col("_fp").alias("fp_a"))
+        r = fpc.select("chunk", "val", F.col("_fp").alias("fp_b"))
+        fpp = (l.join(r, ["chunk", "val"])
+               .filter((F.col("fp_a") < F.col("fp_b"))
+                       & (hamming <= max_hamming))
+               .select("fp_a", "fp_b", hamming.alias("hamming"))
+               .dropDuplicates(["fp_a", "fp_b"])
+               # fp-level pair set is small (qualifying pairs only);
+               # materializing it keeps the 53M-candidate band join out
+               # of any re-execution (orderBy sampling, multi-action use)
+               .localCheckpoint())
+        a = sh.select(F.col("_fp").alias("fp_a"), F.col("_k").alias("ka"))
+        b = sh.select(F.col("_fp").alias("fp_b"), F.col("_k").alias("kb"))
+        cross = (fpp.join(F.broadcast(a), "fp_a")
+                 .join(F.broadcast(b), "fp_b")
+                 .select(F.least("ka", "kb").alias("key_a"),
+                         F.greatest("ka", "kb").alias("key_b"),
+                         "hamming"))
+        sa = sh.select("_fp", F.col("_k").alias("key_a"))
+        sb = sh.select("_fp", F.col("_k").alias("key_b"))
+        within = (sa.join(sb, ["_fp"])
+                  .filter(F.col("key_a") < F.col("key_b"))
+                  .select("key_a", "key_b",
+                          F.bit_count(F.lit(0).cast("long")).alias("hamming")))
+        return within.unionByName(cross)
     chunks = sh.select(
         "_k", "_fp",
         F.explode(F.array(*[
