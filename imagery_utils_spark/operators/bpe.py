@@ -71,8 +71,15 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
 def learn_bpe(words: DataFrame, n_merges: int):
     """words: (word, wc). Returns ([(a, b, cnt), ...], final vocab
     DataFrame with the merged symbol strings)."""
+    # Materialize the word-frequency table once (r6, guide §1.2): every
+    # merge round's pair_counts — and the caller's final corpus-state
+    # consumer — would otherwise re-run the corpus tokenize+collapse
+    # upstream of ``words`` (n_merges + 2 full corpus scans). The vocab
+    # is corpus-collapsed (distinct words only), so this is the
+    # iteration-state materialization the module docstring promises.
     vocab = words.select("word", "wc",
-                         init_symbols_col(F.col("word")).alias("s"))
+                         init_symbols_col(F.col("word")).alias("s")
+                         ).localCheckpoint()
     merges = []
     for _ in range(n_merges):
         best = (pair_counts(vocab)

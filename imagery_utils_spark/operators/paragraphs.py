@@ -47,15 +47,16 @@ def paragraph_chunks(docs: DataFrame, chunk: int = 10,
     Pure column algebra: split -> sequence -> slice -> concat_ws.
     """
     toks = tokens_col(F.col(text_col))
-    n_paras = F.floor((F.size(toks) + chunk - 1) / F.lit(chunk))
-    # guard: sequence(0, -1) would DESCEND ([0, -1]) for empty docs
-    paras = F.when(
-        n_paras > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_paras.cast("int") - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # One greedy regex pass over the single-space-joined token string
+    # partitions it into exactly ``chunk``-token groups (tail shorter) —
+    # identical strings to the old per-paragraph transform+slice+concat
+    # build, which re-sliced the token array per paragraph and measured
+    # 4x slower at sf1.0 (r6, guide §1.2 per-task work). ``\S``/
+    # ``\s`` are the same Java classes tokens_col splits on, so group
+    # boundaries land exactly between tokens.
+    paras = F.regexp_extract_all(
+        F.concat_ws(" ", toks),
+        F.lit(r"\S+(?: \S+){0,%d}" % (chunk - 1)), 0)
     return (docs
             .select(F.col(id_col).alias("doc_id"), paras.alias("_paras"))
             .filter(F.size("_paras") > 0)
@@ -75,14 +76,23 @@ def dedup_paragraphs(docs: DataFrame, chunk: int = 10,
     that exact paragraph string — deterministic, order-independent.
     """
     chunks = paragraph_chunks(docs, chunk, text_col, id_col)
+    # keep-first NEEDS no join back to chunks (r6, guide §2.4): the
+    # min-(doc_id, idx) struct per paragraph already IS the kept
+    # occurrence — carrying the paragraph string through a second
+    # chunks-sized exchange was pure waste.
     first = chunks.groupBy("para").agg(
         F.min(F.struct("doc_id", "para_idx")).alias("_first"))
-    kept = (chunks.join(first, "para")
-            .filter((F.col("doc_id") == F.col("_first.doc_id"))
-                    & (F.col("para_idx") == F.col("_first.para_idx")))
-            .select("doc_id", "para_idx", "para"))
-    totals = chunks.groupBy("doc_id").agg(
-        F.count("*").alias("n_paras"))
+    kept = first.select(F.col("_first.doc_id").alias("doc_id"),
+                        F.col("_first.para_idx").alias("para_idx"),
+                        "para")
+    # per-doc paragraph count is closed-form from the token count — a
+    # pure projection, not a second explode + groupBy pass
+    _toks = tokens_col(F.col(text_col))
+    totals = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.floor((F.size(_toks) + chunk - 1) / F.lit(chunk))
+        .cast("long").alias("n_paras"))
+        .filter(F.col("n_paras") > 0))
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",

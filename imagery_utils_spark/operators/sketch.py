@@ -81,7 +81,7 @@ def cms_hash_col(value, row: int, width: int) -> F.Column:
 
 
 def cms_build(df: DataFrame, value, depth: int = 4,
-              width: int = 256) -> DataFrame:
+              width: int = 256, weight=None) -> DataFrame:
     """Count-Min sketch (Cormode-Muthukrishnan 2005) as a DataFrame:
     (r, c, cnt) cells, r < depth, c < width.
 
@@ -92,15 +92,21 @@ def cms_build(df: DataFrame, value, depth: int = 4,
     executors yields the identical sketch. Build cost: one projection
     emitting ``depth`` (r, c) pairs per row (array + explode, JVM),
     one (r, c) groupBy whose key space is depth x width — map-side
-    combine collapses everything long before the shuffle."""
+    combine collapses everything long before the shuffle.
+
+    ``weight`` (r6): cells are per-value sums, so a pre-aggregated
+    (value, n) table with ``weight=n`` builds the IDENTICAL sketch
+    while hashing each distinct value once instead of once per
+    occurrence (guide §2.3 — aggregate before you shuffle)."""
     pairs = F.array(*[
         F.struct(F.lit(r).alias("r"),
                  cms_hash_col(value, r, width).alias("c"))
         for r in range(depth)
     ])
-    return (df.select(F.explode(pairs).alias("_p"))
-            .select("_p.r", "_p.c")
-            .groupBy("r", "c").agg(F.count("*").alias("cnt")))
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    return (df.select(F.explode(pairs).alias("_p"), w.alias("_w"))
+            .select("_p.r", "_p.c", "_w")
+            .groupBy("r", "c").agg(F.sum("_w").alias("cnt")))
 
 
 def cms_query(cms: DataFrame, queries: DataFrame, value,
