@@ -3,13 +3,12 @@ Language Models: ... Gopher", Table A1 — public) for webtext filtering:
 per-document scalar heuristics plus the repetition metrics, each with an
 explicit keep threshold, composed as one DataFrame operator.
 
-Scale shape: the scalar metrics are pure JVM column algebra over the
-token array (one scan, no shuffle, whole-stage codegen). The repetition
-metrics (duplicate lines, top 2-gram) are explode → groupBy(doc, unit)
-→ groupBy(doc) pipelines — partial aggregation map-side, rows are
-(id, hash-sized unit) only, and both rollups re-use the doc_id
-partitioning for the final joins. Adversarial million-line documents
-stay linear (no per-doc O(L²) array lambdas).
+Scale shape (r6): every metric — scalars AND the repetition metrics —
+is per-document, so the whole operator is ONE projection over the token
+array (whole-stage codegen, zero shuffles, zero joins): duplicate-line
+fractions via array_distinct character totals, the top 2-gram via an
+array_sort + run-length fold. Per-doc cost is O(L log L), bounded by
+document length; no O(L²) array lambdas anywhere.
 
 Conventions (pinned so the SQL oracle is value-identical, not merely
 similar):
@@ -45,10 +44,19 @@ def gopher_quality(df: DataFrame, text: str = "text",
                    ) -> DataFrame:
     """Per-document Gopher metrics + ``keep`` flag. Lines split on
     ``\\n``; see module docstring for pinned conventions/thresholds."""
-    words = F.filter(F.split(F.col(text), r"\s+"),
+    # Materialize (id, text) once (r6): the metric expressions below
+    # reference the text from several interpreted higher-order
+    # functions, and CollapseProject would otherwise inline the
+    # caller's upstream text derivation (e.g. the line-wrap regex) into
+    # every consumer — measured ~6 redundant corpus passes at sf1.0.
+    # Only the text is stored: re-splitting from materialized text is
+    # cheaper than holding the token arrays in the block manager. On a
+    # cluster pipeline this is the staged table between scan and
+    # metric projection.
+    src = df.select(F.col(id_col), F.col(text).alias("_t")).localCheckpoint()
+    words = F.filter(F.split(F.col("_t"), r"\s+"),
                      lambda w: w != F.lit(""))
-    base = df.select(F.col(id_col), F.col(text).alias("_t"),
-                     words.alias("_w"))
+    base = src.select(F.col(id_col), F.col("_t"), words.alias("_w"))
 
     n = F.size("_w")
     sum_len = F.aggregate("_w", F.lit(0),
@@ -63,7 +71,54 @@ def gopher_quality(df: DataFrame, text: str = "text",
         F.transform("_w", F.lower), stops))
 
     safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))
-    scalars = base.select(
+
+    # r6: every metric here is PER-DOCUMENT, so the explode ->
+    # groupBy(doc, unit) -> groupBy(doc) -> join pipelines (3 corpus
+    # scans, 4 exchanges, 2 joins) collapse into within-row array
+    # algebra: duplicate-line fractions from array_distinct totals, the
+    # top 2-gram from a sort + run-length fold over the zipped pair
+    # array. One scan, zero shuffles, identical values. Cost per doc is
+    # O(L log L) in its own task — bounded by document length; the
+    # million-line adversarial doc is one task's sort rather than a
+    # shuffled rollup, which is the right trade until single documents
+    # stop fitting a task.
+    lines = F.filter(F.split("_t", "\n"), lambda x: x != F.lit(""))
+    dlines = F.array_distinct(lines)
+    chars_of = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_lines = F.size(lines)
+    total_chars = chars_of(lines)
+    dist_chars = chars_of(dlines)
+    dup_line_frac = safe((n_lines - F.size(dlines)).cast("double"),
+                         n_lines.cast("double"))
+    dup_line_char_frac = safe((total_chars - dist_chars).cast("double"),
+                              total_chars.cast("double"))
+
+    # top 2-gram weighted count: sort the pair array so equal grams are
+    # contiguous, then one fold tracking (run gram, run length, best
+    # count x chars). greatest() skips the null initial-gram term.
+    pairs = F.array_sort(F.arrays_zip(
+        F.expr("slice(_w, 1, greatest(size(_w) - 1, 0))").alias("a"),
+        F.expr("slice(_w, 2, greatest(size(_w) - 1, 0))").alias("b"),
+    ))
+    _zero = F.lit(0).cast("long")
+    init = F.struct(F.lit(None).cast("string").alias("pa"),
+                    F.lit(None).cast("string").alias("pb"),
+                    _zero.alias("run"), _zero.alias("best"))
+    close_run = lambda acc: F.greatest(
+        acc["best"],
+        acc["run"] * (F.length(acc["pa"]) + F.length(acc["pb"])))
+    step = lambda acc, x: F.when(
+        acc["pa"].eqNullSafe(x["a"]) & acc["pb"].eqNullSafe(x["b"]),
+        F.struct(acc["pa"].alias("pa"), acc["pb"].alias("pb"),
+                 (acc["run"] + 1).alias("run"), acc["best"].alias("best"))
+    ).otherwise(
+        F.struct(x["a"].alias("pa"), x["b"].alias("pb"),
+                 F.lit(1).cast("long").alias("run"),
+                 close_run(acc).alias("best")))
+    top2_w = F.aggregate(pairs, init, step, close_run)
+
+    out = base.select(
         id_col,
         n.alias("n_words"),
         sum_len.alias("_sum_len"),
@@ -74,44 +129,10 @@ def gopher_quality(df: DataFrame, text: str = "text",
         safe(n_alpha.cast("double"), n.cast("double"))
         .alias("frac_alpha_words"),
         n_stop.alias("n_stopwords"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top2_w.alias("_top2"),
     )
-
-    # duplicate-line metrics: explode -> per-(doc,line) count -> per-doc
-    lines = base.select(
-        id_col,
-        F.explode(F.filter(F.split("_t", "\n"),
-                           lambda x: x != F.lit(""))).alias("line"))
-    line_rollup = (
-        lines.groupBy(id_col, "line")
-        .agg(F.count("*").alias("cnt"), F.first(F.length("line")).alias("ln"))
-        .groupBy(id_col)
-        .agg(
-            safe((F.sum("cnt") - F.count("*")).cast("double"),
-                 F.sum("cnt").cast("double")).alias("dup_line_frac"),
-            safe(F.sum((F.col("cnt") - 1) * F.col("ln")).cast("double"),
-                 F.sum(F.col("cnt") * F.col("ln")).cast("double"))
-            .alias("dup_line_char_frac"),
-        ))
-
-    # top 2-gram: explode consecutive word pairs -> count -> weighted max
-    grams = base.select(
-        id_col,
-        F.explode(F.arrays_zip(
-            F.expr("slice(_w, 1, greatest(size(_w) - 1, 0))").alias("a"),
-            F.expr("slice(_w, 2, greatest(size(_w) - 1, 0))").alias("b"),
-        )).alias("g"))
-    gram_rollup = (
-        grams.select(id_col, F.col("g.a").alias("a"), F.col("g.b").alias("b"))
-        .groupBy(id_col, "a", "b")
-        .agg((F.count("*")
-              * (F.first(F.length("a")) + F.first(F.length("b"))))
-             .alias("wcnt"))
-        .groupBy(id_col)
-        .agg(F.max("wcnt").alias("_top2")))
-
-    out = (scalars
-           .join(line_rollup, id_col, "left")
-           .join(gram_rollup, id_col, "left"))
     top2 = F.when(F.col("_sum_len") > 0,
                   F.coalesce(F.col("_top2"), F.lit(0)).cast("double")
                   / F.col("_sum_len").cast("double")).otherwise(F.lit(0.0))

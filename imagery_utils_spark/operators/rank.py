@@ -67,20 +67,34 @@ def skew_rank(
     NON-INCREASING along the ordering (e.g. floor(score) when ordering by
     score DESC).
 
-    ``stage=True`` persists the input before branching into the
-    sizes/offsets aggregate and the main windowed pass — the two consumers
-    would otherwise recompute the whole upstream (Catalyst's ReuseExchange
-    does not fire across an AQE broadcast boundary). On a cluster pipeline
-    this persist is a staged table write (Iceberg snapshot between stages).
-    Call ``.unpersist()`` on the returned frame's source when done."""
+    r6 plan shape (guide §2.4): ONE exchange of the fact, keyed
+    (partition, bucket) — the within-bucket window ranks on it, the
+    per-(partition, bucket) sizes aggregate is planned over the SAME
+    windowed child so ReuseExchange serves both consumers from one
+    shuffle materialization, the cumulative offsets are a tiny window
+    over bucket-count rows, and the offsets re-attach by broadcast (the
+    fact is never shuffled again). This replaced a
+    persist(MEMORY_AND_DISK) staging pass that materialized the whole
+    fact through the block manager (16.7 s vs 4.6 s plain at the r5
+    bench skew diagnostic). ``stage`` is kept for API compatibility;
+    the exchange-reuse plan needs no staging.
+    """
+    del stage  # r6: single-exchange plan needs no staging persist
     b = df.withColumn("_bkt", bucket)
-    if stage:
-        from pyspark import StorageLevel
-
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
-    # per-(partition, bucket) sizes -> offsets via cumulative sum over the
-    # bucket ordering (descending bucket = ascending rank)
-    sizes = b.groupBy(partition_col, "_bkt").agg(F.count("*").alias("_n"))
+    w_in = Window.partitionBy(partition_col, "_bkt").orderBy(*order_cols)
+    ranked = b.withColumn("_rn", F.row_number().over(w_in))
+    # sizes from the ranked frame (NOT from ``b``): count(*) per group
+    # equals max(row_number), and referencing _rn plus every carried
+    # column (the _pin max) keeps this branch's pruned projection
+    # identical to the join branch's, so ReuseExchange serves both
+    # consumers from ONE materialized shuffle of the fact — otherwise
+    # column pruning plans a private partial-agg exchange here and the
+    # whole upstream (scan+derive+score) executes twice.
+    _carried = [c for c in b.columns if c != "_bkt"]
+    sizes = (ranked.groupBy(partition_col, "_bkt")
+             .agg(F.max("_rn").alias("_n"),
+                  F.max(F.struct(*_carried)).alias("_pin"))
+             .drop("_pin"))
     w_off = (
         Window.partitionBy(partition_col)
         .orderBy(F.desc("_bkt"))
@@ -89,9 +103,8 @@ def skew_rank(
     offsets = sizes.withColumn(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).drop("_n")
-    w_in = Window.partitionBy(partition_col, "_bkt").orderBy(*order_cols)
     return (
-        b.join(F.broadcast(offsets), [partition_col, "_bkt"])
-        .withColumn(out, (F.row_number().over(w_in) + F.col("_off")).cast("int"))
-        .drop("_bkt", "_off")
+        ranked.join(F.broadcast(offsets), [partition_col, "_bkt"])
+        .withColumn(out, (F.col("_rn") + F.col("_off")).cast("int"))
+        .drop("_bkt", "_off", "_rn")
     )
