@@ -141,4 +141,11 @@ def resolve_url(base: Column, href: Column) -> Column:
         # RFC: excess '..' at the root are dropped, not kept
         out = F.regexp_replace(out, r"(://[^/?#]*)/\.\.(/|$|[?#])",
                                "$1$2")
-    return out
+    # r6: all 24 rewrite passes are no-ops unless the joined URL has a
+    # '/.' or '/..' segment — gate them so dotless links (the common
+    # crawl case) pay one cheap test instead of 24 regex scans. Every
+    # pattern above requires a '/.' match, so the gated result is
+    # identical.
+    return F.when(
+        F.regexp_like(joined, F.lit(r"/\.\.?(/|$|[?#])")), out
+    ).otherwise(joined)

@@ -111,7 +111,11 @@ def kmeans_fixed(df: DataFrame, vec, k: int = 8, dim: int = 64,
     quantized vectors of the k smallest ids. Returns (final assignment
     DataFrame with d/cid, final centroids dict computed distributed —
     see floor_div_cols)."""
-    q = df.select(F.col(id_col), quantize_col(vec).alias("qv"))
+    # materialize the quantized vectors once (r6): every iteration's
+    # assign scan, every update explode and the init collect would
+    # otherwise re-read + re-quantize the source (2 jobs per iteration)
+    q = df.select(F.col(id_col), quantize_col(vec).alias("qv")
+                  ).localCheckpoint()
     init = {r[id_col]: list(r["qv"])
             for r in q.filter(F.col(id_col) < k).collect()}
     cent = init
