@@ -40,10 +40,13 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 def gopher_quality(df: DataFrame, text: str = "text",
                    id_col: str = "doc_id",
                    min_words: int = 50, max_words: int = 100_000,
-                   stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+                   stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+                   materialize: bool = True,
                    ) -> DataFrame:
     """Per-document Gopher metrics + ``keep`` flag. Lines split on
-    ``\\n``; see module docstring for pinned conventions/thresholds."""
+    ``\\n``; see module docstring for pinned conventions/thresholds.
+    ``materialize=False`` skips the staged-text checkpoint (plan
+    inspection / callers that already materialized the text)."""
     # Materialize (id, text) once (r6): the metric expressions below
     # reference the text from several interpreted higher-order
     # functions, and CollapseProject would otherwise inline the
@@ -53,7 +56,9 @@ def gopher_quality(df: DataFrame, text: str = "text",
     # cheaper than holding the token arrays in the block manager. On a
     # cluster pipeline this is the staged table between scan and
     # metric projection.
-    src = df.select(F.col(id_col), F.col(text).alias("_t")).localCheckpoint()
+    src = df.select(F.col(id_col), F.col(text).alias("_t"))
+    if materialize:
+        src = src.localCheckpoint()
     words = F.filter(F.split(F.col("_t"), r"\s+"),
                      lambda w: w != F.lit(""))
     base = src.select(F.col(id_col), F.col("_t"), words.alias("_w"))

@@ -49,17 +49,30 @@ DEFAULT_BUCKET_CAP = 256
 BUCKET_CAP_THRESHOLD_ROWS = 10_000_000
 
 
+BUCKET_CAP_THRESHOLD_PARTS = 256
+
+
 def auto_bucket_cap(max_bucket: int | None, est_rows: int | None,
                     default_cap: int = DEFAULT_BUCKET_CAP,
-                    threshold: int = BUCKET_CAP_THRESHOLD_ROWS) -> int:
+                    threshold: int = BUCKET_CAP_THRESHOLD_ROWS,
+                    df: DataFrame | None = None,
+                    threshold_parts: int = BUCKET_CAP_THRESHOLD_PARTS) -> int:
     """Resolve the effective bucket cap: an explicit ``max_bucket`` wins;
     otherwise uncapped (complete recall) until ``est_rows`` crosses
     ``threshold``, where one degenerate (boilerplate) bucket starts to
     threaten the band-join's task time/memory budget and the star-link
-    cap pays for its cap-conditional recall contract."""
+    cap pays for its cap-conditional recall contract.
+
+    Fail-safe (VERDICT r5 #8): when the caller provides no ``est_rows``
+    but does pass the input ``df``, a partition-count heuristic stands
+    in — an input wide enough to need hundreds of scan partitions is
+    past the regime where an uncapped degenerate bucket is safe, so the
+    cap engages instead of failing open on a 100-TB table."""
     if max_bucket is not None:
         return max_bucket
-    if est_rows is not None and est_rows > threshold:
+    if est_rows is not None:
+        return default_cap if est_rows > threshold else UNCAPPED_BUCKET
+    if df is not None and df.rdd.getNumPartitions() > threshold_parts:
         return default_cap
     return UNCAPPED_BUCKET
 
@@ -319,7 +332,7 @@ def minhash_lsh_pairs(
     :func:`build_minhash_index` frame (its n_gram/k/seed must match) —
     pass it to control the cache lifecycle and amortize the index across
     several thresholds/band configurations."""
-    max_bucket = auto_bucket_cap(max_bucket, est_rows)
+    max_bucket = auto_bucket_cap(max_bucket, est_rows, df=df)
     rows = k // bands
     base = index if index is not None else build_minhash_index(
         df, content=content, key=key, n_gram=n_gram, k=k, seed=seed)
@@ -455,7 +468,7 @@ def simhash_near_dup_pairs(
     (:func:`auto_bucket_cap`): uncapped by default (complete — the oracle
     battery's regime); pass ``est_rows`` from table stats to engage
     star-linking automatically at scale, or pin ``max_bucket``."""
-    max_bucket = auto_bucket_cap(max_bucket, est_rows)
+    max_bucket = auto_bucket_cap(max_bucket, est_rows, df=df)
     sh = spread_small_input(df).select(
         F.col(key).alias("_k"), simhash_udf()(F.col(content)).alias("_fp"))
     if max_bucket >= UNCAPPED_BUCKET:
@@ -490,11 +503,22 @@ def simhash_near_dup_pairs(
         ).select("_fp", "_c.chunk", "_c.val")
         l = fpc.select("chunk", "val", F.col("_fp").alias("fp_a"))
         r = fpc.select("chunk", "val", F.col("_fp").alias("fp_b"))
+        # dedup-by-construction instead of a dropDuplicates exchange: a
+        # qualifying pair is found in the bucket of every chunk where
+        # its fingerprints agree (xor chunk == 0); keeping only the
+        # FIRST agreeing chunk's copy is a pure codegen filter that
+        # emits each pair exactly once (pigeonhole guarantees at least
+        # one agreeing chunk at ham <= 3).
+        _xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+        _eq = [F.shiftright(_xor, c * 16).bitwiseAND(F.lit(0xFFFF)) == 0
+               for c in range(4)]
+        first_eq = (F.when(_eq[0], 0).when(_eq[1], 1)
+                    .when(_eq[2], 2).otherwise(3))
         fpp = (l.join(r, ["chunk", "val"])
                .filter((F.col("fp_a") < F.col("fp_b"))
-                       & (hamming <= max_hamming))
+                       & (hamming <= max_hamming)
+                       & (F.col("chunk") == first_eq))
                .select("fp_a", "fp_b", hamming.alias("hamming"))
-               .dropDuplicates(["fp_a", "fp_b"])
                # fp-level pair set is small (qualifying pairs only);
                # materializing it keeps the 53M-candidate band join out
                # of any re-execution (orderBy sampling, multi-action use)

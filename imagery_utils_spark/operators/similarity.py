@@ -265,7 +265,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     ``max_bucket`` explicitly."""
     from .dedup import auto_bucket_cap, bucket_pairs
 
-    max_bucket = auto_bucket_cap(max_bucket, est_rows)
+    max_bucket = auto_bucket_cap(max_bucket, est_rows, df=df)
     udf = lsh_bucket_udf(dim, n_bits, n_tables, seed)
     fact = df.select(F.col(id_col).alias("_id"),
                      F.explode(udf(F.col(vec_col))).alias("bucket"))

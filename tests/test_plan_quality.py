@@ -131,7 +131,11 @@ def test_xml_meta_is_pure_jvm(spark, sf_dir):
 def test_gopher_scan_prunes_to_needed_columns(spark, sf_dir):
     from imagery_utils_spark.functions.quality import gopher_quality
     docs = load(spark, sf_dir, "documents")
-    plan = plan_of(gopher_quality(docs))
+    # materialize=False: the r6 staged-text checkpoint replaces the scan
+    # with an ExistingRDD in the final plan; the unmaterialized plan is
+    # the one whose scan pruning the checkpoint job inherits (identical
+    # projection)
+    plan = plan_of(gopher_quality(docs, materialize=False))
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "text" in read_schema and "lang" not in read_schema
 
@@ -329,13 +333,16 @@ def test_star_join_broadcasts_both_dims(spark, sf_dir):
     assert all("n_name" in l for l in ex), ex
 
 
-def test_temporal_join_broadcasts_interval_dim(spark, sf_dir):
+def test_temporal_join_is_asof_window_not_interval_join(spark, sf_dir):
     import __spark_entry__ as E
 
     df = E.queries()["temporal_join"](spark, sf_dir)
     plan = plan_of(df)
-    # the SCD2 dim is broadcast: no shuffle keyed on the fact's join key
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # r6: the broadcast BETWEEN interval join (O(n^2/keys) probe work
+    # on low-cardinality keys) became a union + ordered-window as-of
+    # pass — no join of any kind remains in the plan
+    assert "Join" not in plan
+    assert "Window" in plan and "Union" in plan
 
 
 def test_interval_overlap_is_hash_join_not_cartesian(spark, sf_dir):
