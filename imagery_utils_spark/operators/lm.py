@@ -74,7 +74,11 @@ def lm_bits_score(docs: DataFrame, ref_docs: DataFrame | None = None,
         ref_docs = docs
     ref_bg = bigram_rows(ref_docs, text_col, id_col)
     c2 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
-    c1 = ref_bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    # r6: context counts are an exact rollup of the bigram counts
+    # (sum over w2 of c(w1,w2) == c(w1)); deriving c1 from c2 makes the
+    # two count tables share ONE reference-corpus explode via
+    # ReuseExchange instead of scanning the reference twice.
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     ref_toks = tokens_col(F.lower(F.col(text_col)))
     vocab = (ref_docs.select(F.explode(ref_toks).alias("w"))
              .agg(F.countDistinct("w").alias("v")))
