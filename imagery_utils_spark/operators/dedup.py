@@ -488,8 +488,15 @@ def simhash_near_dup_pairs(
         # consumers (fps, both broadcast maps, both within-join sides), and
         # a downstream orderBy's range-partitioner sampling pass would
         # otherwise re-run the fingerprint UDF ~10x (guide §1.2/§5 —
-        # it is n_docs x 16 bytes, vocabulary-independent).
-        sh = sh.localCheckpoint()
+        # it is n_docs x 16 bytes, vocabulary-independent).  Stored WIDE
+        # (defaultParallelism): AQE coalesces these tiny frames to a
+        # handful of partitions, and every downstream stage that fans out
+        # from them (the within-fp join, the fp-pair expansion below)
+        # inherits that partition count — measured 35M expanded pairs
+        # materializing on 3 tasks, serializing the consumer sort's map
+        # side (guide §2.6 stragglers / §2.2 map-task count).
+        par = df.sparkSession.sparkContext.defaultParallelism
+        sh = sh.repartition(par).localCheckpoint()
         fps = sh.groupBy("_fp").agg(F.count("*").alias("_g"))
         fpc = fps.select(
             "_fp",
@@ -521,8 +528,12 @@ def simhash_near_dup_pairs(
                .select("fp_a", "fp_b", hamming.alias("hamming"))
                # fp-level pair set is small (qualifying pairs only);
                # materializing it keeps the 53M-candidate band join out
-               # of any re-execution (orderBy sampling, multi-action use)
-               .localCheckpoint())
+               # of any re-execution (orderBy sampling, multi-action use).
+               # Wide for the same reason as sh above: each fp pair fans
+               # out |members a| x |members b| rows through the broadcast
+               # expansion — its partition count IS the expansion's (and
+               # the downstream sort's) map-side parallelism.
+               .repartition(par).localCheckpoint())
         a = sh.select(F.col("_fp").alias("fp_a"), F.col("_k").alias("ka"))
         b = sh.select(F.col("_fp").alias("fp_b"), F.col("_k").alias("kb"))
         cross = (fpp.join(F.broadcast(a), "fp_a")

@@ -83,8 +83,15 @@ def connected_components(edges: DataFrame, src: str = "src",
     self-loops if they must appear. Raises after ``max_iter`` rounds
     without convergence (log²-bounded, so 50 covers any realistic n).
     """
+    # Materialize the input edge list ONCE (r6, guide §1.2): both the node
+    # universe and the canonical edge set are derived from ``raw``, and an
+    # un-materialized caller pipeline (LSH band join + verify UDFs in the
+    # near-dup path) would otherwise execute end-to-end twice. The stored
+    # frame is (long, long) rows — the same order of storage the first
+    # round's checkpoint takes anyway.
     raw = edges.select(F.col(src).cast("long").alias("u"),
-                       F.col(dst).cast("long").alias("v"))
+                       F.col(dst).cast("long").alias("v")
+                       ).localCheckpoint(eager=True)
     # node universe from the RAW edges: a self-loop row is how callers
     # declare an isolated node, so collect nodes before dropping loops
     nodes = (raw.select(F.col("u").alias("node"))

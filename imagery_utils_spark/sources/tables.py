@@ -32,7 +32,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-SPREAD_MIN_BYTES = 32 * 1024 * 1024
+SPREAD_MIN_BYTES = 4 * 1024 * 1024
 
 
 def spread_small_input(df: DataFrame,
