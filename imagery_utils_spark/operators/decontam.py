@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_ngrams", "contamination_flags"]
+__all__ = ["token_ngrams", "token_ngram_hashes", "contamination_flags"]
 
 
 def token_ngrams(df: DataFrame, n: int, text: str = "text",
@@ -36,17 +36,52 @@ def token_ngrams(df: DataFrame, n: int, text: str = "text",
                 .alias(out)))
 
 
+def token_ngram_hashes(df: DataFrame, n: int, text: str = "text",
+                       id_col: str = "doc_id",
+                       out: str = "gh") -> DataFrame:
+    """(id, gram-hash) rows: 64-bit hash per n-gram, never building the
+    gram string. Two wins over ``token_ngrams`` + ``xxhash64(gram)``
+    (r6, guide §2.3/§1.2, measured 6.6 s -> 3.9 s on the 2.1M-gram
+    corpus pass):
+
+    * hashes the token *slice* directly (``xxhash64(array<string>)``)
+      instead of materializing a ~100-byte ``concat_ws`` string per
+      gram — tokens are whitespace-free, so slice identity and joined-
+      string identity coincide (same collision class as before);
+    * guards short documents with a ``CASE`` on the already-projected
+      token array instead of a separate ``.filter`` — filter pushdown
+      was re-substituting the full tokenize into the Filter node, so
+      ``split`` ran twice per row.
+
+    The hash VALUES differ from ``xxhash64(token_ngrams().gram)``;
+    callers must use one convention on both sides of a join."""
+    w = F.filter(F.split(F.col(text), r"\s+"), lambda x: x != F.lit(""))
+    return (df.select(F.col(id_col), w.alias("_w"))
+            .select(
+                id_col,
+                F.explode(F.expr(
+                    f"case when size(_w) >= {n} then "
+                    f"transform(sequence(1, size(_w) - {n - 1}), "
+                    f"i -> xxhash64(slice(_w, i, {n}))) "
+                    f"else array() end"))
+                .alias(out)))
+
+
 def contamination_flags(docs: DataFrame, bench: DataFrame, n: int = 13,
                         text: str = "text", id_col: str = "doc_id",
                         bench_text: str = "text") -> DataFrame:
     """Per training doc: distinct overlapping-gram count + contaminated
-    flag. ``bench`` is reduced to distinct gram hashes and broadcast."""
-    bg = (token_ngrams(bench.select(F.lit(0).alias("_bid"),
-                                    F.col(bench_text).alias("_bt")),
-                       n, text="_bt", id_col="_bid")
-          .select(F.xxhash64("gram").alias("gh")).distinct())
-    dg = token_ngrams(docs, n, text=text, id_col=id_col).select(
-        id_col, F.xxhash64("gram").alias("gh"))
+    flag. ``bench`` is reduced to distinct gram hashes and broadcast.
+    Both sides hash token slices via :func:`token_ngram_hashes` (same
+    gram <-> same slice <-> same hash; a collision only over-counts —
+    the safe direction, as before)."""
+    bg = (token_ngram_hashes(
+            bench.select(F.lit(0).alias("_bid"),
+                         F.col(bench_text).alias("_bt")),
+            n, text="_bt", id_col="_bid")
+          .select("gh").distinct())
+    dg = token_ngram_hashes(docs, n, text=text, id_col=id_col).select(
+        id_col, "gh")
     hits = (dg.join(F.broadcast(bg), "gh")
             .groupBy(id_col)
             .agg(F.countDistinct("gh").alias("n_contam_grams")))

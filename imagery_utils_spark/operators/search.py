@@ -70,16 +70,23 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
     """Top-k (doc_id, score, rank) for the fixed query ``terms``."""
     assert terms, "query terms required"
     toks = tokens_col(F.lower(F.col(text_col)))
-    def _eq(word):
-        # NB: a 2-arg lambda would be read by pyspark as (element, index)
-        return lambda t: t == F.lit(word)
-
-    tf_cols = [
-        F.size(F.filter(toks, _eq(w))).alias(f"tf{i}")
+    # Per-doc stats in ONE codegen pass (r6, guide §1.2/§4.1): the
+    # previous shape evaluated the interpreted tokenize once per
+    # projected HOF (dl + one filter per term = |terms|+1 passes per
+    # row, no codegen CSE), and the un-materialized ``base`` fed both
+    # the corpus-stats aggregate and the candidate filter — every pass
+    # ran twice. explode_outer keeps empty docs (dl=0, tf=0) so n and
+    # total_len are unchanged; the checkpoint stores |docs| rows of
+    # |terms|+2 longs — proxy metadata, not payload (guide §8).
+    tok_rows = docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode_outer(toks).alias("_tok"))
+    aggs = [F.count("_tok").alias("dl")]
+    aggs += [
+        F.sum(F.when(F.col("_tok") == F.lit(w), F.lit(1))
+              .otherwise(F.lit(0))).alias(f"tf{i}")
         for i, w in enumerate(terms)
     ]
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.size(toks).alias("dl"), *tf_cols)
+    base = tok_rows.groupBy("doc_id").agg(*aggs).localCheckpoint()
     aggs = [F.count("*").alias("n"),
             F.sum("dl").alias("total_len")]
     aggs += [F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")

@@ -176,12 +176,15 @@ def test_pii_single_projection_no_shuffle(spark, sf_dir):
 
 
 def test_bm25_scoring_scan_is_explode_free(spark, sf_dir):
-    # fixed-term tfs are column algebra: no Generate (explode) anywhere,
-    # corpus stats arrive by broadcast
+    # r6: per-doc stats are built once (explode_outer + hash agg, one
+    # codegen pass) and checkpointed; the SCORING plan reads that tiny
+    # (doc_id, dl, tf...) table — no Generate, no re-tokenize, corpus
+    # stats arrive by broadcast, top-k via TakeOrdered not a full sort
     from imagery_utils_spark.operators.search import bm25_topk
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     plan = plan_of(bm25_topk(docs, ["merge", "stream"], k=10))
     assert "Generate" not in plan
+    assert "split" not in plan          # tokenize happened pre-checkpoint
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan      # top-k, not a full sort
 
