@@ -30,19 +30,35 @@ __all__ = ["feature_hash", "feature_vector_digest"]
 
 
 def feature_hash(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", dim: int = 64) -> DataFrame:
+                 id_col: str = "doc_id", dim: int = 64,
+                 dict_broadcast: bool = True) -> DataFrame:
     """(id, bucket, w): signed-hash feature vectors, zero entries
     dropped (a cancelled bucket is indistinguishable from an untouched
-    one — exactly the hashing-trick semantics)."""
+    one — exactly the hashing-trick semantics).
+
+    ``dict_broadcast`` (r6, guide §2.3 — same move as the weighted
+    cms_build): sha256 runs once per DISTINCT token via a broadcast
+    (token, bucket, sign) dictionary instead of once per occurrence —
+    identical output (bucket/sign are pure functions of the token).
+    The distinct is Heaps-law-bounded and map-side combinable; pass
+    ``False`` when the corpus vocabulary outgrows a broadcast (the
+    hashing trick itself never *needs* the dictionary — that fallback
+    is the 10^12-doc shape, paying sha per occurrence instead)."""
     toks = docs.select(
         F.col(id_col),
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
     h = F.sha2(F.col("tok"), 256)
-    bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % dim
-    sign = 1 - 2 * (F.conv(F.substring(h, 16, 1), 16, 10)
-                    .cast("long") % 2)
-    return (toks.select(F.col(id_col), bucket.alias("bucket"),
-                        sign.alias("s"))
+    bucket = (F.conv(F.substring(h, 1, 15), 16, 10)
+              .cast("long") % dim).alias("bucket")
+    sign = (1 - 2 * (F.conv(F.substring(h, 16, 1), 16, 10)
+                     .cast("long") % 2)).alias("s")
+    if dict_broadcast:
+        dic = toks.select("tok").distinct().select("tok", bucket, sign)
+        keyed = toks.join(F.broadcast(dic), "tok").select(
+            F.col(id_col), "bucket", "s")
+    else:
+        keyed = toks.select(F.col(id_col), bucket, sign)
+    return (keyed
             .groupBy(id_col, "bucket").agg(F.sum("s").alias("w"))
             .filter(F.col("w") != 0))
 
