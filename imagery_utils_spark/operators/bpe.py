@@ -58,13 +58,19 @@ def merge_col(s, a: str, b: str) -> F.Column:
 
 
 def pair_counts(vocab: DataFrame) -> DataFrame:
-    """(a, b, cnt): adjacent symbol pairs weighted by word frequency."""
-    l = _sym_list(F.col("s"))
-    zp = F.arrays_zip(F.slice(l, 1, F.size(l) - 1).alias("a"),
-                      F.slice(l, 2, F.size(l) - 1).alias("b"))
-    return (vocab.filter(F.size(l) >= 2)
-            .select(F.col("wc"), F.explode(zp).alias("_p"))
-            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    """(a, b, cnt): adjacent symbol pairs weighted by word frequency.
+
+    The symbol list is projected into a column once with a CASE
+    short-word guard (r6, guide §1.2): the previous filter + slices
+    re-evaluated the interpreted symbol split up to 4x per vocab row,
+    once per merge round (same fix as lm.bigram_rows)."""
+    return (vocab
+            .select(F.col("wc"), _sym_list(F.col("s")).alias("_l"))
+            .select(F.col("wc"), F.explode(F.expr(
+                "case when size(_l) >= 2 then arrays_zip("
+                "slice(_l, 1, size(_l) - 1), slice(_l, 2, size(_l) - 1)"
+                ") else array() end")).alias("_p"))
+            .groupBy(F.col("_p.0").alias("a"), F.col("_p.1").alias("b"))
             .agg(F.sum("wc").alias("cnt")))
 
 

@@ -57,9 +57,11 @@ def paragraph_chunks(docs: DataFrame, chunk: int = 10,
     paras = F.regexp_extract_all(
         F.concat_ws(" ", toks),
         F.lit(r"\S+(?: \S+){0,%d}" % (chunk - 1)), 0)
+    # no size filter (r6): posexplode (non-outer) already drops empty
+    # arrays, and filter pushdown re-substituted the regex partition
+    # into the Filter node below the Project — the whole pass ran twice
     return (docs
             .select(F.col(id_col).alias("doc_id"), paras.alias("_paras"))
-            .filter(F.size("_paras") > 0)
             .select("doc_id", F.posexplode("_paras")
                     .alias("para_idx", "para")))
 
