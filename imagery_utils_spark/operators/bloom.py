@@ -68,24 +68,41 @@ def bloom_build(dim: DataFrame, value, k: int = 2,
 
 
 def bloom_probe(fact: DataFrame, value, bloom: DataFrame, k: int = 2,
-                m_bits: int = 4096) -> DataFrame:
+                m_bits: int = 4096,
+                flag: str | None = None) -> DataFrame:
     """Fact rows whose k positions are ALL set in the bitmap.
 
     k broadcast left-joins against the word table (tiny), bit tests in
     JVM codegen; rows with any unset/missing word drop. No fact
-    shuffle — the exact join downstream sees only the candidates."""
+    shuffle — the exact join downstream sees only the candidates.
+
+    ``flag`` (r6): when set, keep EVERY fact row and emit the combined
+    membership test as a boolean column named ``flag`` instead of
+    filtering — lets a caller compute a whole probe funnel (total /
+    candidates / matches) in ONE fact pass (guide §1.2) with identical
+    per-row test results."""
     out = fact
+    tests = []
     for i, p in enumerate(bloom_positions(value, k, m_bits)):
         out = out.withColumn(f"_p{i}", p)
         bw = bloom.select(F.col("w").alias(f"_w{i}"),
                           F.col("bits").alias(f"_b{i}"))
-        out = (out.join(
+        out = out.join(
             F.broadcast(bw),
             F.shiftright(F.col(f"_p{i}").cast("long"), 5) == F.col(f"_w{i}"),
             "left")
-            .filter(F.col(f"_b{i}").isNotNull() & (
-                F.col(f"_b{i}").bitwiseAND(
-                    F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                           f"CAST(_p{i} % {WORD_BITS} AS INT))")) != 0)))
+        test = (F.col(f"_b{i}").isNotNull() & (
+            F.col(f"_b{i}").bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST(_p{i} % {WORD_BITS} AS INT))")) != 0))
+        if flag is None:
+            out = out.filter(test)
+        else:
+            tests.append(test)
+    if flag is not None:
+        cond = tests[0]
+        for t in tests[1:]:
+            cond = cond & t
+        out = out.withColumn(flag, cond)
     return out.drop(*[c for i in range(k)
                       for c in (f"_p{i}", f"_w{i}", f"_b{i}")])
